@@ -1,0 +1,21 @@
+"""dask_patternsearch_spark: a PySpark-native analytics engine with the
+capabilities of the reference ``eriknw/dask-patternsearch`` (parallel
+pattern-search minimization) plus the relational / LLM-data-pipeline
+operator surface described in SURVEY.md section 2.3.
+"""
+
+from .search import LocalEvaluator, SearchResults, SparkEvaluator, TrialPoint, search
+from .stencil import SimplexStencil, Step
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "search",
+    "TrialPoint",
+    "SearchResults",
+    "LocalEvaluator",
+    "SparkEvaluator",
+    "SimplexStencil",
+    "Step",
+    "__version__",
+]

@@ -1,0 +1,487 @@
+"""Batch-synchronous parallel pattern search on Spark.
+
+Implements the same derivative-free minimization algorithm as the reference
+(``/root/reference/dask_patternsearch/search.py:48-362``) re-architected for
+Spark's execution model.  The reference is *asynchronous*: it keeps a queue
+of dask futures and greedily accepts the best result as soon as it arrives.
+Spark jobs are synchronous barriers, so this engine runs the published
+*batch-synchronous* variant of generating-set search: each iteration ("poll
+round") materializes a set of deduplicated trial points, evaluates them all
+in one Spark job (``mapInPandas`` -- Arrow-vectorized), then makes the
+accept/contract decision on the driver.  The reference itself notes that its
+greedy-async acceptance policy is a replaceable choice
+(``search.py:326-329``); the lattice + poll-set contraction gate that
+convergence theory actually requires (Kolda/Lewis/Torczon, SIREV 2003) is
+preserved exactly:
+
+* all coordinates snap to a dyadic lattice of spacing
+  ``stepsize / 2**max_halvings`` before identity is computed
+  (reference ``search.py:149-151,159-160``);
+* a contraction (step halving) only happens after the full poll set --
+  the first ``2*dims`` stencil steps, i.e. the +/- axis points -- has been
+  evaluated without improvement (reference ``search.py:259-265,286-287``);
+* accepted trial points carry their own resolution level
+  (``step.halvings + incumbent.halvings``, reference ``search.py:266``);
+* the asymmetric stencil is re-oriented toward the observed descent
+  direction on every acceptance (reference ``search.py:334-343``);
+* integer dimensions: x0 rounded, minimum step forced to +/-1, steps
+  rounded away from zero, halvings not charged for integer-only steps
+  (reference ``search.py:153-157,226-229,268-276``).
+
+Driver/cluster split (SURVEY.md section 7): the stencil stream, orientation
+flips, contraction bookkeeping and termination checks are O(dims) scalar
+work and stay on the driver; the expensive part -- objective evaluation --
+is the only thing distributed.  The results ledger is bounded by
+``max_tasks`` and lives on the driver as the exact-dedup memo
+(reference op #4, ``search.py:285-291``); ``SearchResults.to_spark``
+exposes it as a DataFrame for relational post-analysis.
+"""
+
+from __future__ import annotations
+
+import math
+from time import time
+
+import numpy as np
+
+from .stencil import SimplexStencil
+
+__all__ = ["search", "TrialPoint", "LocalEvaluator", "SparkEvaluator"]
+
+
+class TrialPoint:
+    """One evaluated (or pending) candidate solution with lineage.
+
+    Mirrors the reference's ``Point`` record (``search.py:15-31``): identity
+    is the lattice-snapped coordinate bytes, which is exact because every
+    point is snapped before construction.
+    """
+
+    __slots__ = (
+        "point", "halvings", "parent", "is_accepted", "result",
+        "start_time", "stop_time",
+    )
+
+    def __init__(self, point: np.ndarray, halvings: int):
+        self.point = point
+        self.halvings = halvings
+        self.parent = None
+        self.is_accepted = False
+        self.result = None
+        self.start_time = None
+        self.stop_time = None
+
+    def __hash__(self) -> int:
+        return hash(self.point.tobytes())
+
+    def __eq__(self, other) -> bool:
+        return np.array_equal(self.point, other.point)
+
+    def __repr__(self) -> str:
+        return f"TrialPoint({self.point.tolist()}, h={self.halvings})"
+
+
+class SearchResults(dict):
+    """``dict[TrialPoint, float]`` ledger with a DataFrame exporter."""
+
+    def to_spark(self, spark):
+        """Export the ledger as a DataFrame (SURVEY.md section 1.1 schema)."""
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("point", T.ArrayType(T.DoubleType(), False), False),
+            T.StructField("halvings", T.IntegerType(), False),
+            T.StructField("parent", T.ArrayType(T.DoubleType(), False), True),
+            T.StructField("is_accepted", T.BooleanType(), False),
+            T.StructField("cost", T.DoubleType(), True),
+        ])
+        rows = [
+            (
+                p.point.tolist(),
+                int(p.halvings),
+                None if p.parent is None else p.parent.point.tolist(),
+                bool(p.is_accepted),
+                None if cost is None or not np.isfinite(cost) else float(cost),
+            )
+            for p, cost in self.items()
+        ]
+        return spark.createDataFrame(rows, schema)
+
+
+class LocalEvaluator:
+    """In-process evaluation (the reference's SerialClient analog,
+    ``clients.py:27-53``), with optional vectorized dispatch."""
+
+    def __init__(self, vectorize: bool = False):
+        self.vectorize = vectorize
+
+    def evaluate(self, func, points: list[np.ndarray], args: tuple) -> list[float]:
+        if not points:
+            return []
+        if self.vectorize:
+            return list(np.asarray(func(np.stack(points), *args), dtype=float))
+        return [float(func(p, *args)) for p in points]
+
+
+class SparkEvaluator:
+    """Distributed evaluation: one Spark job per poll round.
+
+    The candidate set becomes a DataFrame and the objective runs inside
+    ``mapInPandas`` so rows reach Python as Arrow batches (the idiomatic
+    equivalent of the reference's ``batchsize``/``vectorize`` modes,
+    ``search.py:115-122,190-201`` -- Spark's Arrow batching replaces the
+    hand-rolled task batching).  Partition count is sized so every core
+    gets work: ``min(n_candidates, defaultParallelism)`` unless an explicit
+    ``batchsize`` dictates fewer, larger tasks.
+    """
+
+    def __init__(self, spark, vectorize: bool = False, batchsize: int | None = None):
+        self.spark = spark
+        self.vectorize = vectorize
+        self.batchsize = batchsize
+
+    def evaluate(self, func, points: list[np.ndarray], args: tuple) -> list[float]:
+        if not points:
+            return []
+        from pyspark.sql import types as T
+
+        vectorize = self.vectorize
+        schema = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("x", T.ArrayType(T.DoubleType(), False), False),
+        ])
+        out_schema = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("cost", T.DoubleType(), False),
+        ])
+        rows = [(i, p.tolist()) for i, p in enumerate(points)]
+        if self.batchsize:
+            n_parts = max(1, math.ceil(len(points) / self.batchsize))
+        else:
+            n_parts = max(1, min(len(points), self.spark.sparkContext.defaultParallelism))
+        df = self.spark.createDataFrame(rows, schema).repartition(n_parts)
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                xs = np.stack([np.asarray(v, dtype=float) for v in pdf["x"]])
+                if vectorize:
+                    costs = np.asarray(func(xs, *args), dtype=float)
+                else:
+                    costs = np.array([func(x, *args) for x in xs], dtype=float)
+                yield pd.DataFrame({"id": pdf["id"].to_numpy(), "cost": costs})
+
+        out = df.mapInPandas(run, out_schema).collect()
+        costs: list[float] = [math.nan] * len(points)
+        for row in out:
+            costs[row["id"]] = row["cost"]
+        return costs
+
+
+def _chunked_shuffle(step_iter, dims: int, rng: np.random.Generator):
+    """Shuffle stencil steps within growing chunks (first chunk ``2*dims``,
+    then ``+dims`` each) to decorrelate exploration while keeping the poll
+    set first (reference op #16, ``search.py:34-41``)."""
+    size = 2 * dims
+    while True:
+        chunk = []
+        for _ in range(size):
+            try:
+                chunk.append(next(step_iter))
+            except StopIteration:
+                rng.shuffle(chunk)
+                yield from chunk
+                return
+        rng.shuffle(chunk)
+        yield from chunk
+        size = dims
+
+
+def search(
+    func,
+    x0,
+    stepsize,
+    spark=None,
+    *,
+    args: tuple = (),
+    round_size: int | None = None,
+    min_new_submit: int = 0,
+    randomize: bool = True,
+    seed: int | None = None,
+    max_stencil_size: int | None = None,
+    stopratio: float = 0.01,
+    max_tasks: int | None = None,
+    max_time: float | None = None,
+    integer_dimensions=None,
+    batchsize: int | None = None,
+    vectorize: bool = False,
+    evaluator=None,
+):
+    """Minimize ``func`` by parallel pattern search; returns ``(best, results)``.
+
+    Parameters mirror the reference ``search()`` signature
+    (``search.py:48-51``) with the async queue knobs mapped to round sizing:
+    ``round_size`` (candidates evaluated per Spark job) replaces
+    ``max_queue_size``/``min_queue_size`` -- one poll round IS the queue.
+
+    Parameters
+    ----------
+    func : callable ``func(x, *args) -> float``; if ``vectorize`` is True it
+        must accept a 2-D array of points and return a 1-D array.
+    x0, stepsize : 1-D array-likes of equal length.
+    spark : SparkSession or None.  None runs in-process (serial mode,
+        reference trace C); a session distributes evaluation via
+        ``mapInPandas``.
+    round_size : trial points evaluated per round.  Default
+        ``max(3*dims, defaultParallelism)`` with a session, ``3*dims``
+        without (the reference's queue-depth default, ``search.py:133-139``).
+    min_new_submit : minimum new submissions per incumbent epoch before an
+        improvement may be accepted (multi-minima robustness,
+        ``search.py:95-98``).
+    max_stencil_size : cap on stencil steps consumed per epoch.
+    stopratio : stop once the step has been halved ``frexp(1/stopratio)[1]``
+        times (``search.py:104-106,149``).
+    max_tasks : stop after this many completed tasks (batches count as one
+        task each when ``batchsize`` is set, ``search.py:293-295``).
+    max_time : wall-clock budget in seconds (stop submitting after).
+    integer_dimensions : indices of dimensions constrained to integers.
+    batchsize / vectorize : evaluation batching, as in the reference.
+    evaluator : explicit evaluator (overrides ``spark``).
+
+    Returns
+    -------
+    (best, results) : ``best`` is the incumbent ``TrialPoint`` (equal to the
+        minimum of the ledger); ``results`` is a ``SearchResults`` dict of
+        every evaluated point to its objective value.
+    """
+    if vectorize and batchsize is None and spark is None and evaluator is None:
+        raise ValueError("batchsize must be given if vectorize is True in serial mode")
+
+    x0 = np.array(x0, dtype=float)
+    stepsize = np.array(stepsize, dtype=float)
+    dims = len(stepsize)
+    if len(x0) != dims:
+        raise ValueError("x0 and stepsize must have the same length")
+    max_halvings = math.frexp(1 / stopratio)[1]
+    gridsize = stepsize / 2.0 ** max_halvings
+    stencil = SimplexStencil(dims, max_halvings)
+    rng = np.random.default_rng(seed)
+
+    if evaluator is None:
+        if spark is not None:
+            evaluator = SparkEvaluator(spark, vectorize=vectorize, batchsize=batchsize)
+        else:
+            evaluator = LocalEvaluator(vectorize=vectorize)
+
+    if round_size is None:
+        round_size = 3 * dims
+        if spark is not None:
+            round_size = max(round_size, spark.sparkContext.defaultParallelism)
+    if max_stencil_size is None:
+        max_stencil_size = int(1e9)
+
+    int_mask = None
+    if integer_dimensions is not None:
+        int_mask = np.zeros(dims, dtype=bool)
+        int_mask[np.asarray(integer_dimensions)] = True
+        x0[int_mask] = np.round(x0[int_mask])
+
+    def to_grid(x: np.ndarray) -> np.ndarray:
+        return np.round(x / gridsize) * gridsize
+
+    # points-per-"task" for the max_tasks accounting (reference search.py:293)
+    task_unit = batchsize or 1
+    point_budget = None if max_tasks is None else max_tasks * task_unit
+    deadline = None if max_time is None else time() + max_time
+
+    orientation = np.ones(dims)
+    incumbent = TrialPoint(to_grid(x0), 0)
+    incumbent.parent = incumbent
+    incumbent.start_time = time()
+    incumbent_cost = np.inf
+    results = SearchResults()
+
+    # --- per-epoch (per-incumbent) state ------------------------------------
+    def new_epoch():
+        it = stencil.steps()
+        if randomize:
+            it = _chunked_shuffle(it, dims, rng)
+        return {
+            "steps": enumerate(it, 1),
+            "index": 0,          # last stencil index pulled
+            "added": 0,          # new submissions this epoch
+            "poll": set(),       # unevaluated poll-set TrialPoints
+            "exhausted": False,
+        }
+
+    epoch = new_epoch()
+    seed_point = incumbent  # x0 still needs evaluating
+    carried_best = None     # improvement deferred by min_new_submit
+    carried_key = None      # (halvings, cost) acceptance key of carried_best
+    finished = False
+
+    def current_stepsize() -> np.ndarray:
+        cs = to_grid(orientation * stepsize / 2.0 ** incumbent.halvings)
+        if int_mask is not None:
+            cs = cs.copy()
+            lo = int_mask & (cs < 0) & (cs > -1)
+            hi = int_mask & (cs > 0) & (cs < 1)
+            cs[lo] = -1.0
+            cs[hi] = 1.0
+        return cs
+
+    while not finished:
+        if deadline is not None and time() > deadline:
+            break
+
+        cs = current_stepsize()
+
+        # ---- fill: pull stencil steps into this round's candidate set ------
+        candidates: list[TrialPoint] = []
+        if seed_point is not None:
+            candidates.append(seed_point)
+            seed_point = None
+
+        def pull_one() -> bool:
+            """Advance the stencil one step; maybe append a new candidate.
+
+            Returns False when the stencil stream is exhausted for this
+            epoch.  Reference fill phase: ``search.py:240-297``.
+            """
+            try:
+                epoch["index"], step = next(epoch["steps"])
+            except StopIteration:
+                epoch["exhausted"] = True
+                return False
+            halvings = step.extra_halvings + incumbent.halvings
+            dx = step.offset * cs
+            if int_mask is not None:
+                di = dx[int_mask]
+                dx = dx.copy()
+                dx[int_mask] = np.copysign(np.ceil(np.abs(di)), di)
+                trial = to_grid(incumbent.point + dx)
+                trial[int_mask] = np.round(trial[int_mask])
+                if step.extra_halvings > 0 and not np.any(dx[~int_mask] != 0):
+                    halvings = incumbent.halvings
+            else:
+                trial = to_grid(incumbent.point + dx)
+            if halvings > max_halvings:
+                return True  # over-resolved; skip (reference search.py:279-280)
+            tp = TrialPoint(trial, halvings)
+            known = results.get(tp, False)
+            if epoch["index"] <= 2 * dims and known is False:
+                epoch["poll"].add(tp)
+            if known is False:
+                tp.parent = incumbent
+                tp.start_time = time()
+                candidates.append(tp)
+            return True
+
+        while len(candidates) < round_size and epoch["index"] < max_stencil_size:
+            if not pull_one():
+                break
+        if batchsize:
+            # keep evaluated counts whole batches: top up rather than discard
+            # (the reference buffers partial batches and drops them at exit,
+            # search.py:190-201,360-361; topping up loses nothing)
+            while (
+                len(candidates) % batchsize != 0
+                and epoch["index"] < max_stencil_size
+                and pull_one()
+            ):
+                pass
+            if len(candidates) % batchsize != 0:
+                candidates = candidates[: len(candidates) - (len(candidates) % batchsize)]
+        if epoch["index"] >= max_stencil_size:
+            epoch["exhausted"] = True
+
+        # ---- budget trim (max_tasks semantics) ------------------------------
+        if point_budget is not None:
+            remaining = point_budget - len(results)
+            if remaining <= 0:
+                break
+            if len(candidates) > remaining:
+                candidates = candidates[:remaining]
+
+        # ---- evaluate: ONE Spark job (or local batch) -----------------------
+        if candidates:
+            costs = evaluator.evaluate(func, [c.point for c in candidates], args)
+            now = time()
+            for tp, cost in zip(candidates, costs):
+                tp.stop_time = now
+                tp.result = cost
+                results[tp] = cost
+                epoch["poll"].discard(tp)
+                epoch["added"] += 1
+                # Acceptance candidate policy: among improving points prefer
+                # the lowest resolution level, then the lowest cost.  The
+                # reference's async drain sees axis/doubled steps complete
+                # first, so its greedy accept (search.py:314-324) has the
+                # same effect; taking the raw min of a large synchronous
+                # round would instead keep accepting contraction steps and
+                # exhaust the halvings budget far from the optimum.  The
+                # reference flags this policy as replaceable
+                # (search.py:326-329).
+                if cost < incumbent_cost:
+                    key = (tp.halvings, cost)
+                    if carried_best is None or key < carried_key:
+                        carried_best, carried_key = tp, key
+
+        if point_budget is not None and len(results) >= point_budget:
+            finished = True
+        if deadline is not None and time() > deadline:
+            finished = True
+
+        # ---- decide: accept / contract / keep filling -----------------------
+        may_accept = (
+            carried_best is not None
+            and (epoch["added"] >= min_new_submit or epoch["exhausted"] or finished)
+        )
+        if may_accept and carried_key[1] < incumbent_cost:
+            nxt = carried_best
+            # orient the asymmetric stencil toward the descent direction
+            # (reference search.py:334-343)
+            diff = (nxt.point - nxt.parent.point) + (
+                incumbent.point - incumbent.parent.point
+            )
+            orientation = np.where(diff, np.copysign(orientation, diff), orientation)
+            nxt.is_accepted = True
+            incumbent.stop_time = time()
+            incumbent = nxt
+            incumbent_cost = carried_key[1]
+            carried_best = carried_key = None
+            epoch = new_epoch()
+            if incumbent.halvings >= max_halvings:
+                finished = True
+        elif not finished:
+            poll_done = not epoch["poll"] and epoch["index"] >= 2 * dims
+            if (poll_done and epoch["added"] >= min_new_submit) or epoch["exhausted"]:
+                # contraction: halve the step at the same coordinates
+                # (reference search.py:209-238,351-358)
+                nxt = TrialPoint(incumbent.point, incumbent.halvings + 1)
+                nxt.parent = incumbent
+                nxt.is_accepted = True
+                nxt.result = incumbent_cost
+                nxt.start_time = time()
+                incumbent.stop_time = time()
+                incumbent = nxt
+                carried_best = carried_key = None
+                epoch = new_epoch()
+                if incumbent.halvings >= max_halvings:
+                    finished = True
+
+    # fold the global ledger minimum on finish (the reference's finish-time
+    # processing guarantees the returned incumbent equals the ledger min,
+    # search.py:330-344,360-362)
+    if results:
+        best_p, best_c = min(results.items(), key=lambda kv: kv[1])
+        if best_c < incumbent_cost:
+            best_p.is_accepted = True
+            incumbent = best_p
+            incumbent_cost = best_c
+
+    incumbent.stop_time = time()
+    return incumbent, results

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Centralizes the configs we want identical in tests, bench and the driver
+harness.  Tuned for the local[32] test box but chosen to be the settings
+you'd also want on a 1000-executor cluster reading 100 TB:
+
+* AQE on (runtime join re-selection, skew-join splitting, partition
+  coalescing) -- the single most important knob at scale;
+* shuffle partitions sized to cores locally; on a real cluster AQE's
+  coalescing makes the static number mostly irrelevant;
+* Arrow enabled for every Python<->JVM hop (pandas UDFs, toPandas);
+* session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle regardless of host timezone.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "dask-patternsearch-spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Register every testdata table as a temp view and return the dict.
+
+    Column pruning + predicate pushdown reach the parquet scan because these
+    are plain file scans (checked via ``.explain``: PushedFilters/ReadSchema).
+    """
+    names = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = {}
+    for name in names:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

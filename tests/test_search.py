@@ -1,0 +1,132 @@
+"""Convergence tests ported from the reference test suite
+(/root/reference/dask_patternsearch/tests/test_search.py:12-124): same
+objectives, same invariants, same parameter matrix with the async queue
+knobs mapped to round sizing.  Invariants asserted (reference :35-36):
+
+1. |best.point - argmin| < 2*stopratio elementwise;
+2. best.result == min over the ledger (incumbent consistency);
+3. cardinality semantics of max_tasks / batchsize.
+"""
+
+import numpy as np
+import pytest
+
+from dask_patternsearch_spark import search
+
+
+def sphere(x):
+    return float((x * x).sum())
+
+
+def sphere_p1(x):
+    x = x - 0.1
+    return float((x * x).sum())
+
+
+def sphere_vectorized(x):
+    # x is 2-D: one row per point
+    return (x * x).sum(axis=1)
+
+
+X0 = np.array([10.0, 15.0])
+STEP = np.array([1.0, 1.0])
+TOL = 2 * 0.01
+
+
+def check(best, results, target=(0.0, 0.0)):
+    assert best.result == min(p.result for p in results)
+    assert abs(best.point - np.array(target)).max() < TOL
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"round_size": 20},
+        {"round_size": 1},
+        {"min_new_submit": 4},
+        {"max_stencil_size": 4},
+        {"max_stencil_size": 4, "min_new_submit": 4},
+        {"batchsize": 5},
+        {"batchsize": 5, "vectorize": True},
+        {"randomize": False},
+    ],
+)
+def test_convergence_2d_serial(kwargs):
+    best, results = search(
+        sphere_vectorized if kwargs.get("vectorize") else sphere,
+        X0, STEP, seed=7, **kwargs,
+    )
+    check(best, results)
+
+
+def test_max_tasks():
+    best, results = search(sphere, X0, STEP, max_tasks=10, seed=7)
+    assert len(results) == 10
+    assert best.result == min(p.result for p in results)
+
+
+def test_batch_cardinality():
+    best, results = search(sphere, X0, STEP, batchsize=5, seed=7)
+    assert len(results) % 5 == 0
+    check(best, results)
+
+
+def test_batch_max_tasks():
+    best, results = search(sphere, X0, STEP, batchsize=5, max_tasks=2, seed=7)
+    assert len(results) == 10
+    assert best.result == min(p.result for p in results)
+
+
+def test_offset_minimum():
+    best, results = search(sphere_p1, X0, STEP, seed=7)
+    check(best, results, target=(0.1, 0.1))
+
+
+def test_integer_dimensions():
+    def obj(x):
+        return float((x[0] - 0.0) ** 2 + (x[1] - 0.1) ** 2)
+
+    best, results = search(obj, X0, STEP, integer_dimensions=[0], seed=7)
+    assert best.point[0] == 0.0
+    assert abs(best.point[1] - 0.1) < TOL
+    assert best.result == min(p.result for p in results)
+
+
+def test_max_time_returns_quickly():
+    best, results = search(sphere, X0, STEP, max_time=0.5, seed=7)
+    assert best.result == min(p.result for p in results)
+
+
+def test_rosenbrock_10d():
+    def rosen(x):
+        return float(((1 - x[:-1]) ** 2).sum() + 100 * ((x[1:] - x[:-1] ** 2) ** 2).sum())
+
+    x0 = np.full(10, 2.0)
+    best, results = search(rosen, x0, np.full(10, 0.5), max_tasks=4000, seed=7)
+    # rosenbrock is hard; just require meaningful descent + consistency
+    assert best.result == min(p.result for p in results)
+    assert best.result < rosen(x0) / 100
+
+
+@pytest.mark.spark
+def test_convergence_2d_spark(spark):
+    best, results = search(sphere, X0, STEP, spark=spark, seed=7)
+    check(best, results)
+
+
+@pytest.mark.spark
+def test_convergence_2d_spark_vectorized(spark):
+    best, results = search(
+        sphere_vectorized, X0, STEP, spark=spark, vectorize=True, batchsize=8, seed=7
+    )
+    check(best, results)
+
+
+@pytest.mark.spark
+def test_ledger_to_spark(spark):
+    best, results = search(sphere, X0, STEP, max_tasks=50, seed=7)
+    df = results.to_spark(spark)
+    assert df.count() == len(results)
+    row = df.orderBy("cost").first()
+    assert row["cost"] == pytest.approx(best.result)
