@@ -1,0 +1,9 @@
+"""LLM-data-pipeline operators, each designed for 100 TB scale:
+
+* ``dedup``      -- exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+* ``similarity`` -- brute-force / LSH-bucketed / IVF cosine top-k
+* ``text``       -- fingerprints, token stats, quality scores, language ID
+* ``multimodal`` -- opaque binary columns with typed metadata + feature stubs
+"""
+
+from . import dedup, multimodal, similarity, text  # noqa: F401

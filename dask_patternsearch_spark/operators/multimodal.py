@@ -1,0 +1,122 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a clearly
+marked stub (deterministic fake features derived from the bytes); everything
+around it -- schema, Arrow batch shape, partitioning, UDF signatures -- is
+the real Spark plumbing a production pipeline would use.  Swap
+``_fake_decode`` for a real decoder (PIL / torchaudio / pyav) and nothing
+else changes.
+
+Scale notes: payloads stay in executor memory only for the duration of one
+Arrow batch (``mapInPandas`` is streaming); feature extraction is a pure
+map -- no shuffle; downstream joins happen on the compact feature/metadata
+columns, never on the blobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_DIM = 16
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("media_type", T.StringType(), False),
+    T.StructField("n_bytes", T.LongType(), False),
+])
+
+
+def attach_binary(docs: DataFrame) -> DataFrame:
+    """Materialize a binary media column (here: utf-8 bytes of the text,
+    standing in for an image/audio blob) with typed metadata."""
+    payload = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+        .alias("media_type"),
+        F.length(payload).cast("long").alias("n_bytes"),
+    )
+
+
+def _real_decode(payload: bytes, media_type: str):  # pragma: no cover - stub
+    """Decode a media payload into a sample array.
+
+    STUB: the test container ships no codecs.  A deployment would dispatch
+    on ``media_type`` to PIL / soundfile / pyav here.
+    """
+    raise NotImplementedError(
+        "media decoding requires codec libraries not present in this container"
+    )
+
+
+def _fake_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a decoder: fixed-width feature vector
+    from byte statistics (so plumbing + tests are real and reproducible)."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(FEATURE_DIM)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    # histogram of the byte distribution -> stable, content-dependent
+    hist, _ = np.histogram(arr, bins=FEATURE_DIM, range=(0, 256))
+    return hist / max(len(arr), 1)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-payload feature vectors via Arrow-batched ``mapInPandas``."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
+    ])
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = [np.round(_fake_decode(p), 6).tolist() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema)
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """'Frame sampling': split each payload into ``n_frames`` evenly spaced
+    byte windows (stand-in for video frame extraction), one row per frame --
+    the explode-shaped output a real frame sampler produces."""
+    win = F.greatest(F.ceil(F.col("n_bytes") / n_frames), F.lit(1)).cast("int")
+    return (
+        media.withColumn("frame_size", win)
+        .select(
+            "doc_id",
+            "media_type",
+            F.explode(F.sequence(F.lit(0), F.lit(n_frames - 1))).alias("frame_idx"),
+            "payload",
+            "frame_size",
+        )
+        .select(
+            "doc_id",
+            "media_type",
+            "frame_idx",
+            F.substring(
+                F.col("payload"), F.col("frame_idx") * F.col("frame_size") + 1, F.col("frame_size")
+            ).alias("frame_bytes"),
+        )
+        .withColumn("frame_n_bytes", F.length("frame_bytes").cast("long"))
+        .drop("frame_bytes")
+    )

@@ -1,0 +1,63 @@
+"""Pattern-search queries: the reference's core capability exposed through
+the engine's query surface.
+
+Not SQL-expressible (iterative minimization; SURVEY.md section 2.3 last
+row), so no ORACLE entries -- the driver records rows-only checks.
+Correctness is instead guaranteed by the convergence property tests in
+``tests/test_search.py`` (the reference's own test strategy,
+``/root/reference/dask_patternsearch/tests/test_search.py:28-124``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from ..search import search
+
+
+def _sphere(x: np.ndarray) -> float:
+    return float((x * x).sum())
+
+
+def _rosenbrock(x: np.ndarray) -> float:
+    return float(((1 - x[:-1]) ** 2).sum() + 100.0 * ((x[1:] - x[:-1] ** 2) ** 2).sum())
+
+
+def pattern_search_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-mode sphere minimization; returns the evaluation ledger."""
+    best, results = search(_sphere, [10.0, 15.0], [1.0, 1.0], seed=42)
+    assert abs(best.point).max() < 0.02
+    return results.to_spark(spark)
+
+
+def pattern_search_rosenbrock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-D Rosenbrock with task budget; returns the evaluation ledger."""
+    best, results = search(
+        _rosenbrock, np.full(5, 2.0), np.full(5, 0.5), max_tasks=1500, seed=42
+    )
+    return results.to_spark(spark)
+
+
+def pattern_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sphere minimization with cluster-side evaluation (mapInPandas),
+    vectorized objective -- the reference's Trace B (batched/vectorized,
+    search.py:324-335) on Spark."""
+
+    def sphere_vec(xs: np.ndarray) -> np.ndarray:
+        return (xs * xs).sum(axis=1)
+
+    best, results = search(
+        sphere_vec, [10.0, 15.0], [1.0, 1.0],
+        spark=spark, vectorize=True, batchsize=16, stopratio=0.05, seed=42,
+    )
+    return results.to_spark(spark)
+
+
+QUERIES = {
+    "pattern_search_sphere": pattern_search_sphere,
+    "pattern_search_rosenbrock": pattern_search_rosenbrock,
+    "pattern_search_distributed": pattern_search_distributed,
+}
+
+ORACLE: dict[str, str] = {}

@@ -1,0 +1,205 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+Thin registry over the operator implementations in ``..operators``; see
+those modules for algorithm + scale notes.  Oracle SQL is provided wherever
+DuckDB can express the same computation exactly (md5, string splitting,
+list_cosine_similarity); LSH-family operators get rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---- dedup ----------------------------------------------------------------
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+_EXACT_DEDUP_SQL = """
+SELECT md5(text)      AS fingerprint,
+       min(doc_id)    AS keeper_doc_id,
+       count(*)       AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_consecutive(_docs(spark, sf_dir), n=3)
+
+
+_NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct([lower(string_split_regex(text, '\\s+')[i]) || ' ' ||
+                        lower(string_split_regex(text, '\\s+')[i+1]) || ' ' ||
+                        lower(string_split_regex(text, '\\s+')[i+2])
+                        FOR i IN range(1, greatest(len(string_split_regex(text, '\\s+')) - 1, 1))])
+           AS shingles
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(a.shingles || b.shingles)), 0), 6) AS jaccard
+FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_candidates(_docs(spark, sf_dir))
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.9)
+
+
+# ---- similarity search ------------------------------------------------------
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+     scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
+
+
+def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=8, k=5, n_probe=3)
+
+
+# ---- text analysis ----------------------------------------------------------
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text)                                            AS md5_hex,
+       CAST(length(text) AS BIGINT)                         AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens
+FROM documents
+"""
+
+
+def token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats_by_lang(_docs(spark, sf_dir))
+
+
+_TOKEN_STATS_SQL = """
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT lang,
+       count(*)                         AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)    AS total_tokens,
+       round(avg(n_tokens), 4)          AS avg_tokens,
+       round(avg(n_chars), 4)           AS avg_chars,
+       CAST(max(n_tokens) AS INTEGER)   AS max_tokens
+FROM d
+GROUP BY lang
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_scores(_docs(spark, sf_dir))
+
+
+_QUALITY_SQL = """
+WITH t AS (
+  SELECT doc_id, lang,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n_chars,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS INTEGER)                            AS n_tokens,
+       round(CAST(n_stop AS DOUBLE) / nullif(n_tokens, 0), 6)       AS stopword_ratio,
+       round(CAST(n_distinct AS DOUBLE) / nullif(n_tokens, 0), 6)   AS distinct_ratio,
+       round(CAST(n_chars AS DOUBLE) / nullif(n_tokens, 0), 6)      AS avg_token_len
+FROM m
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(_docs(spark, sf_dir))
+
+
+# ---- multimodal -------------------------------------------------------------
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.extract_features(media)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.frame_sample(media, n_frames=4)
+
+
+QUERIES = {
+    "exact_dedup_docs": exact_dedup_docs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_near_dups": minhash_near_dups,
+    "simhash_near_dups": simhash_near_dups,
+    "embedding_near_dups": embedding_near_dups,
+    "cosine_topk": cosine_topk,
+    "lsh_topk": lsh_topk,
+    "ivf_topk": ivf_topk,
+    "doc_fingerprints": doc_fingerprints,
+    "token_stats_by_lang": token_stats_by_lang,
+    "quality_scores": quality_scores,
+    "language_id": language_id,
+    "multimodal_features": multimodal_features,
+    "multimodal_frames": multimodal_frames,
+}
+
+ORACLE = {
+    "exact_dedup_docs": _EXACT_DEDUP_SQL,
+    "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
+    "cosine_topk": _COSINE_TOPK_SQL,
+    "doc_fingerprints": _FINGERPRINT_SQL,
+    "token_stats_by_lang": _TOKEN_STATS_SQL,
+    "quality_scores": _QUALITY_SQL,
+}

@@ -1,0 +1,649 @@
+"""Relational query suite (SURVEY.md section 2.3, Catalyst-native rows).
+
+Every query here is a declarative DataFrame plan so Catalyst gets predicate
+pushdown, column pruning, join selection and AQE for free (SURVEY.md
+section 4.2).  Scale notes per query are in the docstrings: the testdata is
+small, but each plan is shaped for the 100 TB case -- dimension joins are
+explicitly broadcast, aggregations are partial-before-shuffle (automatic
+for hash aggregates), top-k uses TakeOrderedAndProject rather than a global
+sort, and window functions partition on high-cardinality keys.
+
+Determinism/oracle-parity rules used throughout:
+* every computed column is aliased identically in the DataFrame plan and
+  the DuckDB oracle SQL;
+* double aggregates are rounded (2 or 4 dp) in BOTH engines so
+  summation-order ulp drift cannot flip the value hash;
+* DuckDB integer sums are HUGEINT -> cast to BIGINT to match Spark's LongType;
+  DuckDB year()/month() are BIGINT -> cast to INT;
+* timestamps never appear raw in an output: they are converted to epoch
+  milliseconds (unix_millis / epoch_ms), which are exact integers in both
+  engines;
+* top-k orderings always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch_ms(col) -> "F.Column":
+    """Epoch milliseconds of a TIMESTAMP_NTZ column, timezone-independent.
+
+    Parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;
+    ``timestamp_diff`` between two NTZ values never consults the session
+    timezone, so this matches DuckDB's ``epoch_ms`` exactly on any host.
+    """
+    return F.timestamp_diff(
+        "MILLISECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table with a precomputed ``ts_ms`` epoch-millisecond column.
+
+    The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; ``nanosAsLong`` surfaces it as raw nanoseconds and the
+    integer division keeps full precision (a double round-trip would not:
+    2^63 ns >> 2^53).  DuckDB truncates ns -> us -> ms the same way for
+    positive epochs.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.withColumn("ts_ms", F.expr("ts DIV 1000000"))
+
+
+# --------------------------------------------------------------------------
+# scans + aggregation
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 style pricing summary (flagship).
+
+    Scale: single scan with the shipdate predicate pushed to parquet,
+    partial aggregation map-side, 4-group final agg -- no join, one shuffle
+    of ~groups*partitions rows.  Survives any scale factor.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+       round(avg(l_quantity), 4)                                           AS avg_qty,
+       round(avg(l_extendedprice), 4)                                      AS avg_price,
+       round(avg(l_discount), 4)                                           AS avg_disc,
+       count(*)                                                            AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 style: top-10 open orders by revenue for one segment.
+
+    Scale: customer filter first (pushdown), broadcast the filtered
+    customer keys into orders, shuffle join orders<->lineitem on orderkey
+    (both huge -> sort-merge, AQE may pick better), then TakeOrdered top-10.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(
+            orders.join(F.broadcast(cust.select("c_custkey")), F.col("o_custkey") == F.col("c_custkey"))
+            .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            _epoch_ms(F.col("o_orderdate")).alias("o_orderdate_ms"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q3_SQL = """
+SELECT o_orderkey,
+       epoch_ms(o_orderdate)                                    AS o_orderdate_ms,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)        AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 style: revenue by nation within one region and year.
+
+    Scale: region/nation/supplier/customer are dimensions -> broadcast;
+    only orders<->lineitem shuffles.  The c_nationkey = s_nationkey
+    condition rides the same broadcast.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(dim), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN supplier ON l_suppkey   = s_suppkey
+JOIN customer ON o_custkey   = c_custkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def agg_having_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key hash aggregation with HAVING (post-agg filter)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_spend"),
+            F.round(F.min("o_totalprice"), 2).alias("min_spend"),
+            F.round(F.max("o_totalprice"), 2).alias("max_spend"),
+        )
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+_AGG_HAVING_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       count(*)                      AS n_orders,
+       round(sum(o_totalprice), 2)   AS total_spend,
+       round(avg(o_totalprice), 4)   AS avg_spend,
+       round(min(o_totalprice), 2)   AS min_spend,
+       round(max(o_totalprice), 2)   AS max_spend
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+HAVING count(*) > 10
+"""
+
+
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by total spend: join + agg + distributed top-k.
+
+    Scale: orders groupBy custkey (one shuffle), broadcast customer names
+    onto the 20-row result side after the limit would be ideal; Spark plans
+    orderBy+limit as TakeOrderedAndProject (no global sort).
+    """
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        spend.join(F.broadcast(cust.select("c_custkey", "c_name")), F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_custkey"), F.col("c_name"), F.col("total_spend"), F.col("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_TOPK_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(o_totalprice), 2) AS total_spend,
+       count(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# window functions
+# --------------------------------------------------------------------------
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: each customer's 3 most expensive orders.
+
+    Scale: partitions on o_custkey (high cardinality -> no skew); rank
+    filter k=3 prunes early via WindowGroupLimit in recent Spark.
+    """
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rank_in_cust",
+        )
+    )
+
+
+_WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS totalprice,
+       rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER)
+           AS rank_in_cust
+  FROM orders
+)
+WHERE rank_in_cust <= 3
+"""
+
+
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: running total + lag delta per customer over time."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _epoch_ms(F.col("o_orderdate")).alias("o_orderdate_ms"),
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2
+        ).alias("delta_vs_prev"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       epoch_ms(o_orderdate) AS o_orderdate_ms,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+       round(o_totalprice - coalesce(lag(o_totalprice, 1) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC), 0.0), 2)
+         AS delta_vs_prev
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------------
+# set operations, semi/anti joins
+# --------------------------------------------------------------------------
+
+def setops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT/EXCEPT: customers who bought in both 1996 and 1997 but
+    not in 1998."""
+    orders = _t(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+
+    return buyers(1996).intersect(buyers(1997)).subtract(buyers(1998))
+
+
+_SETOPS_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+"""
+
+
+def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti: customers with no orders at all (the reference's dedup
+    probe primitive, op #4, generalized -- search.py:285-291)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def semi_join_active_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi: parts that appear in at least one large line item."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return part.join(li, part.p_partkey == li.l_partkey, "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+_SEMI_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45)
+"""
+
+
+# --------------------------------------------------------------------------
+# grouping sets / rollup
+# --------------------------------------------------------------------------
+
+def rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with subtotal + grand-total rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*)                  AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar function coverage
+# --------------------------------------------------------------------------
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar functions in one projection (whole-stage
+    codegen, no UDF)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat(F.col("l_returnflag"), F.lit("/"), F.col("l_linestatus")).alias("flag_status"),
+        F.lower("l_returnflag").alias("flag_lower"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        F.dayofmonth("l_shipdate").alias("ship_day"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
+        F.round(F.sqrt(F.col("l_quantity")), 4).alias("qty_sqrt"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.when(F.col("l_discount") > 0.05, F.lit("HI")).otherwise(F.lit("LO")).alias("disc_band"),
+        F.substring(F.col("l_returnflag"), 1, 1).alias("flag_head"),
+        F.length(F.concat(F.col("l_returnflag"), F.col("l_linestatus"))).alias("fs_len"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_returnflag || '/' || l_linestatus                                   AS flag_status,
+       lower(l_returnflag)                                                   AS flag_lower,
+       CAST(year(l_shipdate) AS INTEGER)                                     AS ship_year,
+       CAST(month(l_shipdate) AS INTEGER)                                    AS ship_month,
+       CAST(day(l_shipdate) AS INTEGER)                                      AS ship_day,
+       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)            AS charge,
+       round(sqrt(l_quantity), 4)                                            AS qty_sqrt,
+       round(abs(l_discount - 0.05), 4)                                      AS disc_dev,
+       CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END                   AS disc_band,
+       substring(l_returnflag, 1, 1)                                         AS flag_head,
+       CAST(length(l_returnflag || l_linestatus) AS INTEGER)                 AS fs_len
+FROM lineitem
+WHERE l_orderkey <= 200
+"""
+
+
+# --------------------------------------------------------------------------
+# events: time windows, sessionization, distinct counts
+# --------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming window op)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            (F.expr("ts_ms DIV 3600000") * 3600000).alias("hour_ms"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+_EVENTS_HOURLY_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       event_type,
+       count(*)              AS n_events,
+       round(sum(value), 2)  AS sum_value,
+       round(avg(value), 4)  AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum.
+
+    Scale: two windows over the same (user_id, ts) partitioning -- one
+    shuffle, both windows reuse it.  This is the batch equivalent of
+    Structured Streaming's session_window.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_ms"), F.asc("event_id"))
+    gap_ms = 30 * 60 * 1000
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts_ms",
+        F.when(F.col("ts_ms") - F.lag("ts_ms", 1).over(w) > gap_ms, 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id").orderBy(F.asc("ts_ms"), F.asc("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, value,
+         epoch_ms(ts) AS ts_ms,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+                PARTITION BY user_id ORDER BY epoch_ms(ts) ASC, event_id ASC) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sess AS (
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq,
+       count(*)               AS n_events,
+       min(ts_ms)             AS session_start_ms,
+       max(ts_ms)             AS session_end_ms,
+       round(sum(value), 2)   AS session_value
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+
+def distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (expands to two-phase agg in Spark)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       count(*)                                AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+def part_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation: share of promo revenue per brand
+    (TPC-H Q14 pattern: sum(CASE WHEN ...)/sum(...))."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("p_brand").agg(
+        F.round(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0)))
+            / F.sum(rev) * 100.0,
+            4,
+        ).alias("promo_share_pct"),
+        F.round(F.sum(rev), 2).alias("brand_revenue"),
+    )
+
+
+_PART_TYPE_SQL = """
+SELECT p_brand,
+       round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS brand_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_region_revenue": q5_region_revenue,
+    "agg_having_priority": agg_having_priority,
+    "topk_customers": topk_customers,
+    "window_rank_orders": window_rank_orders,
+    "window_running_spend": window_running_spend,
+    "setops_repeat_buyers": setops_repeat_buyers,
+    "anti_join_quiet_customers": anti_join_quiet_customers,
+    "semi_join_active_parts": semi_join_active_parts,
+    "rollup_returns": rollup_returns,
+    "scalar_functions": scalar_functions,
+    "events_hourly": events_hourly,
+    "sessionize_events": sessionize_events,
+    "distinct_users_by_type": distinct_users_by_type,
+    "part_type_share": part_type_share,
+}
+
+ORACLE = {
+    "q1_pricing_summary": _Q1_SQL,
+    "q3_shipping_priority": _Q3_SQL,
+    "q5_region_revenue": _Q5_SQL,
+    "agg_having_priority": _AGG_HAVING_SQL,
+    "topk_customers": _TOPK_SQL,
+    "window_rank_orders": _WINDOW_RANK_SQL,
+    "window_running_spend": _WINDOW_RUNNING_SQL,
+    "setops_repeat_buyers": _SETOPS_SQL,
+    "anti_join_quiet_customers": _ANTI_SQL,
+    "semi_join_active_parts": _SEMI_SQL,
+    "rollup_returns": _ROLLUP_SQL,
+    "scalar_functions": _SCALAR_SQL,
+    "events_hourly": _EVENTS_HOURLY_SQL,
+    "sessionize_events": _SESSIONIZE_SQL,
+    "distinct_users_by_type": _DISTINCT_SQL,
+    "part_type_share": _PART_TYPE_SQL,
+}

@@ -1,0 +1,62 @@
+"""Oracle-parity tests: the driver's correctness gate, in miniature.
+
+Runs every SQL-expressible query against DuckDB at sf0.001 and compares
+row counts, column sets and exact values (order-insensitive).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ORACLE_NAMES = sorted(entry.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, name):
+    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    ddf = duck.sql(entry.oracle_sql()[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    pd.testing.assert_frame_equal(
+        normalize(sdf), normalize(ddf), check_dtype=False, check_exact=True
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+
+
+ROWS_ONLY = sorted(set(entry.queries()) - set(entry.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

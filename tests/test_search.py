@@ -111,14 +111,21 @@ def test_rosenbrock_10d():
 
 @pytest.mark.spark
 def test_convergence_2d_spark(spark):
-    best, results = search(sphere, X0, STEP, spark=spark, seed=7)
+    # closure (not module-level) so cloudpickle ships it by value to executors
+    def obj(x):
+        return float((x * x).sum())
+
+    best, results = search(obj, X0, STEP, spark=spark, seed=7)
     check(best, results)
 
 
 @pytest.mark.spark
 def test_convergence_2d_spark_vectorized(spark):
+    def obj_vec(x):
+        return (x * x).sum(axis=1)
+
     best, results = search(
-        sphere_vectorized, X0, STEP, spark=spark, vectorize=True, batchsize=8, seed=7
+        obj_vec, X0, STEP, spark=spark, vectorize=True, batchsize=8, seed=7
     )
     check(best, results)
 
