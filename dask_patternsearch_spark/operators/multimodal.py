@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import ensure_parallelism
+
 FEATURE_DIM = 16
 
 MEDIA_SCHEMA = T.StructType([
@@ -75,6 +77,8 @@ def extract_features(media: DataFrame) -> DataFrame:
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("features", T.ArrayType(T.DoubleType(), False), False),
     ])
+
+    media = ensure_parallelism(media)
 
     def run(batches):
         import pandas as pd

@@ -84,7 +84,7 @@ def lsh_topk(
         return sig
 
     base = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
-    base.cache()
+    base.cache().count()  # reused by probes and the candidate join
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -177,7 +177,7 @@ def ivf_topk(
         "embedding",
         F.element_at(nearest_cells(F.col("embedding"), 1), 1).alias("cell"),
     )
-    assigned.cache()
+    assigned.cache().count()  # reused by queries and the search join
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

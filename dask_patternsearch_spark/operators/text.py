@@ -12,6 +12,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..util import ensure_parallelism
+
 # tokenization shared by every operator (and mirrored in the oracle SQL):
 # trim then split on runs of whitespace
 
@@ -134,4 +136,5 @@ def language_id(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id", "lang", "text").mapInPandas(score_batches, schema)
+    docs = ensure_parallelism(docs.select("doc_id", "lang", "text"))
+    return docs.mapInPandas(score_batches, schema)
