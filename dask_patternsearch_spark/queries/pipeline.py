@@ -178,6 +178,38 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, n_frames=4)
 
 
+# ---- streaming --------------------------------------------------------------
+
+_STREAM_SEQ = [0]
+
+
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a file-source stream of
+    the events table, drained with an availableNow trigger; returns the
+    materialized result (rows-only check -- streaming execution is not
+    SQL-expressible, but its answer equals ``events_hourly``, asserted in
+    tests/test_streaming.py)."""
+    from ..streaming import events as sev
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_hourly_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    sev.run_to_memory(sev.hourly_counts_stream(stream), name, spark)
+    return spark.table(name)
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native gap-based session windows over the event stream (rows-only;
+    cross-checked against the batch lag-based sessionization in tests)."""
+    from ..streaming import events as sev
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_sessions_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    sev.run_to_memory(sev.session_counts_stream(stream), name, spark)
+    return spark.table(name)
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -193,6 +225,8 @@ QUERIES = {
     "language_id": language_id,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
+    "streaming_hourly_events": streaming_hourly_events,
+    "streaming_session_windows": streaming_session_windows,
 }
 
 ORACLE = {

@@ -1,0 +1,62 @@
+"""Readers/writers: parquet, csv, json (+ partitioned layouts).
+
+Scale defaults baked in:
+
+* parquet everywhere unless interchange demands text formats;
+* explicit schemas for text sources (schema inference is a full extra
+  scan at 100 TB);
+* partitioned writes (``partition_by``) so downstream scans get partition
+  pruning; ``coalesce_output`` bounds small-file explosion;
+* every reader returns a plain DataFrame -- predicate pushdown and column
+  pruning then happen in whatever query consumes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+FORMATS = ("parquet", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt == "csv":
+        # no schema given: header + inference is acceptable for small files
+        # only; callers at scale must pass a schema
+        options.setdefault("header", "true")
+        options.setdefault("inferSchema", "true")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return getattr(reader.options(**options), fmt)(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    coalesce_output: int | None = None,
+    **options,
+) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    if coalesce_output:
+        df = df.coalesce(coalesce_output)
+    writer = df.write.mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    getattr(writer, fmt)(path)

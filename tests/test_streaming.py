@@ -1,0 +1,127 @@
+"""Structured Streaming tests: streaming answers must agree with their
+batch counterparts, and the stateful incumbent operator must converge to
+the ledger minimum."""
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_patternsearch_spark.queries.relational import events_hourly, sessionize_events
+from dask_patternsearch_spark.streaming import events as sev
+from dask_patternsearch_spark.streaming.incumbent import incumbent_stream
+from tests.conftest import SF_DIR
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+@pytest.fixture()
+def scratch_dir():
+    d = os.path.join(SCRATCH, uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture()
+def events_stream_dir(scratch_dir):
+    # file-source streaming requires a directory
+    d = os.path.join(scratch_dir, "events_in")
+    os.makedirs(d, exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_streaming_hourly_matches_batch(spark, events_stream_dir):
+    stream = sev.read_events_stream(spark, events_stream_dir)
+    out = sev.hourly_counts_stream(stream)
+    sev.run_to_memory(out, "hourly_stream", spark)
+    got = {
+        (r["hour_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.table("hourly_stream").collect()
+    }
+    want = {}
+    for r in events_hourly(spark, SF_DIR).collect():
+        import datetime
+
+        start = datetime.datetime.utcfromtimestamp(r["hour_ms"] / 1000)
+        want[(start, r["event_type"])] = (r["n_events"], r["sum_value"])
+    assert len(got) == len(want)
+    # compare counts (sum_value rounding identical)
+    for k, (n, s) in want.items():
+        assert k in got, k
+        assert got[k][0] == n
+        assert abs(got[k][1] - s) < 0.05
+
+
+def test_streaming_sessions_match_batch_counts(spark, events_stream_dir):
+    stream = sev.read_events_stream(spark, events_stream_dir)
+    out = sev.session_counts_stream(stream)
+    sev.run_to_memory(out, "session_stream", spark)
+    stream_sessions = spark.table("session_stream")
+    batch_sessions = sessionize_events(spark, SF_DIR)
+    # same number of sessions and same total events per user
+    ssum = stream_sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    bsum = batch_sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    s = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in ssum.collect()}
+    b = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in bsum.collect()}
+    assert s == b
+
+
+def test_incumbent_stream_finds_minimum(spark, scratch_dir):
+    from dask_patternsearch_spark import search
+
+    def obj(x):
+        return float((x * x).sum())
+
+    best, results = search(obj, [5.0, 5.0], [1.0, 1.0], max_tasks=80, seed=3)
+    ledger = results.to_spark(spark).filter(F.col("cost").isNotNull())
+    src = os.path.join(scratch_dir, "ledger")
+    ledger.select(F.lit("sphere").alias("group"), "point", "cost").write.parquet(src)
+
+    stream = spark.readStream.schema("group string, point array<double>, cost double").parquet(src)
+    q = (
+        incumbent_stream(stream)
+        .writeStream.format("memory")
+        .queryName("incumbents")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("incumbents").collect()
+    assert rows, "expected at least one incumbent improvement"
+    final = min(rows, key=lambda r: r["cost"])
+    assert final["cost"] == pytest.approx(best.result)
+
+
+def test_sources_roundtrip(spark, scratch_dir):
+    from dask_patternsearch_spark.sources import read_table, write_table
+
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    for fmt in ("parquet", "csv", "json"):
+        path = os.path.join(scratch_dir, fmt)
+        kwargs = {"partition_by": ["order_year"]} if fmt == "parquet" else {}
+        write_table(df, path, fmt=fmt, **kwargs)
+        back = read_table(
+            spark, path, fmt=fmt,
+            schema=None if fmt != "json" else df.schema,
+        )
+        assert back.count() == df.count()
+        assert set(c.lower() for c in back.columns) == set(c.lower() for c in df.columns)
+    # partition pruning: reading one partition dir only
+    pruned = spark.read.parquet(os.path.join(scratch_dir, "parquet")).filter(
+        F.col("order_year") == 1996
+    )
+    assert pruned.count() == df.filter(F.col("order_year") == 1996).count()
+
+    with pytest.raises(ValueError):
+        write_table(df, os.path.join(scratch_dir, "x"), fmt="avro")
