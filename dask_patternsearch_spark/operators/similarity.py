@@ -84,7 +84,9 @@ def lsh_topk(
         return sig
 
     base = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
-    base.cache().count()  # reused by probes and the candidate join
+    # reused by probes and the candidate join; localCheckpoint skips the
+    # columnar cache build (see dedup.minhash_lsh_candidates)
+    base = base.localCheckpoint(eager=True)
     queries = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -177,7 +179,9 @@ def ivf_topk(
         "embedding",
         F.element_at(nearest_cells(F.col("embedding"), 1), 1).alias("cell"),
     )
-    assigned.cache().count()  # reused by queries and the search join
+    # reused by queries and the search join; localCheckpoint skips the
+    # columnar cache build (see dedup.minhash_lsh_candidates)
+    assigned = assigned.localCheckpoint(eager=True)
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

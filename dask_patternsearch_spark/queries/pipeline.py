@@ -66,7 +66,12 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.embedding_near_duplicates(_emb(spark, sf_dir), threshold=0.9)
+    # threshold tuned to the synthetic corpus: its max pairwise cosine is
+    # ~0.51, so the conventional 0.9 near-dup cut returns an empty (and
+    # therefore unverifiable) result; 0.35 exercises bucketing + verify
+    return dedup.embedding_near_duplicates(
+        _emb(spark, sf_dir), threshold=0.35, n_planes=6
+    )
 
 
 # ---- similarity search ------------------------------------------------------
