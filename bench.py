@@ -34,8 +34,15 @@ HEADLINE = [
     "simhash_near_dups",
     "cosine_topk",
     "ivf_topk",
+    "lsh_topk",
+    "embedding_near_dups",
     "token_stats_by_lang",
     "quality_scores",
+    "cube_returns_modes",
+    "grouping_sets_revenue",
+    "percentiles_by_segment",
+    "json_event_props",
+    "shipping_lag_stats",
     "pattern_search_sphere",
     "pattern_search_rosenbrock",
 ]

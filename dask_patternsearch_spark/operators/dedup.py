@@ -284,17 +284,59 @@ def simhash_candidates(docs: DataFrame, max_hamming: int = 3, seed: int = 42) ->
 # Embedding near-dup
 # ---------------------------------------------------------------------------
 
+def hyperplane_bucket_udf(planes: np.ndarray):
+    """Vectorized random-hyperplane LSH signature: one Arrow batch -> one
+    numpy matmul.  A pandas UDF rather than per-element expressions because
+    the work is a dense (batch x dim) @ (dim x n_planes) product; an
+    expression tree grows with n_planes and higher-order functions run
+    interpreted (CodegenFallback), while this is O(1) Python calls per
+    batch and the planes matrix rides along as a closure broadcast."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket(embs):
+        import pandas as pd
+
+        if embs.empty:
+            return pd.Series([], dtype="int32")
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        bits = (M @ planes.T) > 0
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        return pd.Series(bits @ weights, dtype="int32")
+
+    return bucket
+
+
+def _make_cosine_udf():
+    """Row-wise cosine similarity between two array<float> columns as an
+    Arrow-vectorized pandas UDF (float64 einsum over the whole batch).
+
+    Chosen over a native aggregate/zip_with fold after measurement: the
+    fold is CodegenFallback (interpreted per element) and pays several
+    seconds of JVM warm-up per query, while the UDF is one BLAS call per
+    batch — and at production scale batched matmul is the only reasonable
+    shape for dense-vector scoring."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos(a, b):
+        import pandas as pd
+
+        if a.empty:
+            return pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dot = np.einsum("ij,ij->i", A, B)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(dot / denom)
+
+    return cos
+
+
 def _cosine(a, b):
-    """Cosine similarity between two array<float> columns, computed in
-    double precision with native expressions (JVM, no UDF)."""
-    da = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    db = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return dot / F.sqrt(da * db)
+    """Cosine similarity between two array<float> columns (see
+    _make_cosine_udf for the execution strategy)."""
+    return _make_cosine_udf()(a, b)
 
 
 def embedding_near_duplicates(
@@ -312,28 +354,8 @@ def embedding_near_duplicates(
     dim = first["d"] if first else 0
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
-    proj = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.array(*[F.lit(float(v)) for v in planes[p]]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for p in range(n_planes)
-    ])
-    sig = F.aggregate(
-        F.zip_with(
-            proj,
-            F.array(*[F.lit(1 << p) for p in range(n_planes)]),
-            lambda v, bit: F.when(v > 0, bit).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    bucketed = emb.select("vec_id", "embedding", sig.alias("bucket"))
+    sig = hyperplane_bucket_udf(planes)
+    bucketed = emb.select("vec_id", "embedding", sig("embedding").alias("bucket"))
     pairs = (
         bucketed.alias("x")
         .join(

@@ -24,7 +24,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import _cosine
+from .dedup import _cosine, hyperplane_bucket_udf
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -65,25 +65,8 @@ def lsh_topk(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim))
 
-    def signature(col):
-        proj = [
-            F.aggregate(
-                F.zip_with(
-                    col,
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for p in range(n_planes)
-        ]
-        sig = F.lit(0)
-        for p, pr in enumerate(proj):
-            sig = sig + F.when(pr > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return sig
-
-    base = emb.select("vec_id", "embedding", signature(F.col("embedding")).alias("bucket"))
+    sig = hyperplane_bucket_udf(planes)
+    base = emb.select("vec_id", "embedding", sig("embedding").alias("bucket"))
     # reused by probes and the candidate join; localCheckpoint skips the
     # columnar cache build (see dedup.minhash_lsh_candidates)
     base = base.localCheckpoint(eager=True)
@@ -153,31 +136,32 @@ def ivf_topk(
         dtype=float,
     )
     cents = _train_kmeans(sample, n_cells, seed)
-    cent_arrays = [F.array(*[F.lit(float(v)) for v in c]) for c in cents]
 
-    def nearest_cells(col, n: int):
-        """array of the n nearest centroid ids by L2 (native expressions)."""
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(col, ca, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for ca in cent_arrays
-        ])
-        ranked = F.array_sort(
-            F.zip_with(
-                dists,
-                F.array(*[F.lit(i) for i in range(len(cents))]),
-                lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
-            )
-        )
-        return F.transform(F.slice(ranked, 1, n), lambda s: s["cell"])
+    def nearest_cells_udf(n: int):
+        """Vectorized n-nearest-centroid assignment: one numpy distance
+        matrix per Arrow batch (see _hyperplane_bucket_udf for why a pandas
+        UDF beats per-element expressions here — at a production n_cells of
+        1024+ an expression tree would be unbuildable)."""
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<int>")
+        def cells(embs):
+            import pandas as pd
+
+            if embs.empty:
+                return pd.Series([], dtype=object)
+            M = np.stack(embs.to_numpy()).astype(np.float64)
+            # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+            d = -2.0 * (M @ cents.T) + (cents**2).sum(axis=1)[None, :]
+            order = np.argsort(d, axis=1, kind="stable")[:, :n].astype(np.int32)
+            return pd.Series(list(order))
+
+        return cells
 
     assigned = emb.select(
         "vec_id",
         "embedding",
-        F.element_at(nearest_cells(F.col("embedding"), 1), 1).alias("cell"),
+        F.element_at(nearest_cells_udf(1)("embedding"), 1).alias("cell"),
     )
     # reused by queries and the search join; localCheckpoint skips the
     # columnar cache build (see dedup.minhash_lsh_candidates)
@@ -185,7 +169,7 @@ def ivf_topk(
     queries = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.explode(nearest_cells(F.col("embedding"), n_probe)).alias("cell"),
+        F.explode(nearest_cells_udf(n_probe)("embedding")).alias("cell"),
     )
     scored = (
         assigned.join(F.broadcast(queries), "cell")

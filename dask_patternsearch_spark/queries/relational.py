@@ -610,6 +610,168 @@ GROUP BY p_brand
 """
 
 
+def cube_returns_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, ship year): all four grouping combinations."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", F.year("l_shipdate").alias("ship_year"), "l_extendedprice")
+        .cube("l_returnflag", "ship_year")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT l_returnflag, year(l_shipdate) AS ship_year,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*)                       AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, year(l_shipdate))
+"""
+
+
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: revenue by nation and, separately, by market
+    segment, in one pass (neither rollup nor cube expresses this pair)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    joined = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_mktsegment", "o_totalprice")
+    )
+    return joined.groupingSets(
+        [["n_name"], ["c_mktsegment"]], "n_name", "c_mktsegment"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
+_GROUPING_SETS_SQL = """
+SELECT n_name, c_mktsegment, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+"""
+
+
+def full_outer_nation_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer vs supplier account totals
+    (nations may have only one side)."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_balance"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_balance"))
+    )
+    return cust.join(supp, "nationkey", "full_outer")
+
+
+_FULL_OUTER_SQL = """
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, cust_balance, supp_balance
+FROM (SELECT c_nationkey AS nationkey, round(sum(c_acctbal), 2) AS cust_balance
+      FROM customer GROUP BY c_nationkey) c
+FULL OUTER JOIN
+     (SELECT s_nationkey AS nationkey, round(sum(s_acctbal), 2) AS supp_balance
+      FROM supplier GROUP BY s_nationkey) s
+USING (nationkey)
+"""
+
+
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) per market segment."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_balance"),
+        F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90_balance"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_balance"),
+    )
+
+
+_PERCENTILES_SQL = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS median_balance,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90_balance,
+       round(avg(c_acctbal), 4)                AS avg_balance
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+def json_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props column + aggregation on the
+    extracted value (get_json_object stays JVM-side)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       max(k)           AS max_k,
+       count(CASE WHEN k > 50 THEN 1 END) AS n_high
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def shipping_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic across a join: order-to-ship lag distribution per
+    order priority (datediff / min / max / avg)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(F.avg(lag), 4).alias("avg_lag_days"),
+            F.min(lag).alias("min_lag_days"),
+            F.max(lag).alias("max_lag_days"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_SHIPPING_LAG_SQL = """
+SELECT o_orderpriority,
+       round(avg(lag), 4)     AS avg_lag_days,
+       CAST(min(lag) AS INT)  AS min_lag_days,
+       CAST(max(lag) AS INT)  AS max_lag_days,
+       count(*)               AS n_lines
+FROM (SELECT o_orderpriority,
+             date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+"""
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch ops (approx_count_distinct) next to the exact
+    count -- rows-only check (sketch estimates are implementation-defined),
+    asserted within 5% of exact in tests."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -627,6 +789,13 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "distinct_users_by_type": distinct_users_by_type,
     "part_type_share": part_type_share,
+    "cube_returns_modes": cube_returns_modes,
+    "grouping_sets_revenue": grouping_sets_revenue,
+    "full_outer_nation_accounts": full_outer_nation_accounts,
+    "percentiles_by_segment": percentiles_by_segment,
+    "json_event_props": json_event_props,
+    "shipping_lag_stats": shipping_lag_stats,
+    "approx_distinct_users": approx_distinct_users,
 }
 
 ORACLE = {
@@ -646,4 +815,12 @@ ORACLE = {
     "sessionize_events": _SESSIONIZE_SQL,
     "distinct_users_by_type": _DISTINCT_SQL,
     "part_type_share": _PART_TYPE_SQL,
+    "cube_returns_modes": _CUBE_SQL,
+    "grouping_sets_revenue": _GROUPING_SETS_SQL,
+    "full_outer_nation_accounts": _FULL_OUTER_SQL,
+    "percentiles_by_segment": _PERCENTILES_SQL,
+    "json_event_props": _JSON_SQL,
+    "shipping_lag_stats": _SHIPPING_LAG_SQL,
+    # approx_distinct_users: intentionally no oracle (sketch estimates are
+    # implementation-defined); rows-only check + 5% tolerance test
 }

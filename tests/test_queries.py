@@ -60,3 +60,12 @@ def test_rows_only_queries_run(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ estimate must land within 5% of the exact distinct count
+    (rsd=0.02, so 5% is a comfortable bound)."""
+    rows = entry.queries()["approx_distinct_users"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2)
