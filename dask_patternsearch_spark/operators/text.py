@@ -53,6 +53,68 @@ def token_stats_by_lang(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to syntax both Java regex
+# (Spark) and RE2 (DuckDB) support so the operator stays oracle-checkable:
+# contraction suffixes, letter runs, digit runs, punctuation runs (each
+# optionally preceded by one space)
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Subword-style token counts: whitespace tokens vs BPE-ish regex
+    pieces per document (the standard cheap proxy for LLM token budgets)."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).alias("bpe_tokens"),
+    )
+
+
+_ROLL_BASE = 131
+_ROLL_MOD = 2147483647  # 2^31 - 1; keeps acc*131 + 2^32 far inside long range
+
+
+def rolling_fingerprints(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (h = (h*131 + tokhash) mod 2^31-1).
+
+    Unlike the md5 content digest this distinguishes permutations cheaply
+    and composes incrementally; the per-token value is the first 32 bits of
+    md5 so the same fold is expressible in the DuckDB oracle."""
+    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    fingerprint = F.aggregate(
+        F.transform(_tokens(F.col("text")), tok_val),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * _ROLL_BASE + v) % _ROLL_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        fingerprint.alias("rolling_hash"),
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+
+
+def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Most frequent word bigrams across the corpus (deterministic
+    tie-break on the bigram text)."""
+    toks = _tokens(F.lower(F.col("text")))
+    pair_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
+    )
+    # sequence(1, 0) would count DOWN; guard docs with fewer than 2 tokens
+    bigrams = F.when(
+        F.size(toks) >= 2, F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair_at)
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(k)
+    )
+
+
 _STOPWORDS = ("the", "a")
 
 

@@ -171,6 +171,59 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
 
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_token_counts(_docs(spark, sf_dir))
+
+
+_BPE_SQL = """
+SELECT doc_id, lang,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text,
+            '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+'))
+            AS INTEGER) AS bpe_tokens
+FROM documents
+"""
+
+
+def rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_fingerprints(_docs(spark, sf_dir))
+
+
+_ROLLING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks,
+             tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS UBIGINT)::BIGINT)),
+         (acc, v) -> (acc * 131 + v) % 2147483647)   AS rolling_hash,
+       CAST(len(toks) AS INTEGER)                     AS n_tokens
+FROM t
+"""
+
+
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.top_bigrams(_docs(spark, sf_dir), k=20)
+
+
+_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
+), b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM b
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
 # ---- multimodal -------------------------------------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -228,6 +281,9 @@ QUERIES = {
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores": quality_scores,
     "language_id": language_id,
+    "bpe_token_counts": bpe_token_counts,
+    "rolling_fingerprints": rolling_fingerprints,
+    "top_bigrams": top_bigrams,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "streaming_hourly_events": streaming_hourly_events,
@@ -241,4 +297,7 @@ ORACLE = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "token_stats_by_lang": _TOKEN_STATS_SQL,
     "quality_scores": _QUALITY_SQL,
+    "bpe_token_counts": _BPE_SQL,
+    "rolling_fingerprints": _ROLLING_SQL,
+    "top_bigrams": _BIGRAMS_SQL,
 }
