@@ -4,6 +4,7 @@
 * ``similarity`` -- brute-force / LSH-bucketed / IVF cosine top-k
 * ``text``       -- fingerprints, token stats, quality scores, language ID
 * ``multimodal`` -- opaque binary columns with typed metadata + feature stubs
+* ``joins``      -- salted equi-join for key skew beyond AQE's reach
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, joins, multimodal, similarity, text  # noqa: F401

@@ -107,3 +107,26 @@ def test_language_id_shapes(spark, docs):
     assert out.count() == docs.count()
     preds = {r["predicted_lang"] for r in out.select("predicted_lang").distinct().collect()}
     assert preds <= {"en", "es", "fr", "de", "zh"}
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted inner/left joins must return exactly the plain join's rows."""
+    from dask_patternsearch_spark.operators.joins import salted_join
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(orders, cust, "o_custkey", n_salts=8, seed=1)
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_left = orders.join(cust.filter("c_acctbal > 0"), "o_custkey", "left").count()
+    salted_left = salted_join(
+        orders, cust.filter("c_acctbal > 0"), "o_custkey", how="left", n_salts=8, seed=1
+    ).count()
+    assert plain_left == salted_left

@@ -1,0 +1,74 @@
+"""Physical-plan regression tests: lock in the plans we want at scale.
+
+Each assertion is a scale property: dim-table joins must broadcast,
+predicates must reach the parquet scan, projections must prune columns,
+and Python must stay out of Catalyst-expressible pipelines.
+"""
+
+from pyspark.sql import functions as F
+
+from dask_patternsearch_spark.plans import summarize
+from dask_patternsearch_spark.queries import relational as R
+from tests.conftest import SF_DIR
+
+
+def test_q3_broadcasts_and_pushes_down(spark):
+    info = summarize(R.QUERIES["q3_shipping_priority"](spark, SF_DIR))
+    # at test scale every join should resolve to broadcast-hash
+    assert info["broadcast_hash_joins"] >= 2
+    assert info["nested_loop_joins"] == 0
+    # the BUILDING segment filter must reach the customer scan
+    assert any("c_mktsegment" in p for p in info["pushed_filters"])
+    # lineitem scan must be pruned: no quantity/tax/returnflag columns
+    li_schema = next(s for s in info["read_schemas"] if "l_orderkey" in s)
+    assert "l_quantity" not in li_schema and "l_returnflag" not in li_schema
+
+
+def test_q5_prunes_all_scans(spark):
+    info = summarize(R.QUERIES["q5_region_revenue"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 4
+    # every scan reads a narrow struct (the widest, lineitem, needs 4 cols)
+    for schema in info["read_schemas"]:
+        assert schema.count(",") <= 3, f"unpruned scan: {schema}"
+
+
+def test_semi_join_pushes_quantity_filter(spark):
+    info = summarize(R.QUERIES["semi_join_active_parts"](spark, SF_DIR))
+    assert any("l_quantity" in p for p in info["pushed_filters"])
+
+
+def test_catalyst_queries_have_no_python_stages(spark):
+    """Relational queries must stay JVM-side end to end."""
+    for name in ["q1_pricing_summary", "topk_customers", "window_rank_orders",
+                 "sessionize_events", "cube_returns_modes", "shipping_lag_stats"]:
+        info = summarize(R.QUERIES[name](spark, SF_DIR))
+        assert info["python_stages"] == 0, f"{name} has a Python stage"
+
+
+def test_q1_single_scan_narrow_partial_agg(spark):
+    info = summarize(R.QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert len(info["read_schemas"]) == 1
+    assert any("l_shipdate" in p for p in info["pushed_filters"])
+    # map-side combine must run before the shuffle: the 600k-row (or 600B-row)
+    # scan reduces to |groups| rows per partition prior to the exchange
+    assert info["partial_aggregates"] >= 1
+
+
+def test_broadcast_hint_survives_in_part_share(spark):
+    info = summarize(R.QUERIES["part_type_share"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 1
+    part_schema = next(s for s in info["read_schemas"] if "p_brand" in s)
+    assert "p_retailprice" not in part_schema  # pruned
+
+
+def test_summarize_counts_python_stage(spark):
+    """Sanity: the summarizer does see Python stages when present."""
+    df = spark.range(10).select(F.col("id"))
+
+    def identity(batches):
+        yield from batches
+
+    # formatted mode prints each node in the tree and the detail section,
+    # so presence (>=1), not an exact count, is the contract
+    info = summarize(df.mapInPandas(identity, "id long"))
+    assert info["python_stages"] >= 1
