@@ -3,11 +3,12 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized via a count/collect of its full result (no
-caching between queries); pattern-search entries time the whole search
-loop.  Timings are wall-clock, single run after a session warm-up (the
-suite is dominated by scan/shuffle, not JIT noise; bench stability across
-runs was within ~5% when authored).
+Each query is materialized via a count of its full result and timed as the
+median of 3 runs (BASELINE.md's engine-defined benchmark definition;
+single-run numbers on this box swing with JVM JIT warm-up state).  No
+caching is introduced between runs -- operators that internally
+materialize (localCheckpoint) rebuild from scratch each run.
+Pattern-search entries time the whole search loop.
 """
 
 from __future__ import annotations
@@ -73,14 +74,19 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(_warm, "id long").count()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = -1
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = fn(spark, SF_DIR).count()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        print(f"# {name}: {timings[name]}s median of "
+              f"{[round(s, 2) for s in samples]} ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -268,6 +268,44 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator over the event stream: the
+    per-event-type running minimum of ``value`` via
+    ``applyInPandasWithState`` (the reference's greedy incumbent update,
+    search.py:314-324, recast as streaming state).  Returns the final
+    incumbent per group after draining the stream (rows-only; equals the
+    batch ``min(value) GROUP BY event_type``, asserted in
+    tests/test_streaming.py)."""
+    from pyspark.sql import functions as F
+
+    from ..streaming import events as sev
+    from ..streaming.incumbent import incumbent_stream
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_incumbent_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    evals = stream.select(
+        F.col("event_type").alias("group"),
+        F.array(F.col("value")).alias("point"),
+        F.col("value").alias("cost"),
+    )
+    q = (
+        incumbent_stream(evals)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the memory sink holds every improvement; keep the final incumbent
+    return (
+        spark.table(name)
+        .groupBy("group")
+        .agg(F.min("cost").alias("best_cost"))
+    )
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -288,6 +326,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "streaming_hourly_events": streaming_hourly_events,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_running_minimum": streaming_running_minimum,
 }
 
 ORACLE = {

@@ -125,3 +125,21 @@ def test_sources_roundtrip(spark, scratch_dir):
 
     with pytest.raises(ValueError):
         write_table(df, os.path.join(scratch_dir, "x"), fmt="avro")
+
+
+def test_streaming_running_minimum_matches_batch(spark):
+    """The stateful incumbent drained over the whole stream must equal the
+    batch group-wise minimum."""
+    from dask_patternsearch_spark.queries.pipeline import streaming_running_minimum
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["group"]: r["best_cost"]
+        for r in streaming_running_minimum(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["event_type"]: r["m"]
+        for r in ev.groupBy("event_type").agg(F.min("value").alias("m")).collect()
+    }
+    assert got == want
