@@ -60,3 +60,26 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     getattr(writer, fmt)(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (and optionally sorted) managed table.
+
+    THE co-location tool at 100 TB: two tables bucketed by the same key
+    into the same bucket count join with NO shuffle exchange on either side
+    (verified in tests/test_plans.py::test_bucketed_join_is_shuffle_free),
+    and sorted buckets skip the sort of a sort-merge join too.  Pay the
+    shuffle once at write time, reuse it for every subsequent join/agg on
+    the bucket key.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(name, format="parquet")

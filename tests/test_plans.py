@@ -61,6 +61,31 @@ def test_broadcast_hint_survives_in_part_share(spark):
     assert "p_retailprice" not in part_schema  # pruned
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key must join with zero shuffle
+    exchanges (the pay-once co-location contract of bucketing)."""
+    from dask_patternsearch_spark.sources import write_bucketed_table
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    write_bucketed_table(orders, "b_orders", ["o_custkey"], n_buckets=8)
+    write_bucketed_table(cust, "b_customer", ["c_custkey"], n_buckets=8)
+    try:
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        joined = bo.join(
+            bc.hint("merge"), bo.o_custkey == bc.c_custkey
+        ).select("o_orderkey", "c_name")
+        info = summarize(joined)
+        assert info["exchanges"] == 0, "bucketed join still shuffles"
+        # and the answer is right
+        plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+        assert joined.count() == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
 def test_summarize_counts_python_stage(spark):
     """Sanity: the summarizer does see Python stages when present."""
     df = spark.range(10).select(F.col("id"))
