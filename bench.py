@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
     "topk_customers",
     "window_rank_orders",
     "sessionize_events",
@@ -46,6 +48,7 @@ HEADLINE = [
     "shipping_lag_stats",
     "pattern_search_sphere",
     "pattern_search_rosenbrock",
+    "pattern_search_distributed",
 ]
 
 

@@ -610,6 +610,70 @@ GROUP BY p_brand
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 pattern: single-scan agg where every predicate pushes to
+    the parquet reader (date range, discount band, quantity cap)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)                                    AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern (correlated scalar subquery, decorrelated into an
+    aggregate + join): revenue from line items below 50%% of their part's
+    average quantity."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_qty = (
+        li.groupBy(F.col("l_partkey").alias("ak"))
+        .agg((F.avg("l_quantity") * 0.5).alias("half_avg_qty"))
+    )
+    brand_parts = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand_parts), li.l_partkey == brand_parts.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ak"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q17_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*)                             AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND p_brand = 'Brand#1'
+  AND l_quantity < (
+      SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey
+  )
+"""
+
+
 def cube_returns_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, ship year): all four grouping combinations."""
     li = _t(spark, sf_dir, "lineitem")
@@ -789,6 +853,8 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "distinct_users_by_type": distinct_users_by_type,
     "part_type_share": part_type_share,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "cube_returns_modes": cube_returns_modes,
     "grouping_sets_revenue": grouping_sets_revenue,
     "full_outer_nation_accounts": full_outer_nation_accounts,
@@ -815,6 +881,8 @@ ORACLE = {
     "sessionize_events": _SESSIONIZE_SQL,
     "distinct_users_by_type": _DISTINCT_SQL,
     "part_type_share": _PART_TYPE_SQL,
+    "q6_forecast_revenue": _Q6_SQL,
+    "q17_small_quantity_revenue": _Q17_SQL,
     "cube_returns_modes": _CUBE_SQL,
     "grouping_sets_revenue": _GROUPING_SETS_SQL,
     "full_outer_nation_accounts": _FULL_OUTER_SQL,
