@@ -143,3 +143,81 @@ def test_streaming_running_minimum_matches_batch(spark):
         for r in ev.groupBy("event_type").agg(F.min("value").alias("m")).collect()
     }
     assert got == want
+
+
+def test_watermark_drops_late_data(spark, scratch_dir):
+    """An event arriving 3 hours behind the persisted watermark must be
+    dropped from the append-mode windowed aggregation.
+
+    Watermark semantics under ``availableNow`` (observed, load-bearing for
+    the state-size guarantee): all batches pre-planned in ONE run share the
+    run's initial watermark, so the drop shows up across checkpointed runs
+    — run 1 advances the watermark to hour 7 and persists it; run 2's late
+    hour-4 row is then dropped (stateOperators.numRowsDroppedByWatermark)
+    and its window never reaches the sink."""
+    import pandas as pd
+
+    indir = os.path.join(scratch_dir, "late_in")
+    ckpt = os.path.join(scratch_dir, "ckpt")
+    outdir = os.path.join(scratch_dir, "out")
+    os.makedirs(indir, exist_ok=True)
+    base = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_file(name, hours, start_id=0):
+        pdf = pd.DataFrame({
+            "event_id": range(start_id, start_id + len(hours)),
+            "ts": [base + pd.Timedelta(hours=h) for h in hours],
+            "user_id": [1] * len(hours),
+            "event_type": ["click"] * len(hours),
+            "value": [1.0] * len(hours),
+            "props": ["{}"] * len(hours),
+        })
+        # microsecond timestamps: Spark's vectorized reader rejects
+        # TIMESTAMP(NANOS), pandas' default
+        pdf.to_parquet(
+            os.path.join(indir, name),
+            coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+
+    def run_once():
+        schema = spark.read.parquet(indir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(indir)
+            # watermarks require TIMESTAMP (not NTZ); session tz is UTC
+            .withColumn("event_time", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.withWatermark("event_time", "1 hour")
+            .groupBy(F.window("event_time", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("hour_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    # run 1: head reaches hour 8 -> persisted watermark hour 7
+    write_file("a.parquet", [0.5, 8.0])
+    run_once()
+    # run 2: one on-time event (hour 8.5) and one LATE event (hour 4)
+    write_file("b.parquet", [8.5, 4.0], start_id=10)
+    q2 = run_once()
+
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1, "the hour-4 event was not dropped by the watermark"
+    rows = {r["hour_start"]: r["n"] for r in spark.read.parquet(outdir).collect()}
+    assert base + pd.Timedelta(hours=4) not in rows, "late window leaked"
+    assert rows.get(base) == 1  # the closed hour-0 window, exactly once
