@@ -31,6 +31,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _round_pos(col, n: int) -> "F.Column":
+    """Deterministic cross-engine rounding for POSITIVE doubles:
+    ``floor(x * 10^n + 0.5) / 10^n``.
+
+    Spark's ``round`` goes through BigDecimal's shortest-string
+    representation while DuckDB multiplies in binary, so the two flip in
+    opposite directions on exact .5-boundary doubles (observed at sf0.1 on
+    ~0.1%% of rows).  Spelling the same double arithmetic in both engines
+    makes the value hash stable at every scale factor.
+    """
+    p = float(10**n)
+    return F.floor(col * p + F.lit(0.5)) / F.lit(p)
+
+
 def _epoch_ms(col) -> "F.Column":
     """Epoch milliseconds of a TIMESTAMP_NTZ column, timezone-independent.
 
@@ -447,7 +461,9 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("l_shipdate").alias("ship_year"),
         F.month("l_shipdate").alias("ship_month"),
         F.dayofmonth("l_shipdate").alias("ship_day"),
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
+        _round_pos(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charge"),
         F.round(F.sqrt(F.col("l_quantity")), 4).alias("qty_sqrt"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.when(F.col("l_discount") > 0.05, F.lit("HI")).otherwise(F.lit("LO")).alias("disc_band"),
@@ -463,7 +479,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(year(l_shipdate) AS INTEGER)                                     AS ship_year,
        CAST(month(l_shipdate) AS INTEGER)                                    AS ship_month,
        CAST(day(l_shipdate) AS INTEGER)                                      AS ship_day,
-       round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2)            AS charge,
+       floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100.0 + 0.5) / 100.0 AS charge,
        round(sqrt(l_quantity), 4)                                            AS qty_sqrt,
        round(abs(l_discount - 0.05), 4)                                      AS disc_dev,
        CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END                   AS disc_band,
@@ -489,7 +505,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            _round_pos(F.avg("value"), 4).alias("avg_value"),
         )
     )
 
@@ -499,7 +515,7 @@ SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
        event_type,
        count(*)              AS n_events,
        round(sum(value), 2)  AS sum_value,
-       round(avg(value), 4)  AS avg_value
+       floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
 FROM events
 GROUP BY 1, 2
 """
