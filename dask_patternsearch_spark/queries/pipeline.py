@@ -208,6 +208,68 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_bigrams(_docs(spark, sf_dir), k=20)
 
 
+_UDTF_SEQ = [0]
+
+
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 4): tokenize documents into (word, pos)
+    rows via a lateral table function.  The UDTF runs Arrow-batched on
+    executors; restricted to 20 docs because the point is the operator
+    family (UDF/UDAF/UDTF all covered), not throughput -- the native path
+    for this job is posexplode."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").strip().split()):
+                yield w, i
+
+    _UDTF_SEQ[0] += 1
+    fn = f"dps_split_words_{_UDTF_SEQ[0]}"
+    view = f"dps_docs_{_UDTF_SEQ[0]}"
+    spark.udtf.register(fn, SplitWords)
+    _docs(spark, sf_dir).filter("doc_id < 20").createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT doc_id, word, pos FROM {view}, LATERAL {fn}(text)"
+    )
+
+
+_UDTF_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, toks[i] AS word, CAST(i - 1 AS INT) AS pos
+FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u
+"""
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's memo/dedup probe one-to-one (search.py:285-291):
+    'new' documents (doc_id >= 400) anti-joined on content hash against the
+    'ledger' of already-seen documents -- only genuinely novel content
+    survives.  At 100 TB the ledger side is a bucketed hash table and the
+    anti-join shuffles 16-byte digests only."""
+    docs = _docs(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    hashed = docs.select("doc_id", F.md5("text").alias("fp"))
+    ledger = hashed.filter(F.col("doc_id") < 400).select("fp").distinct()
+    fresh = hashed.filter(F.col("doc_id") >= 400)
+    return fresh.join(ledger, "fp", "left_anti").select("doc_id", "fp")
+
+
+_DEDUP_INCR_SQL = """
+SELECT doc_id, md5(text) AS fp
+FROM documents d
+WHERE doc_id >= 400
+  AND NOT EXISTS (
+    SELECT 1 FROM documents p WHERE p.doc_id < 400 AND md5(p.text) = md5(d.text)
+  )
+"""
+
+
 _BIGRAMS_SQL = """
 WITH t AS (
   SELECT string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents
@@ -322,6 +384,8 @@ QUERIES = {
     "bpe_token_counts": bpe_token_counts,
     "rolling_fingerprints": rolling_fingerprints,
     "top_bigrams": top_bigrams,
+    "udtf_word_positions": udtf_word_positions,
+    "dedup_incremental": dedup_incremental,
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "streaming_hourly_events": streaming_hourly_events,
@@ -339,4 +403,6 @@ ORACLE = {
     "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_SQL,
     "top_bigrams": _BIGRAMS_SQL,
+    "udtf_word_positions": _UDTF_SQL,
+    "dedup_incremental": _DEDUP_INCR_SQL,
 }

@@ -23,6 +23,7 @@ Determinism/oracle-parity rules used throughout:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (resolves grouped-agg UDF type hints)
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -852,6 +853,65 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_flag_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: shipped quantity per year with one column per return flag
+    (explicit value list keeps the schema deterministic and skips the
+    extra distinct-values job)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.year("l_shipdate").alias("ship_year"), "l_returnflag", "l_quantity")
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+_PIVOT_SQL = """
+SELECT CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS A,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS N,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS R
+FROM lineitem
+GROUP BY 1
+"""
+
+
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface: geometric mean of order totals per priority as
+    an Arrow-batched grouped-agg pandas UDF (one numpy reduction per
+    group partition; partial aggregation does not apply to grouped-agg
+    UDFs, so at scale prefer the algebraic exp(avg(ln)) form -- the UDAF
+    here demonstrates the extension point)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        # floor-based rounding: see _round_pos (cross-engine exactness)
+        return float(np.floor(np.exp(np.log(v.to_numpy()).mean()) * 1e4 + 0.5) / 1e4)
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # grouped-agg pandas UDFs cannot mix with native aggregates in one
+        # agg(), so the row count is a (trivial) UDAF too
+        return len(v)
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        geomean("o_totalprice").alias("geomean_price"),
+        n_rows("o_totalprice").alias("n_orders"),
+    )
+
+
+_GEOMEAN_SQL = """
+SELECT o_orderpriority,
+       floor(exp(avg(ln(o_totalprice))) * 10000.0 + 0.5) / 10000.0 AS geomean_price,
+       count(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -878,6 +938,8 @@ QUERIES = {
     "json_event_props": json_event_props,
     "shipping_lag_stats": shipping_lag_stats,
     "approx_distinct_users": approx_distinct_users,
+    "pivot_flag_by_year": pivot_flag_by_year,
+    "udaf_geomean_price": udaf_geomean_price,
 }
 
 ORACLE = {
@@ -905,6 +967,8 @@ ORACLE = {
     "percentiles_by_segment": _PERCENTILES_SQL,
     "json_event_props": _JSON_SQL,
     "shipping_lag_stats": _SHIPPING_LAG_SQL,
+    "pivot_flag_by_year": _PIVOT_SQL,
+    "udaf_geomean_price": _GEOMEAN_SQL,
     # approx_distinct_users: intentionally no oracle (sketch estimates are
     # implementation-defined); rows-only check + 5% tolerance test
 }
