@@ -387,6 +387,31 @@ SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
 """
 
 
+def setops_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (multiset semantics: multiplicities are
+    min / difference, not set membership).  Customer keys of finished
+    orders intersected-all with keys of expensive orders, minus-all keys
+    of low-priority orders; aggregated so the output is deterministic."""
+    orders = _t(spark, sf_dir, "orders")
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    expensive = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    low_pri = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    bag = finished.intersectAll(expensive).exceptAll(low_pri)
+    return bag.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("multiplicity"))
+
+
+_SETOPS_BAG_SQL = """
+WITH bag AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+)
+SELECT o_custkey, count(*) AS multiplicity FROM bag GROUP BY o_custkey
+"""
+
+
 def anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_anti: customers with no orders at all (the reference's dedup
     probe primitive, op #4, generalized -- search.py:285-291)."""
@@ -921,6 +946,7 @@ QUERIES = {
     "window_rank_orders": window_rank_orders,
     "window_running_spend": window_running_spend,
     "setops_repeat_buyers": setops_repeat_buyers,
+    "setops_bag_semantics": setops_bag_semantics,
     "anti_join_quiet_customers": anti_join_quiet_customers,
     "semi_join_active_parts": semi_join_active_parts,
     "rollup_returns": rollup_returns,
@@ -951,6 +977,7 @@ ORACLE = {
     "window_rank_orders": _WINDOW_RANK_SQL,
     "window_running_spend": _WINDOW_RUNNING_SQL,
     "setops_repeat_buyers": _SETOPS_SQL,
+    "setops_bag_semantics": _SETOPS_BAG_SQL,
     "anti_join_quiet_customers": _ANTI_SQL,
     "semi_join_active_parts": _SEMI_SQL,
     "rollup_returns": _ROLLUP_SQL,
