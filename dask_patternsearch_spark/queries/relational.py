@@ -367,6 +367,86 @@ FROM orders
 # set operations, semi/anti joins
 # --------------------------------------------------------------------------
 
+def window_range_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): each order's
+    trailing-30-day customer spend.  Scale: same single shuffle on
+    o_custkey as any window; the range frame is evaluated with a sliding
+    pointer over the sorted partition, O(n) per partition."""
+    orders = _t(spark, sf_dir, "orders")
+    day_ms = 86400000
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("od_ms"))
+        .rangeBetween(-30 * day_ms, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            _epoch_ms(F.col("o_orderdate")).alias("od_ms"),
+            "o_totalprice",
+        )
+        .withColumn("spend_30d", F.round(F.sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "od_ms", "spend_30d")
+    )
+
+
+_WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS od_ms,
+       round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)
+             RANGE BETWEEN 2592000000 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+FROM orders
+"""
+
+
+def grouped_map_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-user inter-event-time
+    statistics computed with numpy on the whole group at once.
+
+    Completes the pandas-API family next to the scalar UDF (cosine),
+    grouped-agg UDAF (geomean), mapInPandas (signatures) and
+    applyInPandasWithState (incumbent).  Scale: one shuffle on user_id;
+    each group is one Arrow batch; state is O(group).
+    """
+    import numpy as np
+
+    ev = _events(spark, sf_dir)
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_ms", "event_id"])
+        gaps = np.diff(pdf["ts_ms"].to_numpy())
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [len(pdf)],
+            "mean_gap_ms": [
+                float(np.floor(gaps.mean() * 10 + 0.5) / 10) if len(gaps) else None
+            ],
+            "max_gap_ms": [int(gaps.max()) if len(gaps) else None],
+        })
+
+    return ev.select("user_id", "event_id", "ts_ms").groupBy("user_id").applyInPandas(
+        stats,
+        "user_id long, n_events long, mean_gap_ms double, max_gap_ms long",
+    )
+
+
+_GROUPED_MAP_SQL = """
+WITH g AS (
+  SELECT user_id,
+         epoch_ms(ts) - lag(epoch_ms(ts)) OVER (
+             PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       count(*)                                        AS n_events,
+       floor(avg(gap) * 10 + 0.5) / 10                 AS mean_gap_ms,
+       max(gap)                                        AS max_gap_ms
+FROM g
+GROUP BY user_id
+"""
+
+
 def setops_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT/EXCEPT: customers who bought in both 1996 and 1997 but
     not in 1998."""
@@ -945,6 +1025,8 @@ QUERIES = {
     "topk_customers": topk_customers,
     "window_rank_orders": window_rank_orders,
     "window_running_spend": window_running_spend,
+    "window_range_30d_spend": window_range_30d_spend,
+    "grouped_map_user_gaps": grouped_map_user_gaps,
     "setops_repeat_buyers": setops_repeat_buyers,
     "setops_bag_semantics": setops_bag_semantics,
     "anti_join_quiet_customers": anti_join_quiet_customers,
@@ -976,6 +1058,8 @@ ORACLE = {
     "topk_customers": _TOPK_SQL,
     "window_rank_orders": _WINDOW_RANK_SQL,
     "window_running_spend": _WINDOW_RUNNING_SQL,
+    "window_range_30d_spend": _WINDOW_RANGE_SQL,
+    "grouped_map_user_gaps": _GROUPED_MAP_SQL,
     "setops_repeat_buyers": _SETOPS_SQL,
     "setops_bag_semantics": _SETOPS_BAG_SQL,
     "anti_join_quiet_customers": _ANTI_SQL,
