@@ -30,6 +30,8 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "topk_customers",
     "window_rank_orders",
+    "asof_join_purchase_click",
+    "range_join_price_bands",
     "sessionize_events",
     "events_hourly",
     "exact_dedup_docs",

@@ -4,7 +4,8 @@
 * ``similarity`` -- brute-force / LSH-bucketed / IVF cosine top-k
 * ``text``       -- fingerprints, token stats, quality scores, language ID
 * ``multimodal`` -- opaque binary columns with typed metadata + feature stubs
-* ``joins``      -- salted equi-join for key skew beyond AQE's reach
+* ``joins``      -- salted equi-join for key skew, as-of join (merge
+  formulation), bucketed range join (interval containment as equi join)
 """
 
 from . import dedup, joins, multimodal, similarity, text  # noqa: F401

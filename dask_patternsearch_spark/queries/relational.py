@@ -1017,6 +1017,264 @@ GROUP BY o_orderpriority
 """
 
 
+
+# --------------------------------------------------------------------------
+# temporal / non-equi joins, subquery patterns, unpivot, array + conditional
+# aggregates
+# --------------------------------------------------------------------------
+
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): each purchase event matched
+    to the same user's most recent click at-or-before it, with the gap.
+
+    The merge formulation costs one shuffle on user_id + a per-partition
+    sort -- no pair explosion -- so it scales to arbitrarily long histories
+    (vs the O(n*m)-per-key inequality-join spelling).  Oracle uses DuckDB's
+    native ASOF LEFT JOIN.
+    """
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts_ms").alias("click_ts_ms"),
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="click_ts_ms"
+    ).withColumn("gap_ms", F.col("ts_ms") - F.col("click_ts_ms"))
+
+
+_ASOF_SQL = """
+WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+           FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, event_id AS click_event_id, epoch_ms(ts) AS click_ts_ms
+           FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.event_id, p.ts_ms, c.click_event_id, c.click_ts_ms,
+       p.ts_ms - c.click_ts_ms AS gap_ms
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_ms >= c.click_ts_ms
+"""
+
+
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment via operators.joins.range_join: orders bucketed
+    into OVERLAPPING price bands (width 100k, stride 50k -- overlapping, so
+    no floor() trick can express it), aggregated per band.
+
+    The operator turns the non-equi containment predicate into a bucketed
+    equi join; with a large interval side this shuffles/sort-merges like any
+    equi join instead of degenerating to broadcast-nested-loop."""
+    from ..operators.joins import range_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.createDataFrame(
+        [(i, i * 50000.0, i * 50000.0 + 100000.0) for i in range(10)],
+        "band_id int, lo double, hi double",
+    )
+    return (
+        range_join(orders, bands, "o_totalprice", "lo", "hi", bucket_width=50000.0)
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+_RANGE_JOIN_SQL = """
+SELECT band_id, lo, hi, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+JOIN (SELECT i AS band_id, i * 50000.0 AS lo, i * 50000.0 + 100000.0 AS hi
+      FROM range(10) t(i)) bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id, lo, hi
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 pattern (EXISTS correlated subquery -> LEFT SEMI join):
+    orders from 1996Q3 having at least one line item shipped more than 90
+    days after the order date, counted per priority.
+
+    The semi join shuffles both sides on the order key and short-circuits
+    per probe row (no fan-out, no dedup), which is exactly how EXISTS
+    should execute at scale."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 pattern (IN subquery with grouped HAVING, decorrelated):
+    customers whose single order carries > 300 total quantity.
+
+    The HAVING aggregate runs map-side-partial before its shuffle; the
+    qualifying-orders set is tiny, so its join back to orders broadcasts
+    under AQE; the customer dim join is explicitly broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _epoch_ms(F.col("o_orderdate")).alias("od_ms"),
+            "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, epoch_ms(o_orderdate) AS od_ms,
+       o_totalprice, t.total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300) t
+  ON o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+"""
+
+
+def unpivot_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): per-nation customer vs supplier account
+    totals as (nation, side, balance) rows.  Spark's unpivot is a
+    zero-shuffle Expand node; the oracle spells it as ANSI UNION ALL."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("n_nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("customer_balance"))
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("n_nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supplier_balance"))
+    )
+    wide = (
+        nation.join(cust, "n_nationkey", "left")
+        .join(supp, "n_nationkey", "left")
+        .select(
+            "n_name",
+            F.coalesce("customer_balance", F.lit(0.0)).alias("customer_balance"),
+            F.coalesce("supplier_balance", F.lit(0.0)).alias("supplier_balance"),
+        )
+    )
+    return wide.unpivot(
+        "n_name", ["customer_balance", "supplier_balance"], "side", "balance"
+    )
+
+
+_UNPIVOT_SQL = """
+WITH cb AS (SELECT c_nationkey AS k, round(sum(c_acctbal), 2) AS b
+            FROM customer GROUP BY 1),
+     sb AS (SELECT s_nationkey AS k, round(sum(s_acctbal), 2) AS b
+            FROM supplier GROUP BY 1)
+SELECT n_name, 'customer_balance' AS side, coalesce(cb.b, 0.0) AS balance
+FROM nation LEFT JOIN cb ON n_nationkey = cb.k
+UNION ALL
+SELECT n_name, 'supplier_balance' AS side, coalesce(sb.b, 0.0) AS balance
+FROM nation LEFT JOIN sb ON n_nationkey = sb.k
+"""
+
+
+def array_agg_order_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array scalar functions: per-order sorted
+    quantity list, reduced back to scalars (size, distinct count, min/max
+    by position, ascending-order sum).  collect_list is a single partial
+    aggregation; the array functions are per-row, shuffle-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.sort_array(F.collect_list("l_quantity"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(q.alias("q"))
+        .select(
+            "l_orderkey",
+            F.size("q").alias("n_items"),
+            F.size(F.array_distinct("q")).alias("n_distinct"),
+            F.element_at("q", 1).alias("min_qty"),
+            F.element_at("q", -1).alias("max_qty"),
+            F.aggregate("q", F.lit(0.0), lambda acc, x: acc + x).alias("sum_qty"),
+        )
+    )
+
+
+_ARRAY_AGG_SQL = """
+SELECT l_orderkey,
+       len(q)::INT                 AS n_items,
+       len(list_distinct(q))::INT  AS n_distinct,
+       q[1]                        AS min_qty,
+       q[-1]                       AS max_qty,
+       list_aggregate(q, 'sum')    AS sum_qty
+FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS q
+      FROM lineitem GROUP BY l_orderkey)
+"""
+
+
+def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional / boolean / median aggregates per order status:
+    count_if, bool_and, bool_or, exact median (floor-rounded so the
+    even-count midpoint cannot straddle a .5 rounding boundary)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 300000.0).alias("n_big"),
+        (F.floor(F.median("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
+            "median_price"
+        ),
+        F.bool_and(F.col("o_totalprice") > 900.0).alias("all_above_900"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )
+
+
+_CONDITIONAL_AGG_SQL = """
+SELECT o_orderstatus,
+       count(*)                                    AS n_orders,
+       count_if(o_totalprice > 300000.0)           AS n_big,
+       floor(median(o_totalprice) * 100 + 0.5)/100 AS median_price,
+       bool_and(o_totalprice > 900.0)              AS all_above_900,
+       bool_or(o_orderpriority = '1-URGENT')       AS any_urgent
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1026,6 +1284,13 @@ QUERIES = {
     "window_rank_orders": window_rank_orders,
     "window_running_spend": window_running_spend,
     "window_range_30d_spend": window_range_30d_spend,
+    "asof_join_purchase_click": asof_join_purchase_click,
+    "range_join_price_bands": range_join_price_bands,
+    "q4_order_priority": q4_order_priority,
+    "q18_large_volume": q18_large_volume,
+    "unpivot_nation_balances": unpivot_nation_balances,
+    "array_agg_order_quantities": array_agg_order_quantities,
+    "conditional_aggregates": conditional_aggregates,
     "grouped_map_user_gaps": grouped_map_user_gaps,
     "setops_repeat_buyers": setops_repeat_buyers,
     "setops_bag_semantics": setops_bag_semantics,
@@ -1059,6 +1324,13 @@ ORACLE = {
     "window_rank_orders": _WINDOW_RANK_SQL,
     "window_running_spend": _WINDOW_RUNNING_SQL,
     "window_range_30d_spend": _WINDOW_RANGE_SQL,
+    "asof_join_purchase_click": _ASOF_SQL,
+    "range_join_price_bands": _RANGE_JOIN_SQL,
+    "q4_order_priority": _Q4_SQL,
+    "q18_large_volume": _Q18_SQL,
+    "unpivot_nation_balances": _UNPIVOT_SQL,
+    "array_agg_order_quantities": _ARRAY_AGG_SQL,
+    "conditional_aggregates": _CONDITIONAL_AGG_SQL,
     "grouped_map_user_gaps": _GROUPED_MAP_SQL,
     "setops_repeat_buyers": _SETOPS_SQL,
     "setops_bag_semantics": _SETOPS_BAG_SQL,

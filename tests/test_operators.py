@@ -130,3 +130,143 @@ def test_salted_join_matches_plain_join(spark):
         orders, cust.filter("c_acctbal > 0"), "o_custkey", how="left", n_salts=8, seed=1
     ).count()
     assert plain_left == salted_left
+
+
+# ---------------------------------------------------------------------------
+# asof_join / range_join
+# ---------------------------------------------------------------------------
+
+def _asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 4, "e")],
+        "k long, t long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 3, 30.0), (1, 10, 100.0), (1, 15, 150.0), (2, 9, 90.0)],
+        "k long, rt long, val double",
+    )
+    return left, right
+
+
+def test_asof_join_backward_semantics(spark):
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    out = {
+        r["tag"]: (r["rt"], r["val"])
+        for r in asof_join(left, right, "k", "t", "rt").collect()
+    }
+    assert out["a"] == (10, 100.0)      # exact match included
+    assert out["b"] == (15, 150.0)      # latest at-or-before 20
+    assert out["c"] == (3, 30.0)
+    assert out["d"] == (None, None)     # right at 9 > left 7
+    assert out["e"] == (None, None)     # no right rows for key 3
+
+
+def test_asof_join_forward_inner_and_tolerance(spark):
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    fwd = {
+        r["tag"]: (r["rt"], r["val"])
+        for r in asof_join(left, right, "k", "t", "rt", direction="forward").collect()
+    }
+    assert fwd["a"] == (10, 100.0)
+    assert fwd["b"] == (None, None)     # nothing at-or-after 20
+    assert fwd["c"] == (10, 100.0)      # nearest following
+    assert fwd["d"] == (9, 90.0)
+
+    inner = asof_join(left, right, "k", "t", "rt", how="inner")
+    assert {r["tag"] for r in inner.collect()} == {"a", "b", "c"}
+
+    tol = {
+        r["tag"]: r["rt"]
+        for r in asof_join(left, right, "k", "t", "rt", tolerance=4).collect()
+    }
+    assert tol["a"] == 10               # gap 0 <= 4
+    assert tol["c"] == 3                # gap 2 <= 4
+    assert tol["b"] is None             # gap 5 > 4
+
+
+def test_asof_join_matches_inequality_join(spark):
+    """Property check on real data: merge-formulation as-of == the naive
+    greatest-right-ts-per-left-row inequality join."""
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ev = ev.withColumn("ts_ms", F.expr("ts DIV 1000000"))
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ms"
+    ).limit(200)
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts_ms").alias("view_ms"),
+    )
+    got = {
+        r["event_id"]: r["view_ms"]
+        for r in asof_join(left, right, "user_id", "ts_ms", "view_ms").collect()
+    }
+    naive = {
+        r["event_id"]: r["view_ms"]
+        for r in left.join(right, "user_id", "left")
+        .filter(F.col("view_ms") <= F.col("ts_ms"))
+        .groupBy("event_id")
+        .agg(F.max("view_ms").alias("view_ms"))
+        .collect()
+    }
+    for eid, vm in got.items():
+        assert naive.get(eid) == vm
+
+
+def test_asof_join_rejects_column_collision(spark):
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    left, right = _asof_fixture(spark)
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("rt", "t"), "k", "t", "t")
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    """Bucketed range join == naive non-equi join, including intervals
+    spanning many buckets and points on bucket boundaries."""
+    from dask_patternsearch_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 100)], "pid long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 10.0), (1, 5.0, 50.0), (2, 49.0, 51.0), (3, 90.0, 200.0),
+         (4, 20.0, 20.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(points, intervals, "x", "lo", "hi", bucket_width=7.0).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals, (F.col("x") >= F.col("lo")) & (F.col("x") < F.col("hi"))
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_range_join_extra_equi_keys(spark):
+    from dask_patternsearch_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [("u", 3.0, 1), ("u", 8.0, 2), ("v", 3.0, 3)], "g string, x double, pid int"
+    )
+    intervals = spark.createDataFrame(
+        [("u", 0.0, 5.0, 10), ("v", 0.0, 5.0, 20)], "g string, lo double, hi double, iid int"
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "x", "lo", "hi", bucket_width=4.0, extra_on=["g"]
+        ).collect()
+    }
+    assert got == {(1, 10), (3, 20)}

@@ -97,3 +97,48 @@ def test_summarize_counts_python_stage(spark):
     # so presence (>=1), not an exact count, is the contract
     info = summarize(df.mapInPandas(identity, "id long"))
     assert info["python_stages"] >= 1
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The merge-formulation as-of is ONE shuffle + window -- the physical
+    plan must contain no join operator of any kind and stay JVM-side."""
+    info = summarize(R.QUERIES["asof_join_purchase_click"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] == 0
+    assert info["sort_merge_joins"] == 0
+    assert info["shuffled_hash_joins"] == 0
+    assert info["nested_loop_joins"] == 0
+    assert info["python_stages"] == 0
+    # one hash exchange on user_id for the window (AQE may show a reused
+    # exchange but never more than two)
+    assert info["exchanges"] <= 2
+    # event_type predicates must reach the scans
+    assert any("event_type" in p for p in info["pushed_filters"])
+
+
+def test_range_join_plan_avoids_nested_loop(spark):
+    """Bucketing turns interval containment into an equi join: never
+    BroadcastNestedLoopJoin, even though the predicate is non-equi."""
+    info = summarize(R.QUERIES["range_join_price_bands"](spark, SF_DIR))
+    assert info["nested_loop_joins"] == 0
+    assert (
+        info["broadcast_hash_joins"]
+        + info["sort_merge_joins"]
+        + info["shuffled_hash_joins"]
+        >= 1
+    )
+    assert info["python_stages"] == 0
+
+
+def test_q18_broadcasts_customer_dim(spark):
+    info = summarize(R.QUERIES["q18_large_volume"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 1
+    assert info["python_stages"] == 0
+
+
+def test_q4_semi_join_pushes_date_filter(spark):
+    info = summarize(R.QUERIES["q4_order_priority"](spark, SF_DIR))
+    assert any("o_orderdate" in p for p in info["pushed_filters"])
+    assert info["python_stages"] == 0
+    # lineitem scan pruned to the two columns the semi join needs
+    li_schema = next(s for s in info["read_schemas"] if "l_shipdate" in s)
+    assert li_schema.count(",") <= 1, f"unpruned scan: {li_schema}"
