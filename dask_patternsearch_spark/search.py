@@ -124,14 +124,16 @@ class LocalEvaluator:
 
 
 class SparkEvaluator:
-    """Distributed evaluation: one Spark job per poll round.
+    """Distributed evaluation: one single-stage Spark job per poll round.
 
-    The candidate set becomes a DataFrame and the objective runs inside
-    ``mapInPandas`` so rows reach Python as Arrow batches (the idiomatic
-    equivalent of the reference's ``batchsize``/``vectorize`` modes,
-    ``search.py:115-122,190-201`` -- Spark's Arrow batching replaces the
-    hand-rolled task batching).  Partition count is sized so every core
-    gets work: ``min(n_candidates, defaultParallelism)`` unless an explicit
+    The objective runs inside ``mapInPandas`` so candidates reach Python as
+    Arrow batches (the idiomatic equivalent of the reference's
+    ``batchsize``/``vectorize`` modes, ``search.py:115-122,190-201`` --
+    Spark's Arrow batching replaces the hand-rolled task batching).  The
+    job is a ``spark.range`` over candidate indices with the coordinate
+    matrix shipped closure/broadcast-side, so a round costs exactly one
+    stage with zero shuffles.  Partition count is sized so every core gets
+    work: ``min(n_candidates, defaultParallelism)`` unless an explicit
     ``batchsize`` dictates fewer, larger tasks.
     """
 
@@ -140,48 +142,54 @@ class SparkEvaluator:
         self.vectorize = vectorize
         self.batchsize = batchsize
 
+    # Candidate matrices up to this many bytes ride in the task closure;
+    # larger rounds go through a torrent broadcast instead (closures are
+    # shipped per task, broadcasts once per executor).
+    _CLOSURE_BYTES = 1 << 20
+
     def evaluate(self, func, points: list[np.ndarray], args: tuple) -> list[float]:
         if not points:
             return []
-        from pyspark.sql import types as T
-
         vectorize = self.vectorize
-        schema = T.StructType([
-            T.StructField("id", T.LongType(), False),
-            T.StructField("x", T.ArrayType(T.DoubleType(), False), False),
-        ])
-        out_schema = T.StructType([
-            T.StructField("id", T.LongType(), False),
-            T.StructField("cost", T.DoubleType(), False),
-        ])
-        import pandas as pd
-
-        # Arrow path: createDataFrame from pandas ships one Arrow batch
-        # instead of pickling rows (measured ~2x less per-round overhead,
-        # which at ~25 poll rounds per search is the dominant cost)
-        pdf = pd.DataFrame(
-            {"id": range(len(points)), "x": [p.tolist() for p in points]}
-        )
         if self.batchsize:
             n_parts = max(1, math.ceil(len(points) / self.batchsize))
         else:
             n_parts = max(1, min(len(points), self.spark.sparkContext.defaultParallelism))
-        df = self.spark.createDataFrame(pdf, schema).repartition(n_parts)
+
+        # One SINGLE-STAGE job per round: the candidate matrix travels to
+        # executors via closure/broadcast and the job itself is a
+        # ``spark.range(n, numPartitions=k)`` over candidate INDICES --
+        # contiguous splits, so no shuffle and no driver->JVM local-relation
+        # job (the earlier createDataFrame(pandas) + repartition spelling
+        # cost one extra stage + one extra job per round; at ~25 poll rounds
+        # per search that scheduling overhead dominated the wall clock).
+        xs_all = np.stack(points)
+        bc = None
+        if xs_all.nbytes > self._CLOSURE_BYTES:
+            bc = self.spark.sparkContext.broadcast(xs_all)
+            get_xs = lambda: bc.value  # noqa: E731
+        else:
+            get_xs = lambda: xs_all  # noqa: E731
 
         def run(batches):
             import pandas as pd
 
+            xs_full = np.asarray(get_xs(), dtype=float)
             for pdf in batches:
                 if pdf.empty:
                     continue
-                xs = np.stack([np.asarray(v, dtype=float) for v in pdf["x"]])
+                ids = pdf["id"].to_numpy()
+                xs = xs_full[ids]
                 if vectorize:
                     costs = np.asarray(func(xs, *args), dtype=float)
                 else:
                     costs = np.array([func(x, *args) for x in xs], dtype=float)
-                yield pd.DataFrame({"id": pdf["id"].to_numpy(), "cost": costs})
+                yield pd.DataFrame({"id": ids, "cost": costs})
 
-        out = df.mapInPandas(run, out_schema).collect()
+        df = self.spark.range(0, len(points), numPartitions=n_parts)
+        out = df.mapInPandas(run, "id long, cost double").collect()
+        if bc is not None:
+            bc.unpersist()
         costs: list[float] = [math.nan] * len(points)
         for row in out:
             costs[row["id"]] = row["cost"]
