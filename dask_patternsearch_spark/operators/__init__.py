@@ -4,8 +4,9 @@
 * ``similarity`` -- brute-force / LSH-bucketed / IVF cosine top-k
 * ``text``       -- fingerprints, token stats, quality scores, language ID
 * ``multimodal`` -- opaque binary columns with typed metadata + feature stubs
+* ``sampling``  -- stratified / exact-per-stratum / deterministic-split
 * ``joins``      -- salted equi-join for key skew, as-of join (merge
   formulation), bucketed range join (interval containment as equi join)
 """
 
-from . import dedup, joins, multimodal, similarity, text  # noqa: F401
+from . import dedup, joins, multimodal, sampling, similarity, text  # noqa: F401

@@ -372,3 +372,68 @@ def embedding_near_duplicates(
         )
     )
     return pairs.filter(F.col("cosine_sim") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph -- the dedup
+    endgame: candidate pairs (from MinHash/SimHash/embedding LSH) form a
+    graph whose components are duplicate CLUSTERS; keeping one canonical
+    doc per component is what actually shrinks a corpus.
+
+    Algorithm: iterative min-label propagation.  Every node starts labeled
+    with its own id; each round every node takes the min of its label and
+    its neighbors' labels; fixpoint when no label changes.  Rounds needed =
+    graph diameter, and near-dup clusters are small/dense (diameter 2-4 in
+    practice), so the loop is short.  Each round is one shuffle join + one
+    min-aggregation; ``localCheckpoint`` truncates the growing lineage so
+    round N's plan does not replay rounds 1..N-1 (the classic iterative-
+    algorithm trap).  For adversarial chain-shaped graphs the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") converges in O(log n) rounds; not needed for
+    dedup-shaped graphs.
+
+    Returns ``(node, label)`` where ``label`` is the min node id reachable
+    -- the cluster's canonical representative.  Nodes outside any pair are
+    absent (they are their own singleton clusters by definition).
+    """
+    e = pairs.select(
+        F.col(a_col).cast("long").alias("src"), F.col(b_col).cast("long").alias("dst")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # eager: materialize before the change probe
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "label")

@@ -1,0 +1,93 @@
+"""Sampling operators for training-data pipelines.
+
+Large-corpus training runs need reproducible downsampling: per-class
+balancing (cap each language/source/quality bucket), Bernoulli rate
+sampling per stratum, and deterministic selection so a re-run of the
+pipeline picks the same rows.  The reference engine has no sampling; these
+are the Spark-native building blocks.
+
+Scale notes: ``stratified_sample`` is a scan-side filter (zero shuffles --
+each task coin-flips its own rows); ``exact_stratified_sample`` costs one
+shuffle on the stratum key and keeps per-task state O(n_per_stratum) via
+rank-then-filter.  Determinism comes from hashing a caller-named unique
+key, NEVER from ``rand()`` ordering (rand's value depends on the stage's
+partition layout, so it is not stable across cluster sizes -- a 32-core
+dev run and a 1000-executor run must pick the same sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 0,
+) -> DataFrame:
+    """Bernoulli sampling with a per-stratum rate (``sampleBy``): keep each
+    row of stratum ``s`` with probability ``fractions[s]`` (strata absent
+    from the dict are dropped).  Zero shuffles; row counts are binomial,
+    not exact -- use :func:`exact_stratified_sample` for hard caps."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def _det_order(key_cols: list[str], seed: int) -> Column:
+    # xxhash64 of (seed, *key) -- a stable pseudo-random total order that
+    # does not depend on partitioning, task layout or row order
+    return F.xxhash64(F.lit(seed), *[F.col(c) for c in key_cols])
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum, chosen
+    pseudo-randomly but deterministically: rows are ranked inside each
+    stratum by ``xxhash64(seed, *key_cols)`` and the top N kept.
+
+    ``key_cols`` must uniquely identify rows (ties in the hash order would
+    otherwise make the cut nondeterministic).  One shuffle on
+    ``strata_col``; the rank is a running window, so memory per task is
+    O(1) beyond the sort."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _det_order(key_cols, seed), *[F.col(c) for c in key_cols]
+    )
+    tag = "__dps_rank"
+    return (
+        df.withColumn(tag, F.row_number().over(w))
+        .filter(F.col(tag) <= n_per_stratum)
+        .drop(tag)
+    )
+
+
+def deterministic_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_cols: list[str],
+    seed: int = 0,
+) -> dict[str, DataFrame]:
+    """Disjoint, exhaustive, deterministic train/val/test-style split.
+
+    Each row lands in exactly one named bucket with probability
+    proportional to its weight, decided by the row's own key hash -- so the
+    split is stable under re-runs, repartitioning and cluster resizing
+    (unlike ``randomSplit``, which depends on partition layout).  Zero
+    shuffles: every bucket is a filter over the same scan."""
+    total = float(sum(weights.values()))
+    # map the hash to [0, 1) -- pmod keeps it positive
+    u = F.pmod(_det_order(key_cols, seed), F.lit(1 << 32)) / F.lit(float(1 << 32))
+    out: dict[str, DataFrame] = {}
+    lo = 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        hi = lo + weights[name] / total
+        cond = (u >= F.lit(lo)) & ((u < F.lit(hi)) if i < len(names) - 1 else F.lit(True))
+        out[name] = df.filter(cond)
+        lo = hi
+    return out

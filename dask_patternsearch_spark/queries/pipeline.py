@@ -9,6 +9,7 @@ list_cosine_similarity); LSH-family operators get rows-only checks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
 
@@ -330,6 +331,56 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+
+
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language balanced sample of the documents table
+    (exact N per stratum, keyed hash order -- reproducible across runs and
+    cluster sizes).  Rows-only; exactness/determinism/subset properties are
+    asserted in tests/test_operators.py."""
+    from ..operators.sampling import exact_stratified_sample
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    return exact_stratified_sample(docs, "lang", 50, ["doc_id"], seed=7)
+
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pair graph, with the min doc_id as each cluster's canonical
+    representative and the cluster size attached.  Rows-only (iterative
+    fixpoint, not SQL-expressible); label correctness is property-tested in
+    tests/test_operators.py."""
+    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    comp = dedup.connected_components(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join (purchases x clicks within
+    the 10 minutes before, same user), drained with availableNow in append
+    mode (the only mode stream-stream joins support).  Rows-only check; the
+    answer equals the batch ``interval_join_purchase_click`` range_join,
+    asserted in tests/test_streaming.py."""
+    from ..streaming import events as sev
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_ssjoin_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    sev.run_to_memory(
+        sev.purchase_click_join_stream(stream), name, spark, output_mode="append"
+    )
+    return spark.table(name)
+
+
 def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator over the event stream: the
     per-event-type running minimum of ``value`` via
@@ -390,6 +441,9 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "streaming_hourly_events": streaming_hourly_events,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_interval_join": streaming_interval_join,
+    "stratified_sample_docs": stratified_sample_docs,
+    "near_dup_clusters": near_dup_clusters,
     "streaming_running_minimum": streaming_running_minimum,
 }
 

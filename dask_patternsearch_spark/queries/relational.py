@@ -1279,6 +1279,178 @@ GROUP BY o_orderstatus
 """
 
 
+
+def interval_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join with a LARGE interval side: every (purchase, click)
+    pair where the click is within the 10 minutes strictly before the
+    purchase, same user.  Exercises operators.joins.range_join where the
+    intervals table is event-scale (unlike the tiny price-band dim), i.e.
+    the case where the bucketed equi-join formulation is mandatory at
+    100 TB -- a theta join here would be quadratic per user.  The streaming
+    twin is streaming/events.py::purchase_click_join_stream."""
+    from ..operators.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    lookback = 600000  # 10 minutes in ms
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts_ms").alias("c_ms")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts_ms") - lookback).alias("lo"),
+        F.col("ts_ms").alias("hi"),
+    )
+    return range_join(
+        clicks, purchases, "c_ms", "lo", "hi",
+        bucket_width=float(lookback), extra_on=["user_id"],
+    ).select(
+        "user_id", "purchase_id", "click_id",
+        (F.col("hi") - F.col("c_ms")).alias("gap_ms"),
+    )
+
+
+_INTERVAL_JOIN_SQL = """
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS c_ms
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms
+           FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, c.click_id, p.p_ms - c.c_ms AS gap_ms
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ms >= p.p_ms - 600000
+ AND c.c_ms < p.p_ms
+"""
+
+
+
+def map_hourly_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type functions end to end: per-user hour-of-day -> count map
+    built with map_from_entries, then reduced with size / map_values /
+    map_filter / map_keys (peak hour with a deterministic min-key
+    tie-break).  All JVM-side; the oracle computes the same scalars with
+    plain SQL (the map is an execution detail, not a semantic)."""
+    ev = _events(spark, sf_dir)
+    hours = (
+        ev.select("user_id", (F.expr("ts_ms DIV 3600000") % 24).cast("int").alias("hr"))
+        .groupBy("user_id", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = hours.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("hr", "cnt"))).alias("h")
+    )
+    peak = F.array_max(F.map_values("h"))
+    return m.select(
+        "user_id",
+        F.size("h").alias("n_hours"),
+        F.aggregate(F.map_values("h"), F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "total_events"
+        ),
+        peak.alias("max_in_hour"),
+        F.array_min(
+            F.map_keys(F.map_filter("h", lambda k, v: v == peak))
+        ).alias("peak_hour"),
+    )
+
+
+_MAP_HOURLY_SQL = """
+WITH h AS (SELECT user_id, CAST((epoch_ms(ts) // 3600000) % 24 AS INT) AS hr,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+     hm AS (SELECT *, max(cnt) OVER (PARTITION BY user_id) AS mx FROM h)
+SELECT user_id,
+       count(*)::INT    AS n_hours,
+       sum(cnt)::BIGINT AS total_events,
+       max(cnt)         AS max_in_hour,
+       min(hr) FILTER (WHERE cnt = mx) AS peak_hour
+FROM hm
+GROUP BY user_id
+"""
+
+
+def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (KLL/GK approx_percentile) per order
+    status.  Rows-only check (the sketch is engine-specific); a dedicated
+    test bounds the error against the exact percentiles -- at 100 TB the
+    sketch is mergeable map-side and needs O(1/accuracy) memory where exact
+    percentiles would need a full sort."""
+    orders = _t(spark, sf_dir, "orders")
+    pcts = F.approx_percentile(
+        "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+    )
+    return orders.groupBy("o_orderstatus").agg(
+        pcts[0].alias("p50"), pcts[1].alias("p90"), pcts[2].alias("p99"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+
+def regexp_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions over document text: per-doc counts of
+    vowel-initial words and long words via regexp_extract_all (JVM-side;
+    both engines use RE2-compatible patterns so results match exactly)."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(r"\b[aeiou][a-z]*"), F.lit(0))).alias(
+            "n_vowel_words"
+        ),
+        F.size(F.regexp_extract_all(low, F.lit(r"\b[a-z]{8,}\b"), F.lit(0))).alias(
+            "n_long_words"
+        ),
+        F.regexp_count(low, F.lit(r"[aeiou]{2}")).alias("n_vowel_pairs"),
+    )
+
+
+_REGEXP_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '\\b[aeiou][a-z]*'))::INT AS n_vowel_words,
+       len(regexp_extract_all(lower(text), '\\b[a-z]{8,}\\b'))::INT AS n_long_words,
+       len(regexp_extract_all(lower(text), '[aeiou]{2}'))::INT         AS n_vowel_pairs
+FROM documents
+"""
+
+
+def resample_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (gap filling): the full hourly grid from
+    min to max event hour, per event type, with zero-filled counts --
+    what a downstream model-training join needs instead of sparse hours.
+
+    Scale: the grid is sequence+explode over the GLOBAL hour bounds (one
+    tiny agg broadcast), cross-joined with the distinct-type dim; the left
+    join back to the hourly counts is an equi join on (type, hour)."""
+    ev = _events(spark, sf_dir)
+    hour = (F.expr("ts_ms DIV 3600000") * 3600000).alias("hour_ms")
+    hourly = ev.groupBy(F.col("event_type"), hour).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = hourly.agg(
+        F.min("hour_ms").alias("mn"), F.max("hour_ms").alias("mx")
+    )
+    grid_hours = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.lit(3600000))).alias("hour_ms")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = grid_hours.crossJoin(F.broadcast(types))
+    return grid.join(hourly, ["event_type", "hour_ms"], "left").select(
+        "event_type", "hour_ms", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+_RESAMPLE_SQL = """
+WITH h AS (SELECT event_type, (epoch_ms(ts) // 3600000) * 3600000 AS hour_ms,
+                  count(*) AS n
+           FROM events GROUP BY 1, 2),
+     b AS (SELECT min(hour_ms) AS mn, max(hour_ms) AS mx FROM h),
+     grid AS (SELECT t.event_type,
+                     unnest(generate_series(b.mn, b.mx, 3600000)) AS hour_ms
+              FROM (SELECT DISTINCT event_type FROM h) t, b)
+SELECT grid.event_type, grid.hour_ms, coalesce(h.n, 0) AS n_events
+FROM grid LEFT JOIN h USING (event_type, hour_ms)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1290,11 +1462,16 @@ QUERIES = {
     "window_range_30d_spend": window_range_30d_spend,
     "asof_join_purchase_click": asof_join_purchase_click,
     "range_join_price_bands": range_join_price_bands,
+    "interval_join_purchase_click": interval_join_purchase_click,
     "q4_order_priority": q4_order_priority,
     "q18_large_volume": q18_large_volume,
     "unpivot_nation_balances": unpivot_nation_balances,
     "array_agg_order_quantities": array_agg_order_quantities,
     "conditional_aggregates": conditional_aggregates,
+    "map_hourly_activity": map_hourly_activity,
+    "regexp_word_stats": regexp_word_stats,
+    "resample_hourly_gaps": resample_hourly_gaps,
+    "approx_percentiles_price": approx_percentiles_price,
     "grouped_map_user_gaps": grouped_map_user_gaps,
     "setops_repeat_buyers": setops_repeat_buyers,
     "setops_bag_semantics": setops_bag_semantics,
@@ -1330,11 +1507,15 @@ ORACLE = {
     "window_range_30d_spend": _WINDOW_RANGE_SQL,
     "asof_join_purchase_click": _ASOF_SQL,
     "range_join_price_bands": _RANGE_JOIN_SQL,
+    "interval_join_purchase_click": _INTERVAL_JOIN_SQL,
     "q4_order_priority": _Q4_SQL,
     "q18_large_volume": _Q18_SQL,
     "unpivot_nation_balances": _UNPIVOT_SQL,
     "array_agg_order_quantities": _ARRAY_AGG_SQL,
     "conditional_aggregates": _CONDITIONAL_AGG_SQL,
+    "map_hourly_activity": _MAP_HOURLY_SQL,
+    "regexp_word_stats": _REGEXP_SQL,
+    "resample_hourly_gaps": _RESAMPLE_SQL,
     "grouped_map_user_gaps": _GROUPED_MAP_SQL,
     "setops_repeat_buyers": _SETOPS_SQL,
     "setops_bag_semantics": _SETOPS_BAG_SQL,

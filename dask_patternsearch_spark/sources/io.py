@@ -1,4 +1,4 @@
-"""Readers/writers: parquet, csv, json (+ partitioned layouts).
+"""Readers/writers: parquet, csv, json, orc (+ partitioned layouts).
 
 Scale defaults baked in:
 
@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_table(

@@ -68,13 +68,82 @@ def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
     )
 
 
-def run_to_memory(stream_df: DataFrame, table_name: str, spark: SparkSession) -> None:
+def purchase_click_join_stream(
+    events: DataFrame, lookback_ms: int = 600000
+) -> DataFrame:
+    """Stream-stream INNER interval join: each purchase paired with the
+    same user's clicks in the ``lookback_ms`` window strictly before it.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both sides, so Spark can expire join state: click-side state is kept
+    only ``lookback`` + watermark past the frontier -- without the time
+    bound the state store would grow without limit at 100 TB/day.  Batch
+    twin: ``queries/relational.py::interval_join_purchase_click`` (the
+    bucketed range_join); equality asserted in tests/test_streaming.py.
+    """
+    # carry truncate-to-ms longs for the OUTPUT gap so it matches the batch
+    # twin bit-for-bit (diff-then-truncate on microsecond event_time is off
+    # by 1 ms whenever the sub-ms fractions straddle); the JOIN still uses
+    # the microsecond event-time columns, which the watermark needs
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("p_time"),
+            F.expr("ts DIV 1000000").alias("p_ms"),
+        )
+        .withWatermark("p_time", "1 hour")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("c_time"),
+            F.expr("ts DIV 1000000").alias("c_ms"),
+        )
+        .withWatermark("c_time", "1 hour")
+    )
+    # two-layer condition: the event-time range (1s slack each side) is what
+    # Spark derives join-state expiry from; the ms-truncated predicate is
+    # the EXACT batch-equal semantics
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (
+            F.col("c_time")
+            >= F.col("p_time")
+            - F.expr(f"INTERVAL {lookback_ms} MILLISECOND")
+            - F.expr("INTERVAL 1 SECOND")
+        )
+        & (F.col("c_time") <= F.col("p_time") + F.expr("INTERVAL 1 SECOND"))
+        & (F.col("c_ms") >= F.col("p_ms") - F.lit(lookback_ms))
+        & (F.col("c_ms") < F.col("p_ms")),
+        "inner",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.col("p_ms") - F.col("c_ms")).alias("gap_ms"),
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    table_name: str,
+    spark: SparkSession,
+    output_mode: str = "complete",
+) -> None:
     """Drain an availableNow stream into an in-memory table (test/dev sink;
-    production would writeStream to parquet/kafka with checkpointing)."""
+    production would writeStream to parquet/kafka with checkpointing).
+    Stream-stream joins require ``output_mode='append'``; streaming
+    aggregations here use complete."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

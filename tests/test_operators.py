@@ -270,3 +270,92 @@ def test_range_join_extra_equi_keys(spark):
         ).collect()
     }
     assert got == {(1, 10), (3, 20)}
+
+
+# ---------------------------------------------------------------------------
+# sampling
+# ---------------------------------------------------------------------------
+
+def test_exact_stratified_sample_counts_subset_deterministic(spark, docs):
+    from dask_patternsearch_spark.operators.sampling import exact_stratified_sample
+
+    base = docs.select("doc_id", "lang")
+    n = 30
+    s1 = exact_stratified_sample(base, "lang", n, ["doc_id"], seed=7)
+    s2 = exact_stratified_sample(base, "lang", n, ["doc_id"], seed=7)
+    got1 = sorted((r["lang"], r["doc_id"]) for r in s1.collect())
+    got2 = sorted((r["lang"], r["doc_id"]) for r in s2.collect())
+    assert got1 == got2                      # deterministic
+    sizes = {r["lang"]: r["c"] for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    from collections import Counter
+    per = Counter(lang for lang, _ in got1)
+    for lang, size in sizes.items():
+        assert per[lang] == min(n, size)     # exact per-stratum cap
+    all_ids = {r["doc_id"] for r in base.collect()}
+    assert {d for _, d in got1} <= all_ids   # subset of input
+
+    s3 = exact_stratified_sample(base, "lang", n, ["doc_id"], seed=8)
+    got3 = sorted((r["lang"], r["doc_id"]) for r in s3.collect())
+    assert got1 != got3                      # seed actually changes the pick
+
+
+def test_stratified_sample_fractions_and_determinism(spark, docs):
+    from dask_patternsearch_spark.operators.sampling import stratified_sample
+
+    base = docs.select("doc_id", "lang")
+    fr = {"en": 0.5, "de": 0.2}
+    s = stratified_sample(base, "lang", fr, seed=3)
+    assert s.count() == stratified_sample(base, "lang", fr, seed=3).count()
+    got = {r["lang"]: r["c"] for r in s.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    sizes = {r["lang"]: r["c"] for r in base.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert set(got) <= set(fr)               # unlisted strata dropped
+    for lang, frac in fr.items():
+        # binomial 4-sigma envelope
+        import math
+        mu = sizes[lang] * frac
+        sd = math.sqrt(sizes[lang] * frac * (1 - frac))
+        assert abs(got.get(lang, 0) - mu) <= 4 * sd + 1
+
+
+def test_deterministic_split_partitions_input(spark, docs):
+    from dask_patternsearch_spark.operators.sampling import deterministic_split
+
+    base = docs.select("doc_id")
+    parts = deterministic_split(base, {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed=1)
+    ids = {k: {r["doc_id"] for r in v.collect()} for k, v in parts.items()}
+    total = {r["doc_id"] for r in base.collect()}
+    # disjoint and exhaustive
+    assert ids["train"] | ids["val"] | ids["test"] == total
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"]) and not (ids["val"] & ids["test"])
+    # roughly proportional (4-sigma)
+    import math
+    n = len(total)
+    for k, w in {"train": 0.8, "val": 0.1, "test": 0.1}.items():
+        sd = math.sqrt(n * w * (1 - w))
+        assert abs(len(ids[k]) - n * w) <= 4 * sd + 1
+    # stable under repartitioning
+    parts2 = deterministic_split(base.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1}, ["doc_id"], seed=1)
+    assert {r["doc_id"] for r in parts2["train"].collect()} == ids["train"]
+
+
+def test_connected_components_labels(spark, docs):
+    from dask_patternsearch_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 8)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8}
+
+    # a path graph needs diameter-many propagation rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(20, 30)], "doc_a long, doc_b long"
+    )
+    comp2 = {r["node"]: r["label"] for r in connected_components(chain).collect()}
+    assert set(comp2) == set(range(20, 31)) and set(comp2.values()) == {20}
+
+    # real candidate graph: both endpoints of every pair share a label
+    cand = dedup.minhash_lsh_candidates(docs)
+    labels = {r["node"]: r["label"] for r in connected_components(cand).collect()}
+    for r in cand.collect():
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]

@@ -69,3 +69,25 @@ def test_approx_distinct_within_tolerance(spark):
     assert rows
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) <= max(0.05 * r["exact_users"], 2)
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """approx_percentile at accuracy=10000 must land within 1% relative
+    error of the exact interpolated percentile."""
+    from pyspark.sql import functions as F
+
+    rows = entry.queries()["approx_percentiles_price"](spark, SF_DIR).collect()
+    assert rows
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"], r["p99"])
+        for r in orders.groupBy("o_orderstatus").agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+            F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+        ).collect()
+    }
+    for r in rows:
+        e = exact[r["o_orderstatus"]]
+        for got, want in zip((r["p50"], r["p90"], r["p99"]), e):
+            assert abs(got - want) <= 0.01 * want + 1e-9

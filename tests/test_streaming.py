@@ -107,7 +107,7 @@ def test_sources_roundtrip(spark, scratch_dir):
     df = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
         "order_year", F.year("o_orderdate")
     )
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "csv", "json", "orc"):
         path = os.path.join(scratch_dir, fmt)
         kwargs = {"partition_by": ["order_year"]} if fmt == "parquet" else {}
         write_table(df, path, fmt=fmt, **kwargs)
@@ -221,3 +221,24 @@ def test_watermark_drops_late_data(spark, scratch_dir):
     rows = {r["hour_start"]: r["n"] for r in spark.read.parquet(outdir).collect()}
     assert base + pd.Timedelta(hours=4) not in rows, "late window leaked"
     assert rows.get(base) == 1  # the closed hour-0 window, exactly once
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, events_stream_dir):
+    """The watermarked stream-stream join must produce exactly the pairs the
+    batch bucketed range_join produces."""
+    from dask_patternsearch_spark.queries.relational import (
+        interval_join_purchase_click,
+    )
+
+    stream = sev.read_events_stream(spark, events_stream_dir)
+    out = sev.purchase_click_join_stream(stream)
+    sev.run_to_memory(out, "ssjoin_stream", spark, output_mode="append")
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_ms"])
+        for r in spark.table("ssjoin_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_ms"])
+        for r in interval_join_purchase_click(spark, SF_DIR).collect()
+    }
+    assert got == want and got
