@@ -1451,6 +1451,130 @@ FROM grid LEFT JOIN h USING (event_type, hour_ms)
 """
 
 
+
+def window_order_milestones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining window analytics in one pass: first_value / last_value /
+    nth_value over the full partition frame, plus ntile / percent_rank /
+    cume_dist.  One shuffle on the customer key; the full-partition frame
+    is evaluated once per partition, not per row."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_custkey", "o_orderkey",
+        _epoch_ms(F.col("o_orderdate")).alias("od_ms"),
+        "o_totalprice",
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("od_ms", "o_orderkey")
+    wf = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return base.select(
+        "o_custkey", "o_orderkey",
+        F.first_value(F.col("o_totalprice")).over(wf).alias("first_price"),
+        F.last_value(F.col("o_totalprice")).over(wf).alias("last_price"),
+        F.nth_value(F.col("o_totalprice"), 2).over(wf).alias("second_price"),
+        F.ntile(4).over(wo).alias("quartile"),
+        _round_pos(F.percent_rank().over(wo), 6).alias("pct_rank"),
+        _round_pos(F.cume_dist().over(wo), 6).alias("cume"),
+    )
+
+
+_WINDOW_MILESTONES_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_totalprice) OVER wf AS first_price,
+       last_value(o_totalprice)  OVER wf AS last_price,
+       nth_value(o_totalprice, 2) OVER wf AS second_price,
+       ntile(4) OVER wo AS quartile,
+       floor(percent_rank() OVER wo * 1000000 + 0.5) / 1000000 AS pct_rank,
+       floor(cume_dist()    OVER wo * 1000000 + 0.5) / 1000000 AS cume
+FROM (SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS od_ms, o_totalprice
+      FROM orders)
+WINDOW wo AS (PARTITION BY o_custkey ORDER BY od_ms, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY od_ms, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def null_semantics_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics end to end: nullif-derived null keys, grouping that
+    KEEPS the null group, count(*) vs count(col) (null-skipping), and a
+    null-safe (<=>) full-outer self-join -- the exact places engines
+    disagree about three-valued logic."""
+    li = _t(spark, sf_dir, "lineitem")
+    flagged = li.select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("flag"),
+        "l_shipdate", "l_quantity",
+    )
+    y96 = (
+        flagged.filter(F.col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .groupBy(F.col("flag").alias("flag_a"))
+        .agg(F.count(F.lit(1)).alias("n_96"), F.count("flag").alias("n_flag_96"))
+    )
+    y97 = (
+        flagged.filter(F.col("l_shipdate").between("1997-01-01", "1997-12-31"))
+        .groupBy(F.col("flag").alias("flag_b"))
+        .agg(F.count(F.lit(1)).alias("n_97"))
+    )
+    joined = y96.join(y97, F.col("flag_a").eqNullSafe(F.col("flag_b")), "full_outer")
+    return joined.select(
+        F.coalesce("flag_a", "flag_b", F.lit("<null>")).alias("flag_label"),
+        (F.col("flag_a").isNull() & F.col("flag_b").isNull()).alias("was_null_key"),
+        "n_96", "n_flag_96", "n_97",
+    )
+
+
+_NULL_SEMANTICS_SQL = """
+WITH flagged AS (SELECT nullif(l_returnflag, 'N') AS flag, l_shipdate FROM lineitem),
+     y96 AS (SELECT flag, count(*) AS n_96, count(flag) AS n_flag_96
+             FROM flagged
+             WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+             GROUP BY flag),
+     y97 AS (SELECT flag, count(*) AS n_97
+             FROM flagged
+             WHERE l_shipdate BETWEEN '1997-01-01' AND '1997-12-31'
+             GROUP BY flag)
+SELECT coalesce(y96.flag, y97.flag, '<null>') AS flag_label,
+       (y96.flag IS NULL AND y97.flag IS NULL) AS was_null_key,
+       n_96, n_flag_96, n_97
+FROM y96 FULL OUTER JOIN y97 ON y96.flag IS NOT DISTINCT FROM y97.flag
+"""
+
+
+def cheapest_shipment_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group via min_by (Spark) / arg_min (DuckDB): for each
+    part of one brand, the supplier of its cheapest shipment.  The order
+    key packs (price-in-cents, suppkey) into one BIGINT so ties break
+    identically in both engines.  Single partial-aggregating shuffle --
+    the window-rank spelling would sort every group instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2").select(
+        "p_partkey"
+    )
+    ord_key = (
+        F.round(F.col("l_extendedprice") * 100).cast("long") * 1000000
+        + F.col("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.min_by("l_suppkey", ord_key).alias("best_suppkey"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.count(F.lit(1)).alias("n_shipments"),
+        )
+    )
+
+
+_CHEAPEST_SQL = """
+SELECT l_partkey,
+       arg_min(l_suppkey,
+               CAST(round(l_extendedprice * 100) AS BIGINT) * 1000000 + l_suppkey)
+           AS best_suppkey,
+       round(min(l_extendedprice), 2) AS min_price,
+       count(*) AS n_shipments
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#2'
+GROUP BY l_partkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1460,6 +1584,9 @@ QUERIES = {
     "window_rank_orders": window_rank_orders,
     "window_running_spend": window_running_spend,
     "window_range_30d_spend": window_range_30d_spend,
+    "window_order_milestones": window_order_milestones,
+    "null_semantics_flags": null_semantics_flags,
+    "cheapest_shipment_supplier": cheapest_shipment_supplier,
     "asof_join_purchase_click": asof_join_purchase_click,
     "range_join_price_bands": range_join_price_bands,
     "interval_join_purchase_click": interval_join_purchase_click,
@@ -1505,6 +1632,9 @@ ORACLE = {
     "window_rank_orders": _WINDOW_RANK_SQL,
     "window_running_spend": _WINDOW_RUNNING_SQL,
     "window_range_30d_spend": _WINDOW_RANGE_SQL,
+    "window_order_milestones": _WINDOW_MILESTONES_SQL,
+    "null_semantics_flags": _NULL_SEMANTICS_SQL,
+    "cheapest_shipment_supplier": _CHEAPEST_SQL,
     "asof_join_purchase_click": _ASOF_SQL,
     "range_join_price_bands": _RANGE_JOIN_SQL,
     "interval_join_purchase_click": _INTERVAL_JOIN_SQL,
