@@ -27,6 +27,7 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q17_small_quantity_revenue",
     "topk_customers",
     "window_rank_orders",

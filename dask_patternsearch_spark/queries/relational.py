@@ -1575,6 +1575,74 @@ GROUP BY l_partkey
 """
 
 
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 pattern: bilateral trade volume between two nations by ship
+    year.  Five-way join where every dimension side (supplier+nation,
+    customer+nation via orders) is pre-filtered to the two nations and
+    broadcast; the only shuffling join is lineitem<->orders, and the
+    nation-pair predicate runs on broadcast rows before it."""
+    n1 = F.lit("NATION_1")
+    n2 = F.lit("NATION_2")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "cust_nation")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between("1995-01-01", "1996-12-31")
+    )
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN '1995-01-01' AND '1996-12-31'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1611,6 +1679,7 @@ QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "part_type_share": part_type_share,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q7_volume_shipping": q7_volume_shipping,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "cube_returns_modes": cube_returns_modes,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -1658,6 +1727,7 @@ ORACLE = {
     "distinct_users_by_type": _DISTINCT_SQL,
     "part_type_share": _PART_TYPE_SQL,
     "q6_forecast_revenue": _Q6_SQL,
+    "q7_volume_shipping": _Q7_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "cube_returns_modes": _CUBE_SQL,
     "grouping_sets_revenue": _GROUPING_SETS_SQL,

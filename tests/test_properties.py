@@ -90,3 +90,101 @@ def test_grid_snap_idempotent_and_exact(x, max_halvings):
     s1 = np.round(v / grid) * grid
     s2 = np.round(s1 / grid) * grid
     assert s1.tobytes() == s2.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# randomized equivalence for the non-equi join operators (needs Spark; few
+# examples, tiny frames -- the point is adversarial shapes: empty sides,
+# boundary timestamps, intervals spanning 0..many buckets)
+# ---------------------------------------------------------------------------
+
+def _unique_ts_rows(draw, st, keys, n, lo=-20, hi=50):
+    rows = draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(lo, hi)),
+            min_size=0, max_size=n, unique=True,
+        )
+    )
+    return rows
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_asof_join_matches_python_reference(spark, data):
+    keys = [1, 2, 3]
+    left_rows = _unique_ts_rows(data.draw, st, keys, 12)
+    right_rows = _unique_ts_rows(data.draw, st, keys, 12)
+    tol = data.draw(st.one_of(st.none(), st.integers(0, 30)))
+    direction = data.draw(st.sampled_from(["backward", "forward"]))
+
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)] or [(99, 0, -1)],
+        "k long, t long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, t * 10 + k) for (k, t) in right_rows] or [(98, 0, 0)],
+        "k long, rt long, val long",
+    )
+    got = {
+        r["lid"]: (r["rt"], r["val"])
+        for r in asof_join(
+            left, right, "k", "t", "rt", direction=direction, tolerance=tol
+        ).collect()
+    }
+    rights = {}
+    for (k, t) in right_rows:
+        rights.setdefault(k, []).append(t)
+    for i, (k, t) in enumerate(left_rows or []):
+        if direction == "backward":
+            cand = [rt for rt in rights.get(k, []) if rt <= t]
+            best = max(cand) if cand else None
+            dist = t - best if best is not None else None
+        else:
+            cand = [rt for rt in rights.get(k, []) if rt >= t]
+            best = min(cand) if cand else None
+            dist = best - t if best is not None else None
+        if best is None or (tol is not None and dist > tol):
+            want = (None, None)
+        else:
+            want = (best, best * 10 + k)
+        assert got[i] == want, (i, k, t, direction, tol)
+
+
+@settings(max_examples=8, deadline=None)
+@given(data=st.data())
+def test_range_join_matches_python_reference(spark, data):
+    pts = data.draw(st.lists(st.integers(-30, 80), min_size=0, max_size=15))
+    ivs = data.draw(
+        st.lists(
+            st.tuples(st.integers(-40, 80), st.integers(0, 60)),
+            min_size=0, max_size=8,
+        )
+    )
+    width = data.draw(st.sampled_from([1.0, 3.0, 7.5, 40.0]))
+
+    from dask_patternsearch_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(pts)] or [(-1, 1e9)],
+        "pid long, x double",
+    )
+    intervals = spark.createDataFrame(
+        [(j, float(lo), float(lo + ln)) for j, (lo, ln) in enumerate(ivs)]
+        or [(-1, 0.0, 0.0)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "x", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, x in enumerate(pts)
+        for j, (lo, ln) in enumerate(ivs)
+        if lo <= x < lo + ln
+    }
+    assert got == want
