@@ -124,3 +124,47 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
         .withColumn("frame_n_bytes", F.length("frame_bytes").cast("long"))
         .drop("frame_bytes")
     )
+
+
+def resize(media: DataFrame, target_bytes: int = 256) -> DataFrame:
+    """'Resize': downsample each payload to at most ``target_bytes`` by
+    even byte striding -- the stub stand-in for an image resize /
+    audio resample (swap the striding for PIL ``Image.resize`` and nothing
+    else changes).  Binary in, binary out, metadata updated; pure map over
+    Arrow batches, no shuffle, blobs live only for one batch.
+    """
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("orig_bytes", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    media = ensure_parallelism(media)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for p in pdf["payload"]:
+                if p is None or len(p) == 0:
+                    out.append(b"")
+                    continue
+                arr = np.frombuffer(p, dtype=np.uint8)
+                stride = max(1, int(np.ceil(len(arr) / target_bytes)))
+                out.append(arr[::stride].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "orig_bytes": pdf["n_bytes"],
+                    "n_bytes": [len(b) for b in out],
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(run, schema)

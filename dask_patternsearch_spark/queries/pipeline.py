@@ -364,6 +364,17 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary 'resize' plumbing (byte-striding stub for image resize):
+    payload in, smaller payload + updated metadata out.  Rows-only; size
+    bound and determinism asserted in tests/test_operators.py."""
+    media = multimodal.attach_binary(_docs(spark, sf_dir))
+    return multimodal.resize(media, target_bytes=128).select(
+        "doc_id", "media_type", "orig_bytes", "n_bytes"
+    )
+
+
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream watermarked interval join (purchases x clicks within
     the 10 minutes before, same user), drained with availableNow in append
@@ -444,6 +455,7 @@ QUERIES = {
     "streaming_interval_join": streaming_interval_join,
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
+    "multimodal_resize": multimodal_resize,
     "streaming_running_minimum": streaming_running_minimum,
 }
 

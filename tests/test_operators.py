@@ -359,3 +359,18 @@ def test_connected_components_labels(spark, docs):
     labels = {r["node"]: r["label"] for r in connected_components(cand).collect()}
     for r in cand.collect():
         assert labels[r["doc_a"]] == labels[r["doc_b"]]
+
+
+def test_multimodal_resize_bounds_and_determinism(spark, docs):
+    from dask_patternsearch_spark.operators import multimodal as mm
+
+    media = mm.attach_binary(docs)
+    out = mm.resize(media, target_bytes=128)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert r["n_bytes"] <= 128
+        assert r["n_bytes"] == len(r["payload"])
+        assert r["orig_bytes"] >= r["n_bytes"]
+    again = {r["doc_id"]: bytes(r["payload"]) for r in mm.resize(media, target_bytes=128).collect()}
+    assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == again
