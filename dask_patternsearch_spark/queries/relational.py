@@ -1643,6 +1643,53 @@ GROUP BY 1, 2, 3
 """
 
 
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 pattern: top-20 customers by revenue on returned items in
+    one quarter.  Customer + nation dims broadcast; lineitem's returnflag
+    and orders' date range push to the scans; top-k is
+    TakeOrderedAndProject with the custkey tie-break."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1996-10-01' AND o_orderdate < '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1680,6 +1727,7 @@ QUERIES = {
     "part_type_share": part_type_share,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
+    "q10_returned_items": q10_returned_items,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "cube_returns_modes": cube_returns_modes,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -1728,6 +1776,7 @@ ORACLE = {
     "part_type_share": _PART_TYPE_SQL,
     "q6_forecast_revenue": _Q6_SQL,
     "q7_volume_shipping": _Q7_SQL,
+    "q10_returned_items": _Q10_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "cube_returns_modes": _CUBE_SQL,
     "grouping_sets_revenue": _GROUPING_SETS_SQL,
