@@ -1690,6 +1690,64 @@ LIMIT 20
 """
 
 
+
+def sql_qualify_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API surface (spark.sql): each customer's two most recent orders
+    via a windowed subquery (OSS Spark has no QUALIFY; the oracle uses
+    DuckDB's QUALIFY shorthand for the same plan).  One shuffle on the
+    partition key, rank evaluated during the partition sort; Catalyst
+    pushes the rn<=2 filter into the window as a WindowGroupLimit."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dps_orders_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, od_ms, o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey,
+                 timestampdiff(MILLISECOND,
+                               to_timestamp_ntz('1970-01-01 00:00:00'),
+                               o_orderdate) AS od_ms,
+                 o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey) AS rn
+          FROM dps_orders_v
+        )
+        WHERE rn <= 2
+        """
+    )
+
+
+_SQL_QUALIFY_SQL = """
+SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) AS od_ms, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey) <= 2
+"""
+
+
+def sql_groupby_all_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-API GROUP BY ALL: aggregate keyed by every non-aggregated select
+    column (both engines support the same shorthand)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dps_orders_v2")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM dps_orders_v2
+        GROUP BY ALL
+        """
+    )
+
+
+_SQL_GROUPBY_ALL_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ALL
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -1728,6 +1786,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q7_volume_shipping": q7_volume_shipping,
     "q10_returned_items": q10_returned_items,
+    "sql_qualify_latest_orders": sql_qualify_latest_orders,
+    "sql_groupby_all_status": sql_groupby_all_status,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "cube_returns_modes": cube_returns_modes,
     "grouping_sets_revenue": grouping_sets_revenue,
@@ -1777,6 +1837,8 @@ ORACLE = {
     "q6_forecast_revenue": _Q6_SQL,
     "q7_volume_shipping": _Q7_SQL,
     "q10_returned_items": _Q10_SQL,
+    "sql_qualify_latest_orders": _SQL_QUALIFY_SQL,
+    "sql_groupby_all_status": _SQL_GROUPBY_ALL_SQL,
     "q17_small_quantity_revenue": _Q17_SQL,
     "cube_returns_modes": _CUBE_SQL,
     "grouping_sets_revenue": _GROUPING_SETS_SQL,
