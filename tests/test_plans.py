@@ -142,3 +142,13 @@ def test_q4_semi_join_pushes_date_filter(spark):
     # lineitem scan pruned to the two columns the semi join needs
     li_schema = next(s for s in info["read_schemas"] if "l_shipdate" in s)
     assert li_schema.count(",") <= 1, f"unpruned scan: {li_schema}"
+
+
+def test_sql_topn_gets_window_group_limit(spark):
+    """The rn<=2 filter over row_number must become WindowGroupLimit
+    (partial + final), so each partition keeps 2 rows per key instead of
+    ranking everything -- the top-n-per-group optimization at scale."""
+    from dask_patternsearch_spark.plans import plan_text
+
+    s = plan_text(R.QUERIES["sql_qualify_latest_orders"](spark, SF_DIR))
+    assert s.count("WindowGroupLimit") >= 1
