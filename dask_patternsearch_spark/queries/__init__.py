@@ -8,12 +8,13 @@ views).  Names absent from ORACLE get the driver's weaker rows-only check
 
 from __future__ import annotations
 
-from . import pipeline, relational, patterns
+from . import pipeline, relational, patterns, tpch
 
 
 def all_queries():
     out = {}
     out.update(relational.QUERIES)
+    out.update(tpch.QUERIES)
     out.update(pipeline.QUERIES)
     out.update(patterns.QUERIES)
     return out
@@ -22,6 +23,7 @@ def all_queries():
 def all_oracles():
     out = {}
     out.update(relational.ORACLE)
+    out.update(tpch.ORACLE)
     out.update(pipeline.ORACLE)
     out.update(patterns.ORACLE)
     return out
