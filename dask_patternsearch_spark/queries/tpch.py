@@ -368,6 +368,56 @@ GROUP BY c_mktsegment
 """
 
 
+def bloom_join_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority for BUILDING-segment customers' orders,
+    with the lineitem<->orders join routed through ``operators.joins.
+    bloom_join``.
+
+    Scale: the build side (one segment's orders, ~1/5 of orders) is too
+    big to broadcast exactly at 100 TB but fits a Bloom bitset; the
+    vectorized pre-filter drops ~4/5 of lineitem BEFORE the shuffle.
+    Bloom filters have no false negatives, so the result is EXACTLY the
+    plain join's -- which is what the DuckDB oracle checks.
+    """
+    from ..operators.joins import bloom_join
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    return (
+        bloom_join(li, orders, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_BLOOM_JOIN_SQL = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lines
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
@@ -375,9 +425,11 @@ QUERIES = {
     "q20_excess_shippers": q20_excess_shippers,
     "q21_blamed_supplier": q21_blamed_supplier,
     "q22_dormant_balances": q22_dormant_balances,
+    "bloom_join_building_revenue": bloom_join_building_revenue,
 }
 
 ORACLE = {
+    "bloom_join_building_revenue": _BLOOM_JOIN_SQL,
     "q8_market_share": _Q8_SQL,
     "q15_top_supplier": _Q15_SQL,
     "q19_disjunctive_revenue": _Q19_SQL,

@@ -374,3 +374,90 @@ def test_multimodal_resize_bounds_and_determinism(spark, docs):
         assert r["orig_bytes"] >= r["n_bytes"]
     again = {r["doc_id"]: bytes(r["payload"]) for r in mm.resize(media, target_bytes=128).collect()}
     assert {r["doc_id"]: bytes(r["payload"]) for r in rows} == again
+
+
+# ---------------------------------------------------------------------------
+# bloom_join
+# ---------------------------------------------------------------------------
+
+def test_bloom_join_matches_plain_join(spark):
+    """No false negatives => bloom-pruned inner/semi joins return exactly
+    the plain join's rows, including multi-column keys."""
+    from dask_patternsearch_spark.operators.joins import bloom_join
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = li.join(orders, "o_orderkey").groupBy("o_orderstatus").count()
+    bloom = bloom_join(li, orders, "o_orderkey").groupBy("o_orderstatus").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, bloom.collect()))
+
+    semi_plain = li.join(orders, "o_orderkey", "left_semi").count()
+    semi_bloom = bloom_join(li, orders, "o_orderkey", how="left_semi").count()
+    assert semi_plain == semi_bloom
+
+    a = li.select("o_orderkey", "l_partkey", "l_quantity")
+    b = li.filter(F.col("l_returnflag") == "R").select("o_orderkey", "l_partkey")
+    assert (
+        bloom_join(a, b.distinct(), ["o_orderkey", "l_partkey"], how="left_semi").count()
+        == a.join(b, ["o_orderkey", "l_partkey"], "left_semi").count()
+    )
+
+
+def test_bloom_join_actually_prunes(spark):
+    """With a tiny build side, the bloom pre-filter must drop (nearly) all
+    non-matching probe rows before the join: the pruned probe row count is
+    bounded by matches + fpp * probe_rows."""
+    import dask_patternsearch_spark.operators.joins as J
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    few = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .orderBy("o_orderkey")
+        .limit(5)
+        .select("o_orderkey")
+    )
+    n_probe = li.count()
+    n_match = li.join(few, "o_orderkey", "left_semi").count()
+    # reproduce the operator's internal pre-filter to measure selectivity
+    pruned = J.bloom_join(li, few, "o_orderkey", how="left_semi").count()
+    assert pruned == n_match
+    # with m=2^23 bits and 5 keys the fpp is ~0, so the bloom-passing
+    # superset must stay within 1% of the true matches
+    import numpy as np
+
+    bits = 1 << 23
+    h = li.select(F.xxhash64("o_orderkey").alias("h")).toPandas()["h"]
+    keys = few.toPandas()["o_orderkey"]
+    hs = h.to_numpy(dtype=np.int64).view(np.uint64)
+    build_h = (
+        few.sparkSession.createDataFrame(keys.to_frame())
+        .select(F.xxhash64("o_orderkey").alias("h"))
+        .toPandas()["h"]
+        .to_numpy(dtype=np.int64)
+        .view(np.uint64)
+    )
+    bitset = np.zeros(bits // 8, dtype=np.uint8)
+    pos = J._bloom_positions(build_h, bits, 5).ravel()
+    np.bitwise_or.at(bitset, pos >> np.uint64(3), np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+    pp = J._bloom_positions(hs, bits, 5)
+    ok = np.ones(len(hs), dtype=bool)
+    for i in range(5):
+        p = pp[i]
+        ok &= (bitset[(p >> np.uint64(3)).astype(np.int64)] >> (p & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    assert ok.sum() <= n_match + max(0.01 * n_probe, 1)
+
+
+def test_bloom_join_validates_args(spark):
+    from dask_patternsearch_spark.operators.joins import bloom_join
+
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_join(df, df, "id", num_bits=1000)
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_join(df, df, "id", how="full_outer")
