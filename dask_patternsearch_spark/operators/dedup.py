@@ -392,10 +392,10 @@ def connected_components(
     practice), so the loop is short.  Each round is one shuffle join + one
     min-aggregation; ``localCheckpoint`` truncates the growing lineage so
     round N's plan does not replay rounds 1..N-1 (the classic iterative-
-    algorithm trap).  For adversarial chain-shaped graphs the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") converges in O(log n) rounds; not needed for
-    dedup-shaped graphs.
+    algorithm trap).  For adversarial chain-shaped graphs use
+    ``connected_components_star`` (alternating large-star/small-star),
+    which converges in O(log^2 n) rounds regardless of diameter; not
+    needed for dedup-shaped graphs.
 
     Returns ``(node, label)`` where ``label`` is the min node id reachable
     -- the cluster's canonical representative.  Nodes outside any pair are
@@ -437,3 +437,90 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", "label")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components via the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) -- the scale path for ADVERSARIAL graph shapes.
+
+    ``connected_components`` (min-label propagation) needs one round per
+    unit of graph diameter: a 10M-node chain takes 10M rounds.  The star
+    algorithm contracts the graph itself each round -- large-star hangs
+    every node's larger neighbors onto its locally-smallest neighbor,
+    small-star does the same for the smaller neighbors -- and provably
+    reaches a fixpoint of depth-1 stars (every node directly attached to
+    its component's min) in O(log^2 n) rounds regardless of diameter.
+
+    Cost per round: two grouped mins + two joins on node id = a bounded
+    number of shuffles on uniformly-distributed keys; ``localCheckpoint``
+    truncates lineage each round.  Rule of thumb: use min-label
+    propagation for dedup-cluster graphs (diameter 2-4, cheaper per
+    round), stars for unknown / chain-risk graphs (e.g. transitive as-of
+    linkage, web graphs).
+
+    Output contract matches ``connected_components``: ``(node, label)``
+    with ``label`` = min reachable node id, one row per distinct endpoint
+    appearing in ``pairs``.
+    """
+    raw = pairs.select(
+        F.col(a_col).cast("long").alias("a"), F.col(b_col).cast("long").alias("b")
+    )
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # canonical directed representation: big -> small, self loops dropped
+    edges = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iterations):
+        # large-star: per node u over BOTH directions, attach strictly
+        # larger neighbors to m = min(N(u) + {u})
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = both.groupBy("u").agg(F.min("v").alias("mn"))
+        mins = mins.select("u", F.least("mn", "u").alias("m"))
+        ls = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star on the (big -> small) edges: attach each node and its
+        # smaller neighbors to the group min
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # eager: materialize before the change probe
+        )
+        converged = (
+            ss.exceptAll(edges).limit(1).isEmpty()
+            and edges.exceptAll(ss).limit(1).isEmpty()
+        )
+        edges = ss
+        if converged:
+            break
+    # fixpoint is a forest of depth-1 stars: u -> component min
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
+    )

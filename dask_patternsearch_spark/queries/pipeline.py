@@ -365,6 +365,25 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate-cluster extraction as ``near_dup_clusters`` but via
+    the alternating large-star/small-star algorithm -- the diameter-proof
+    scale path (O(log^2 n) rounds on any graph shape).  Rows-only;
+    equivalence with min-label propagation is property-tested in
+    tests/test_operators.py."""
+    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    comp = dedup.connected_components_star(pairs)
+    sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary 'resize' plumbing (byte-striding stub for image resize):
     payload in, smaller payload + updated metadata out.  Rows-only; size
@@ -455,6 +474,7 @@ QUERIES = {
     "streaming_interval_join": streaming_interval_join,
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
+    "near_dup_clusters_star": near_dup_clusters_star,
     "multimodal_resize": multimodal_resize,
     "streaming_running_minimum": streaming_running_minimum,
 }

@@ -461,3 +461,46 @@ def test_bloom_join_validates_args(spark):
         bloom_join(df, df, "id", num_bits=1000)
     with pytest.raises(ValueError, match="inner/left_semi"):
         bloom_join(df, df, "id", how="full_outer")
+
+
+# ---------------------------------------------------------------------------
+# connected_components_star (large-star/small-star)
+# ---------------------------------------------------------------------------
+
+def test_star_components_match_label_propagation(spark):
+    """Star algorithm and min-label propagation must produce identical
+    (node, label) maps on random graphs of varying density."""
+    rng = np.random.default_rng(7)
+    for n_nodes, n_edges in [(40, 20), (60, 90), (30, 300)]:
+        a = rng.integers(0, n_nodes, n_edges)
+        b = rng.integers(0, n_nodes, n_edges)
+        pairs = spark.createDataFrame(
+            [(int(x), int(y)) for x, y in zip(a, b)], "doc_a long, doc_b long"
+        )
+        lp = sorted(map(tuple, dedup.connected_components(pairs).collect()))
+        star = sorted(map(tuple, dedup.connected_components_star(pairs).collect()))
+        assert lp == star
+
+
+def test_star_components_chain_graph(spark):
+    """A 300-node chain has diameter 299: label propagation would need 299
+    rounds, the star algorithm must finish inside its default 20."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(299)], "doc_a long, doc_b long"
+    )
+    out = dedup.connected_components_star(pairs).collect()
+    assert len(out) == 300
+    assert all(r["label"] == 0 for r in out)
+
+
+def test_star_components_self_pairs_and_singletons(spark):
+    """Self-pairs keep their node in the output as its own singleton
+    cluster (matching connected_components' endpoint contract)."""
+    pairs = spark.createDataFrame(
+        [(5, 5), (1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = dict(
+        (r["node"], r["label"])
+        for r in dedup.connected_components_star(pairs).collect()
+    )
+    assert out == {5: 5, 1: 1, 2: 1, 3: 1}
