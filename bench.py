@@ -52,6 +52,7 @@ HEADLINE = [
     "pattern_search_sphere",
     "pattern_search_rosenbrock",
     "pattern_search_distributed",
+    "pattern_search_pipelined",
 ]
 
 

@@ -54,10 +54,29 @@ def pattern_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results.to_spark(spark)
 
 
+def pattern_search_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Async-approximation mode (the reference's speculative submission,
+    search.py:240-250,299-324): two poll rounds in flight as concurrent
+    Spark jobs via ``AsyncSparkEvaluator``.  Same optimum, same contraction
+    gate; driver fill and cluster evaluation overlap."""
+
+    def sphere_vec(xs: np.ndarray) -> np.ndarray:
+        return (xs * xs).sum(axis=1)
+
+    best, results = search(
+        sphere_vec, [10.0, 15.0], [1.0, 1.0],
+        spark=spark, vectorize=True, batchsize=16, stopratio=0.05, seed=42,
+        pipeline_depth=2,
+    )
+    assert abs(best.point).max() < 0.8  # coarse stop: 0.05 stopratio grid
+    return results.to_spark(spark)
+
+
 QUERIES = {
     "pattern_search_sphere": pattern_search_sphere,
     "pattern_search_rosenbrock": pattern_search_rosenbrock,
     "pattern_search_distributed": pattern_search_distributed,
+    "pattern_search_pipelined": pattern_search_pipelined,
 }
 
 ORACLE: dict[str, str] = {}

@@ -40,13 +40,21 @@ exposes it as a DataFrame for relational post-analysis.
 from __future__ import annotations
 
 import math
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from time import time
 
 import numpy as np
 
 from .stencil import SimplexStencil
 
-__all__ = ["search", "TrialPoint", "LocalEvaluator", "SparkEvaluator"]
+__all__ = [
+    "search",
+    "TrialPoint",
+    "LocalEvaluator",
+    "SparkEvaluator",
+    "AsyncSparkEvaluator",
+]
 
 
 class TrialPoint:
@@ -196,6 +204,41 @@ class SparkEvaluator:
         return costs
 
 
+class AsyncSparkEvaluator(SparkEvaluator):
+    """Pipelined distributed evaluation: up to ``max_inflight`` poll rounds
+    run as CONCURRENT Spark jobs, approximating the reference's async
+    submit/next_batch pipelining (``clients.py:13,23-24``;
+    ``search.py:240-250,299-324``) on a barrier execution model.
+
+    Spark's scheduler accepts jobs from multiple driver threads, so each
+    ``submit`` dispatches the same single-stage job as ``SparkEvaluator``
+    from a pool thread and returns a future.  While one round computes on
+    the cluster, ``search(pipeline_depth=k)`` fills and submits the next
+    speculative round -- the driver's fill/schedule work and the JVM's
+    evaluation overlap instead of strictly alternating, and a straggler in
+    round N no longer idles the whole cluster (round N+1's tasks backfill).
+    Results still drain in submission order (a Spark job is a barrier),
+    which is the one semantic narrowing vs the reference's
+    completion-order drain; the greedy-accept policy is identical either
+    way (reference flags it replaceable, ``search.py:326-329``).
+    """
+
+    def __init__(
+        self,
+        spark,
+        vectorize: bool = False,
+        batchsize: int | None = None,
+        max_inflight: int = 2,
+    ):
+        super().__init__(spark, vectorize=vectorize, batchsize=batchsize)
+        self.max_inflight = max_inflight
+        self._pool = ThreadPoolExecutor(max_workers=max_inflight)
+
+    def submit(self, func, points: list[np.ndarray], args: tuple):
+        """Dispatch one evaluation round; returns a Future of list[float]."""
+        return self._pool.submit(self.evaluate, func, points, args)
+
+
 def _chunked_shuffle(step_iter, dims: int, rng: np.random.Generator):
     """Shuffle stencil steps within growing chunks (first chunk ``2*dims``,
     then ``+dims`` each) to decorrelate exploration while keeping the poll
@@ -234,6 +277,7 @@ def search(
     batchsize: int | None = None,
     vectorize: bool = False,
     evaluator=None,
+    pipeline_depth: int = 1,
 ):
     """Minimize ``func`` by parallel pattern search; returns ``(best, results)``.
 
@@ -265,6 +309,13 @@ def search(
     integer_dimensions : indices of dimensions constrained to integers.
     batchsize / vectorize : evaluation batching, as in the reference.
     evaluator : explicit evaluator (overrides ``spark``).
+    pipeline_depth : poll rounds kept in flight as concurrent Spark jobs
+        (``AsyncSparkEvaluator``).  1 = strict batch-synchronous rounds;
+        2+ approximates the reference's async speculative submission
+        (``search.py:240-250,299-324``): the next round is filled and
+        submitted while the previous one still computes.  The contraction
+        gate stays exact -- a step never halves while any poll point is
+        unevaluated or any round is in flight.
 
     Returns
     -------
@@ -286,10 +337,23 @@ def search(
     rng = np.random.default_rng(seed)
 
     if evaluator is None:
-        if spark is not None:
+        if spark is not None and pipeline_depth > 1:
+            evaluator = AsyncSparkEvaluator(
+                spark,
+                vectorize=vectorize,
+                batchsize=batchsize,
+                max_inflight=pipeline_depth,
+            )
+        elif spark is not None:
             evaluator = SparkEvaluator(spark, vectorize=vectorize, batchsize=batchsize)
         else:
             evaluator = LocalEvaluator(vectorize=vectorize)
+    use_async = pipeline_depth > 1
+    if use_async and not hasattr(evaluator, "submit"):
+        raise ValueError(
+            "pipeline_depth > 1 needs a submit-capable evaluator "
+            "(AsyncSparkEvaluator); serial mode is inherently synchronous"
+        )
 
     if round_size is None:
         round_size = 3 * dims
@@ -337,6 +401,36 @@ def search(
     carried_best = None     # improvement deferred by min_new_submit
     carried_key = None      # (halvings, cost) acceptance key of carried_best
     finished = False
+
+    # async pipelining state: rounds submitted but not yet drained
+    inflight: deque = deque()   # (candidates, Future) in submission order
+    inflight_keys: set = set()  # TrialPoints awaiting results (dedup memo)
+
+    def process_round(cand, costs):
+        """Record one round's results and update the acceptance candidate
+        (shared by the sync path and the async drain)."""
+        nonlocal carried_best, carried_key
+        now = time()
+        for tp, cost in zip(cand, costs):
+            tp.stop_time = now
+            tp.result = cost
+            results[tp] = cost
+            inflight_keys.discard(tp)
+            epoch["poll"].discard(tp)
+            epoch["added"] += 1
+            # Acceptance candidate policy: among improving points prefer
+            # the lowest resolution level, then the lowest cost.  The
+            # reference's async drain sees axis/doubled steps complete
+            # first, so its greedy accept (search.py:314-324) has the
+            # same effect; taking the raw min of a large synchronous
+            # round would instead keep accepting contraction steps and
+            # exhaust the halvings budget far from the optimum.  The
+            # reference flags this policy as replaceable
+            # (search.py:326-329).
+            if cost < incumbent_cost:
+                key = (tp.halvings, cost)
+                if carried_best is None or key < carried_key:
+                    carried_best, carried_key = tp, key
 
     def current_stepsize() -> np.ndarray:
         cs = to_grid(orientation * stepsize / 2.0 ** incumbent.halvings)
@@ -389,7 +483,7 @@ def search(
             known = results.get(tp, False)
             if epoch["index"] <= 2 * dims and known is False:
                 epoch["poll"].add(tp)
-            if known is False:
+            if known is False and tp not in inflight_keys:
                 tp.parent = incumbent
                 tp.start_time = time()
                 candidates.append(tp)
@@ -413,37 +507,37 @@ def search(
         if epoch["index"] >= max_stencil_size:
             epoch["exhausted"] = True
 
-        # ---- budget trim (max_tasks semantics) ------------------------------
+        # ---- budget trim (max_tasks semantics; in-flight points count) ------
         if point_budget is not None:
-            remaining = point_budget - len(results)
+            pending = sum(len(c) for c, _ in inflight)
+            remaining = point_budget - len(results) - pending
             if remaining <= 0:
-                break
-            if len(candidates) > remaining:
+                candidates = []
+                if not inflight:
+                    break
+            elif len(candidates) > remaining:
                 candidates = candidates[:remaining]
 
-        # ---- evaluate: ONE Spark job (or local batch) -----------------------
-        if candidates:
-            costs = evaluator.evaluate(func, [c.point for c in candidates], args)
-            now = time()
-            for tp, cost in zip(candidates, costs):
-                tp.stop_time = now
-                tp.result = cost
-                results[tp] = cost
-                epoch["poll"].discard(tp)
-                epoch["added"] += 1
-                # Acceptance candidate policy: among improving points prefer
-                # the lowest resolution level, then the lowest cost.  The
-                # reference's async drain sees axis/doubled steps complete
-                # first, so its greedy accept (search.py:314-324) has the
-                # same effect; taking the raw min of a large synchronous
-                # round would instead keep accepting contraction steps and
-                # exhaust the halvings budget far from the optimum.  The
-                # reference flags this policy as replaceable
-                # (search.py:326-329).
-                if cost < incumbent_cost:
-                    key = (tp.halvings, cost)
-                    if carried_best is None or key < carried_key:
-                        carried_best, carried_key = tp, key
+        # ---- evaluate: ONE Spark job (or local batch) per round -------------
+        # async mode submits this round and only blocks on the OLDEST round
+        # once the pipeline is full (or nothing new could be filled)
+        if use_async:
+            if candidates:
+                inflight_keys.update(candidates)
+                inflight.append(
+                    (
+                        candidates,
+                        evaluator.submit(func, [c.point for c in candidates], args),
+                    )
+                )
+            if inflight and (len(inflight) >= pipeline_depth or not candidates):
+                cand0, fut = inflight.popleft()
+                process_round(cand0, fut.result())
+        elif candidates:
+            process_round(
+                candidates,
+                evaluator.evaluate(func, [c.point for c in candidates], args),
+            )
 
         if point_budget is not None and len(results) >= point_budget:
             finished = True
@@ -472,8 +566,12 @@ def search(
             if incumbent.halvings >= max_halvings:
                 finished = True
         elif not finished:
+            # contraction gate: every poll point evaluated (in-flight poll
+            # points are still in epoch["poll"], so they hold the gate), and
+            # on exhaustion no round may remain in flight
             poll_done = not epoch["poll"] and epoch["index"] >= 2 * dims
-            if (poll_done and epoch["added"] >= min_new_submit) or epoch["exhausted"]:
+            exhausted_done = epoch["exhausted"] and not inflight
+            if (poll_done and epoch["added"] >= min_new_submit) or exhausted_done:
                 # contraction: halve the step at the same coordinates
                 # (reference search.py:209-238,351-358)
                 nxt = TrialPoint(incumbent.point, incumbent.halvings + 1)
@@ -487,6 +585,13 @@ def search(
                 epoch = new_epoch()
                 if incumbent.halvings >= max_halvings:
                     finished = True
+
+    # drain any still-in-flight rounds into the ledger (the reference's
+    # finish-time future drain, search.py:360-362); budget accounting above
+    # guarantees these rows never exceed point_budget
+    while inflight:
+        cand0, fut = inflight.popleft()
+        process_round(cand0, fut.result())
 
     # fold the global ledger minimum on finish (the reference's finish-time
     # processing guarantees the returned incumbent equals the ledger min,

@@ -137,3 +137,37 @@ def test_ledger_to_spark(spark):
     assert df.count() == len(results)
     row = df.orderBy("cost").first()
     assert row["cost"] == pytest.approx(best.result)
+
+
+@pytest.mark.spark
+def test_convergence_2d_spark_pipelined(spark):
+    """pipeline_depth=2 (concurrent speculative rounds) must converge to
+    the same optimum; the contraction gate stays exact."""
+    def obj_vec(x):
+        return (x * x).sum(axis=1)
+
+    best, results = search(
+        obj_vec, X0, STEP, spark=spark, vectorize=True, batchsize=8, seed=7,
+        pipeline_depth=2,
+    )
+    check(best, results)
+
+
+@pytest.mark.spark
+def test_pipelined_respects_max_tasks(spark):
+    """In-flight rounds count against the task budget, so the ledger can
+    never exceed max_tasks * batchsize even with speculative submission."""
+    def obj_vec(x):
+        return (x * x).sum(axis=1)
+
+    best, results = search(
+        obj_vec, X0, STEP, spark=spark, vectorize=True, batchsize=8,
+        max_tasks=12, seed=7, pipeline_depth=3,
+    )
+    assert len(results) <= 12 * 8
+    assert best.result == min(results.values())
+
+
+def test_pipelined_requires_submit_capable_evaluator():
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        search(sphere, X0, STEP, pipeline_depth=2)
