@@ -200,3 +200,50 @@ def language_id(docs: DataFrame) -> DataFrame:
 
     docs = ensure_parallelism(docs.select("doc_id", "lang", "text"))
     return docs.mapInPandas(score_batches, schema)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    shard_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for context-window assembly: within each shard,
+    documents in ``order_col`` order are assigned to consecutive bins of
+    ~``budget_tokens`` whitespace tokens.
+
+    Packing rule is *contiguous prefix-sum binning*: a document's bin is
+    ``floor(exclusive_prefix_token_sum / budget)``, so bins hold >= budget
+    tokens once closed and a boundary-straddling document stays in the bin
+    where it started (downstream truncation/splitting handles the
+    overflow, as in standard LLM pre-training packers).  Unlike first-fit
+    bin packing this rule is a pure window expression -- deterministic,
+    shuffle-once, and ORACLE-CHECKABLE -- while wasting no slots on
+    reordering (docs are already shard-grouped).
+
+    Scale: one shuffle on ``shard_col``; each shard packs independently,
+    so parallelism = shard count.  At 100 TB shard by a high-cardinality
+    key (e.g. ``pmod(hash(doc_id), 10_000)``) rather than language; the
+    packing math is identical.
+
+    Returns one row per document: shard, order key, token count, exclusive
+    prefix sum and ``bin_id``.
+    """
+    from pyspark.sql import Window
+
+    toks = F.size(_tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(shard_col, order_col, toks.alias("n_tokens"))
+        .withColumn(
+            "prev_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn(
+            "bin_id",
+            F.floor(F.col("prev_tokens") / F.lit(float(budget_tokens))).cast("long"),
+        )
+    )

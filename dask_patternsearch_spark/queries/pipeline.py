@@ -331,6 +331,23 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark): the
+    event stream unioned with itself (every row a duplicate) must come out
+    with each event_id exactly once.  Rows-only; exact-once property and
+    batch equality asserted in tests/test_streaming.py."""
+    from ..streaming import events as sev
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_dedup_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    doubled = stream.unionByName(stream)
+    sev.run_to_memory(
+        sev.dedup_events_stream(doubled), name, spark, output_mode="append"
+    )
+    return spark.table(name)
+
+
 
 
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,6 +380,41 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (``operators.text.pack_sequences``): documents
+    packed into ~512-token context bins per language shard, reported as
+    per-bin stats.  The packing rule (exclusive-prefix-sum binning) is a
+    window expression, so DuckDB checks it exactly."""
+    packed = text.pack_sequences(_docs(spark, sf_dir), budget_tokens=512)
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_PACK_BINS_SQL = """
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_tokens
+  FROM d
+)
+SELECT lang,
+       CAST(floor(prev_tokens / 512.0) AS BIGINT) AS bin_id,
+       count(*)                                   AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT)              AS bin_tokens,
+       min(doc_id)                                AS first_doc
+FROM c
+GROUP BY lang, CAST(floor(prev_tokens / 512.0) AS BIGINT)
+"""
 
 
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,11 +522,13 @@ QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_frames": multimodal_frames,
     "streaming_hourly_events": streaming_hourly_events,
+    "streaming_dedup_events": streaming_dedup_events,
     "streaming_session_windows": streaming_session_windows,
     "streaming_interval_join": streaming_interval_join,
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
+    "pack_context_bins": pack_context_bins,
     "multimodal_resize": multimodal_resize,
     "streaming_running_minimum": streaming_running_minimum,
 }
@@ -485,6 +539,7 @@ ORACLE = {
     "cosine_topk": _COSINE_TOPK_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "token_stats_by_lang": _TOKEN_STATS_SQL,
+    "pack_context_bins": _PACK_BINS_SQL,
     "quality_scores": _QUALITY_SQL,
     "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_SQL,

@@ -130,6 +130,31 @@ def purchase_click_join_stream(
     )
 
 
+def dedup_events_stream(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps one row per ``event_id`` among
+    duplicates arriving within the watermark delay, then expires that
+    key's state -- the only way streaming dedup survives at 100 TB/day
+    (plain ``dropDuplicates`` on a stream retains every key forever).
+
+    The exactness contract is therefore windowed: duplicates farther apart
+    than ``within`` in event time can BOTH survive.  For ingestion dedup
+    (retries/replays arrive seconds apart) that is the right trade; the
+    batch twin for a full-history guarantee is ``operators.dedup.
+    exact_dedup`` / the ``dedup_incremental`` anti-join.
+    """
+    return (
+        events.withWatermark("event_time", within)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.expr("ts DIV 1000000").alias("ts_ms"),
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     table_name: str,

@@ -242,3 +242,20 @@ def test_streaming_interval_join_matches_batch_range_join(spark, events_stream_d
         for r in interval_join_purchase_click(spark, SF_DIR).collect()
     }
     assert got == want and got
+
+
+def test_streaming_dedup_exactly_once(spark):
+    """A stream unioned with itself (100% duplicates) must surface each
+    event_id exactly once, and match the batch distinct count."""
+    from dask_patternsearch_spark.queries.pipeline import streaming_dedup_events
+
+    out = streaming_dedup_events(spark, SF_DIR)
+    n_batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_batch
+    dupes = out.groupBy("event_id").count().filter("count > 1").count()
+    assert dupes == 0
