@@ -182,3 +182,48 @@ def ivf_topk(
         .distinct()
     )
     return _rank_topk(scored, k)
+
+
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``scale = max(|x|)/127``,
+    ``code_i = round(x_i / scale)`` -- the standard 4x storage/bandwidth
+    shrink before ANN indexing (scores on int8 codes, exact re-rank on the
+    survivors).
+
+    Runs as a vectorized numpy ``mapInPandas`` (Arrow batches), the shape
+    that scales with dimension -- Spark's array higher-order functions are
+    interpreted per element and would re-inline the shared ``scale``
+    subexpression per lane.  The arithmetic (float32 abs/max, float64
+    divide, ``floor(x + 0.5)``) is bit-identical to the DuckDB oracle's
+    ``list_transform`` spelling, so the codes are exactly checkable.
+
+    Returns (vec_id, scale, codes); all-zero vectors get scale 0 and zero
+    codes.  Reconstruction error is bounded by scale/2 per component
+    (property-tested).
+    """
+    import pandas as pd
+
+    def quantize(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xs = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            scales = (
+                np.abs(xs).max(axis=1).astype(np.float64) / 127.0
+            )
+            safe = np.where(scales == 0.0, 1.0, scales)
+            codes = np.floor(xs.astype(np.float64) / safe[:, None] + 0.5).astype(
+                np.int32
+            )
+            codes[scales == 0.0] = 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "scale": scales,
+                    "codes": list(codes),
+                }
+            )
+
+    return emb.select(F.col("vec_id").cast("long"), vec_col).mapInPandas(
+        quantize, schema="vec_id long, scale double, codes array<int>"
+    )

@@ -382,6 +382,31 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embeddings table
+    (``operators.similarity.quantize_embeddings``); codes and scales are
+    exactly reproduced by the DuckDB list_transform oracle."""
+    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+
+
+_QUANTIZE_SQL = """
+WITH s AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         -- CAST to DOUBLE first: DuckDB would otherwise divide in float32
+         CAST(list_max(list_transform(embedding, v -> abs(v))) AS DOUBLE)
+           / 127.0 AS scale
+  FROM embeddings
+)
+SELECT vec_id, scale,
+       CASE WHEN scale = 0
+            THEN list_transform(embedding, v -> 0)
+            ELSE list_transform(embedding,
+                                v -> CAST(floor(v / scale + 0.5) AS INT))
+       END AS codes
+FROM s
+"""
+
+
 def pack_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (``operators.text.pack_sequences``): documents
     packed into ~512-token context bins per language shard, reported as
@@ -529,6 +554,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
     "pack_context_bins": pack_context_bins,
+    "quantized_embeddings": quantized_embeddings,
     "multimodal_resize": multimodal_resize,
     "streaming_running_minimum": streaming_running_minimum,
 }
@@ -540,6 +566,7 @@ ORACLE = {
     "doc_fingerprints": _FINGERPRINT_SQL,
     "token_stats_by_lang": _TOKEN_STATS_SQL,
     "pack_context_bins": _PACK_BINS_SQL,
+    "quantized_embeddings": _QUANTIZE_SQL,
     "quality_scores": _QUALITY_SQL,
     "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_SQL,

@@ -368,6 +368,66 @@ GROUP BY c_mktsegment
 """
 
 
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 pattern (product-type profit by nation and year), adapted:
+    no partsupp table, so supply cost is proxied as 60% of the part's
+    retail price.
+
+    Scale: part (name-pattern filtered) and supplier->nation broadcast;
+    lineitem<->orders is the only large shuffle.  The name LIKE '%...%'
+    cannot push to parquet (no prefix), but column pruning + the broadcast
+    semi-shape keep the fact scan narrow.
+    """
+    gear_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    # mixed-sign profit sums hit catastrophic cancellation: the two engines'
+    # different summation ORDERS drift the double sum across a cent boundary
+    # (observed at sf0.01), so no final-rounding spelling can agree.  Fix:
+    # round each ROW to integer cents (per-row doubles are bit-identical in
+    # both engines -- same expression tree) and sum exact BIGINTs.
+    profit_cents = F.floor(profit * 100.0 + F.lit(0.5)).cast("long")
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(gear_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg((F.sum(profit_cents) / 100.0).alias("sum_profit"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                       - 0.6 * p_retailprice * l_quantity) * 100.0 + 0.5)
+                AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
 def bloom_join_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order priority for BUILDING-segment customers' orders,
     with the lineitem<->orders join routed through ``operators.joins.
@@ -425,10 +485,12 @@ QUERIES = {
     "q20_excess_shippers": q20_excess_shippers,
     "q21_blamed_supplier": q21_blamed_supplier,
     "q22_dormant_balances": q22_dormant_balances,
+    "q9_product_profit": q9_product_profit,
     "bloom_join_building_revenue": bloom_join_building_revenue,
 }
 
 ORACLE = {
+    "q9_product_profit": _Q9_SQL,
     "bloom_join_building_revenue": _BLOOM_JOIN_SQL,
     "q8_market_share": _Q8_SQL,
     "q15_top_supplier": _Q15_SQL,

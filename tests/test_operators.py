@@ -504,3 +504,23 @@ def test_star_components_self_pairs_and_singletons(spark):
         for r in dedup.connected_components_star(pairs).collect()
     )
     assert out == {5: 5, 1: 1, 2: 1, 3: 1}
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark):
+    """Dequantized vectors must reconstruct within scale/2 per component,
+    and codes must stay in the int8 range [-127, 127]."""
+    from dask_patternsearch_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_embeddings(emb).join(
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding"),
+        "vec_id",
+    )
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        codes = np.asarray(r["codes"])
+        assert codes.min() >= -127 and codes.max() <= 127
+        recon = codes * r["scale"]
+        err = np.abs(recon - np.asarray(r["embedding"], dtype=np.float64))
+        assert err.max() <= r["scale"] / 2 + 1e-12
