@@ -524,3 +524,35 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         recon = codes * r["scale"]
         err = np.abs(recon - np.asarray(r["embedding"], dtype=np.float64))
         assert err.max() <= r["scale"] / 2 + 1e-12
+
+
+def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
+    """Range-clustered layout: every output file must carry a tight,
+    non-overlapping min/max range for the cluster key (what makes footer
+    pruning effective), and the data must round-trip."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from dask_patternsearch_spark.sources.io import write_clustered
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    out = str(tmp_path / "orders_clustered")
+    write_clustered(orders, out, ["o_custkey"], n_files=8)
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    ranges = []
+    for f in Path(out).glob("*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_custkey"
+        )
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint (boundary key may touch)
