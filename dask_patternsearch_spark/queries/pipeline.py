@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, merge, multimodal, similarity, text
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,6 +382,72 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def upsert_reactivated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins upsert (``operators.merge.upsert``): customers with a
+    2001+ order get their segment overwritten to REACTIVATED; result
+    aggregated per segment.  The merge is a union + max_by hash aggregate
+    -- one shuffle, no sort; DuckDB checks it via the equivalent
+    EXISTS-CASE rewrite."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01"))
+        .select("o_custkey")
+        .distinct()
+    )
+    changes = cust.join(
+        recent, cust.c_custkey == recent.o_custkey, "left_semi"
+    ).withColumn("c_mktsegment", F.lit("REACTIVATED"))
+    merged = merge.upsert(cust, changes, keys=["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+_UPSERT_SQL = """
+WITH merged AS (
+  SELECT c_custkey,
+         CASE WHEN EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey
+                             AND o_orderdate >= TIMESTAMP '2001-01-01')
+              THEN 'REACTIVATED' ELSE c_mktsegment END AS c_mktsegment,
+         c_acctbal
+  FROM customer
+)
+SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+FROM merged
+GROUP BY c_mktsegment
+"""
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history derivation (``operators.merge.scd2``): each user event
+    becomes a validity interval [valid_from, valid_to) closed by the next
+    event; the last one per user is current.  Exactly the window-lead
+    rewrite DuckDB runs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_id", F.expr("ts DIV 1000000").alias("ts_ms"))
+    )
+    hist = merge.scd2(ev, keys=["user_id"], ts_col="ts_ms", tie_break=["event_id"])
+    return hist.select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+
+
+_SCD2_SQL = """
+SELECT user_id, event_id,
+       epoch_ms(ts) AS valid_from,
+       lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) AS valid_to,
+       lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id) IS NULL AS is_current
+FROM events
+"""
+
+
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embeddings table
     (``operators.similarity.quantize_embeddings``); codes and scales are
@@ -555,6 +621,8 @@ QUERIES = {
     "near_dup_clusters_star": near_dup_clusters_star,
     "pack_context_bins": pack_context_bins,
     "quantized_embeddings": quantized_embeddings,
+    "upsert_reactivated_customers": upsert_reactivated_customers,
+    "scd2_user_history": scd2_user_history,
     "multimodal_resize": multimodal_resize,
     "streaming_running_minimum": streaming_running_minimum,
 }
@@ -567,6 +635,8 @@ ORACLE = {
     "token_stats_by_lang": _TOKEN_STATS_SQL,
     "pack_context_bins": _PACK_BINS_SQL,
     "quantized_embeddings": _QUANTIZE_SQL,
+    "upsert_reactivated_customers": _UPSERT_SQL,
+    "scd2_user_history": _SCD2_SQL,
     "quality_scores": _QUALITY_SQL,
     "bpe_token_counts": _BPE_SQL,
     "rolling_fingerprints": _ROLLING_SQL,

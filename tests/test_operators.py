@@ -556,3 +556,57 @@ def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint (boundary key may touch)
+
+
+# ---------------------------------------------------------------------------
+# merge.upsert / merge.scd2
+# ---------------------------------------------------------------------------
+
+def test_upsert_semantics(spark):
+    """Changes replace same-key rows, insert new keys, and base-only rows
+    survive; with order_col the greatest version wins regardless of side."""
+    from dask_patternsearch_spark.operators.merge import upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k long, v string, ver long"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", 20), (3, "C", 20)], "k long, v string, ver long"
+    )
+    out = {r["k"]: r["v"] for r in upsert(base, changes, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
+
+    # change with an OLDER version loses when order_col is given
+    stale = spark.createDataFrame([(2, "OLD", 5)], "k long, v string, ver long")
+    out2 = {r["k"]: r["v"] for r in upsert(base, stale, ["k"], order_col="ver").collect()}
+    assert out2 == {1: "a", 2: "b"}
+
+    # equal version: changes side wins the tie
+    tie = spark.createDataFrame([(2, "TIE", 10)], "k long, v string, ver long")
+    out3 = {r["k"]: r["v"] for r in upsert(base, tie, ["k"], order_col="ver").collect()}
+    assert out3[2] == "TIE"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        upsert(base, changes.drop("ver"), ["k"])
+
+
+def test_scd2_intervals_tile_per_key(spark):
+    """Per key, validity intervals must tile: exactly one current row, and
+    each valid_to equals the next valid_from."""
+    from dask_patternsearch_spark.operators.merge import scd2
+
+    df = spark.createDataFrame(
+        [(1, 100, "x"), (1, 200, "y"), (1, 150, "z"), (2, 50, "w")],
+        "k long, ts long, payload string",
+    )
+    rows = scd2(df, ["k"], "ts", tie_break=["payload"]).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, rs in by_key.items():
+        rs.sort(key=lambda r: r["valid_from"])
+        assert sum(r["is_current"] for r in rs) == 1
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
