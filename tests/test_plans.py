@@ -8,6 +8,7 @@ and Python must stay out of Catalyst-expressible pipelines.
 from pyspark.sql import functions as F
 
 from dask_patternsearch_spark.plans import summarize
+from dask_patternsearch_spark.plans.inspect import plan_text
 from dask_patternsearch_spark.queries import relational as R
 from tests.conftest import SF_DIR
 
@@ -152,3 +153,51 @@ def test_sql_topn_gets_window_group_limit(spark):
 
     s = plan_text(R.QUERIES["sql_qualify_latest_orders"](spark, SF_DIR))
     assert s.count("WindowGroupLimit") >= 1
+
+
+def test_q8_broadcasts_all_dim_chains(spark):
+    """Q8's three dimension chains (part, supplier+nation, customer+nation+
+    region) must all broadcast; only the two fact joins may shuffle."""
+    from dask_patternsearch_spark.queries import tpch
+
+    info = summarize(tpch.QUERIES["q8_market_share"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 4
+    assert info["nested_loop_joins"] == 0
+    # part type and order date range must push to their scans
+    assert any("p_type" in p for p in info["pushed_filters"])
+    assert any("o_orderdate" in p for p in info["pushed_filters"])
+
+
+def test_q9_prunes_fact_scan(spark):
+    """Q9's lineitem scan must stay narrow (join keys + measures only)."""
+    from dask_patternsearch_spark.queries import tpch
+
+    info = summarize(tpch.QUERIES["q9_product_profit"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 3
+    li_schema = next(s for s in info["read_schemas"] if "l_extendedprice" in s)
+    assert "l_shipdate" not in li_schema and "l_returnflag" not in li_schema
+
+
+def test_bloom_join_filters_before_join(spark):
+    """The bloom pre-filter (a Python eval stage) must sit between the
+    probe scan and the join, and the join itself stays an equi join."""
+    from dask_patternsearch_spark.queries import tpch
+
+    df = tpch.QUERIES["bloom_join_building_revenue"](spark, SF_DIR)
+    info = summarize(df)
+    assert info["python_stages"] >= 1  # the vectorized membership UDF
+    assert info["nested_loop_joins"] == 0
+    text = plan_text(df)
+    # filter stage appears before the final join in the bottom-up plan walk
+    assert "pythonUDF" in text or "ArrowEvalPython" in text
+
+
+def test_upsert_is_single_aggregate_no_sort(spark):
+    """upsert must plan as hash aggregation (max_by partial+final), never
+    a window sort."""
+    from dask_patternsearch_spark.queries.pipeline import QUERIES as P
+
+    df = P["upsert_reactivated_customers"](spark, SF_DIR)
+    text = plan_text(df)
+    assert "Window" not in text
+    assert "max_by" in text or "HashAggregate" in text
