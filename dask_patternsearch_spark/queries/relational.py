@@ -627,6 +627,73 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-window aggregation (2-hour windows, 1-hour slide) via the
+    native ``F.window`` operator -- each event lands in exactly two
+    overlapping windows.
+
+    Scale: Spark expands the slide into an Expand node (one row per
+    covering window) before the hash aggregate, so cost is
+    windows-per-event x input -- same shuffle profile as the tumbling
+    case.  The oracle spells the identical semantics as explicit
+    hour-bucket math (unnest of the two covering window starts).
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+    return (
+        ev.groupBy(
+            F.window("event_time", "2 hours", "1 hour").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_EVENTS_SLIDING_SQL = """
+WITH e AS (
+  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS h, event_type, value
+  FROM events
+), x AS (
+  SELECT unnest([h, h - 3600000]) AS window_start_ms, event_type, value
+  FROM e
+)
+SELECT window_start_ms, event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x
+GROUP BY 1, 2
+"""
+
+
+def cross_join_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (tiny dims only -- the one place a
+    nested-loop product is the right plan): every (nation, region) pair
+    flagged with whether it is the nation's home region."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return nation.crossJoin(region).select(
+        "n_name",
+        "r_name",
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )
+
+
+_CROSS_JOIN_SQL = """
+SELECT n_name, r_name, (n_regionkey = r_regionkey) AS is_home
+FROM nation CROSS JOIN region
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum.
 
@@ -1780,6 +1847,8 @@ QUERIES = {
     "rollup_returns": rollup_returns,
     "scalar_functions": scalar_functions,
     "events_hourly": events_hourly,
+    "events_sliding_2h": events_sliding_2h,
+    "cross_join_nation_region": cross_join_nation_region,
     "sessionize_events": sessionize_events,
     "distinct_users_by_type": distinct_users_by_type,
     "part_type_share": part_type_share,
@@ -1831,6 +1900,8 @@ ORACLE = {
     "rollup_returns": _ROLLUP_SQL,
     "scalar_functions": _SCALAR_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
+    "events_sliding_2h": _EVENTS_SLIDING_SQL,
+    "cross_join_nation_region": _CROSS_JOIN_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "distinct_users_by_type": _DISTINCT_SQL,
     "part_type_share": _PART_TYPE_SQL,

@@ -53,6 +53,25 @@ def hourly_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """Sliding 2-hour windows advancing hourly (each event in two live
+    windows); watermark bounds the open-window state."""
+    return (
+        events.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Native session windows (gap-based), the streaming equivalent of the
     batch lag-based sessionization."""

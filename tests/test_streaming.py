@@ -259,3 +259,16 @@ def test_streaming_dedup_exactly_once(spark):
     assert out.count() == n_batch
     dupes = out.groupBy("event_id").count().filter("count > 1").count()
     assert dupes == 0
+
+
+def test_streaming_sliding_windows_match_batch(spark):
+    """The streaming sliding-window aggregation (availableNow drain) must
+    equal the batch events_sliding_2h answer."""
+    from dask_patternsearch_spark.queries.relational import events_sliding_2h
+    from dask_patternsearch_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    sev.run_to_memory(sev.sliding_counts_stream(stream), "dps_sliding_t", spark)
+    got = sorted(map(tuple, spark.table("dps_sliding_t").collect()))
+    want = sorted(map(tuple, events_sliding_2h(spark, SF_DIR).collect()))
+    assert got == want
