@@ -694,6 +694,65 @@ FROM nation CROSS JOIN region
 """
 
 
+def heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters (``df.stat.freqItems``, the Karp-
+    Papadimitriou-Shenker one-pass sketch): order priorities appearing in
+    > 15% of orders.
+
+    Sketch contract: NO false negatives (every true heavy hitter is in
+    the candidate set), possible false positives -- the containment
+    property the test asserts.  Scale: single pass, mergeable per-
+    partition state, no shuffle of the data itself.  Rows-only check
+    (candidate sets are implementation-defined).
+    """
+    cands = (
+        _t(spark, sf_dir, "orders")
+        .stat.freqItems(["o_orderpriority"], support=0.15)
+        .select(F.explode("o_orderpriority_freqItems").alias("candidate"))
+    )
+    return cands.orderBy("candidate")
+
+
+def levenshtein_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between each document and the next (by doc_id) within
+    a language: classic string-similarity scalar over a window pair.
+    ``F.levenshtein`` is the exact DP both engines implement, so the
+    oracle matches bit-for-bit; the 40-char prefix caps the O(m*n) cost
+    per pair (at 100 TB you never levenshtein whole documents -- prefix
+    or fingerprint first)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    prefix = F.substring("text", 1, 40)
+    paired = docs.select(
+        "lang",
+        "doc_id",
+        prefix.alias("p"),
+        F.lead("doc_id").over(w).alias("next_doc_id"),
+        F.lead(prefix).over(w).alias("next_p"),
+    ).filter(F.col("next_doc_id").isNotNull())
+    return paired.select(
+        "lang",
+        "doc_id",
+        "next_doc_id",
+        F.levenshtein("p", "next_p").alias("edit_distance"),
+    )
+
+
+_LEVENSHTEIN_SQL = """
+WITH paired AS (
+  SELECT lang, doc_id,
+         substring(text, 1, 40) AS p,
+         lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS next_doc_id,
+         lead(substring(text, 1, 40)) OVER (PARTITION BY lang ORDER BY doc_id) AS next_p
+  FROM documents
+)
+SELECT lang, doc_id, next_doc_id,
+       CAST(levenshtein(p, next_p) AS INT) AS edit_distance
+FROM paired
+WHERE next_doc_id IS NOT NULL
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via lag + running sum.
 
@@ -1849,6 +1908,8 @@ QUERIES = {
     "events_hourly": events_hourly,
     "events_sliding_2h": events_sliding_2h,
     "cross_join_nation_region": cross_join_nation_region,
+    "heavy_hitter_priorities": heavy_hitter_priorities,
+    "levenshtein_adjacent_docs": levenshtein_adjacent_docs,
     "sessionize_events": sessionize_events,
     "distinct_users_by_type": distinct_users_by_type,
     "part_type_share": part_type_share,
@@ -1902,6 +1963,9 @@ ORACLE = {
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding_2h": _EVENTS_SLIDING_SQL,
     "cross_join_nation_region": _CROSS_JOIN_SQL,
+    "levenshtein_adjacent_docs": _LEVENSHTEIN_SQL,
+    # heavy_hitter_priorities: intentionally no oracle (sketch candidate
+    # sets are implementation-defined); containment property-tested
     "sessionize_events": _SESSIONIZE_SQL,
     "distinct_users_by_type": _DISTINCT_SQL,
     "part_type_share": _PART_TYPE_SQL,

@@ -91,3 +91,23 @@ def test_approx_percentiles_within_tolerance(spark):
         e = exact[r["o_orderstatus"]]
         for got, want in zip((r["p50"], r["p90"], r["p99"]), e):
             assert abs(got - want) <= 0.01 * want + 1e-9
+
+
+def test_heavy_hitters_contain_all_true_hitters(spark):
+    """freqItems guarantees no false negatives: every priority whose exact
+    share exceeds the support threshold must be in the candidate set."""
+    from pyspark.sql import functions as F
+
+    cands = {
+        r["candidate"]
+        for r in entry.queries()["heavy_hitter_priorities"](spark, SF_DIR).collect()
+    }
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    total = orders.count()
+    true_hh = {
+        r["o_orderpriority"]
+        for r in orders.groupBy("o_orderpriority").count().collect()
+        if r["count"] / total > 0.15
+    }
+    assert true_hh, "test data must have at least one true heavy hitter"
+    assert true_hh <= cands
