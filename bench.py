@@ -28,13 +28,20 @@ HEADLINE = [
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
     "q17_small_quantity_revenue",
+    "q21_blamed_supplier",
+    "bloom_join_building_revenue",
     "topk_customers",
     "window_rank_orders",
     "asof_join_purchase_click",
     "range_join_price_bands",
     "sessionize_events",
     "events_hourly",
+    "events_sliding_2h",
+    "scd2_user_history",
+    "pack_context_bins",
     "exact_dedup_docs",
     "minhash_near_dups",
     "simhash_near_dups",

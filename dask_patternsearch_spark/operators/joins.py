@@ -249,7 +249,13 @@ def bloom_join(
         raise ValueError(f"bloom_join supports inner/left_semi, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
-    build_hashes = build.select(F.xxhash64(*keys).alias(_BLOOM_HASH)).distinct()
+    # coalesce the deduped hashes before bitset-building: every partition
+    # yields a full num_bits/8-byte bitset row regardless of its data, so
+    # the driver collect is partitions * m/8 bytes -- 8 partitions keeps it
+    # bounded while the (trivial) hashing stays parallel upstream
+    build_hashes = (
+        build.select(F.xxhash64(*keys).alias(_BLOOM_HASH)).distinct().coalesce(8)
+    )
 
     def _partition_bitsets(batches):
         bits = np.zeros(num_bits // 8, dtype=np.uint8)

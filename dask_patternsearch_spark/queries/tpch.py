@@ -275,11 +275,17 @@ def q21_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup broadcasts; top-10 is TakeOrderedAndProject.
     """
     li = _t(spark, sf_dir, "lineitem")
-    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.count_distinct(F.col("l_suppkey")).alias("n_supps"),
-        F.count_distinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supps"),
+    # two count_distincts in one aggregate would force an Expand (2x the
+    # input through the shuffle); dedup to (order, supplier) grain first,
+    # then plain counts over the much smaller intermediate
+    per_os = li.groupBy(
+        F.col("l_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("po_supp")
+    ).agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    per_order = per_os.groupBy("po_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supps"),
+        F.sum("has_r").alias("n_ret_supps"),
     )
     forders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
@@ -455,7 +461,7 @@ def bloom_join_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
     )
     return (
-        bloom_join(li, orders, "o_orderkey")
+        bloom_join(li, orders, "o_orderkey", num_bits=1 << 21)
         .groupBy("o_orderpriority")
         .agg(
             F.round(
