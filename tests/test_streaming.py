@@ -272,3 +272,32 @@ def test_streaming_sliding_windows_match_batch(spark):
     got = sorted(map(tuple, spark.table("dps_sliding_t").collect()))
     want = sorted(map(tuple, events_sliding_2h(spark, SF_DIR).collect()))
     assert got == want
+
+
+def test_foreachbatch_upsert_ledger_matches_batch(spark, tmp_path):
+    """Draining the event stream through the foreachBatch upsert sink must
+    leave a ledger equal to the batch latest-event-per-user answer."""
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.streaming import events as sev
+
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    stream = sev.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    sev.upsert_ledger_stream(stream, ledger, ckpt)
+
+    got = {
+        r["user_id"]: (r["event_id"], r["ts_ms"])
+        for r in spark.read.parquet(ledger).collect()
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ts_ms", F.expr("ts DIV 1000000")
+    )
+    want = {
+        r["user_id"]: (r["s"]["event_id"], r["s"]["ts_ms"])
+        for r in ev.groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "ts_ms"), F.col("ts_ms")).alias("s"))
+        .collect()
+    }
+    assert got == want
