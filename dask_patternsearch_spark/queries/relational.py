@@ -551,6 +551,63 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """
 
 
+def rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping_id``: distinguishes a genuine NULL group key
+    from a subtotal/total row (the ambiguity plain rollup output has).
+    Same aggregate as ``rollup_returns`` but each row carries which keys
+    are aggregated away."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ROLLUP_GID_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS window frame: 4-order trailing moving average of each
+    customer's order totals (frame ``ROWS BETWEEN 3 PRECEDING AND CURRENT
+    ROW`` -- the sliding-frame shape; running/RANGE/full-partition frames
+    are covered by the other window queries).  One shuffle on o_custkey;
+    the bounded frame evaluates incrementally during the partition sort."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        _round_pos(F.avg("o_totalprice").over(w), 4).alias("trailing_avg_4"),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+_WINDOW_MOVING_AVG_SQL = """
+SELECT o_custkey, o_orderkey,
+       floor(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 10000.0 + 0.5)
+         / 10000.0 AS trailing_avg_4,
+       count(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_in_frame
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # scalar function coverage
 # --------------------------------------------------------------------------
@@ -1904,6 +1961,8 @@ QUERIES = {
     "anti_join_quiet_customers": anti_join_quiet_customers,
     "semi_join_active_parts": semi_join_active_parts,
     "rollup_returns": rollup_returns,
+    "rollup_grouping_id": rollup_grouping_id,
+    "window_moving_avg": window_moving_avg,
     "scalar_functions": scalar_functions,
     "events_hourly": events_hourly,
     "events_sliding_2h": events_sliding_2h,
@@ -1959,6 +2018,8 @@ ORACLE = {
     "anti_join_quiet_customers": _ANTI_SQL,
     "semi_join_active_parts": _SEMI_SQL,
     "rollup_returns": _ROLLUP_SQL,
+    "rollup_grouping_id": _ROLLUP_GID_SQL,
+    "window_moving_avg": _WINDOW_MOVING_AVG_SQL,
     "scalar_functions": _SCALAR_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding_2h": _EVENTS_SLIDING_SQL,
