@@ -331,6 +331,36 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_incumbent_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-event-type running minimum of the value stream -- the reference's
+    greedy incumbent tracking (search.py:314-324) as bounded streaming
+    state (one (point, cost) pair per group).  Returns the stream of
+    improvements; rows-only (stateful, not SQL-expressible), converges to
+    the batch minimum (asserted in tests/test_streaming.py)."""
+    from ..streaming import events as sev
+    from ..streaming.incumbent import incumbent_stream
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_incumbent_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    evals = stream.select(
+        F.col("event_type").alias("group"),
+        F.array(F.col("value")).alias("point"),
+        F.col("value").cast("double").alias("cost"),
+    )
+    q = (
+        incumbent_stream(evals)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup (dropDuplicatesWithinWatermark): the
     event stream unioned with itself (every row a duplicate) must come out
@@ -614,6 +644,7 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "streaming_hourly_events": streaming_hourly_events,
     "streaming_dedup_events": streaming_dedup_events,
+    "streaming_incumbent_minima": streaming_incumbent_minima,
     "streaming_session_windows": streaming_session_windows,
     "streaming_interval_join": streaming_interval_join,
     "stratified_sample_docs": stratified_sample_docs,

@@ -608,6 +608,38 @@ FROM orders
 """
 
 
+def scalar_pandas_udf_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (Series -> Series) pandas UDF -- the remaining UDF flavor in
+    the engine's surface (grouped-map, grouped-agg, mapInPandas, UDTF and
+    stateful are covered elsewhere).  The UDF computes sqrt-scaled prices
+    with numpy; sqrt is IEEE-exact in numpy and DuckDB alike, so the
+    oracle matches bit-for-bit after shared-formula rounding.
+
+    Scale: Arrow-vectorized, one batch per ~10k rows, no shuffle.  A
+    built-in ``F.sqrt`` would beat it (stays in codegen) -- the query
+    exists to pin the UDF machinery, and says so.
+    """
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("double")
+    def sqrt_scaled(s: pd.Series) -> pd.Series:
+        v = np.sqrt(s.to_numpy(dtype=np.float64)) * 10.0
+        return pd.Series(np.floor(v * 10000.0 + 0.5) / 10000.0)
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", sqrt_scaled(F.col("o_totalprice")).alias("sqrt_price")
+    )
+
+
+_SCALAR_UDF_SQL = """
+SELECT o_orderkey,
+       floor(sqrt(o_totalprice) * 10.0 * 10000.0 + 0.5) / 10000.0 AS sqrt_price
+FROM orders
+"""
+
+
 # --------------------------------------------------------------------------
 # scalar function coverage
 # --------------------------------------------------------------------------
@@ -1963,6 +1995,7 @@ QUERIES = {
     "rollup_returns": rollup_returns,
     "rollup_grouping_id": rollup_grouping_id,
     "window_moving_avg": window_moving_avg,
+    "scalar_pandas_udf_prices": scalar_pandas_udf_prices,
     "scalar_functions": scalar_functions,
     "events_hourly": events_hourly,
     "events_sliding_2h": events_sliding_2h,
@@ -2020,6 +2053,7 @@ ORACLE = {
     "rollup_returns": _ROLLUP_SQL,
     "rollup_grouping_id": _ROLLUP_GID_SQL,
     "window_moving_avg": _WINDOW_MOVING_AVG_SQL,
+    "scalar_pandas_udf_prices": _SCALAR_UDF_SQL,
     "scalar_functions": _SCALAR_SQL,
     "events_hourly": _EVENTS_HOURLY_SQL,
     "events_sliding_2h": _EVENTS_SLIDING_SQL,
