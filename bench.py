@@ -102,6 +102,31 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s median of "
               f"{[round(s, 2) for s in samples]} ({n} rows)", file=sys.stderr)
 
+    # BASELINE.md's tasks-to-converge metric: ledger size for sphere and
+    # Rosenbrock at dims 2 and 10, stopratio=1e-2, serial mode (directly
+    # comparable to the reference's len(results) observable)
+    import numpy as np
+
+    from dask_patternsearch_spark.search import search as ps_search
+
+    def sphere(x):
+        return float((x * x).sum())
+
+    def rosen(x):
+        return float(((1 - x[:-1]) ** 2).sum()
+                     + 100.0 * ((x[1:] - x[:-1] ** 2) ** 2).sum())
+
+    convergence = {}
+    for label, fn, dims in [
+        ("sphere_2d", sphere, 2), ("sphere_10d", sphere, 10),
+        ("rosenbrock_2d", rosen, 2), ("rosenbrock_10d", rosen, 10),
+    ]:
+        _, results = ps_search(
+            fn, np.full(dims, 2.0), np.full(dims, 0.5),
+            stopratio=1e-2, max_tasks=20000, seed=42,
+        )
+        convergence[label] = len(results)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -113,6 +138,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "tasks_to_converge": convergence,
         "sf": sf_val,
     }))
     spark.stop()

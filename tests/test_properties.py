@@ -188,3 +188,29 @@ def test_range_join_matches_python_reference(spark, data):
         if lo <= x < lo + ln
     }
     assert got == want
+
+
+def test_results_invariant_under_shuffle_partitioning(spark):
+    """Query answers must not depend on spark.sql.shuffle.partitions --
+    the determinism contract that makes oracle hashes meaningful on any
+    cluster size.  Checked on queries whose plans shuffle: window binning
+    (pack), merge-join formulation (asof), and a multi-join agg (q8)."""
+    import __spark_entry__ as entry
+    from tests.conftest import SF_DIR
+
+    names = ["pack_context_bins", "asof_join_purchase_click", "q8_market_share"]
+    qs = entry.queries()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for parts in ("7", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                df = qs[n](spark, SF_DIR)
+                results.setdefault(n, []).append(
+                    sorted(map(tuple, df.collect()))
+                )
+        for n, (a, b) in results.items():
+            assert a == b, f"{n} changed under repartitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
