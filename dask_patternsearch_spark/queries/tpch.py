@@ -1,9 +1,9 @@
 """Additional TPC-H-shaped patterns (SURVEY.md section 2.3), adapted to the
 testdata schema (no partsupp table; lineitem carries no commit/receipt
-dates or ship modes, so Q2/Q9/Q12/Q16 have no faithful adaptation and the
-Q20/Q21 variants below re-express the same *plan shapes* -- nested
-aggregate semi join, double correlated EXISTS -- over the available
-columns).
+dates or ship modes, so Q2/Q12/Q16 have no faithful adaptation, and the
+Q9/Q20/Q21 variants below re-express the same *plan shapes* -- profit
+rollup with a retail-price cost proxy, nested aggregate semi join, double
+correlated EXISTS -- over the available columns).
 
 Shared with ``relational.py``: every computed column aliased identically in
 Spark and DuckDB, doubles rounded in both engines, unique tie-break keys on

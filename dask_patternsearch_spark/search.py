@@ -278,6 +278,9 @@ def search(
     vectorize: bool = False,
     evaluator=None,
     pipeline_depth: int = 1,
+    client=None,
+    max_queue_size: int | None = None,
+    min_queue_size: int | None = None,
 ):
     """Minimize ``func`` by parallel pattern search; returns ``(best, results)``.
 
@@ -316,6 +319,12 @@ def search(
         submitted while the previous one still computes.  The contraction
         gate stays exact -- a step never halves while any poll point is
         unevaluated or any round is in flight.
+    client / max_queue_size / min_queue_size : drop-in aliases for the
+        reference's signature (``search.py:48-51``).  A SparkSession
+        passed as ``client`` behaves as ``spark=``; ``max_queue_size``
+        maps to ``round_size`` (one poll round IS the queue);
+        ``min_queue_size`` is accepted and ignored (the round model has
+        no refill threshold).
 
     Returns
     -------
@@ -323,6 +332,21 @@ def search(
         minimum of the ledger); ``results`` is a ``SearchResults`` dict of
         every evaluated point to its objective value.
     """
+    # reference-signature aliases (SURVEY.md section 2.1 row 1)
+    if client is not None:
+        if spark is not None:
+            raise ValueError("pass either spark= or client=, not both")
+        if hasattr(client, "sparkContext"):  # a SparkSession
+            spark = client
+        else:
+            raise ValueError(
+                "client= must be a SparkSession here; dask clients are not "
+                "supported -- this engine distributes via Spark"
+            )
+    if max_queue_size is not None and round_size is None:
+        round_size = max_queue_size
+    del min_queue_size  # accepted for signature parity; no refill threshold
+
     if vectorize and batchsize is None and spark is None and evaluator is None:
         raise ValueError("batchsize must be given if vectorize is True in serial mode")
 

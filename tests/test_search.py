@@ -171,3 +171,21 @@ def test_pipelined_respects_max_tasks(spark):
 def test_pipelined_requires_submit_capable_evaluator():
     with pytest.raises(ValueError, match="pipeline_depth"):
         search(sphere, X0, STEP, pipeline_depth=2)
+
+
+@pytest.mark.spark
+def test_reference_signature_aliases(spark):
+    """Calling with the reference's kwargs (client=, max_queue_size=,
+    min_queue_size=) must behave as the spark=/round_size= spelling."""
+    def obj(x):
+        return float((x * x).sum())
+
+    best, results = search(
+        obj, X0, STEP, client=spark, max_queue_size=16, min_queue_size=8, seed=7
+    )
+    check(best, results)
+
+    with pytest.raises(ValueError, match="not both"):
+        search(obj, X0, STEP, spark=spark, client=spark)
+    with pytest.raises(ValueError, match="SparkSession"):
+        search(obj, X0, STEP, client=object())
