@@ -4,7 +4,14 @@ pattern-search minimization) plus the relational / LLM-data-pipeline
 operator surface described in SURVEY.md section 2.3.
 """
 
-from .search import LocalEvaluator, SearchResults, SparkEvaluator, TrialPoint, search
+from .search import (
+    AsyncSparkEvaluator,
+    LocalEvaluator,
+    SearchResults,
+    SparkEvaluator,
+    TrialPoint,
+    search,
+)
 from .stencil import SimplexStencil, Step
 
 __version__ = "0.1.0"
@@ -15,6 +22,7 @@ __all__ = [
     "SearchResults",
     "LocalEvaluator",
     "SparkEvaluator",
+    "AsyncSparkEvaluator",
     "SimplexStencil",
     "Step",
     "__version__",

@@ -1,12 +1,17 @@
 """LLM-data-pipeline operators, each designed for 100 TB scale:
 
-* ``dedup``      -- exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
-* ``similarity`` -- brute-force / LSH-bucketed / IVF cosine top-k
-* ``text``       -- fingerprints, token stats, quality scores, language ID
+* ``dedup``      -- exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding;
+  connected components (min-label propagation + large-star/small-star)
+* ``similarity`` -- brute-force / LSH-bucketed / IVF cosine top-k; int8
+  embedding quantization
+* ``text``       -- fingerprints, token stats, quality scores, language ID,
+  sequence packing into context bins
 * ``multimodal`` -- opaque binary columns with typed metadata + feature stubs
 * ``sampling``  -- stratified / exact-per-stratum / deterministic-split
 * ``joins``      -- salted equi-join for key skew, as-of join (merge
-  formulation), bucketed range join (interval containment as equi join)
+  formulation), bucketed range join (interval containment as equi join),
+  bloom-filter join (map-side probe pruning)
+* ``merge``      -- latest-wins upsert (MERGE-INTO semantics), SCD2 history
 """
 
-from . import dedup, joins, multimodal, sampling, similarity, text  # noqa: F401
+from . import dedup, joins, merge, multimodal, sampling, similarity, text  # noqa: F401
