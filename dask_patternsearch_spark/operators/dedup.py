@@ -123,6 +123,25 @@ def minhash_signatures(
     return hashed.select("doc_id", sig.alias("sig"))
 
 
+def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
+    """(doc_id, band, bucket) rows: each signature sliced into bands, each
+    band hashed to one bucket id (the LSH equi-join key)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.slice("sig", (i * rows_per_band + 1).cast("int"), rows_per_band)
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     n: int = 3,
@@ -149,20 +168,7 @@ def minhash_lsh_candidates(
     # accept that (signatures are cheap to recompute per-partition) or
     # write the signature table to parquet and read it back.
     sigs = sigs.localCheckpoint(eager=True)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", (i * rows_per_band + 1).cast("int"), rows_per_band)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = _band_buckets(sigs, n_bands, rows_per_band)
     pairs = (
         bands.alias("x")
         .join(
@@ -524,3 +530,62 @@ def connected_components_star(
         nodes.join(labels, "node", "left")
         .select("node", F.coalesce("label", "node").alias("label"))
     )
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """A-vs-B near-duplicate detection: corpus documents that near-match
+    any BENCHMARK document (test-set leakage), as
+    (doc_id, bench_doc_id, est_jaccard) rows.
+
+    Same banded-MinHash machinery as the self-join dedup, but asymmetric:
+    only cross-side band collisions are candidates, and the benchmark side
+    (eval sets are small next to a training corpus) is BROADCAST -- at
+    100 TB the corpus never shuffles at all: signatures, band buckets and
+    the collision probe are all map-side against the broadcast benchmark
+    bands.  Both inputs need (doc_id, text).
+    """
+    rows_per_band = n_perm // n_bands
+    sig_c = minhash_signatures(corpus, n=n, n_perm=n_perm, seed=seed)
+    sig_b = minhash_signatures(benchmark, n=n, n_perm=n_perm, seed=seed)
+    sig_b = sig_b.localCheckpoint(eager=True)  # reused: bands + verify join
+    bands_c = _band_buckets(sig_c, n_bands, rows_per_band)
+    bands_b = _band_buckets(sig_b, n_bands, rows_per_band).select(
+        F.col("doc_id").alias("bench_doc_id"), "band", "bucket"
+    )
+    cands = (
+        bands_c.join(F.broadcast(bands_b), ["band", "bucket"])
+        .select("doc_id", "bench_doc_id")
+        .distinct()
+    )
+    sb = sig_b.select(F.col("doc_id").alias("bench_doc_id"), F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(n_perm))
+    return (
+        cands.join(sig_c, "doc_id")
+        .join(F.broadcast(sb), "bench_doc_id")
+        .select("doc_id", "bench_doc_id", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    **kwargs,
+) -> DataFrame:
+    """The decontamination pass itself: drop every corpus document that
+    near-matches a benchmark document (``contamination_pairs`` kwargs pass
+    through).  One anti-join on doc_id; corpus rows come back unchanged."""
+    dirty = contamination_pairs(corpus, benchmark, **kwargs).select("doc_id").distinct()
+    return corpus.join(dirty, "doc_id", "left_anti")

@@ -538,6 +538,25 @@ GROUP BY lang, CAST(floor(prev_tokens / 512.0) AS BIGINT)
 """
 
 
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (``operators.dedup.decontaminate``): treat
+    source src0 as the held-out benchmark, drop near-matching docs from
+    the rest of the corpus, report per-language survivor counts.
+    Rows-only (LSH); planted-duplicate removal is property-tested in
+    tests/test_operators.py."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = docs.filter(F.col("source") != "src0")
+    clean = dedup.decontaminate(
+        corpus.select("doc_id", "text"), benchmark, min_est_jaccard=0.8
+    )
+    return (
+        clean.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_clean_docs"))
+    )
+
+
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate-cluster extraction as ``near_dup_clusters`` but via
     the alternating large-star/small-star algorithm -- the diameter-proof
@@ -650,6 +669,7 @@ QUERIES = {
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
+    "decontaminate_corpus": decontaminate_corpus,
     "pack_context_bins": pack_context_bins,
     "quantized_embeddings": quantized_embeddings,
     "upsert_reactivated_customers": upsert_reactivated_customers,

@@ -610,3 +610,38 @@ def test_scd2_intervals_tile_per_key(spark):
         assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"]
+
+
+# ---------------------------------------------------------------------------
+# decontamination (A-vs-B near-dup)
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_removes_planted_benchmark_copies(spark):
+    """Corpus docs that ARE benchmark docs (planted with new ids) must all
+    be removed; unrelated docs must all survive."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    benchmark = docs.filter(F.col("doc_id") % 10 == 0).limit(20)
+    planted = benchmark.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.filter(F.col("doc_id") % 10 == 5).unionByName(planted)
+
+    clean = dedup.decontaminate(corpus, benchmark, min_est_jaccard=0.9)
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    planted_ids = {r["doc_id"] for r in planted.select("doc_id").collect()}
+    # every planted copy is gone
+    assert not (clean_ids & planted_ids)
+    # docs sharing no text with the benchmark survive (word-salad corpus:
+    # allow LSH to flag a few as near-dups, but the bulk must remain)
+    original_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()} - planted_ids
+    assert len(clean_ids) >= 0.8 * len(original_ids)
+
+
+def test_contamination_pairs_estimates_exact_copy_as_one(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    bench = docs.limit(5)
+    copies = bench.withColumn("doc_id", F.col("doc_id") + 500_000)
+    pairs = dedup.contamination_pairs(copies, bench, min_est_jaccard=0.99).collect()
+    assert {(r["doc_id"], r["bench_doc_id"]) for r in pairs} >= {
+        (r["doc_id"] + 500_000, r["doc_id"]) for r in bench.collect()
+    }
+    assert all(r["est_jaccard"] == 1.0 for r in pairs
+               if r["doc_id"] - 500_000 == r["bench_doc_id"])
