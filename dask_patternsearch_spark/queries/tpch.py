@@ -484,7 +484,349 @@ GROUP BY o_orderpriority
 """
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 plan shape (correlated scalar MIN subquery re-joined to
+    pick the argmin rows), adapted: no partsupp table, so the
+    part-supplier "offer" relation is derived from lineitem with unit
+    cost = min(l_extendedprice / l_quantity) per (part, supplier), scoped
+    to EUROPE suppliers.
+
+    Scale: the offers aggregate is one shuffle keyed on the high-cardinality
+    (partkey, suppkey) pair; the per-part MIN re-aggregates the already
+    per-pair-deduped (much smaller) offers, and the argmin join keys on
+    partkey between two outputs of the SAME partitioning, so AQE keeps it
+    local.  All dimension lookups (region-filtered supplier set, size/type-
+    filtered part) broadcast.  Unit cost is rounded to 2 dp BEFORE the MIN
+    so the equality re-join on a double cannot split on ulp drift (same
+    device as Q15).  Top-20 with a fully unique sort key (acctbal desc,
+    partkey, suppkey) is TakeOrderedAndProject -- no global sort.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(eur_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(supp.select(F.col("s_suppkey").alias("es_suppkey"))),
+            F.col("l_suppkey") == F.col("es_suppkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2
+            ).alias("supply_cost")
+        )
+    )
+    min_cost = offers.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        offers.join(
+            min_cost,
+            (F.col("ps_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(parts), F.col("ps_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "s_suppkey", "supply_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         round(min(l_extendedprice / l_quantity), 2) AS supply_cost
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON n_nationkey = s_nationkey
+                      JOIN region ON r_regionkey = n_regionkey
+                      WHERE r_name = 'EUROPE')
+  GROUP BY 1, 2
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, s_suppkey, supply_cost
+FROM offers
+JOIN part     ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+  AND supply_cost = (SELECT min(supply_cost) FROM offers o2
+                     WHERE o2.ps_partkey = offers.ps_partkey)
+ORDER BY s_acctbal DESC, p_partkey ASC, s_suppkey ASC
+LIMIT 20
+"""
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 plan shape (grouped aggregate HAVING-filtered against a
+    fraction of a global scalar aggregate over the SAME scope), adapted:
+    part value = sum of lineitem extendedprice shipped by ASIA-region
+    suppliers, kept when above 0.1% of that region's total.
+
+    Scale: the region's supplier set broadcasts; one hash aggregate keyed
+    on l_partkey; the global total is a scalar re-aggregate of the SMALL
+    per-part result (never a second fact scan), broadcast back as a cross
+    join.  The HAVING compares unrounded sums (threshold boundary, same
+    device as Q22); the displayed value rounds after the cut.
+    """
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(F.sum("l_extendedprice").alias("value_raw"))
+    )
+    total = per_part.agg(F.sum("value_raw").alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_raw") > 0.001 * F.col("total_value"))
+        .select(
+            "ps_partkey", F.round("value_raw", 2).alias("part_value")
+        )
+    )
+
+
+_Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey AS ps_partkey, sum(l_extendedprice) AS value_raw
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+                      JOIN nation ON n_nationkey = s_nationkey
+                      JOIN region ON r_regionkey = n_regionkey
+                      WHERE r_name = 'ASIA')
+  GROUP BY 1
+)
+SELECT ps_partkey, round(value_raw, 2) AS part_value
+FROM per_part
+WHERE value_raw > (SELECT sum(value_raw) * 0.001 FROM per_part)
+"""
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 plan shape (fact-fact join + conditional priority
+    counts), adapted: the testdata lineitem has no ship mode, so lines
+    shipped in 1997 are grouped by return flag instead, counting
+    critical-priority (1-URGENT / 2-HIGH) vs other orders.
+
+    Scale: BOTH sides are facts, so this is the one genuinely two-sided
+    shuffle join in the TPC-H set -- lineitem (year-filtered at the scan;
+    min/max row-group pruning applies to the timestamp) against orders
+    projected to (orderkey, priority).  The conditional counts fold
+    map-side into partial aggregates; the final group-by key (returnflag)
+    is 3-valued, so AQE coalesces the last exchange to a handful of tasks.
+    """
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(crit).alias("high_line_count"),
+            F.count_if(~crit).alias("low_line_count"),
+        )
+    )
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       count(*) FILTER (o_orderpriority IN ('1-URGENT', '2-HIGH'))     AS high_line_count,
+       count(*) FILTER (o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): left outer join
+    preserving zero-order customers, two stacked aggregations.  The
+    priority filter stands in for Q13's comment NOT LIKE -- it must sit on
+    the orders side BEFORE the join so excluded-only customers still count
+    at zero.
+
+    Scale: orders project to (custkey) and pre-aggregate per custkey
+    BEFORE joining customer (shrinks the join's right side to one row per
+    active customer); the left join keys on c_custkey; the second group-by
+    (on the tiny c_count domain) AQE-coalesces.  count(o_custkey) vs
+    count(*) distinguishes null-extended rows -- the load-bearing NULL
+    semantics of the outer join.
+    """
+    per_cust_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    per_cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .join(per_cust_orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("c_count")
+        )
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion revenue share): conditional-sum ratio over one
+    month of shipments.
+
+    Scale: part broadcasts (projected to partkey + type flag only); the
+    month predicate prunes lineitem row groups at the scan; numerator and
+    denominator come out of ONE aggregation pass -- no second scan, no
+    join back.
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+_Q14_SQL = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 plan shape (supplier-count-per-part-class with a NOT IN
+    exclusion subquery), adapted: the part-supplier relation derives from
+    lineitem, and negative-balance suppliers stand in for the complaints
+    NOT IN list.
+
+    Scale: the part filter (brand/type exclusions + size IN-list)
+    broadcasts; the complaint list is tiny and anti-joins broadcast; the
+    only shuffle is the distinct-supplier count, keyed on (brand, type,
+    size) with a partial distinct map-side.  Output cardinality is the
+    part-class domain -- independent of fact scale.
+    """
+    complaints = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    parts = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q11_important_stock": q11_important_stock,
+    "q12_priority_lines": q12_priority_lines,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
     "q8_market_share": q8_market_share,
     "q15_top_supplier": q15_top_supplier,
     "q19_disjunctive_revenue": q19_disjunctive_revenue,
@@ -496,6 +838,12 @@ QUERIES = {
 }
 
 ORACLE = {
+    "q2_min_cost_supplier": _Q2_SQL,
+    "q11_important_stock": _Q11_SQL,
+    "q12_priority_lines": _Q12_SQL,
+    "q13_customer_distribution": _Q13_SQL,
+    "q14_promo_revenue": _Q14_SQL,
+    "q16_part_supplier_counts": _Q16_SQL,
     "q9_product_profit": _Q9_SQL,
     "bloom_join_building_revenue": _BLOOM_JOIN_SQL,
     "q8_market_share": _Q8_SQL,
