@@ -247,3 +247,82 @@ def pack_sequences(
             F.floor(F.col("prev_tokens") / F.lit(float(budget_tokens))).cast("long"),
         )
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``).
+
+    Scale: the term explode is the big intermediate (one row per token),
+    but it aggregates immediately to (doc_id, term) grain -- partial
+    map-side combine eats most of it before the shuffle.  Document
+    frequency re-aggregates the ALREADY-deduped tf relation (never a
+    second pass over the raw token stream), and the doc count is a scalar
+    broadcast.  The df join keys on term; AQE broadcasts it when the
+    vocabulary is small and falls back to a shuffle join when it isn't.
+    The per-doc top-k window partitions on doc_id with a deterministic
+    (score desc, term asc) order -- terms are unique within a document
+    after the tf group-by, so ranks cannot tie.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * (
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw_score"), F.asc("term"))
+    return (
+        tf.join(df, F.col("term") == F.col("df_term"))
+        .join(F.broadcast(n_docs))
+        .withColumn("raw_score", score)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", F.round("raw_score", 6).alias("tfidf"), "rnk"
+        )
+    )
+
+
+def doc_length_histogram(docs: DataFrame, width: int = 50) -> DataFrame:
+    """Histogram of document character lengths in fixed-width buckets.
+
+    Scale: single scan reading ONE column (n_chars is precomputed in the
+    table; the text column never leaves the parquet footer), partial
+    aggregation on a domain-bounded key -- the classic zero-risk query.
+    """
+    bucket = (F.floor(F.col("n_chars") / width) * width).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+def source_mixture_weights(
+    docs: DataFrame, alpha: float = 0.5, budget_docs: int = 100_000
+) -> DataFrame:
+    """Temperature-scaled training-mix weights per source:
+    ``weight(s) = n_s^alpha / sum_t n_t^alpha`` with a document budget
+    apportioned by weight (alpha < 1 upweights small sources -- the
+    standard multilingual/multi-source mixing rule).
+
+    Scale: one count-by-source aggregate (domain-bounded key), then a
+    scalar re-aggregate of that tiny result broadcast back -- the fact
+    table is scanned once regardless of source count.
+    """
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    z = per.agg(F.sum(F.pow("n_docs", F.lit(alpha))).alias("z"))
+    w = F.pow("n_docs", F.lit(alpha)) / F.col("z")
+    return per.join(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("mix_weight"),
+        F.floor(w * budget_docs + 0.5).cast("long").alias("target_docs"),
+    )

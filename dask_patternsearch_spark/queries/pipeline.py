@@ -641,8 +641,71 @@ def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT doc_id, term, round(raw_score, 6) AS tfidf, rnk
+FROM (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS raw_score,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) DESC,
+                    tf.term ASC
+         ) AS rnk
+  FROM tf JOIN df USING (term) CROSS JOIN n
+) ranked
+WHERE rnk <= 3
+"""
+
+
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_length_histogram(_docs(spark, sf_dir))
+
+
+_LENGTH_HIST_SQL = """
+SELECT CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+       count(*)                                 AS n_docs,
+       round(avg(n_chars), 4)                   AS avg_chars
+FROM documents
+GROUP BY 1
+"""
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_mixture_weights(_docs(spark, sf_dir))
+
+
+_SOURCE_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+),
+z AS (SELECT sum(power(n_docs, 0.5)) AS z FROM per)
+SELECT source, n_docs,
+       round(power(n_docs, 0.5) / z, 6)                          AS mix_weight,
+       CAST(floor(power(n_docs, 0.5) / z * 100000 + 0.5) AS BIGINT) AS target_docs
+FROM per CROSS JOIN z
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
+    "tfidf_top_terms": tfidf_top_terms,
+    "doc_length_histogram": doc_length_histogram,
+    "source_mixture_weights": source_mixture_weights,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -680,6 +743,9 @@ QUERIES = {
 
 ORACLE = {
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
+    "tfidf_top_terms": _TFIDF_SQL,
+    "doc_length_histogram": _LENGTH_HIST_SQL,
+    "source_mixture_weights": _SOURCE_MIX_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,
     "cosine_topk": _COSINE_TOPK_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
