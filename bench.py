@@ -30,6 +30,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_blamed_supplier",
     "bloom_join_building_revenue",
@@ -51,6 +52,7 @@ HEADLINE = [
     "embedding_near_dups",
     "token_stats_by_lang",
     "quality_scores",
+    "tfidf_top_terms",
     "cube_returns_modes",
     "grouping_sets_revenue",
     "percentiles_by_segment",

@@ -201,3 +201,52 @@ def test_upsert_is_single_aggregate_no_sort(spark):
     text = plan_text(df)
     assert "Window" not in text
     assert "max_by" in text or "HashAggregate" in text
+
+
+def test_q2_broadcasts_dims_and_prunes_fact(spark):
+    """Q2: region/nation/part/supplier lookups broadcast; the lineitem scan
+    reads only the 4 columns the offer aggregate needs."""
+    from dask_patternsearch_spark.queries import tpch as TT
+
+    info = summarize(TT.QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 3
+    assert info["nested_loop_joins"] == 0
+    li_schema = next(s for s in info["read_schemas"] if "l_partkey" in s)
+    for col in ("l_shipdate", "l_discount", "l_tax", "l_returnflag"):
+        assert col not in li_schema, f"unpruned lineitem column {col}"
+
+
+def test_q16_anti_join_broadcasts(spark):
+    """Q16: the complaints NOT IN list and the part filter both broadcast;
+    no Python stages anywhere."""
+    from dask_patternsearch_spark.queries import tpch as TT
+
+    info = summarize(TT.QUERIES["q16_part_supplier_counts"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 2
+    assert info["python_stages"] == 0
+    li_schema = next(s for s in info["read_schemas"] if "l_partkey" in s)
+    assert "l_extendedprice" not in li_schema
+
+
+def test_q13_left_join_preserves_and_preaggregates(spark):
+    """Q13: orders pre-aggregate to one row per customer BEFORE the outer
+    join (partial agg exists), and the plan stays JVM-side."""
+    from dask_patternsearch_spark.queries import tpch as TT
+
+    info = summarize(TT.QUERIES["q13_customer_distribution"](spark, SF_DIR))
+    assert info["python_stages"] == 0
+    assert info["partial_aggregates"] >= 1
+    # customer scan needs only the key
+    cust_schema = next(s for s in info["read_schemas"] if "c_custkey" in s)
+    assert "c_acctbal" not in cust_schema and "c_name" not in cust_schema
+
+
+def test_tfidf_stays_jvm_side(spark):
+    """TF-IDF is pure Catalyst: explode + two aggregates + window, no
+    Python stage, and the documents scan reads only (doc_id, text)."""
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    info = summarize(P.QUERIES["tfidf_top_terms"](spark, SF_DIR))
+    assert info["python_stages"] == 0
+    doc_schema = next(s for s in info["read_schemas"] if "doc_id" in s)
+    assert "lang" not in doc_schema and "source" not in doc_schema
