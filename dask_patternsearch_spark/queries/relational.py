@@ -1963,8 +1963,154 @@ GROUP BY ALL
 """
 
 
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage event funnel (view -> click -> purchase, each stage
+    strictly after the user's FIRST occurrence of the previous one) with
+    per-stage user counts and conversion rates.
+
+    Scale: three per-user min aggregates, each keyed on user_id -- the
+    three joins and both aggs reuse ONE hash partitioning, so AQE plans a
+    single effective shuffle of the events scan per stage filter, and the
+    final count is a scalar agg.  No windows over the raw stream and no
+    per-user event arrays (a collect_list spelling would shuffle the whole
+    event payload; this ships only (user_id, ts) pairs).
+    """
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts_ms")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v.select(F.col("user_id").alias("vu"), "t_view"),
+              (F.col("user_id") == F.col("vu")) & (F.col("ts_ms") > F.col("t_view")))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c.select(F.col("user_id").alias("cu"), "t_click"),
+              (F.col("user_id") == F.col("cu")) & (F.col("ts_ms") > F.col("t_click")))
+        .groupBy("user_id")
+        .agg(F.min("ts_ms").alias("t_purchase"))
+    )
+    return (
+        v.join(c.select(F.col("user_id").alias("u2"), "t_click"),
+               F.col("user_id") == F.col("u2"), "left")
+        .join(p.select(F.col("user_id").alias("u3"), "t_purchase"),
+              F.col("user_id") == F.col("u3"), "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_click"),
+            F.count("t_purchase").alias("n_purchase"),
+            F.round(F.count("t_click") / F.count("t_view"), 6).alias("view_to_click"),
+            F.round(F.count("t_purchase") / F.count("t_click"), 6).alias("click_to_purchase"),
+        )
+    )
+
+
+_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+v AS (
+  SELECT user_id, min(ts_ms) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(e.ts_ms) AS t_click
+  FROM ev e JOIN v ON e.user_id = v.user_id AND e.ts_ms > v.t_view
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(e.ts_ms) AS t_purchase
+  FROM ev e JOIN c ON e.user_id = c.user_id AND e.ts_ms > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT count(t_view)                                    AS n_view,
+       count(t_click)                                   AS n_click,
+       count(t_purchase)                                AS n_purchase,
+       round(count(t_click) * 1.0 / count(t_view), 6)   AS view_to_click,
+       round(count(t_purchase) * 1.0 / count(t_click), 6) AS click_to_purchase
+FROM v
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week, with
+    the count still active k weeks later and the retention rate vs the
+    cohort size.
+
+    Scale: first-activity and (user, week) activity dedup are both keyed
+    on user_id (one partitioning reused); the cohort-size lookup is a
+    re-aggregate of the tiny per-cohort result broadcast back.  Weeks are
+    integer Monday-aligned indices of the epoch-ms clock
+    (``(day + 3) DIV 7``; epoch day 0 is a Thursday), so the offset
+    subtraction is exact integer arithmetic in both engines -- no
+    timezone- or calendar-dependent truncation.
+    """
+    week = "(ts_ms DIV 86400000 + 3) DIV 7"
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.expr(week).cast("int").alias("week_idx")
+    )
+    first = ev.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    active = ev.distinct()
+    joined = active.join(
+        first.select(F.col("user_id").alias("fu"), "cohort_week"),
+        F.col("user_id") == F.col("fu"),
+    ).select(
+        "cohort_week",
+        (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"),
+        "user_id",
+    )
+    per_cell = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    sizes = first.groupBy(F.col("cohort_week").alias("sz_week")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        per_cell.join(F.broadcast(sizes), F.col("cohort_week") == F.col("sz_week"))
+        .select(
+            "cohort_week", "week_offset", "n_users", "cohort_size",
+            F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+        )
+    )
+
+
+_COHORT_SQL = """
+WITH ev AS (
+  SELECT user_id,
+         CAST((epoch_ms(ts) // 86400000 + 3) // 7 AS INTEGER) AS week_idx
+  FROM events
+),
+first AS (
+  SELECT user_id, min(week_idx) AS cohort_week FROM ev GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, week_idx FROM ev
+),
+per_cell AS (
+  SELECT cohort_week, week_idx - cohort_week AS week_offset, count(*) AS n_users
+  FROM active JOIN first USING (user_id)
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week AS sz_week, count(*) AS cohort_size FROM first GROUP BY 1
+)
+SELECT cohort_week, week_offset, n_users, cohort_size,
+       round(n_users * 1.0 / cohort_size, 6) AS retention
+FROM per_cell JOIN sizes ON cohort_week = sz_week
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "funnel_conversion": funnel_conversion,
+    "cohort_retention": cohort_retention,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "agg_having_priority": agg_having_priority,
@@ -2024,6 +2170,8 @@ QUERIES = {
 
 ORACLE = {
     "q1_pricing_summary": _Q1_SQL,
+    "funnel_conversion": _FUNNEL_SQL,
+    "cohort_retention": _COHORT_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "agg_having_priority": _AGG_HAVING_SQL,
