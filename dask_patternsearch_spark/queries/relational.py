@@ -2107,10 +2107,116 @@ FROM per_cell JOIN sizes ON cohort_week = sz_week
 """
 
 
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type percentile winsorization of the event value column: clip
+    to [p05, p95] and report clip counts and the clipped mean -- the
+    standard outlier treatment before numeric features enter training.
+
+    Scale: two passes over events (exact percentiles, then the clip
+    aggregate) with the tiny per-type percentile table broadcast back
+    between them.  At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (same plan shape, one mergeable sketch pass;
+    the `approx_percentiles_price` query demonstrates that path) -- exact
+    percentiles are kept here because the oracle checks exact values.
+    """
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    pct = ev.groupBy(F.col("event_type").alias("p_type")).agg(
+        F.percentile("value", 0.05).alias("p_lo"),
+        F.percentile("value", 0.95).alias("p_hi"),
+    )
+    clipped = F.greatest("p_lo", F.least("p_hi", F.col("value")))
+    return (
+        ev.join(F.broadcast(pct), F.col("event_type") == F.col("p_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("p_lo"), 6).alias("p_lo"),
+            F.round(F.min("p_hi"), 6).alias("p_hi"),
+            F.count_if(F.col("value") < F.col("p_lo")).alias("n_clipped_lo"),
+            F.count_if(F.col("value") > F.col("p_hi")).alias("n_clipped_hi"),
+            F.round(F.avg(clipped), 6).alias("mean_winsorized"),
+        )
+    )
+
+
+_WINSORIZE_SQL = """
+WITH pct AS (
+  SELECT event_type AS p_type,
+         quantile_cont(value, 0.05) AS p_lo,
+         quantile_cont(value, 0.95) AS p_hi
+  FROM events GROUP BY 1
+)
+SELECT event_type,
+       count(*)                                              AS n,
+       round(min(p_lo), 6)                                   AS p_lo,
+       round(min(p_hi), 6)                                   AS p_hi,
+       count(*) FILTER (value < p_lo)                        AS n_clipped_lo,
+       count(*) FILTER (value > p_hi)                        AS n_clipped_hi,
+       round(avg(greatest(p_lo, least(p_hi, value))), 6)     AS mean_winsorized
+FROM events JOIN pct ON event_type = p_type
+GROUP BY event_type
+"""
+
+
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median absolute deviation
+    (median of |value - median|) and the count of values whose robust
+    z-score ``0.6745 * |x - med| / mad`` exceeds 3.5 (the Iglewicz-Hoaglin
+    rule).
+
+    Scale: three aggregate passes (median, MAD, outlier count), each a
+    keyed aggregate on the 5-value type domain with the one-row-per-type
+    intermediates broadcast back -- the fact table streams through each
+    pass, nothing wide ever shuffles.
+    """
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.median("value").alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), F.col("event_type") == F.col("m_type"))
+    mad = with_med.groupBy(F.col("event_type").alias("d_type")).agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    robust_z = 0.6745 * F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), F.col("event_type") == F.col("d_type"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(robust_z > 3.5).alias("n_outliers"),
+        )
+    )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type AS m_type, median(value) AS med FROM events GROUP BY 1
+),
+mad AS (
+  SELECT event_type AS d_type, median(abs(value - med)) AS mad
+  FROM events JOIN med ON event_type = m_type
+  GROUP BY 1
+)
+SELECT event_type,
+       round(min(med), 6) AS med,
+       round(min(mad), 6) AS mad,
+       count(*)           AS n,
+       count(*) FILTER (0.6745 * abs(value - med) / mad > 3.5) AS n_outliers
+FROM events
+JOIN med ON event_type = m_type
+JOIN mad ON event_type = d_type
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
+    "winsorized_value_stats": winsorized_value_stats,
+    "mad_outlier_counts": mad_outlier_counts,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "agg_having_priority": agg_having_priority,
@@ -2172,6 +2278,8 @@ ORACLE = {
     "q1_pricing_summary": _Q1_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
+    "winsorized_value_stats": _WINSORIZE_SQL,
+    "mad_outlier_counts": _MAD_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "agg_having_priority": _AGG_HAVING_SQL,
