@@ -246,6 +246,9 @@ def test_tfidf_stays_jvm_side(spark):
     Python stage, and the documents scan reads only (doc_id, text)."""
     from dask_patternsearch_spark.queries import pipeline as P
 
+    # a cached full-width documents relation (left by earlier tests) would
+    # replace the pruned scan and defeat the ReadSchema assertion
+    spark.catalog.clearCache()
     info = summarize(P.QUERIES["tfidf_top_terms"](spark, SF_DIR))
     assert info["python_stages"] == 0
     doc_schema = next(s for s in info["read_schemas"] if "doc_id" in s)
