@@ -326,3 +326,49 @@ def source_mixture_weights(
         F.round(w, 6).alias("mix_weight"),
         F.floor(w * budget_docs + 0.5).cast("long").alias("target_docs"),
     )
+
+
+def compression_ratios(docs: DataFrame) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) -- the
+    classic redundancy-based quality signal: near-1 ratios mean
+    high-entropy (random-ish) text, very low ratios mean boilerplate or
+    repetition loops; both tails are usually filtered before training.
+
+    Scale: a scalar Arrow-batched pandas UDF (zlib runs at C speed per
+    document, the Python loop is per-doc not per-byte); narrow projection
+    (doc_id, lang, text) and no shuffle at all -- embarrassingly parallel
+    over whatever partitioning the scan produces.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def ratio(texts):
+        import zlib
+
+        def one(t):
+            raw = t.encode("utf-8") if t else b""
+            if not raw:
+                return 1.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return ensure_parallelism(docs).select(
+        "doc_id", "lang", ratio(F.col("text")).alias("comp_ratio")
+    )
+
+
+def compression_quality(docs: DataFrame) -> DataFrame:
+    """Per-language compression-ratio profile (n, mean, min, max) --
+    the aggregate view used to pick filter thresholds."""
+    return (
+        compression_ratios(docs)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("comp_ratio"), 6).alias("mean_ratio"),
+            F.round(F.min("comp_ratio"), 6).alias("min_ratio"),
+            F.round(F.max("comp_ratio"), 6).alias("max_ratio"),
+        )
+    )

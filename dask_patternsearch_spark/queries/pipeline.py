@@ -641,6 +641,10 @@ def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.compression_quality(_docs(spark, sf_dir))
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_docs(spark, sf_dir))
 
@@ -706,6 +710,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "doc_length_histogram": doc_length_histogram,
     "source_mixture_weights": source_mixture_weights,
+    "compression_quality": compression_quality,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,

@@ -645,3 +645,26 @@ def test_contamination_pairs_estimates_exact_copy_as_one(spark):
     }
     assert all(r["est_jaccard"] == 1.0 for r in pairs
                if r["doc_id"] - 500_000 == r["bench_doc_id"])
+
+
+def test_compression_ratio_properties(spark):
+    """Repetitive text must compress far better than high-entropy text,
+    and every ratio must land in (0, 1.5]."""
+    rows = [
+        (1, "ab " * 500, "en"),
+        (2, "the quick brown fox jumps over the lazy dog " * 20, "en"),
+        (3, "kq9 zx2 vb7 mw4 jh8 tc3 rn6 pl1 gd5 fs0 " * 25, "xx"),
+        (4, "", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r["comp_ratio"] for r in text.compression_ratios(df).collect()}
+    assert all(0.0 < v <= 1.5 for v in out.values())
+    assert out[1] < out[3], "repetition must compress better than noise"
+    assert out[4] == 1.0
+
+
+def test_compression_quality_runs_on_corpus(spark, docs):
+    rows = text.compression_quality(docs).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"] <= 1.5
