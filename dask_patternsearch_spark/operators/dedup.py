@@ -589,3 +589,56 @@ def decontaminate(
     through).  One anti-join on doc_id; corpus rows come back unchanged."""
     dirty = contamination_pairs(corpus, benchmark, **kwargs).select("doc_id").distinct()
     return corpus.join(dirty, "doc_id", "left_anti")
+
+
+def canonicalize_near_dups(
+    docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup endgame in one call: MinHash-LSH candidate pairs ->
+    connected components -> keep the HIGHEST-QUALITY document per
+    duplicate cluster (ties broken by min doc_id), singletons passing
+    through untouched.
+
+    Returns ``(doc_id, cluster, cluster_size, kept)`` for every input
+    document, so the caller can either filter ``kept`` or audit what was
+    dropped.
+
+    Scale: pair generation and clustering are the bounded-shuffle paths
+    documented on `minhash_lsh_candidates` / `connected_components`; the
+    canonical pick is ONE `max_by` hash aggregate over (cluster) with a
+    packed (quality, -doc_id) tie-break key -- no window sort, no
+    per-cluster collect.  The labels and per-cluster tables join WITHOUT
+    broadcast hints: they are usually a few percent of the corpus, which
+    AQE will broadcast at test scale but correctly shuffle at 100 TB
+    (where "a few percent" is billions of rows).
+    """
+    pairs = minhash_lsh_candidates(docs, min_est_jaccard=min_est_jaccard)
+    labels = connected_components(pairs)
+    labeled = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster"),
+        F.col(quality_col).cast("long").alias("quality"),
+    )
+    # argmax(quality, tie-break LOWEST doc_id) per cluster: pack both into
+    # one orderable struct so a single max_by resolves it deterministically
+    best = labeled.groupBy(F.col("cluster").alias("b_cluster")).agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id"))
+        ).alias("kept_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        labeled.join(best, F.col("cluster") == F.col("b_cluster"))
+        .select(
+            "doc_id",
+            "cluster",
+            "cluster_size",
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("kept"),
+        )
+    )

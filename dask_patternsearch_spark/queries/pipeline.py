@@ -645,6 +645,10 @@ def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_quality(_docs(spark, sf_dir))
 
 
+def canonicalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.canonicalize_near_dups(_docs(spark, sf_dir))
+
+
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(_docs(spark, sf_dir))
 
@@ -711,6 +715,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "source_mixture_weights": source_mixture_weights,
     "compression_quality": compression_quality,
+    "canonicalize_corpus": canonicalize_corpus,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,

@@ -668,3 +668,44 @@ def test_compression_quality_runs_on_corpus(spark, docs):
     assert rows
     for r in rows:
         assert 0.0 < r["min_ratio"] <= r["mean_ratio"] <= r["max_ratio"] <= 1.5
+
+
+def test_canonicalize_keeps_best_per_cluster(spark):
+    """Planted near-duplicates: one survivor per cluster, and it is the
+    highest-quality (longest) member; unique docs all survive."""
+    base = "spark shuffle partition broadcast join aggregate window " * 6
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base + "extra tail tokens here", "en", "s", len(base) + 23),
+        (3, base + "extra", "en", "s", len(base) + 6),
+        (10, "completely different text about pattern search stencils "
+             "and simplex reflection contraction steps in optimization", "en", "s", 113),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.canonicalize_near_dups(df, min_est_jaccard=0.4)
+    res = {r["doc_id"]: r for r in out.collect()}
+    assert set(res) == {1, 2, 3, 10}
+    # 1,2,3 cluster together; doc 2 (longest) is kept
+    assert res[1]["cluster"] == res[2]["cluster"] == res[3]["cluster"]
+    assert res[2]["kept"] and not res[1]["kept"] and not res[3]["kept"]
+    assert res[1]["cluster_size"] == 3
+    # the unique doc survives as its own singleton cluster
+    assert res[10]["kept"] and res[10]["cluster_size"] == 1
+
+
+def test_canonicalize_exactly_one_keeper_per_cluster(spark, docs):
+    out = dedup.canonicalize_near_dups(docs).cache()
+    per_cluster = (
+        out.groupBy("cluster")
+        .agg(
+            F.sum(F.col("kept").cast("int")).alias("n_kept"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("cluster_size").alias("sz"),
+        )
+    )
+    bad = per_cluster.filter((F.col("n_kept") != 1) | (F.col("n") != F.col("sz"))).count()
+    assert bad == 0
+    assert out.count() == docs.count()
+    out.unpersist()
