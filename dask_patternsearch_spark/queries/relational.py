@@ -2211,12 +2211,74 @@ GROUP BY event_type
 """
 
 
+def top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path mining: the 10 most common 3-step event-type sequences across
+    per-user timelines (consecutive triples, ordered by timestamp with
+    event_id tie-breaks).
+
+    Scale: ONE shuffle keyed on user_id builds each user's ordered type
+    array (only (ts, event_id, type) crosses the wire); the triple
+    enumeration is an array transform over that row -- per-user state, no
+    self-joins of the event stream (the naive 3-way join spelling shuffles
+    the fact table three times).  The final count is a domain-bounded agg
+    (|types|^3 keys max) and top-10 is TakeOrderedAndProject.
+    """
+    ev = _events(spark, sf_dir)
+    seqs = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts_ms", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(F.expr("transform(evs, e -> e.event_type)").alias("types"))
+    )
+    triples = seqs.select(
+        F.explode(
+            F.when(
+                F.size("types") >= 3,
+                F.expr(
+                    "transform(sequence(0, size(types)-3),"
+                    " i -> concat_ws('>', types[i], types[i+1], types[i+2]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("path")
+    )
+    return (
+        triples.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+_EVENT_PATHS_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         list(event_type ORDER BY epoch_ms(ts), event_id) AS types
+  FROM events GROUP BY 1
+),
+tri AS (
+  SELECT unnest([types[i] || '>' || types[i+1] || '>' || types[i+2]
+                 FOR i IN generate_series(1, len(types) - 2)]) AS path
+  FROM seqs
+  WHERE len(types) >= 3
+)
+SELECT path, count(*) AS n
+FROM tri
+GROUP BY path
+ORDER BY n DESC, path ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "winsorized_value_stats": winsorized_value_stats,
     "mad_outlier_counts": mad_outlier_counts,
+    "top_event_paths": top_event_paths,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_region_revenue": q5_region_revenue,
     "agg_having_priority": agg_having_priority,
@@ -2280,6 +2342,7 @@ ORACLE = {
     "cohort_retention": _COHORT_SQL,
     "winsorized_value_stats": _WINSORIZE_SQL,
     "mad_outlier_counts": _MAD_SQL,
+    "top_event_paths": _EVENT_PATHS_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "agg_having_priority": _AGG_HAVING_SQL,
