@@ -709,3 +709,43 @@ def test_canonicalize_exactly_one_keeper_per_cluster(spark, docs):
     assert bad == 0
     assert out.count() == docs.count()
     out.unpersist()
+
+
+def test_canonicalize_no_duplicates_all_kept(spark):
+    """A corpus with no near-duplicates must keep every doc as its own
+    singleton cluster."""
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46),
+        (2, "one two three four five six seven eight nine ten", "en", "s", 49),
+        (3, "spark catalyst tungsten arrow parquet shuffle", "en", "s", 45),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.canonicalize_near_dups(df).collect()
+    assert len(out) == 3
+    assert all(r["kept"] and r["cluster_size"] == 1 for r in out)
+
+
+def test_tfidf_empty_docs(spark):
+    from dask_patternsearch_spark.operators import text as T
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    assert T.tfidf_top_terms(df).count() == 0
+
+
+def test_source_mixture_weights_sum_to_one(spark, docs):
+    from dask_patternsearch_spark.operators import text as T
+
+    rows = T.source_mixture_weights(docs).collect()
+    assert rows
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-3
+    assert all(r["target_docs"] >= 0 for r in rows)
+
+
+def test_doc_length_histogram_counts_total(spark, docs):
+    from dask_patternsearch_spark.operators import text as T
+
+    rows = T.doc_length_histogram(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert all(r["bucket_lo"] % 50 == 0 for r in rows)
