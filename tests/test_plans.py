@@ -253,3 +253,37 @@ def test_tfidf_stays_jvm_side(spark):
     assert info["python_stages"] == 0
     doc_schema = next(s for s in info["read_schemas"] if "doc_id" in s)
     assert "lang" not in doc_schema and "source" not in doc_schema
+
+
+def test_whole_relational_surface_plan_audit(spark):
+    """Suite-wide physical-plan gate: across EVERY relational/TPC-H query,
+    no accidental cartesian products and no Python stages.  Scalar-
+    subquery broadcasts (q15/q22/q11-style) legitimately plan as
+    BroadcastNestedLoopJoin on a one-row side; true cross joins are only
+    the explicitly-declared ones."""
+    from dask_patternsearch_spark.queries import relational as R
+    from dask_patternsearch_spark.queries import tpch as TT
+
+    # one-row-side broadcasts or declared cartesian products
+    nested_loop_ok = {
+        "cross_join_nation_region",     # explicit cartesian demo
+        "q15_top_supplier", "q22_dormant_balances", "q11_important_stock",
+        "q8_market_share",              # scalar threshold cross joins
+        "funnel_conversion", "winsorized_value_stats", "mad_outlier_counts",
+        "null_semantics_flags", "tfidf_top_terms", "source_mixture_weights",
+        "q17_small_quantity_revenue", "q18_large_volume", "q20_excess_shippers",
+        "resample_hourly_gaps",         # scalar min/max grid bounds broadcast
+    }
+    # declared Python-stage queries: a pandas-UDF demo and the bloom join's
+    # vectorized membership probe
+    python_ok = {"grouped_map_user_gaps", "scalar_pandas_udf_prices",
+                 "bloom_join_building_revenue"}
+    spark.catalog.clearCache()
+    offenders = []
+    for name, fn in {**R.QUERIES, **TT.QUERIES}.items():
+        info = summarize(fn(spark, SF_DIR))
+        if info["python_stages"] > 0 and name not in python_ok:
+            offenders.append((name, "python_stage"))
+        if info["nested_loop_joins"] > 0 and name not in nested_loop_ok:
+            offenders.append((name, "nested_loop"))
+    assert not offenders, offenders
