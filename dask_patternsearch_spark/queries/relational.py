@@ -2272,8 +2272,96 @@ LIMIT 10
 """
 
 
+def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization: decile edges of l_extendedprice
+    from ONE exact-percentile aggregate, broadcast back, bin assignment as
+    a pure array fold -- the feature-engineering binning pattern.
+
+    Scale: no global sort and no ntile window (the naive spelling sorts
+    100 TB through one ordering); the edge vector is 9 doubles broadcast
+    to every task, so assignment is map-side only and the final group-by
+    has 10 keys.  At extreme scale swap ``percentile`` for
+    ``approx_percentile`` -- identical plan, sketchable pass.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    qs = [i / 10.0 for i in range(1, 10)]
+    edges = li.agg(
+        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("edges")
+    )
+    bin_id = F.lit(1) + F.aggregate(
+        "edges",
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(F.col("l_extendedprice") > e, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        li.join(F.broadcast(edges))
+        .select(bin_id.alias("bin"), "l_extendedprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+    )
+
+
+_DECILE_SQL = """
+WITH edges AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+  FROM lineitem
+)
+SELECT 1 + CAST(list_sum(list_transform(edges,
+             e -> CASE WHEN l_extendedprice > e THEN 1 ELSE 0 END)) AS INTEGER) AS bin,
+       count(*)                      AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi
+FROM lineitem CROSS JOIN edges
+GROUP BY 1
+"""
+
+
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family per return flag: sample stddev /
+    variance, Pearson correlation and sample covariance of quantity vs
+    extended price.
+
+    Scale: one scan, one partial-aggregable pass -- all four moments
+    merge associatively (sum/sum-of-squares/cross-products), so map-side
+    combine applies exactly as for sum/count.  Rounded to 4 dp because
+    the engines sum partials in different orders (the moments themselves
+    are ulp-stable well past 4 dp at any scale).
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+        )
+    )
+
+
+_STAT_AGG_SQL = """
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)                  AS qty_stddev,
+       round(var_samp(l_quantity), 4)                     AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 4)        AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4)  AS qty_price_covar
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "price_decile_bins": price_decile_bins,
+    "stat_aggregates": stat_aggregates,
     "funnel_conversion": funnel_conversion,
     "cohort_retention": cohort_retention,
     "winsorized_value_stats": winsorized_value_stats,
@@ -2343,6 +2431,8 @@ ORACLE = {
     "winsorized_value_stats": _WINSORIZE_SQL,
     "mad_outlier_counts": _MAD_SQL,
     "top_event_paths": _EVENT_PATHS_SQL,
+    "price_decile_bins": _DECILE_SQL,
+    "stat_aggregates": _STAT_AGG_SQL,
     "q3_shipping_priority": _Q3_SQL,
     "q5_region_revenue": _Q5_SQL,
     "agg_having_priority": _AGG_HAVING_SQL,
