@@ -10,20 +10,30 @@ from __future__ import annotations
 
 from . import pipeline, relational, patterns, tpch
 
+_MODULES = (relational, tpch, pipeline, patterns)
 
-def all_queries():
-    out = {}
-    out.update(relational.QUERIES)
-    out.update(tpch.QUERIES)
-    out.update(pipeline.QUERIES)
-    out.update(patterns.QUERIES)
+
+def _merge(attr: str) -> dict:
+    """Merge one registry dict from every module, refusing silent
+    name shadowing (a duplicate key would make one module's query
+    invisible to the driver harness)."""
+    out: dict = {}
+    for mod in _MODULES:
+        part = getattr(mod, attr)
+        dup = out.keys() & part.keys()
+        if dup:
+            raise ValueError(f"duplicate query names across modules: {sorted(dup)}")
+        out.update(part)
     return out
 
 
+def all_queries():
+    return _merge("QUERIES")
+
+
 def all_oracles():
-    out = {}
-    out.update(relational.ORACLE)
-    out.update(tpch.ORACLE)
-    out.update(pipeline.ORACLE)
-    out.update(patterns.ORACLE)
+    out = _merge("ORACLE")
+    missing = out.keys() - all_queries().keys()
+    if missing:
+        raise ValueError(f"oracle entries without a query: {sorted(missing)}")
     return out
