@@ -273,6 +273,7 @@ def test_whole_relational_surface_plan_audit(spark):
         "null_semantics_flags", "tfidf_top_terms", "source_mixture_weights",
         "q17_small_quantity_revenue", "q18_large_volume", "q20_excess_shippers",
         "resample_hourly_gaps",         # scalar min/max grid bounds broadcast
+        "price_decile_bins",            # one-row edge vector broadcast
     }
     # declared Python-stage queries: a pandas-UDF demo and the bloom join's
     # vectorized membership probe
