@@ -380,6 +380,26 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup corpus filtering (streaming MinHash banding vs
+    a persistent kept-docs band ledger).  Rows-only; the keep/drop
+    contract and cross-batch ledger behavior are property-tested in
+    tests/test_streaming.py."""
+    import tempfile
+
+    from ..streaming import dedup as sdedup
+
+    base = tempfile.mkdtemp(prefix="dps_neardup_")
+    stream = sdedup.read_docs_stream(spark, sf_dir, glob="documents.parquet")
+    sdedup.neardup_filter_stream(
+        stream,
+        bands_path=f"{base}/bands",
+        kept_path=f"{base}/kept",
+        checkpoint_path=f"{base}/ckpt",
+    )
+    return spark.read.parquet(f"{base}/kept").select("doc_id", "batch_id")
+
+
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language balanced sample of the documents table
     (exact N per stratum, keyed hash order -- reproducible across runs and
@@ -716,6 +736,7 @@ QUERIES = {
     "source_mixture_weights": source_mixture_weights,
     "compression_quality": compression_quality,
     "canonicalize_corpus": canonicalize_corpus,
+    "streaming_neardup_dedup": streaming_neardup_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,

@@ -1,0 +1,118 @@
+"""Incremental near-duplicate filtering over a document stream.
+
+The production LLM-corpus shape: documents arrive continuously, and each
+new document must be dropped if it near-duplicates anything ALREADY KEPT
+-- without ever re-scanning the historical corpus.  ``foreachBatch``
+carries MinHash banding across micro-batches through a persistent band
+ledger: per batch, O(batch) signature work plus one semi join against the
+ledger's (band, bucket) keys.
+
+Contract (deterministic): a document is DROPPED iff it shares a band
+bucket with a smaller-doc_id document in its own batch, or with any
+previously kept document.  Survivors append their bands to the ledger.
+
+Scale: the ledger stores (band, bucket, doc_id) rows for KEPT docs only
+-- a few dozen longs per document, far smaller than text.  The per-batch
+semi join keys on (band, bucket); with the ledger written partitioned by
+band it prunes to matching partitions.  Plain parquet append keeps this
+container-friendly; at real scale the same body targets Delta/Iceberg
+(atomic append) or a key-value store -- the structure is what carries
+over, exactly as for ``streaming.events.upsert_ledger_stream``.
+
+Reference note: this is the streaming generalization of the reference's
+memo-table dedup probe (``/root/reference/dask_patternsearch/search.py:
+285-291``) -- "have we seen this before" against an ever-growing ledger,
+here with near-duplicate rather than exact-bytes identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def neardup_filter_stream(
+    docs_stream: DataFrame,
+    bands_path: str,
+    kept_path: str,
+    checkpoint_path: str,
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 8,
+) -> None:
+    """Run the incremental filter to completion (availableNow trigger).
+
+    ``docs_stream`` must provide (doc_id, text).  Kept doc_ids land in
+    ``kept_path`` (with their batch_id); kept documents' bands accumulate
+    in ``bands_path``.
+    """
+    from ..operators.dedup import _band_buckets, minhash_signatures
+
+    rows_per_band = n_perm // n_bands
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sigs = minhash_signatures(batch_df, n=n, n_perm=n_perm).localCheckpoint(
+            eager=True
+        )
+        bands = _band_buckets(sigs, n_bands, rows_per_band).localCheckpoint(
+            eager=True
+        )
+        try:
+            ledger = sp.read.parquet(bands_path).select("band", "bucket").distinct()
+            dup_vs_ledger = bands.join(
+                ledger, ["band", "bucket"], "left_semi"
+            ).select("doc_id")
+        except Exception:  # first batch: no ledger yet
+            dup_vs_ledger = sp.createDataFrame([], "doc_id long")
+        dup_in_batch = (
+            bands.alias("x")
+            .join(
+                bands.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("y.doc_id") < F.col("x.doc_id")),
+            )
+            .select(F.col("x.doc_id").alias("doc_id"))
+        )
+        dups = dup_vs_ledger.unionByName(dup_in_batch).distinct()
+        kept = (
+            sigs.select("doc_id")
+            .join(dups, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        bands.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
+            bands_path
+        )
+        kept.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            kept_path
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_docs_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """File-source document stream.  ``docs_dir`` must be a DIRECTORY
+    (Spark's file source rejects a bare file as basePath); pass ``glob``
+    to restrict which files in it are streamed."""
+    sample = f"{docs_dir}/{glob}" if glob else docs_dir
+    static = spark.read.parquet(sample)
+    reader = spark.readStream.schema(static.schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(docs_dir)
