@@ -147,6 +147,64 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1): the
+    fraction of tokens taken by the single most frequent token and the
+    fraction of word trigrams that are repeats of an earlier trigram in
+    the same document.  Repetitive boilerplate (nav bars, keyword stuffing,
+    degenerate generations) scores high on both and gets filtered before
+    training.
+
+    Scale: the unigram branch aggregates at (doc_id, term) grain map-side
+    before the doc-level re-aggregate; the trigram branch is pure array
+    expressions (zero shuffle, whole-stage codegen) -- trigrams never
+    explode into rows.  The final join is doc_id-keyed, high cardinality,
+    AQE-planned.
+    """
+    toks = _tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks"))
+
+    tf = base.select("doc_id", F.explode("toks").alias("term")).groupBy(
+        "doc_id", "term"
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.round(F.max("tf").cast("double") / F.sum("tf"), 6).alias(
+            "top_unigram_frac"
+        ),
+        F.round(F.count(F.lit(1)).cast("double") / F.sum("tf"), 6).alias(
+            "distinct_token_frac"
+        ),
+    )
+
+    n = F.size("toks")
+    tri = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    trig = base.select("doc_id", tri.alias("tri")).select(
+        "doc_id",
+        F.when(
+            F.size("tri") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("tri")).cast("double")
+                / F.size("tri"),
+                6,
+            ),
+        ).alias("dup_trigram_frac"),
+    )
+    return uni.join(trig, "doc_id")
+
+
 # character-trigram profiles for the five testdata languages.  On real data
 # you would learn these from a labelled corpus; the profiles below encode
 # well-known distinctive character sequences per language.

@@ -700,6 +700,105 @@ WHERE rnk <= 3
 """
 
 
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality proxy: per-document mean negative log
+    probability under the corpus's own unigram distribution (the cheap
+    stand-in for KenLM perplexity filtering).  High scores = rare-token
+    soup; low scores = common-token text.
+
+    Scale: the token explode aggregates to (doc, term) grain map-side;
+    corpus term frequencies re-aggregate that deduped relation (adding
+    counts), never the raw stream; the per-doc score is one weighted
+    average keyed on doc_id.  The frequency join on term is AQE-decided,
+    same posture as TF-IDF.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id", F.explode(text._tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    corpus = tf.groupBy(F.col("term").alias("c_term")).agg(
+        F.sum("tf").alias("term_count")
+    )
+    total = corpus.agg(F.sum("term_count").alias("total_tokens"))
+    neg_logp = -F.log(F.col("term_count") / F.col("total_tokens"))
+    return (
+        tf.join(corpus, F.col("term") == F.col("c_term"))
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * neg_logp) / F.sum("tf"), 6
+            ).alias("mean_neg_logp"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+corpus AS (
+  SELECT term AS c_term, sum(tf) AS term_count FROM tf GROUP BY 1
+),
+total AS (SELECT sum(term_count) AS total_tokens FROM corpus)
+SELECT doc_id,
+       round(sum(tf * -ln(term_count / total_tokens)) / sum(tf), 6)
+         AS mean_neg_logp,
+       CAST(sum(tf) AS BIGINT) AS n_tokens
+FROM tf
+JOIN corpus ON term = c_term
+CROSS JOIN total
+GROUP BY doc_id
+"""
+
+
+def repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_scores(_docs(spark, sf_dir))
+
+
+_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM base)
+  GROUP BY 1, 2
+),
+uni AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         round(CAST(max(tf) AS DOUBLE) / sum(tf), 6) AS top_unigram_frac,
+         round(CAST(count(*) AS DOUBLE) / sum(tf), 6) AS distinct_token_frac
+  FROM tf GROUP BY 1
+),
+trig AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END AS tri
+  FROM base
+),
+dup AS (
+  SELECT doc_id,
+         CASE WHEN len(tri) > 0 THEN
+           round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 6)
+         END AS dup_trigram_frac
+  FROM trig
+)
+SELECT uni.doc_id, n_tokens, top_unigram_frac, distinct_token_frac,
+       dup_trigram_frac
+FROM uni JOIN dup ON uni.doc_id = dup.doc_id
+"""
+
+
 def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.doc_length_histogram(_docs(spark, sf_dir))
 
@@ -737,6 +836,8 @@ QUERIES = {
     "compression_quality": compression_quality,
     "canonicalize_corpus": canonicalize_corpus,
     "streaming_neardup_dedup": streaming_neardup_dedup,
+    "unigram_logprob_scores": unigram_logprob_scores,
+    "repetition_scores": repetition_scores,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
@@ -775,6 +876,8 @@ QUERIES = {
 ORACLE = {
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
+    "unigram_logprob_scores": _UNIGRAM_SQL,
+    "repetition_scores": _REPETITION_SQL,
     "doc_length_histogram": _LENGTH_HIST_SQL,
     "source_mixture_weights": _SOURCE_MIX_SQL,
     "ngram_jaccard_pairs": _NGRAM_JACCARD_SQL,

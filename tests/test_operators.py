@@ -734,6 +734,31 @@ def test_tfidf_empty_docs(spark):
     assert T.tfidf_top_terms(df).count() == 0
 
 
+def test_repetition_scores(spark):
+    from dask_patternsearch_spark.operators import text as T
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),   # one token repeated
+        (2, "a b c d e f g h"),                 # all distinct
+        (3, "x y"),                             # too short for trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.repetition_scores(df).collect()}
+
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["top_unigram_frac"] == 1.0
+    # 4 trigrams, all "spam spam spam" -> 3 of 4 are repeats
+    assert out[1]["dup_trigram_frac"] == 0.75
+
+    assert out[2]["top_unigram_frac"] == 0.125
+    assert out[2]["distinct_token_frac"] == 1.0
+    assert out[2]["dup_trigram_frac"] == 0.0
+
+    # fewer than 3 tokens: trigram fraction undefined, not zero
+    assert out[3]["dup_trigram_frac"] is None
+    assert out[3]["n_tokens"] == 2
+
+
 def test_source_mixture_weights_sum_to_one(spark, docs):
     from dask_patternsearch_spark.operators import text as T
 
