@@ -430,3 +430,180 @@ def compression_quality(docs: DataFrame) -> DataFrame:
             F.round(F.max("comp_ratio"), 6).alias("max_ratio"),
         )
     )
+
+
+# regexes shared with the oracle SQL (RE2-compatible so Java regex and
+# DuckDB produce identical matches)
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+_PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def pii_redaction(docs: DataFrame) -> DataFrame:
+    """PII scrub: count and mask emails / phone numbers / IPv4 addresses.
+
+    The standard pre-training privacy pass (cf. BigScience ROOTS, Dolma):
+    detect with conservative regexes, replace with typed sentinel tokens so
+    downstream tokenization stays stable.  Returns counts plus the md5 of
+    the redacted text (the full text never needs to leave the executors to
+    verify the rewrite).
+
+    Scale: pure JVM regexp expressions in one whole-stage-codegen pass over
+    a single scan -- zero shuffle, zero Python; at 100 TB this is I/O-bound
+    on the text column exactly like any other map-only pass.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "[EMAIL]"),
+            _PII_IPV4,
+            "[IP]",
+        ),
+        _PII_PHONE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IPV4), F.lit(0))).alias("n_ipv4"),
+        F.md5(redacted).alias("redacted_fp"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def c4_quality_filter(
+    docs: DataFrame,
+    min_words: int = 15,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 12.0,
+    min_distinct_ratio: float = 0.1,
+) -> DataFrame:
+    """C4-style heuristic keep/drop filter (Raffel et al. 2020, sec. 2.2).
+
+    Emits the individual signals plus the final ``keep`` verdict so the
+    thresholds can be re-tuned without recomputing: word count, mean word
+    length band, vocabulary diversity, boilerplate markers (curly braces,
+    'lorem ipsum').
+
+    Scale: one scan, array expressions only, no shuffle; the filter is a
+    map-only pass that typically drops 30-60% of raw web text before any
+    expensive (dedup/LSH) stage runs -- order it first in the pipeline.
+    """
+    toks = _tokens(F.col("text"))
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("n_nonspace"),
+        F.col("text").contains("{").alias("has_brace"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem"),
+    )
+    safe_n = F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+    mean_len = F.col("n_nonspace") / safe_n
+    distinct_ratio = F.col("n_distinct") / safe_n
+    keep = (
+        (F.col("n_words") >= min_words)
+        & mean_len.between(min_mean_word_len, max_mean_word_len)
+        & (distinct_ratio >= min_distinct_ratio)
+        & ~F.col("has_brace")
+        & ~F.col("has_lorem")
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        "has_brace",
+        "has_lorem",
+        keep.alias("keep"),
+    )
+
+
+def duplicate_ngram_fraction(
+    docs: DataFrame, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicated n-gram fraction (Dolma/RefinedWeb-style
+    paragraph-dedup signal generalized to shingles): for each document, the
+    fraction of its DISTINCT word n-grams that also occur in at least
+    ``min_docs`` documents corpus-wide.  High values flag boilerplate and
+    templated spam that exact- and MinHash-dedup both miss (the documents
+    differ, the phrases repeat).
+
+    Scale: the shingle explode aggregates immediately to (doc_id, gram)
+    grain -- distinct-per-doc -- so corpus document frequency is ONE count
+    per gram over that deduped relation (partial map-side combine applies).
+    The df relation joins back on gram; AQE broadcasts it while the
+    vocabulary of repeated grams is small and falls back to a shuffle join
+    at web scale.  Documents shorter than ``n`` words have no shingles and
+    are absent from the output (matches the oracle).
+    """
+    toks = _tokens(F.lower(F.trim(F.col("text"))))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+    ex = (
+        docs.filter(F.size(_tokens(F.col("text"))) >= n)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    dfreq = ex.groupBy(F.col("gram").alias("df_gram")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    return (
+        ex.join(dfreq, F.col("gram") == F.col("df_gram"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("df") >= min_docs).cast("long")).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_dup",
+            F.round(
+                F.col("n_dup").cast("double") / F.col("n_ngrams"), 6
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def deterministic_shards(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data layout:
+    every document is assigned a shard by a content-independent hash of its
+    id (first hex digit of md5 for the 16-shard default), and ordering
+    within a shard follows the full md5 -- a stable pseudo-random
+    permutation that is reproducible across engines, runs, and partition
+    counts (no ``rand()``, no ``monotonically_increasing_id``).
+
+    Returns the per-shard manifest (count, byte total, deterministic first
+    document) -- the thing a dataloader consumes.
+
+    Scale: shard assignment is a map-only expression; the manifest is a
+    16-group aggregate.  The actual data movement for writing shards is
+    ``repartition(n_shards, shard)`` + ``sortWithinPartitions(md5)`` --
+    one shuffle, each task writes one shard file sequentially.
+    """
+    if n_shards != 16:
+        raise ValueError("manifest form is defined for the 16-shard default")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    return (
+        docs.select(
+            shard.alias("shard"),
+            h.alias("h"),
+            F.col("doc_id"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("doc_id", F.col("h")).alias("first_doc_id"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

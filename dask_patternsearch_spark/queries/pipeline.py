@@ -478,10 +478,11 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a validity interval [valid_from, valid_to) closed by the next
     event; the last one per user is current.  Exactly the window-lead
     rewrite DuckDB runs."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..util import epoch_ms
+
     ev = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("user_id", "event_id", F.expr("ts DIV 1000000").alias("ts_ms"))
+        .select("user_id", "event_id", epoch_ms("ts").alias("ts_ms"))
     )
     hist = merge.scd2(ev, keys=["user_id"], ts_col="ts_ms", tie_break=["event_id"])
     return hist.select("user_id", "event_id", "valid_from", "valid_to", "is_current")
@@ -828,6 +829,107 @@ FROM per CROSS JOIN z
 """
 
 
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_redaction(_docs(spark, sf_dir))
+
+
+_PII_SQL = r"""
+WITH r AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}(\.\d{1,3}){3}\b', '[IP]', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g')  AS red,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text,
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))                  AS n_phones,
+         len(regexp_extract_all(text,
+             '\b\d{1,3}(\.\d{1,3}){3}\b'))                      AS n_ipv4
+  FROM documents
+)
+SELECT doc_id, n_emails, n_phones, n_ipv4,
+       md5(red)                 AS redacted_fp,
+       CAST(len(red) AS BIGINT) AS redacted_len
+FROM r
+"""
+
+
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.c4_quality_filter(_docs(spark, sf_dir))
+
+
+_C4_FILTER_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+'))                AS n_words,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+         len(regexp_replace(text, '\s', '', 'g'))                  AS n_nonspace,
+         contains(text, '{')                                       AS has_brace,
+         contains(lower(text), 'lorem ipsum')                      AS has_lorem
+  FROM documents
+)
+SELECT doc_id, n_words,
+       round(n_nonspace / CAST(nullif(n_words, 0) AS DOUBLE), 6)  AS mean_word_len,
+       round(n_distinct / CAST(nullif(n_words, 0) AS DOUBLE), 6)  AS distinct_ratio,
+       has_brace, has_lorem,
+       (n_words >= 15
+        AND n_nonspace / CAST(nullif(n_words, 0) AS DOUBLE) BETWEEN 2.0 AND 12.0
+        AND n_distinct / CAST(nullif(n_words, 0) AS DOUBLE) >= 0.1
+        AND NOT has_brace AND NOT has_lorem)                       AS keep
+FROM d
+"""
+
+
+def duplicate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.duplicate_ngram_fraction(_docs(spark, sf_dir))
+
+
+_DUP_NGRAM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                        w[i+3] || ' ' || w[i+4]
+                        FOR i IN range(1, len(w) - 3)]) AS grams
+  FROM toks WHERE len(w) >= 5
+),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM sh),
+dfreq AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram)
+SELECT e.doc_id,
+       count(*) AS n_ngrams,
+       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_fraction
+FROM ex e JOIN dfreq d USING (gram)
+GROUP BY e.doc_id
+"""
+
+
+def deterministic_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.deterministic_shards(_docs(spark, sf_dir))
+
+
+_SHARDS_SQL = """
+WITH d AS (
+  SELECT strpos('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h, doc_id, n_chars
+  FROM documents
+)
+SELECT CAST(shard AS INTEGER)          AS shard,
+       count(*)                        AS n_docs,
+       CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+       arg_min(doc_id, h)              AS first_doc_id,
+       min(doc_id)                     AS min_doc_id,
+       max(doc_id)                     AS max_doc_id
+FROM d GROUP BY shard
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -871,6 +973,10 @@ QUERIES = {
     "scd2_user_history": scd2_user_history,
     "multimodal_resize": multimodal_resize,
     "streaming_running_minimum": streaming_running_minimum,
+    "pii_redaction": pii_redaction,
+    "c4_quality_filter": c4_quality_filter,
+    "duplicate_ngram_fraction": duplicate_ngram_fraction,
+    "deterministic_shards": deterministic_shards,
 }
 
 ORACLE = {
@@ -894,4 +1000,8 @@ ORACLE = {
     "top_bigrams": _BIGRAMS_SQL,
     "udtf_word_positions": _UDTF_SQL,
     "dedup_incremental": _DEDUP_INCR_SQL,
+    "pii_redaction": _PII_SQL,
+    "c4_quality_filter": _C4_FILTER_SQL,
+    "duplicate_ngram_fraction": _DUP_NGRAM_SQL,
+    "deterministic_shards": _SHARDS_SQL,
 }

@@ -61,15 +61,15 @@ def _epoch_ms(col) -> "F.Column":
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with a precomputed ``ts_ms`` epoch-millisecond column.
 
-    The events parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; ``nanosAsLong`` surfaces it as raw nanoseconds and the
-    integer division keeps full precision (a double round-trip would not:
-    2^63 ns >> 2^53).  DuckDB truncates ns -> us -> ms the same way for
-    positive epochs.
+    The events parquet stores naive microsecond timestamps (read as
+    TIMESTAMP_NTZ); ``util.epoch_ms`` casts through LTZ under the pinned
+    UTC session timezone and truncates us -> ms exactly like DuckDB's
+    ``epoch_ms``, so oracle comparisons stay bit-exact.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..util import epoch_ms
+
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.withColumn("ts_ms", F.expr("ts DIV 1000000"))
+    return ev.withColumn("ts_ms", epoch_ms("ts"))
 
 
 # --------------------------------------------------------------------------
@@ -728,7 +728,7 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     hour-bucket math (unnest of the two covering window starts).
     """
     ev = _events(spark, sf_dir).withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
+        "event_time", F.col("ts").cast("timestamp")
     )
     return (
         ev.groupBy(

@@ -15,23 +15,20 @@ from pyspark.sql import functions as F
 def read_events_stream(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet (nanosecond timestamps
-    surface as long via nanosAsLong; converted to a proper event-time
-    column for watermarking).
+    """File-source stream over the events parquet (naive microsecond
+    timestamps read as TIMESTAMP_NTZ; cast to LTZ under the pinned UTC
+    session timezone for an ``event_time`` column watermarks accept).
 
     ``path`` must be a directory; pass ``glob`` (e.g. ``events.parquet``)
     to restrict which files in it are streamed.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sample = f"{path}/{glob}" if glob else path
     schema = spark.read.parquet(sample).schema
     reader = spark.readStream.schema(schema)
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     stream = reader.parquet(path)
-    return stream.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    return stream.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame) -> DataFrame:
@@ -110,7 +107,7 @@ def purchase_click_join_stream(
             F.col("user_id").alias("p_user"),
             F.col("event_id").alias("purchase_id"),
             F.col("event_time").alias("p_time"),
-            F.expr("ts DIV 1000000").alias("p_ms"),
+            F.unix_millis(F.col("event_time")).alias("p_ms"),
         )
         .withWatermark("p_time", "1 hour")
     )
@@ -120,7 +117,7 @@ def purchase_click_join_stream(
             F.col("user_id").alias("c_user"),
             F.col("event_id").alias("click_id"),
             F.col("event_time").alias("c_time"),
-            F.expr("ts DIV 1000000").alias("c_ms"),
+            F.unix_millis(F.col("event_time")).alias("c_ms"),
         )
         .withWatermark("c_time", "1 hour")
     )
@@ -169,7 +166,7 @@ def dedup_events_stream(events: DataFrame, within: str = "1 hour") -> DataFrame:
             "event_id",
             "user_id",
             "event_type",
-            F.expr("ts DIV 1000000").alias("ts_ms"),
+            F.unix_millis(F.col("event_time")).alias("ts_ms"),
         )
     )
 
@@ -233,7 +230,7 @@ def upsert_ledger_stream(
 
     q = (
         events.select(
-            "user_id", "event_id", F.expr("ts DIV 1000000").alias("ts_ms")
+            "user_id", "event_id", F.unix_millis(F.col("event_time")).alias("ts_ms")
         )
         .writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint_path)

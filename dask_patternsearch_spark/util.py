@@ -21,3 +21,29 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def epoch_ms(col):
+    """Exact epoch milliseconds of a timestamp column.
+
+    The testdata stores naive microsecond timestamps (Spark reads them as
+    TIMESTAMP_NTZ); with the session timezone pinned to UTC the NTZ->LTZ
+    cast is value-preserving, and ``unix_millis`` truncates us->ms exactly
+    like DuckDB's ``epoch_ms``.  Integer milliseconds survive double
+    round-trips (< 2^53) so oracle comparisons stay bit-exact.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    return F.unix_millis(col.cast("timestamp"))
+
+
+def event_time(col):
+    """Timestamp column coerced to TIMESTAMP_LTZ (no-op if already LTZ):
+    the type Structured Streaming watermarks and ``unix_millis`` expect."""
+    from pyspark.sql import functions as F
+
+    if isinstance(col, str):
+        col = F.col(col)
+    return col.cast("timestamp")

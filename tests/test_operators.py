@@ -193,9 +193,10 @@ def test_asof_join_matches_inequality_join(spark):
     greatest-right-ts-per-left-row inequality join."""
     from dask_patternsearch_spark.operators.joins import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from dask_patternsearch_spark.util import epoch_ms
+
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    ev = ev.withColumn("ts_ms", F.expr("ts DIV 1000000"))
+    ev = ev.withColumn("ts_ms", epoch_ms("ts"))
     left = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", "ts_ms"
     ).limit(200)
@@ -774,3 +775,69 @@ def test_doc_length_histogram_counts_total(spark, docs):
     rows = T.doc_length_histogram(docs).collect()
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert all(r["bucket_lo"] % 50 == 0 for r in rows)
+
+
+def test_pii_redaction_plants(spark):
+    d = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or 555-123-4567 now"),
+            (2, "server at 10.0.0.1 rebooted"),
+            (3, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.pii_redaction(d).collect()}
+    assert (rows[1]["n_emails"], rows[1]["n_phones"], rows[1]["n_ipv4"]) == (1, 1, 0)
+    assert (rows[2]["n_emails"], rows[2]["n_phones"], rows[2]["n_ipv4"]) == (0, 0, 1)
+    assert (rows[3]["n_emails"], rows[3]["n_phones"], rows[3]["n_ipv4"]) == (0, 0, 0)
+    import hashlib
+
+    expect = "contact [EMAIL] or [PHONE] now"
+    assert rows[1]["redacted_fp"] == hashlib.md5(expect.encode()).hexdigest()
+    assert rows[1]["redacted_len"] == len(expect)
+
+
+def test_c4_quality_filter_verdicts(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 3
+    d = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short"),
+            (3, good + " {code}"),
+            (4, good + " Lorem Ipsum dolor"),
+            (5, "aa " * 40),  # 40 words, all identical -> low diversity
+        ],
+        "doc_id long, text string",
+    )
+    verdicts = {r["doc_id"]: r["keep"] for r in text.c4_quality_filter(d).collect()}
+    assert verdicts == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_duplicate_ngram_fraction_planted_boilerplate(spark):
+    boiler = "all rights reserved click here now"
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon " + boiler),
+            (2, "one two three four five six " + boiler),
+            (3, "totally unique words nowhere else repeated ever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.duplicate_ngram_fraction(d).collect()}
+    # the shared boilerplate contributes >=2 repeated 5-grams to docs 1 and 2
+    assert rows[1]["n_dup"] >= 2 and rows[2]["n_dup"] >= 2
+    assert rows[3]["n_dup"] == 0 and rows[3]["dup_fraction"] == 0.0
+    for r in rows.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+
+
+def test_deterministic_shards_stable_under_repartitioning(spark, docs):
+    base = text.deterministic_shards(docs).collect()
+    again = text.deterministic_shards(docs.repartition(7)).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+    assert key(base) == key(again)
+    assert sum(r["n_docs"] for r in base) == docs.count()
+    assert {r["shard"] for r in base} <= set(range(16))
+    # shard sizes are hash-balanced: no shard holds more than 3x the mean
+    mean = docs.count() / 16
+    assert max(r["n_docs"] for r in base) < 3 * mean

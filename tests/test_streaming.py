@@ -290,9 +290,10 @@ def test_foreachbatch_upsert_ledger_matches_batch(spark, tmp_path):
         r["user_id"]: (r["event_id"], r["ts_ms"])
         for r in spark.read.parquet(ledger).collect()
     }
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from dask_patternsearch_spark.util import epoch_ms
+
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
-        "ts_ms", F.expr("ts DIV 1000000")
+        "ts_ms", epoch_ms("ts")
     )
     want = {
         r["user_id"]: (r["s"]["event_id"], r["s"]["ts_ms"])
