@@ -53,6 +53,10 @@ HEADLINE = [
     "token_stats_by_lang",
     "quality_scores",
     "tfidf_top_terms",
+    "pii_redaction",
+    "c4_quality_filter",
+    "duplicate_ngram_fraction",
+    "deterministic_shards",
     "cube_returns_modes",
     "grouping_sets_revenue",
     "percentiles_by_segment",

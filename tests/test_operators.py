@@ -841,3 +841,13 @@ def test_deterministic_shards_stable_under_repartitioning(spark, docs):
     # shard sizes are hash-balanced: no shard holds more than 3x the mean
     mean = docs.count() / 16
     assert max(r["n_docs"] for r in base) < 3 * mean
+
+
+def test_source_quota_cap_bounds_and_determinism(spark, docs):
+    capped = text.source_quota_cap(docs, k=20)
+    per_src = {r["source"]: r["n"] for r in
+               capped.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_src and all(n <= 20 for n in per_src.values())
+    a = sorted(tuple(r) for r in capped.collect())
+    b = sorted(tuple(r) for r in text.source_quota_cap(docs.repartition(5), k=20).collect())
+    assert a == b
