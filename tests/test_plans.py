@@ -288,3 +288,34 @@ def test_whole_relational_surface_plan_audit(spark):
         if info["nested_loop_joins"] > 0 and name not in nested_loop_ok:
             offenders.append((name, "nested_loop"))
     assert not offenders, offenders
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A partition-column join against a filtered dim must inject a dynamic
+    pruning subquery into the fact scan: at 100 TB only the partitions the
+    dim selects are read at all (runtime analog of static partition
+    pruning; stock Catalyst, no custom rules)."""
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.plans.inspect import plan_text
+    from tests.conftest import SF_DIR
+
+    path = str(tmp_path / "orders_by_year")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    orders.withColumn("yr", F.year("o_orderdate")).write.partitionBy(
+        "yr"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    # the pruning year arrives at runtime (filter on a NON-partition column
+    # of the dim), so static pruning can't precompute it
+    dim = (
+        orders.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .filter(F.col("rev") > 0)
+        .limit(2)
+    )
+    joined = fact.join(F.broadcast(dim), "yr").groupBy("yr").count()
+    text = plan_text(joined).lower()
+    assert "dynamicpruning" in text or "dynamicpruningexpression" in text, (
+        "expected a dynamic partition pruning subquery in the fact scan"
+    )
