@@ -944,6 +944,54 @@ QUALIFY quota_rank <= 20
 """
 
 
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column table profile (``operators.profile``) over a
+    representative lineitem column set: counts, nulls, exact distincts,
+    stringified min/max."""
+    from ..operators.profile import profile_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_table(
+        li,
+        ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+         "l_shipdate"],
+        exact=True,
+    )
+
+
+_PROFILE_COL = """
+SELECT '{c}' AS column_name,
+       count(*)                    AS n_rows,
+       count({c})                  AS n_nonnull,
+       count(DISTINCT {c})         AS n_distinct,
+       CAST(min({c}) AS VARCHAR)   AS min_value,
+       CAST(max({c}) AS VARCHAR)   AS max_value
+FROM lineitem
+"""
+_PROFILE_SQL = " UNION ALL ".join(
+    _PROFILE_COL.format(c=c)
+    for c in ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag",
+              "l_shipdate"]
+)
+
+
+def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment: the event stream joined per
+    micro-batch against the static customer dimension, aggregated by market
+    segment (rows-only; answer equals the batch twin, asserted in
+    tests/test_streaming.py)."""
+    from ..streaming import events as sev
+
+    _STREAM_SEQ[0] += 1
+    name = f"dps_stream_enriched_{_STREAM_SEQ[0]}"
+    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    sev.run_to_memory(sev.enrich_stream(stream, dim), name, spark)
+    return spark.table(name)
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -992,6 +1040,8 @@ QUERIES = {
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "deterministic_shards": deterministic_shards,
     "source_quota_cap": source_quota_cap,
+    "profile_lineitem": profile_lineitem,
+    "streaming_enriched_events": streaming_enriched_events,
 }
 
 ORACLE = {
@@ -1020,4 +1070,5 @@ ORACLE = {
     "duplicate_ngram_fraction": _DUP_NGRAM_SQL,
     "deterministic_shards": _SHARDS_SQL,
     "source_quota_cap": _QUOTA_SQL,
+    "profile_lineitem": _PROFILE_SQL,
 }

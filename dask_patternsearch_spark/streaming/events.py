@@ -238,3 +238,23 @@ def upsert_ledger_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, dim_key: str = "c_custkey") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event stream
+    joins the (re-read per batch, always current) static dimension.
+
+    Scale: Spark plans stream-static joins as broadcast of the static side
+    into every micro-batch -- no state store involved, unlike
+    stream-stream joins, so the dimension can change between batches and
+    state stays zero.  The stream side never shuffles for the join.
+    """
+    d = dim.withColumnRenamed(dim_key, "user_id")
+    return (
+        events.join(F.broadcast(d), "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

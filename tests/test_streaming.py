@@ -368,3 +368,21 @@ def test_streaming_neardup_idempotent_restart(spark, tmp_path):
         )
     kept = spark.read.parquet(str(tmp_path / "kept")).collect()
     assert sorted(r["doc_id"] for r in kept) == [10, 11]
+
+
+def test_streaming_enrichment_matches_batch(spark):
+    """Stream-static broadcast join must equal the same join run in batch."""
+    from dask_patternsearch_spark.streaming import events as sev
+
+    stream = sev.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    dim = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    sev.run_to_memory(sev.enrich_stream(stream, dim), "t_enriched", spark)
+    got = {tuple(r) for r in spark.table("t_enriched").collect()}
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "event_time", F.col("ts").cast("timestamp")
+    )
+    want = {tuple(r) for r in sev.enrich_stream(ev, dim).collect()}
+    assert got == want
