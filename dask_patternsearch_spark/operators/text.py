@@ -98,16 +98,17 @@ def rolling_fingerprints(docs: DataFrame) -> DataFrame:
 def top_bigrams(docs: DataFrame, k: int = 20) -> DataFrame:
     """Most frequent word bigrams across the corpus (deterministic
     tie-break on the bigram text)."""
-    toks = _tokens(F.lower(F.col("text")))
-    pair_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", F.element_at(toks, i.cast("int")), F.element_at(toks, (i + 1).cast("int"))
-    )
+    # tokens materialized in their own projection: the raw split() would be
+    # re-evaluated at every reference below (see _shingles in dedup.py)
+    t = docs.select(_tokens(F.lower(F.col("text"))).alias("toks"))
+    pair_at = lambda i: F.array_join(F.slice("toks", i, 2), " ")  # noqa: E731
     # sequence(1, 0) would count DOWN; guard docs with fewer than 2 tokens
     bigrams = F.when(
-        F.size(toks) >= 2, F.transform(F.sequence(F.lit(1), F.size(toks) - 1), pair_at)
+        F.size("toks") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("toks") - 1), pair_at),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        t.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
