@@ -2358,7 +2358,103 @@ GROUP BY l_returnflag
 """
 
 
+def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through the VARIANT type (Spark 4): ``props``
+    parsed once into a variant, typed path extraction, grouped aggregate.
+    Compared to per-path ``get_json_object`` re-parsing, a 100 TB scan
+    parses each JSON document exactly once and the binary variant encoding
+    keeps extraction vectorized."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_VARIANT_SQL = """
+SELECT event_type,
+       count(*)                                                    AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS avg_k,
+       min(CAST(json_extract_string(props, '$.k') AS INTEGER))     AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS INTEGER))     AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def sql_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation via ``listagg ... WITHIN GROUP`` (ANSI,
+    Spark 4) -- deterministic because the within-group order is total.
+    Tiny-dim demo of the agg; at scale listagg shares the hash-aggregate
+    path (partial per-group buffers, one shuffle)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("dps_nation_v")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("dps_region_v")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM dps_nation_v JOIN dps_region_v ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+_LISTAGG_SQL = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*)                                AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-2 orders by price).
+    Catalyst decorrelates the lateral into a ranked window join -- the same
+    physical plan as the QUALIFY spelling, but exercising the ANSI lateral
+    entry path."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("dps_customer_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dps_orders_lv")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM dps_customer_v c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM dps_orders_lv o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+"""
+
+
 QUERIES = {
+    "variant_event_props": variant_event_props,
+    "sql_listagg_nations": sql_listagg_nations,
+    "sql_lateral_top_orders": sql_lateral_top_orders,
     "q1_pricing_summary": q1_pricing_summary,
     "price_decile_bins": price_decile_bins,
     "stat_aggregates": stat_aggregates,
@@ -2425,6 +2521,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "variant_event_props": _VARIANT_SQL,
+    "sql_listagg_nations": _LISTAGG_SQL,
+    "sql_lateral_top_orders": _LATERAL_SQL,
     "q1_pricing_summary": _Q1_SQL,
     "funnel_conversion": _FUNNEL_SQL,
     "cohort_retention": _COHORT_SQL,
