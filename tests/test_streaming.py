@@ -386,3 +386,34 @@ def test_streaming_enrichment_matches_batch(spark):
     )
     want = {tuple(r) for r in sev.enrich_stream(ev, dim).collect()}
     assert got == want
+
+
+def test_transform_with_state_running_stats(spark):
+    """Spark-4 transformWithState running stats must equal the batch
+    aggregate (skipped where the protobuf-based TWS driver worker cannot
+    start; applyInPandasWithState coverage stands regardless)."""
+    from dask_patternsearch_spark.streaming.stateful import (
+        event_stats_stream, tws_available, use_rocksdb_state,
+    )
+
+    if not tws_available():
+        pytest.skip("transformWithState needs protobuf in the Python workers")
+    use_rocksdb_state(spark)
+    stream = sev.read_events_stream(spark, SF_DIR, glob="events.parquet")
+    sev.run_to_memory(
+        event_stats_stream(stream), "t_tws_stats", spark, output_mode="update"
+    )
+    got = {
+        r["event_type"]: (r["n_events"], round(r["sum_value"], 2), r["min_value"])
+        for r in spark.table("t_tws_stats").collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 2), r["m"])
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.min("value").alias("m"),
+        ).collect()
+    }
+    assert got == want
