@@ -2358,6 +2358,31 @@ GROUP BY l_returnflag
 """
 
 
+def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL): per
+    event-type user sketches plus a global row whose sketch is the UNION of
+    the per-type sketches -- never a second scan.  This mergeability is the
+    scale story: at 100 TB you sketch once at the finest grain and answer
+    every coarser rollup by unioning binary sketches (exact distinct would
+    need one full shuffle per grain).  Rows-only check; the 5%-tolerance
+    property test lives in tests/test_queries.py."""
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "n_events",
+    )
+    total = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    ).select(F.lit("__all__").alias("event_type"), "approx_users", "n_events")
+    return typed.unionByName(total)
+
+
 def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON through the VARIANT type (Spark 4): ``props``
     parsed once into a variant, typed path extraction, grouped aggregate.
@@ -2452,6 +2477,7 @@ LATERAL (
 
 
 QUERIES = {
+    "hll_sketch_users": hll_sketch_users,
     "variant_event_props": variant_event_props,
     "sql_listagg_nations": sql_listagg_nations,
     "sql_lateral_top_orders": sql_lateral_top_orders,

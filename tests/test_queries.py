@@ -139,3 +139,20 @@ def test_survey_inventory_matches_registry():
     unlisted = registered - promised
     assert not missing, f"SURVEY promises unregistered queries: {sorted(missing)}"
     assert not unlisted, f"registered queries absent from SURVEY 2.3: {sorted(unlisted)}"
+
+
+def test_hll_sketch_users_tolerance_and_union_consistency(spark):
+    """Per-type estimates within 5% of exact; the union row must estimate
+    the global distinct count (merged sketches, not a rescan)."""
+    from pyspark.sql import functions as F
+
+    rows = {r["event_type"]: r["approx_users"]
+            for r in entry.queries()["hll_sketch_users"](spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    exact = {r["event_type"]: r["d"]
+             for r in ev.groupBy("event_type")
+             .agg(F.count_distinct("user_id").alias("d")).collect()}
+    exact["__all__"] = ev.select("user_id").distinct().count()
+    assert set(rows) == set(exact)
+    for k, d in exact.items():
+        assert abs(rows[k] - d) <= max(0.05 * d, 2), (k, rows[k], d)
