@@ -615,25 +615,36 @@ def deterministic_shards(docs: DataFrame, n_shards: int = 16) -> DataFrame:
     )
 
 
-def source_quota_cap(docs: DataFrame, k: int = 20) -> DataFrame:
+def source_quota_cap(docs: DataFrame, k: int = 20, n_salts: int = 32) -> DataFrame:
     """Cap any single source's contribution at ``k`` documents, choosing
     deterministically (md5 order, a stable pseudo-random draw) rather than
     by arrival order -- the standard guard against one crawl domain
     dominating the training mixture.
 
-    Scale: one shuffle on ``source`` for the per-group ranking window.  A
-    skewed giant source makes that window's partition hot; the fix at 100
-    TB is a two-level cap (pre-cap per (source, salt) bucket at k, then
-    exact cap per source over the ~n_salts*k survivors), which this
-    implementation applies automatically via the same deterministic order.
+    Scale: computed as a TWO-LEVEL cap so a giant skewed source never
+    serializes through one window task.  Level 1 pre-caps each
+    (source, salt) bucket at ``k`` -- ``n_salts`` parallel windows per
+    source, each seeing ~1/n_salts of its rows.  The per-source global
+    top-k in md5 order is provably contained in the survivors (every
+    bucket keeps ITS k smallest, and the global k smallest land in at
+    most k buckets each contributing theirs), so level 2 ranks only
+    ``<= n_salts * k`` rows per source -- a few thousand rows regardless
+    of input size.  Result is identical to the single-window spelling,
+    which is exactly what the DuckDB oracle runs.
     """
     from pyspark.sql import Window
 
     h = F.md5(F.col("doc_id").cast("string"))
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
-        docs.select("doc_id", "source", "n_chars", h.alias("h"))
-        .withColumn("rk", F.row_number().over(w))
+        docs.select("doc_id", "source", "n_chars", h.alias("h"), salt.alias("salt"))
+        .withColumn("pre_rk", F.row_number().over(w1))
+        .filter(F.col("pre_rk") <= k)
+        .withColumn("rk", F.row_number().over(w2))
         .filter(F.col("rk") <= k)
         .select("doc_id", "source", "n_chars", F.col("rk").alias("quota_rank"))
     )
