@@ -46,23 +46,41 @@ def exact_stratified_sample(
     n_per_stratum: int,
     key_cols: list[str],
     seed: int = 0,
+    n_salts: int = 32,
 ) -> DataFrame:
     """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum, chosen
     pseudo-randomly but deterministically: rows are ranked inside each
     stratum by ``xxhash64(seed, *key_cols)`` and the top N kept.
 
     ``key_cols`` must uniquely identify rows (ties in the hash order would
-    otherwise make the cut nondeterministic).  One shuffle on
-    ``strata_col``; the rank is a running window, so memory per task is
-    O(1) beyond the sort."""
-    w = Window.partitionBy(strata_col).orderBy(
-        _det_order(key_cols, seed), *[F.col(c) for c in key_cols]
+    otherwise make the cut nondeterministic).
+
+    Scale: strata are typically FEW (languages, sources, quality buckets),
+    so a single per-stratum window would drag a whole stratum through one
+    task.  Ranking is therefore two-level (same containment argument as
+    ``text.source_quota_cap``): a salted pre-rank keeps each
+    (stratum, salt) bucket's top ``n_per_stratum`` in ``n_salts`` parallel
+    windows, then the exact rank runs over at most ``n_salts * n``
+    survivors per stratum.  Output is identical to the single-window
+    spelling; determinism is unchanged (the salt itself is a key hash).
+    """
+    order = _det_order(key_cols, seed)
+    salt = F.pmod(F.xxhash64(F.lit(seed + 1), *[F.col(c) for c in key_cols]),
+                  F.lit(n_salts))
+    tag, pre, s = "__dps_rank", "__dps_prerank", "__dps_salt"
+    w1 = Window.partitionBy(strata_col, s).orderBy(
+        order, *[F.col(c) for c in key_cols]
     )
-    tag = "__dps_rank"
+    w2 = Window.partitionBy(strata_col).orderBy(
+        order, *[F.col(c) for c in key_cols]
+    )
     return (
-        df.withColumn(tag, F.row_number().over(w))
+        df.withColumn(s, salt)
+        .withColumn(pre, F.row_number().over(w1))
+        .filter(F.col(pre) <= n_per_stratum)
+        .withColumn(tag, F.row_number().over(w2))
         .filter(F.col(tag) <= n_per_stratum)
-        .drop(tag)
+        .drop(tag, pre, s)
     )
 
 

@@ -808,7 +808,10 @@ def levenshtein_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.levenshtein`` is the exact DP both engines implement, so the
     oracle matches bit-for-bit; the 40-char prefix caps the O(m*n) cost
     per pair (at 100 TB you never levenshtein whole documents -- prefix
-    or fingerprint first)."""
+    or fingerprint first).  The lang-partitioned window is inherently
+    few-partition (the adjacency semantics need a total order per
+    language); the at-scale spelling range-partitions on (lang, doc_id)
+    and stitches the per-range boundary pairs."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = Window.partitionBy("lang").orderBy("doc_id")
     prefix = F.substring("text", 1, 40)
