@@ -294,3 +294,66 @@ def bloom_join(
     )
     join_how = "left_semi" if how in ("left_semi", "semi") else "inner"
     return pruned.join(build, keys, join_how)
+
+
+def cogroup_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join in COGROUPED-pandas form: both sides shuffle
+    once on the key, each key's two groups meet in one Arrow batch, and a
+    numpy ``searchsorted`` attaches the latest right row at-or-before each
+    left timestamp.
+
+    Exists alongside the pure-SQL merge formulation (:func:`asof_join`) to
+    cover the ``groupBy().cogroup().applyInPandas`` surface -- the right
+    shape when per-key logic is genuinely imperative (custom alignment,
+    interpolation).  Same scale profile: one shuffle per side, no pair
+    explosion; per-key state is the key's rows, so keys must individually
+    fit in executor memory (they do -- a key here is one user's events).
+    Ties on identical ``right_ts`` resolve to the greatest
+    (right_ts, payload-order) row, matching the merge formulation on
+    unique timestamps.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = [on] if isinstance(on, str) else list(on)
+    payload_cols = [c for c in right.columns if c not in keys]
+    out_fields = list(left.schema.fields) + [
+        T.StructField(f.name, f.dataType, True)
+        for f in right.schema.fields if f.name in payload_cols
+    ]
+    schema = T.StructType(out_fields)
+    left_cols = list(left.columns)
+
+    def join_group(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=[f.name for f in out_fields])
+        l = l.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
+        if len(r) == 0:
+            for c in payload_cols:
+                l[c] = None
+            return l
+        r = r.sort_values([right_ts] + payload_cols, kind="mergesort").reset_index(drop=True)
+        idx = np.searchsorted(
+            r[right_ts].to_numpy(), l[left_ts].to_numpy(), side="right"
+        ) - 1
+        miss = idx < 0
+        safe = np.where(miss, 0, idx)
+        for c in payload_cols:
+            vals = r[c].to_numpy()[safe].astype(object)
+            vals[miss] = None
+            l[c] = vals
+        return l
+
+    return (
+        left.groupBy(*[F.col(k) for k in keys])
+        .cogroup(right.groupBy(*[F.col(k) for k in keys]))
+        .applyInPandas(join_group, schema)
+        .select(*left_cols, *payload_cols)
+    )

@@ -1278,6 +1278,27 @@ FROM p ASOF LEFT JOIN c
 """
 
 
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same purchase<-click as-of join through the cogrouped-pandas
+    surface (``operators.joins.cogroup_asof_join``): checked against the
+    identical DuckDB ASOF oracle as the merge formulation, so the two
+    implementations cross-validate."""
+    from ..operators.joins import cogroup_asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts_ms").alias("click_ts_ms"),
+    )
+    return cogroup_asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_ms", right_ts="click_ts_ms"
+    ).withColumn("gap_ms", F.col("ts_ms") - F.col("click_ts_ms"))
+
+
 def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval containment via operators.joins.range_join: orders bucketed
     into OVERLAPPING price bands (width 100k, stride 50k -- overlapping, so
@@ -2480,6 +2501,7 @@ LATERAL (
 
 
 QUERIES = {
+    "asof_join_cogroup": asof_join_cogroup,
     "hll_sketch_users": hll_sketch_users,
     "variant_event_props": variant_event_props,
     "sql_listagg_nations": sql_listagg_nations,
@@ -2550,6 +2572,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "asof_join_cogroup": _ASOF_SQL,
     "variant_event_props": _VARIANT_SQL,
     "sql_listagg_nations": _LISTAGG_SQL,
     "sql_lateral_top_orders": _LATERAL_SQL,
