@@ -1,0 +1,81 @@
+"""Declarative data-quality constraint checking (Deequ/dbt-test style).
+
+A pipeline engine needs machine-checkable contracts on its tables: key
+uniqueness, non-null columns, value ranges, referential integrity.  Each
+rule compiles to an aggregate over ONE scan of the checked table (plus one
+broadcast-able anti-join per foreign-key rule); the result is a small
+(rule, violations, passed) relation a scheduler can gate on.
+
+Scale: the non-FK rules share a single pass (conditional aggregates, no
+shuffle beyond the final 1-row combine).  Uniqueness counts duplicates via
+count(*) - count_distinct(key) -- HLL++ via ``exact=False`` when a 2%
+error is acceptable at 100 TB.  FK rules anti-join against the dimension's
+distinct keys (broadcast when small, shuffle otherwise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def check_constraints(
+    df: DataFrame,
+    unique: list[str] | None = None,
+    not_null: list[str] | None = None,
+    checks: dict[str, "F.Column"] | None = None,
+    foreign_keys: list[tuple[str, DataFrame, str]] | None = None,
+    exact: bool = True,
+) -> DataFrame:
+    """Evaluate constraint rules; returns (rule, violations, passed).
+
+    ``unique``: columns whose values must not repeat (null counts as a
+    value).  ``not_null``: columns that must never be null.  ``checks``:
+    named boolean expressions that must hold on every row (violations =
+    rows where the predicate is false or null).  ``foreign_keys``:
+    (column, dim_df, dim_column) triples; violations = non-null values
+    absent from the dimension.
+    """
+    aggs = []
+    names = []
+    for c in unique or []:
+        distinct = F.count_distinct(F.col(c)) if exact else F.approx_count_distinct(c)
+        aggs.append((F.count(F.col(c)) - distinct).alias(f"v{len(names)}"))
+        names.append(f"unique({c})")
+    for c in not_null or []:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"v{len(names)}"))
+        names.append(f"not_null({c})")
+    for label, pred in (checks or {}).items():
+        aggs.append(
+            F.sum((~F.coalesce(pred, F.lit(False))).cast("long")).alias(f"v{len(names)}")
+        )
+        names.append(f"check({label})")
+
+    spark = df.sparkSession
+    parts = []
+    if aggs:
+        one = df.agg(*aggs)
+        rows = F.array(*[
+            F.struct(
+                F.lit(n).alias("rule"),
+                F.col(f"v{i}").cast("long").alias("violations"),
+            )
+            for i, n in enumerate(names)
+        ])
+        parts.append(one.select(F.explode(rows).alias("r")).select("r.*"))
+    for col, dim, dim_col in foreign_keys or []:
+        missing = (
+            df.select(F.col(col)).filter(F.col(col).isNotNull())
+            .join(dim.select(F.col(dim_col).alias(col)).distinct(), col, "left_anti")
+            .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+            .select(
+                F.lit(f"fk({col} -> {dim_col})").alias("rule"), "violations"
+            )
+        )
+        parts.append(missing)
+    if not parts:
+        raise ValueError("no constraints given")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)

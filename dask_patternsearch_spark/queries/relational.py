@@ -2382,6 +2382,56 @@ GROUP BY l_returnflag
 """
 
 
+def constraint_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over orders
+    (``operators.quality.check_constraints``): key uniqueness, non-null
+    columns, a row predicate, and referential integrity into customer --
+    compiled to one shared-scan aggregate plus one anti-join."""
+    from ..operators.quality import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        unique=["o_orderkey"],
+        not_null=["o_custkey", "o_orderdate"],
+        checks={"positive_price": F.col("o_totalprice") > 0},
+        foreign_keys=[("o_custkey", customer, "c_custkey")],
+    )
+
+
+_CONSTRAINTS_SQL = """
+SELECT 'unique(o_orderkey)' AS rule,
+       count(o_orderkey) - count(DISTINCT o_orderkey) AS violations,
+       count(o_orderkey) - count(DISTINCT o_orderkey) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null(o_custkey)',
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'not_null(o_orderdate)',
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'check(positive_price)',
+       sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END),
+       sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'fk(o_custkey -> c_custkey)',
+       count(*) FILTER (WHERE o_custkey IS NOT NULL
+                        AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                              WHERE c_custkey IS NOT NULL)),
+       count(*) FILTER (WHERE o_custkey IS NOT NULL
+                        AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                              WHERE c_custkey IS NOT NULL)) = 0
+FROM orders
+"""
+
+
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL): per
     event-type user sketches plus a global row whose sketch is the UNION of
@@ -2501,6 +2551,7 @@ LATERAL (
 
 
 QUERIES = {
+    "constraint_checks_orders": constraint_checks_orders,
     "asof_join_cogroup": asof_join_cogroup,
     "hll_sketch_users": hll_sketch_users,
     "variant_event_props": variant_event_props,
@@ -2572,6 +2623,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "constraint_checks_orders": _CONSTRAINTS_SQL,
     "asof_join_cogroup": _ASOF_SQL,
     "variant_event_props": _VARIANT_SQL,
     "sql_listagg_nations": _LISTAGG_SQL,

@@ -851,3 +851,25 @@ def test_source_quota_cap_bounds_and_determinism(spark, docs):
     a = sorted(tuple(r) for r in capped.collect())
     b = sorted(tuple(r) for r in text.source_quota_cap(docs.repartition(5), k=20).collect())
     assert a == b
+
+
+def test_constraint_checker_catches_planted_violations(spark):
+    from dask_patternsearch_spark.operators.quality import check_constraints
+
+    d = spark.createDataFrame(
+        [(1, 10, 5.0), (1, None, -2.0), (3, 99, 1.0)],
+        "id long, ref long, amount double",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k long")
+    out = {r["rule"]: (r["violations"], r["passed"])
+           for r in check_constraints(
+               d,
+               unique=["id"],
+               not_null=["ref"],
+               checks={"positive": F.col("amount") > 0},
+               foreign_keys=[("ref", dim, "k")],
+           ).collect()}
+    assert out["unique(id)"] == (1, False)       # id=1 twice
+    assert out["not_null(ref)"] == (1, False)    # one null ref
+    assert out["check(positive)"] == (1, False)  # -2.0
+    assert out["fk(ref -> k)"] == (1, False)     # 99 not in dim
