@@ -6,4 +6,10 @@ surface needs real connectors.  Thin, opinionated wrappers over Spark's
 readers/writers that keep the scale-relevant options in one place.
 """
 
-from .io import read_table, write_bucketed_table, write_table  # noqa: F401
+from .io import (  # noqa: F401
+    read_table,
+    write_bucketed_table,
+    write_clustered,
+    write_table,
+    write_zordered,
+)

@@ -116,3 +116,71 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def _zvalue(cols: list[str], bits: int = 21):
+    """Interleaved-bit (Morton / Z-order) key over up to 3 numeric columns.
+
+    Each column is first rank-normalized OUTSIDE this helper (pass
+    percent_rank-scaled integers); here we just interleave the low ``bits``
+    bits of each column expression, JVM-side (shift/or chain inside
+    whole-stage codegen).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 32,
+    mode: str = "overwrite",
+    bits: int = 21,
+) -> None:
+    """Write a MULTI-column Z-ordered parquet layout: rows are clustered by
+    the Morton interleave of the rank-normalized cluster columns, so every
+    output file covers a small hyper-rectangle of the key space and its
+    footer min/max stats are tight on EVERY cluster column at once --
+    range-clustering (``write_clustered``) can only do this for one column.
+
+    Rank normalization (ntile over each column) makes the interleave
+    robust to arbitrary value distributions: each column contributes a
+    uniform [0, 2^bits) integer regardless of skew.  Cost: one window pass
+    per cluster column for the ranks (at production scale: approximate via
+    ``approxQuantile`` bounds instead of exact ntile to avoid the global
+    sorts) + one range exchange on the z-value + per-file sort.  This is
+    Delta/Iceberg ``OPTIMIZE ... ZORDER BY`` in plain parquet.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not 1 <= len(zorder_cols) <= 3:
+        raise ValueError("zorder_cols must name 1-3 columns")
+    buckets = 1 << bits
+    ranked = df
+    rank_cols = []
+    for c in zorder_cols:
+        rc = f"__dps_zr_{c}"
+        # percent_rank in [0,1] -> integer bucket in [0, 2^bits)
+        pr = F.percent_rank().over(Window.orderBy(F.col(c)))
+        ranked = ranked.withColumn(
+            rc, F.least(F.floor(pr * buckets), F.lit(buckets - 1)).cast("long")
+        )
+        rank_cols.append(rc)
+    z = "__dps_zval"
+    ranked = ranked.withColumn(z, _zvalue(rank_cols, bits))
+    (
+        ranked.repartitionByRange(n_files, F.col(z))
+        .sortWithinPartitions(z)
+        .drop(z, *rank_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -417,3 +417,43 @@ def test_transform_with_state_running_stats(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, scratch_dir):
+    """Z-ordered files must be skippable on EVERY cluster column: a narrow
+    range predicate on either column overlaps only a minority of file
+    footers.  Range clustering (the single-column layout) only achieves
+    this for its leading column -- that contrast is the point of Z-order."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    from dask_patternsearch_spark.sources import write_zordered
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    out = os.path.join(scratch_dir, "zorder")
+    write_zordered(li, out, ["l_partkey", "l_suppkey"], n_files=8)
+
+    files = sorted(globmod.glob(os.path.join(out, "*.parquet")))
+    assert len(files) >= 6
+
+    def overlap_fraction(col, lo, hi):
+        n_overlap = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                n_overlap += 1
+        return n_overlap / len(files)
+
+    for col in ("l_partkey", "l_suppkey"):
+        stats = li.agg(F.min(col), F.max(col)).first()
+        lo, hi = stats[0], stats[0] + (stats[1] - stats[0]) // 10
+        frac = overlap_fraction(col, lo, hi)
+        assert frac <= 0.67, f"{col}: {frac} of files overlap a 10% range"
