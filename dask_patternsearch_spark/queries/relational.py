@@ -2382,6 +2382,45 @@ GROUP BY l_returnflag
 """
 
 
+def calendar_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar scalar-function surface (date_trunc / quarter / last_day /
+    dayofweek) driving a month-grain aggregate: the month key comes from
+    truncation, not string formatting, so it stays a comparable timestamp
+    and the aggregate's partial combine applies as usual."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    return (
+        orders.select(
+            month.alias("month_start"),
+            F.quarter("o_orderdate").alias("qtr"),
+            _epoch_ms(F.last_day(F.col("o_orderdate"))).alias("month_end_ms"),
+            F.dayofweek("o_orderdate").alias("dow"),
+            "o_totalprice",
+        )
+        .groupBy("month_start", "qtr", "month_end_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count_if(F.col("dow").isin(1, 7)).alias("weekend_orders"),
+        )
+        .withColumn("month_start_ms", _epoch_ms(F.col("month_start")))
+        .drop("month_start")
+    )
+
+
+_CALENDAR_SQL = """
+SELECT epoch_ms(date_trunc('month', o_orderdate))      AS month_start_ms,
+       quarter(o_orderdate)                            AS qtr,
+       epoch_ms(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS month_end_ms,
+       count(*)                                        AS n_orders,
+       round(sum(o_totalprice), 2)                     AS revenue,
+       CAST(sum(CASE WHEN dayofweek(o_orderdate) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+                                                       AS weekend_orders
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
 def constraint_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality contract over orders
     (``operators.quality.check_constraints``): key uniqueness, non-null
@@ -2551,6 +2590,7 @@ LATERAL (
 
 
 QUERIES = {
+    "calendar_order_stats": calendar_order_stats,
     "constraint_checks_orders": constraint_checks_orders,
     "asof_join_cogroup": asof_join_cogroup,
     "hll_sketch_users": hll_sketch_users,
@@ -2623,6 +2663,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "calendar_order_stats": _CALENDAR_SQL,
     "constraint_checks_orders": _CONSTRAINTS_SQL,
     "asof_join_cogroup": _ASOF_SQL,
     "variant_event_props": _VARIANT_SQL,
