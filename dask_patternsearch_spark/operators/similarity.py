@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
+
 from .dedup import _cosine, hyperplane_bucket_udf
 
 
@@ -226,4 +228,39 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
 
     return emb.select(F.col("vec_id").cast("long"), vec_col).mapInPandas(
         quantize, schema="vec_id long, scale double, codes array<int>"
+    )
+
+
+def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector L2 norm and peak component via ``mapInArrow`` -- the
+    Arrow-NATIVE Python surface (no pandas materialization: pyarrow
+    RecordBatches in, RecordBatches out).  For fixed-width numeric kernels
+    this skips the pandas block-manager entirely; the numpy view of the
+    Arrow buffers is zero-copy.
+
+    Scale: map-only, zero shuffle, batch-sized memory.  Rounded to 6
+    decimals so the float32->float64 reduction matches the SQL oracle
+    exactly.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def batches(it):
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index("vec_id"))
+            vecs = batch.column(batch.schema.get_field_index(vec_col))
+            out_norm, out_peak, out_dim = [], [], []
+            for vec in vecs:
+                v = np.asarray(vec.as_py(), dtype=np.float64)
+                out_norm.append(round(float(np.sqrt((v * v).sum())), 6))
+                out_peak.append(round(float(np.abs(v).max()), 6))
+                out_dim.append(int(v.size))
+            yield pa.record_batch(
+                [ids, pa.array(out_norm, pa.float64()),
+                 pa.array(out_peak, pa.float64()), pa.array(out_dim, pa.int32())],
+                names=["vec_id", "l2_norm", "peak_abs", "dim"],
+            )
+
+    return ensure_parallelism(emb.select("vec_id", vec_col)).mapInArrow(
+        batches, "vec_id long, l2_norm double, peak_abs double, dim int"
     )

@@ -944,6 +944,24 @@ QUALIFY quota_rank <= 20
 """
 
 
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native (mapInArrow) per-vector L2 norm / peak / dimension --
+    covers the RecordBatch UDF surface; float64 reduction matches the SQL
+    spelling after 6-decimal rounding."""
+    return similarity.embedding_norm_stats(_emb(spark, sf_dir))
+
+
+_NORM_STATS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+       round(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))), 6)                 AS peak_abs,
+       CAST(len(embedding) AS INTEGER)                         AS dim
+FROM embeddings
+"""
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-column table profile (``operators.profile``) over a
     representative lineitem column set: counts, nulls, exact distincts,
@@ -1042,6 +1060,7 @@ QUERIES = {
     "source_quota_cap": source_quota_cap,
     "profile_lineitem": profile_lineitem,
     "streaming_enriched_events": streaming_enriched_events,
+    "embedding_norm_stats": embedding_norm_stats,
 }
 
 ORACLE = {
@@ -1071,4 +1090,5 @@ ORACLE = {
     "deterministic_shards": _SHARDS_SQL,
     "source_quota_cap": _QUOTA_SQL,
     "profile_lineitem": _PROFILE_SQL,
+    "embedding_norm_stats": _NORM_STATS_SQL,
 }
