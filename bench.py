@@ -57,6 +57,15 @@ HEADLINE = [
     "c4_quality_filter",
     "duplicate_ngram_fraction",
     "deterministic_shards",
+    "source_quota_cap",
+    "profile_lineitem",
+    "constraint_checks_orders",
+    # asof_join_cogroup intentionally absent: it is the API-surface demo of
+    # cogrouped pandas; the merge-formulation asof_join above is the
+    # recommended (17x faster) spelling and is what the bench measures
+    "hll_sketch_users",
+    "variant_event_props",
+    "embedding_norm_stats",
     "cube_returns_modes",
     "grouping_sets_revenue",
     "percentiles_by_segment",
