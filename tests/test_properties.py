@@ -214,3 +214,30 @@ def test_results_invariant_under_shuffle_partitioning(spark):
             assert a == b, f"{n} changed under repartitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    ids=st.lists(st.integers(0, 10**6), min_size=0, max_size=300, unique=True),
+    k=st.integers(1, 10),
+    n_salts=st.integers(1, 16),
+    seed=st.integers(0, 5),
+)
+def test_two_level_cap_containment(ids, k, n_salts, seed):
+    """The salted two-level top-k (source_quota_cap / exact stratified
+    sampling) must equal the direct top-k: every bucket keeps ITS k
+    smallest in the deterministic hash order, and the global k smallest
+    fall into at most k buckets, each of which keeps them -- so the
+    level-2 rank over the survivors reproduces the single-window answer
+    for ANY id set, k, and salt count."""
+    import hashlib
+
+    def h(x):  # the deterministic pseudo-random total order
+        return hashlib.md5(f"{seed}:{x}".encode()).hexdigest()
+
+    direct = sorted(ids, key=h)[:k]
+    buckets: dict[int, list] = {}
+    for x in ids:
+        buckets.setdefault(hash((seed + 1, x)) % n_salts, []).append(x)
+    survivors = [x for b in buckets.values() for x in sorted(b, key=h)[:k]]
+    assert sorted(survivors, key=h)[:k] == direct
