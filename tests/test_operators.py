@@ -873,3 +873,29 @@ def test_constraint_checker_catches_planted_violations(spark):
     assert out["not_null(ref)"] == (1, False)    # one null ref
     assert out["check(positive)"] == (1, False)  # -2.0
     assert out["fk(ref -> k)"] == (1, False)     # 99 not in dim
+
+
+def test_new_text_ops_handle_empty_input(spark):
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert text.pii_redaction(empty).count() == 0
+    assert text.c4_quality_filter(empty).count() == 0
+    assert text.duplicate_ngram_fraction(empty).count() == 0
+    assert text.deterministic_shards(empty).count() == 0
+    assert text.source_quota_cap(empty).count() == 0
+
+
+def test_profile_table_approx_path(spark, docs):
+    from dask_patternsearch_spark.operators.profile import profile_table
+
+    exact = {r["column_name"]: r for r in
+             profile_table(docs, ["doc_id", "lang"], exact=True).collect()}
+    approx = {r["column_name"]: r for r in
+              profile_table(docs, ["doc_id", "lang"], exact=False).collect()}
+    assert set(exact) == set(approx)
+    for c in exact:
+        e, a = exact[c], approx[c]
+        assert (e["n_rows"], e["n_nonnull"], e["min_value"], e["max_value"]) == (
+            a["n_rows"], a["n_nonnull"], a["min_value"], a["max_value"])
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(0.05 * e["n_distinct"], 2)
