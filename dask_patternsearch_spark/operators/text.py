@@ -648,3 +648,28 @@ def source_quota_cap(docs: DataFrame, k: int = 20, n_salts: int = 32) -> DataFra
         .filter(F.col("rk") <= k)
         .select("doc_id", "source", "n_chars", F.col("rk").alias("quota_rank"))
     )
+
+
+def write_training_shards(docs: DataFrame, path: str, n_shards: int = 16) -> None:
+    """Materialize the :func:`deterministic_shards` layout: one directory
+    per shard (``shard=N/``), rows inside each shard files sorted by the
+    full md5 -- the reproducible globally-shuffled layout a dataloader
+    reads sequentially.
+
+    Scale: one shuffle (repartition on the shard value), then each task
+    sorts and streams its shard; directory partitioning keeps shard
+    selection a file-listing operation for the consumer.
+    """
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
+    if n_shards != 16:
+        raise ValueError("shard fn is defined for the 16-shard default")
+    (
+        docs.withColumn("h", h)
+        .withColumn("shard", shard)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "h")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -899,3 +899,18 @@ def test_profile_table_approx_path(spark, docs):
         assert (e["n_rows"], e["n_nonnull"], e["min_value"], e["max_value"]) == (
             a["n_rows"], a["n_nonnull"], a["min_value"], a["max_value"])
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(0.05 * e["n_distinct"], 2)
+
+
+def test_write_training_shards_matches_manifest(spark, docs, tmp_path):
+    out = str(tmp_path / "shards")
+    text.write_training_shards(docs, out)
+    back = spark.read.parquet(out)
+    got = {r["shard"]: r["n"] for r in
+           back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = {r["shard"]: r["n_docs"] for r in text.deterministic_shards(docs).collect()}
+    assert got == want
+    # within a shard, rows are md5-sorted (the dataloader's read order)
+    import pandas as pd  # noqa: F401
+    one = back.filter(F.col("shard") == list(want)[0]).toPandas()
+    hs = one["h"].tolist()
+    assert hs == sorted(hs)
