@@ -718,6 +718,8 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(text._tokens(F.col("text"))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # shared by the corpus re-aggregate AND the probe join (see tfidf)
+    tf = tf.localCheckpoint(eager=True)
     corpus = tf.groupBy(F.col("term").alias("c_term")).agg(
         F.sum("tf").alias("term_count")
     )

@@ -246,10 +246,15 @@ def test_tfidf_stays_jvm_side(spark):
     Python stage, and the documents scan reads only (doc_id, text)."""
     from dask_patternsearch_spark.queries import pipeline as P
 
+    from dask_patternsearch_spark.operators import text as T
+
     # a cached full-width documents relation (left by earlier tests) would
     # replace the pruned scan and defeat the ReadSchema assertion
     spark.catalog.clearCache()
-    info = summarize(P.QUERIES["tfidf_top_terms"](spark, SF_DIR))
+    # materialize=False: the runtime default localCheckpoints the shared tf
+    # relation, which truncates lineage and hides the scan from explain()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    info = summarize(T.tfidf_top_terms(docs, materialize=False))
     assert info["python_stages"] == 0
     doc_schema = next(s for s in info["read_schemas"] if "doc_id" in s)
     assert "lang" not in doc_schema and "source" not in doc_schema
