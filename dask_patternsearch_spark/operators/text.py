@@ -679,3 +679,47 @@ def write_training_shards(docs: DataFrame, path: str, n_shards: int = 16) -> Non
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def materialize_packs(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    shard_col: str = "lang",
+    order_col: str = "doc_id",
+    sep: str = "<eos>",
+) -> DataFrame:
+    """Assemble the ACTUAL packed training sequences from the
+    :func:`pack_sequences` bin assignment: per (shard, bin), documents
+    concatenated in order with an EOS separator -- what the tokenizer
+    consumes.  Emits the pack fingerprint/length rather than shipping the
+    packed text to the driver.
+
+    Scale: the pack assignment joins back on (shard, order) -- both sides
+    share the shard shuffle -- and the concat is an ordered group
+    aggregate whose state is one bin's documents (~budget tokens).
+    """
+    packed = pack_sequences(docs, budget_tokens, shard_col, order_col)
+    joined = docs.select(shard_col, order_col, "text").join(
+        packed.select(shard_col, order_col, "n_tokens", "bin_id"),
+        [shard_col, order_col],
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col("text").alias("t")))
+    )
+    pack_text = F.array_join(F.transform(parts, lambda s: s.getField("t")), sep)
+    return (
+        joined.groupBy(shard_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            pack_text.alias("packed"),
+        )
+        .select(
+            shard_col,
+            "bin_id",
+            "n_docs",
+            "total_tokens",
+            F.md5("packed").alias("packed_fp"),
+            F.length("packed").cast("long").alias("packed_len"),
+        )
+    )

@@ -964,6 +964,35 @@ FROM embeddings
 """
 
 
+def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized context-window packs (``operators.text.
+    materialize_packs``): per (lang, bin) the EOS-joined document
+    concatenation the tokenizer consumes, fingerprinted instead of
+    shipped."""
+    return text.materialize_packs(_docs(spark, sf_dir))
+
+
+_PACKED_SQL = r"""
+WITH p AS (
+  SELECT lang, doc_id, text,
+         len(string_split_regex(trim(text), '\s+')) AS n_toks,
+         coalesce(sum(len(string_split_regex(trim(text), '\s+')))
+                  OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS prev
+  FROM documents
+)
+SELECT lang,
+       CAST(floor(prev / 512.0) AS BIGINT)                     AS bin_id,
+       count(*)                                                AS n_docs,
+       CAST(sum(n_toks) AS BIGINT)                             AS total_tokens,
+       md5(string_agg(text, '<eos>' ORDER BY doc_id))          AS packed_fp,
+       CAST(len(string_agg(text, '<eos>' ORDER BY doc_id)) AS BIGINT) AS packed_len
+FROM p
+GROUP BY 1, 2
+"""
+
+
 def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass per-column table profile (``operators.profile``) over a
     representative lineitem column set: counts, nulls, exact distincts,
@@ -1063,6 +1092,7 @@ QUERIES = {
     "profile_lineitem": profile_lineitem,
     "streaming_enriched_events": streaming_enriched_events,
     "embedding_norm_stats": embedding_norm_stats,
+    "packed_training_sequences": packed_training_sequences,
 }
 
 ORACLE = {
@@ -1093,4 +1123,5 @@ ORACLE = {
     "source_quota_cap": _QUOTA_SQL,
     "profile_lineitem": _PROFILE_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
+    "packed_training_sequences": _PACKED_SQL,
 }
