@@ -324,3 +324,25 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "dynamicpruning" in text or "dynamicpruningexpression" in text, (
         "expected a dynamic partition pruning subquery in the fact scan"
     )
+
+
+def test_lateral_decorrelates_to_window_join(spark):
+    """The correlated LATERAL top-n must NOT plan as a per-outer-row
+    nested-loop subquery: Catalyst decorrelates it into a ranked window
+    over orders joined back to customer."""
+    from dask_patternsearch_spark.queries import relational as R
+
+    info = summarize(R.QUERIES["sql_lateral_top_orders"](spark, SF_DIR))
+    assert info["nested_loop_joins"] == 0
+    assert info["python_stages"] == 0
+
+
+def test_variant_query_stays_jvm_side(spark):
+    """VARIANT parse + typed extraction is native Catalyst: no Python
+    stage, single scan reading only (event_type, props)."""
+    from dask_patternsearch_spark.queries import relational as R
+
+    spark.catalog.clearCache()
+    info = summarize(R.QUERIES["variant_event_props"](spark, SF_DIR))
+    assert info["python_stages"] == 0
+    assert any("props" in s and "user_id" not in s for s in info["read_schemas"])
