@@ -156,3 +156,22 @@ def test_hll_sketch_users_tolerance_and_union_consistency(spark):
     assert set(rows) == set(exact)
     for k, d in exact.items():
         assert abs(rows[k] - d) <= max(0.05 * d, 2), (k, rows[k], d)
+
+
+def test_concurrent_queries_share_one_session(spark):
+    """Engine robustness: independent queries submitted from concurrent
+    driver threads against one SparkSession must all return the same
+    answers as serial execution (Spark's scheduler multiplexes jobs; the
+    registry functions must not share mutable state across threads)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    names = ["q1_pricing_summary", "q6_forecast_revenue", "topk_customers",
+             "exact_dedup_docs", "quality_scores", "events_hourly",
+             "variant_event_props", "calendar_order_stats"]
+    qs = entry.queries()
+    serial = {n: qs[n](spark, SF_DIR).count() for n in names}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futs = {n: pool.submit(lambda n=n: qs[n](spark, SF_DIR).count())
+                for n in names}
+        concurrent = {n: f.result(timeout=300) for n, f in futs.items()}
+    assert concurrent == serial
