@@ -964,6 +964,23 @@ FROM embeddings
 """
 
 
+def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the (symmetrized) MinHash near-dup candidate graph:
+    high-rank documents are the hubs of duplicate clusters -- the ones to
+    keep (or inspect) first.  Iterative joins with checkpointed lineage
+    (``operators.graph.pagerank``); rows-only, with closed-form property
+    tests in tests/test_operators.py."""
+    from ..operators.graph import pagerank
+
+    pairs = dedup.minhash_lsh_candidates(
+        _docs(spark, sf_dir), min_est_jaccard=0.3
+    ).select("doc_a", "doc_b")
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    return pagerank(edges, n_iter=8).orderBy(F.desc("rank"), F.asc("vertex"))
+
+
 def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized context-window packs (``operators.text.
     materialize_packs``): per (lang, bin) the EOS-joined document
@@ -1093,6 +1110,7 @@ QUERIES = {
     "streaming_enriched_events": streaming_enriched_events,
     "embedding_norm_stats": embedding_norm_stats,
     "packed_training_sequences": packed_training_sequences,
+    "near_dup_pagerank": near_dup_pagerank,
 }
 
 ORACLE = {

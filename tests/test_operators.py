@@ -914,3 +914,29 @@ def test_write_training_shards_matches_manifest(spark, docs, tmp_path):
     one = back.filter(F.col("shard") == list(want)[0]).toPandas()
     hs = one["h"].tolist()
     assert hs == sorted(hs)
+
+
+def test_pagerank_uniform_on_cycle_and_sums_to_one(spark):
+    from dask_patternsearch_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    ranks = {r["vertex"]: r["rank"] for r in pagerank(cycle, n_iter=8).collect()}
+    assert all(abs(v - 1 / 3) < 1e-6 for v in ranks.values())
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_star_orders_hub_first(spark):
+    from dask_patternsearch_spark.operators.graph import pagerank
+
+    # spokes all point at the hub; hub dangles (mass redistributed)
+    star = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (5, 1)], "src long, dst long"
+    )
+    ranks = {r["vertex"]: r["rank"] for r in pagerank(star, n_iter=20).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+    hub = ranks.pop(1)
+    assert all(hub > v for v in ranks.values())
+    spokes = list(ranks.values())
+    assert max(spokes) - min(spokes) < 1e-9  # symmetric spokes tie exactly
