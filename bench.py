@@ -66,6 +66,10 @@ HEADLINE = [
     "hll_sketch_users",
     "variant_event_props",
     "embedding_norm_stats",
+    "packed_training_sequences",
+    "calendar_order_stats",
+    "sql_lateral_top_orders",
+    "sql_filtered_aggregates",
     "cube_returns_modes",
     "grouping_sets_revenue",
     "percentiles_by_segment",

@@ -2382,6 +2382,40 @@ GROUP BY l_returnflag
 """
 
 
+def sql_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregates in SQL text form: per-status
+    conditional sums/counts in ONE pass over orders (the pre-SQL:2003
+    spelling is CASE-inside-agg; FILTER is the declarative form both
+    engines plan identically as conditional partial aggregates)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("dps_orders_fv")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*)                                            AS n_orders,
+               count(*)    FILTER (WHERE o_orderstatus = 'F')      AS n_finished,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                                                                   AS finished_revenue,
+               round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+                                                                   AS avg_large_price
+        FROM dps_orders_fv
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+_FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       count(*)                                       AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F')    AS n_finished,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+                                                      AS finished_revenue,
+       round(avg(o_totalprice) FILTER (WHERE o_totalprice > 100000), 2)
+                                                      AS avg_large_price
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 def calendar_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar scalar-function surface (date_trunc / quarter / last_day /
     dayofweek) driving a month-grain aggregate: the month key comes from
@@ -2590,6 +2624,7 @@ LATERAL (
 
 
 QUERIES = {
+    "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
     "constraint_checks_orders": constraint_checks_orders,
     "asof_join_cogroup": asof_join_cogroup,
@@ -2663,6 +2698,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "sql_filtered_aggregates": _FILTERED_AGG_SQL,
     "calendar_order_stats": _CALENDAR_SQL,
     "constraint_checks_orders": _CONSTRAINTS_SQL,
     "asof_join_cogroup": _ASOF_SQL,
