@@ -154,6 +154,7 @@ def minhash_lsh_candidates(
     n_bands: int = 8,
     seed: int = 42,
     min_est_jaccard: float = 0.5,
+    persist_signatures: str | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -161,6 +162,17 @@ def minhash_lsh_candidates(
     matching signature components (an unbiased Jaccard estimator), filtered
     to ``min_est_jaccard``.  Scale: candidates come from an equi-join on
     (band, xxhash64(band slice)); no cross join anywhere.
+
+    ``persist_signatures``: optional parquet path for the signature table.
+    When given, signatures are written once and read back, so every
+    downstream reference scans durable columnar storage -- the
+    production-scale choice (fault-tolerant: executor loss re-reads
+    parquet instead of re-running the shingle pipeline, and the table is
+    reusable across jobs, e.g. incremental dedup).  When omitted,
+    ``localCheckpoint`` keeps the signatures as in-memory RDD blocks --
+    faster on a warm cluster (no parquet encode/decode) but truncated
+    lineage means executor loss forces a job retry.  Candidates are
+    identical either way (test-locked).
     """
     rows_per_band = n_perm // n_bands
     sigs = minhash_signatures(docs, n=n, n_perm=n_perm, seed=seed)
@@ -168,11 +180,12 @@ def minhash_lsh_candidates(
     # self-join + both signature joins) must reuse the signatures, not
     # re-evaluate the shingle pipeline.  localCheckpoint beats .cache()
     # ~2x here: it stores raw RDD blocks and skips the columnar
-    # cache-build of the 64-long arrays.  Tradeoff: lineage is truncated,
-    # so executor loss forces a job retry — at production scale either
-    # accept that (signatures are cheap to recompute per-partition) or
-    # write the signature table to parquet and read it back.
-    sigs = sigs.localCheckpoint(eager=True)
+    # cache-build of the 64-long arrays.
+    if persist_signatures is not None:
+        sigs.write.mode("overwrite").parquet(persist_signatures)
+        sigs = docs.sparkSession.read.parquet(persist_signatures)
+    else:
+        sigs = sigs.localCheckpoint(eager=True)
     bands = _band_buckets(sigs, n_bands, rows_per_band)
     pairs = (
         bands.alias("x")

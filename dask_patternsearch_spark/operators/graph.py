@@ -20,16 +20,21 @@ def pagerank(
     dst: str = "dst",
     n_iter: int = 10,
     damping: float = 0.85,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Damped PageRank over a directed edge list; returns (vertex, rank),
     ranks summing to 1 (dangling mass redistributed uniformly).
 
     Scale: per iteration ONE shuffle for the contribution aggregate (the
     edges->ranks join broadcasts ranks while small, AQE-shuffles at web
-    scale) plus a scalar dangling-mass aggregate.  Lineage is truncated
-    every ``checkpoint_every`` iterations; at production scale replace
-    localCheckpoint with reliable checkpointing to the cluster FS.
+    scale) plus a scalar dangling-mass aggregate.  ``with_deg`` is
+    localCheckpoint-ed every iteration BEFORE the dangling aggregate, so
+    the dangling ``.first()`` and the next iteration's join both read the
+    materialized result -- each iteration's plan executes exactly once
+    (the previous per-``checkpoint_every`` truncation re-executed up to a
+    window of join-iterations twice per round: once for the dangling
+    scalar, again when the next iteration rebuilt on ``ranks``).  At
+    production scale replace localCheckpoint with reliable checkpointing
+    to the cluster FS.
     """
     verts = (
         edges.select(F.col(src).alias("vertex"))
@@ -44,8 +49,14 @@ def pagerank(
         F.count(F.lit(1)).alias("deg")
     )
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    prev_ckpt = None
     for i in range(n_iter):
-        with_deg = ranks.join(out_deg, "vertex", "left")
+        with_deg = ranks.join(out_deg, "vertex", "left").localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            # The previous iteration's materialization is no longer
+            # reachable once this one exists; free its blocks.
+            prev_ckpt.unpersist()
+        prev_ckpt = with_deg
         dangling = (
             with_deg.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -75,6 +86,4 @@ def pagerank(
                  ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("vertex", F.round("rank", 8).alias("rank"))

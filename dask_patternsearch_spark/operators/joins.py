@@ -324,6 +324,12 @@ def cogroup_asof_join(
 
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
+    overlap = set(payload_cols) & set(left.columns)
+    if overlap:
+        # Same guard as asof_join: a colliding right payload column would
+        # silently overwrite the left column inside join_group and emit a
+        # duplicate-name schema.
+        raise ValueError(f"right columns collide with left: {sorted(overlap)}")
     out_fields = list(left.schema.fields) + [
         T.StructField(f.name, f.dataType, True)
         for f in right.schema.fields if f.name in payload_cols

@@ -1,11 +1,12 @@
 """Multimodal column handling: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is a clearly
-marked stub (deterministic fake features derived from the bytes); everything
-around it -- schema, Arrow batch shape, partitioning, UDF signatures -- is
-the real Spark plumbing a production pipeline would use.  Swap
-``_fake_decode`` for a real decoder (PIL / torchaudio / pyav) and nothing
-else changes.
+The decode step dispatches on media type to whatever real codec libraries
+the environment ships (``codec_decoders``: PIL for image/*, soundfile for
+audio/*), falling back to deterministic fake features derived from the
+bytes when -- as in this test container -- no codecs are importable.
+Everything around it (schema, Arrow batch shape, partitioning, UDF
+signatures) is the real Spark plumbing a production pipeline would use;
+installing a codec changes behavior, not code.
 
 Scale notes: payloads stay in executor memory only for the duration of one
 Arrow batch (``mapInPandas`` is streaming); feature extraction is a pure
@@ -47,15 +48,74 @@ def attach_binary(docs: DataFrame) -> DataFrame:
     )
 
 
-def _real_decode(payload: bytes, media_type: str):  # pragma: no cover - stub
-    """Decode a media payload into a sample array.
+def _bucket_means(arr: np.ndarray) -> np.ndarray:
+    """Reduce an arbitrary-length sample array to FEATURE_DIM bucket means
+    (the fixed-width feature contract every decoder maps into)."""
+    if arr.size == 0:
+        return np.zeros(FEATURE_DIM)
+    return np.array([s.mean() if s.size else 0.0 for s in np.array_split(arr, FEATURE_DIM)])
 
-    STUB: the test container ships no codecs.  A deployment would dispatch
-    on ``media_type`` to PIL / soundfile / pyav here.
+
+def codec_decoders() -> dict:
+    """Real decoders keyed by major media type, for whatever codec libs the
+    environment actually ships (PIL for image/*, soundfile for audio/*).
+
+    Import-probed at call time -- on an executor this runs once per Python
+    worker.  In this container both probes fail and the dict is empty, so
+    everything falls back to the deterministic fake; in a deployment with
+    codecs installed the same pipeline decodes for real with no code
+    change.  video/* stays fake until a pyav-style dependency is added.
     """
-    raise NotImplementedError(
-        "media decoding requires codec libraries not present in this container"
-    )
+    decoders: dict = {}
+    try:  # pragma: no cover - codec libs absent in the test container
+        from PIL import Image  # noqa: F401
+
+        def _image(payload: bytes) -> np.ndarray:
+            import io
+
+            from PIL import Image as _I
+
+            img = _I.open(io.BytesIO(payload)).convert("L")
+            return _bucket_means(np.asarray(img, dtype=np.float64).ravel() / 255.0)
+
+        decoders["image"] = _image
+    except ImportError:
+        pass
+    try:  # pragma: no cover - codec libs absent in the test container
+        import soundfile  # noqa: F401
+
+        def _audio(payload: bytes) -> np.ndarray:
+            import io
+
+            import soundfile as _sf
+
+            data, _sr = _sf.read(io.BytesIO(payload), dtype="float64")
+            arr = np.asarray(data, dtype=np.float64)
+            if arr.ndim > 1:
+                arr = arr.mean(axis=1)
+            return _bucket_means(np.abs(arr))
+
+        decoders["audio"] = _audio
+    except ImportError:
+        pass
+    return decoders
+
+
+def decode(payload: bytes, media_type: str, decoders: dict | None = None) -> np.ndarray:
+    """Decode a payload to a FEATURE_DIM feature vector: dispatch on the
+    major media type to a real codec when one is available, else the
+    deterministic byte-statistics fake (same shape, reproducible)."""
+    if decoders is None:
+        decoders = codec_decoders()
+    dec = decoders.get(media_type.split("/", 1)[0])
+    if dec is not None and payload:
+        try:
+            return dec(payload)
+        except Exception:
+            # Not decodable as claimed (e.g. this repo's text-bytes stand-in
+            # payloads): fall through to the deterministic features.
+            pass
+    return _fake_decode(payload)
 
 
 def _fake_decode(payload: bytes) -> np.ndarray:
@@ -83,10 +143,14 @@ def extract_features(media: DataFrame) -> DataFrame:
     def run(batches):
         import pandas as pd
 
+        decoders = codec_decoders()  # probed once per Python worker
         for pdf in batches:
             if pdf.empty:
                 continue
-            feats = [np.round(_fake_decode(p), 6).tolist() for p in pdf["payload"]]
+            feats = [
+                np.round(decode(p, m, decoders), 6).tolist()
+                for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -251,7 +251,16 @@ def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFram
             vecs = batch.column(batch.schema.get_field_index(vec_col))
             out_norm, out_peak, out_dim = [], [], []
             for vec in vecs:
-                v = np.asarray(vec.as_py(), dtype=np.float64)
+                raw = vec.as_py()
+                if raw is None or len(raw) == 0:
+                    # NULL / empty embeddings: emit NULL stats (dim 0),
+                    # matching what a SQL oracle returns, instead of
+                    # letting max()-of-empty kill the Arrow task.
+                    out_norm.append(None)
+                    out_peak.append(None)
+                    out_dim.append(0)
+                    continue
+                v = np.asarray(raw, dtype=np.float64)
                 out_norm.append(round(float(np.sqrt((v * v).sum())), 6))
                 out_peak.append(round(float(np.abs(v).max()), 6))
                 out_dim.append(int(v.size))

@@ -8,9 +8,33 @@ views).  Names absent from ORACLE get the driver's weaker rows-only check
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
 from . import pipeline, relational, patterns, tpch
 
 _MODULES = (relational, tpch, pipeline, patterns)
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _driver_green() -> set[str]:
+    """Query names already hash-verified by the driver in ANY prior round
+    (CORRECTNESS_r*.json at the repo root).  Used to order the registry so
+    the driver's bounded per-round sample covers not-yet-verified queries
+    first; the set grows monotonically across rounds."""
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    return green
 
 
 def _merge(attr: str) -> dict:
@@ -28,7 +52,20 @@ def _merge(attr: str) -> dict:
 
 
 def all_queries():
-    return _merge("QUERIES")
+    """Registry ordered for the driver's bounded correctness sample:
+    oracle-checked queries with no driver-green row yet come first, then
+    already-verified ones, then rows-only (no-oracle) queries.  Stable
+    within each tier, so module order still breaks ties."""
+    merged = _merge("QUERIES")
+    oracles = _merge("ORACLE")
+    green = _driver_green()
+
+    def tier(name: str) -> int:
+        if name in oracles:
+            return 0 if name not in green else 1
+        return 2
+
+    return dict(sorted(merged.items(), key=lambda kv: tier(kv[0])))
 
 
 def all_oracles():

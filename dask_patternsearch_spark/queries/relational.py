@@ -47,24 +47,21 @@ def _round_pos(col, n: int) -> "F.Column":
 
 
 def _epoch_ms(col) -> "F.Column":
-    """Epoch milliseconds of a TIMESTAMP_NTZ column, timezone-independent.
+    """Epoch milliseconds of a TIMESTAMP_NTZ column, timezone-independent
+    (delegates to the shared ``util.epoch_ms`` spelling)."""
+    from ..util import epoch_ms
 
-    Parquet naive timestamps surface as TIMESTAMP_NTZ in Spark 4;
-    ``timestamp_diff`` between two NTZ values never consults the session
-    timezone, so this matches DuckDB's ``epoch_ms`` exactly on any host.
-    """
-    return F.timestamp_diff(
-        "MILLISECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), col
-    )
+    return epoch_ms(col)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table with a precomputed ``ts_ms`` epoch-millisecond column.
 
     The events parquet stores naive microsecond timestamps (read as
-    TIMESTAMP_NTZ); ``util.epoch_ms`` casts through LTZ under the pinned
-    UTC session timezone and truncates us -> ms exactly like DuckDB's
-    ``epoch_ms``, so oracle comparisons stay bit-exact.
+    TIMESTAMP_NTZ); ``util.epoch_ms`` measures NTZ-to-NTZ with
+    ``timestamp_diff`` (timezone-independent) and truncates us -> ms
+    exactly like DuckDB's ``epoch_ms``, so oracle comparisons stay
+    bit-exact.
     """
     from ..util import epoch_ms
 
@@ -1496,11 +1493,11 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     even-count midpoint cannot straddle a .5 rounding boundary)."""
     orders = _t(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.count_if(F.col("o_totalprice") > 300000.0).alias("n_big"),
-        (F.floor(F.median("o_totalprice") * 100 + F.lit(0.5)) / 100).alias(
-            "median_price"
-        ),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count_if(F.col("o_totalprice") > 300000.0).cast("long").alias("n_big"),
+        (F.floor(F.median("o_totalprice") * 100 + F.lit(0.5)) / 100)
+        .cast("double")
+        .alias("median_price"),
         F.bool_and(F.col("o_totalprice") > 900.0).alias("all_above_900"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
     )
@@ -1508,9 +1505,9 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONDITIONAL_AGG_SQL = """
 SELECT o_orderstatus,
-       count(*)                                    AS n_orders,
-       count_if(o_totalprice > 300000.0)           AS n_big,
-       floor(median(o_totalprice) * 100 + 0.5)/100 AS median_price,
+       CAST(count(*) AS BIGINT)                    AS n_orders,
+       CAST(count_if(o_totalprice > 300000.0) AS BIGINT) AS n_big,
+       CAST(floor(median(o_totalprice) * 100 + 0.5)/100 AS DOUBLE) AS median_price,
        bool_and(o_totalprice > 900.0)              AS all_above_900,
        bool_or(o_orderpriority = '1-URGENT')       AS any_urgent
 FROM orders
@@ -2475,29 +2472,29 @@ def constraint_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONSTRAINTS_SQL = """
 SELECT 'unique(o_orderkey)' AS rule,
-       count(o_orderkey) - count(DISTINCT o_orderkey) AS violations,
+       CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
        count(o_orderkey) - count(DISTINCT o_orderkey) = 0 AS passed
 FROM orders
 UNION ALL
 SELECT 'not_null(o_custkey)',
-       sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
 FROM orders
 UNION ALL
 SELECT 'not_null(o_orderdate)',
-       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
 FROM orders
 UNION ALL
 SELECT 'check(positive_price)',
-       sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
        sum(CASE WHEN NOT coalesce(o_totalprice > 0, FALSE) THEN 1 ELSE 0 END) = 0
 FROM orders
 UNION ALL
 SELECT 'fk(o_custkey -> c_custkey)',
-       count(*) FILTER (WHERE o_custkey IS NOT NULL
+       CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL
                         AND o_custkey NOT IN (SELECT c_custkey FROM customer
-                                              WHERE c_custkey IS NOT NULL)),
+                                              WHERE c_custkey IS NOT NULL)) AS BIGINT),
        count(*) FILTER (WHERE o_custkey IS NOT NULL
                         AND o_custkey NOT IN (SELECT c_custkey FROM customer
                                               WHERE c_custkey IS NOT NULL)) = 0

@@ -201,11 +201,16 @@ def upsert_ledger_stream(
     event time) into a parquet ledger -- the standard incremental
     ingestion pattern when no transactional table format is available.
 
-    Scale honesty: plain parquet gives no atomic swap, so each batch
-    rewrites the ledger (fine for dimension-sized state); at 100 TB state
-    you'd point the same foreachBatch body at Delta/Iceberg MERGE or a
-    key-value sink.  The structure -- watermarked stream, per-batch
-    reduce, idempotent merge keyed on user_id -- is what carries over.
+    The merge stays DISTRIBUTED end-to-end: each batch writes the merged
+    ledger to a sibling temp directory (the write executes the plan that
+    reads the old ledger, which is still untouched), then swaps
+    directories with two filesystem renames.  Nothing ever lands on the
+    driver, so ledger size is bounded by the cluster, not driver memory.
+    Plain parquet gives no transactional swap (a reader racing the two
+    renames can see a missing directory); at production scale point the
+    same foreachBatch body at Delta/Iceberg MERGE or a key-value sink.
+    The structure -- watermarked stream, per-batch reduce, idempotent
+    merge keyed on user_id -- is what carries over.
     """
     from ..operators.merge import upsert
 
@@ -217,16 +222,28 @@ def upsert_ledger_stream(
             .select("user_id", F.col("s.event_id").alias("event_id"),
                     F.col("s.ts_ms").alias("ts_ms"))
         )
-        try:
+        base_dir = ledger_path.rstrip("/")
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        HPath = jvm.org.apache.hadoop.fs.Path
+        dst = HPath(base_dir)
+        fs = dst.getFileSystem(hconf)
+        if fs.exists(dst):
             base = spark.read.parquet(ledger_path)
             merged = upsert(base, latest, keys=["user_id"], order_col="ts_ms")
-        except Exception:
+        else:
             merged = latest
-        # materialize BEFORE overwriting the path the plan reads from
-        snapshot = merged.toPandas()
-        spark.createDataFrame(snapshot, schema=merged.schema).write.mode(
-            "overwrite"
-        ).parquet(ledger_path)
+        # Distributed write to a temp sibling: executes the merge plan
+        # while the old ledger it reads is still in place.
+        tmp = HPath(f"{base_dir}.tmp-{batch_id}")
+        old = HPath(f"{base_dir}.old-{batch_id}")
+        fs.delete(tmp, True)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        # Metadata-only swap, then drop the superseded snapshot.
+        if fs.exists(dst):
+            fs.rename(dst, old)
+        fs.rename(tmp, dst)
+        fs.delete(old, True)
 
     q = (
         events.select(

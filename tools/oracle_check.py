@@ -76,6 +76,18 @@ def main() -> int:
             problems.append(f"columns spark={sorted(sdf.columns)} duckdb={sorted(ddf.columns)}")
         if not problems:
             a, b = normalize(sdf), normalize(ddf)
+            # The driver's gate hashes TYPED values: an int-vs-float column
+            # (e.g. DuckDB HUGEINT -> pandas float) fails its hash even when
+            # values compare equal, while integer-width drift (int32 vs
+            # int64) passed in round 1.  Flag kind-level drift as a failure
+            # so it cannot reach the driver unseen.
+            dtype_mismatch = [
+                f"{c}: spark={a[c].dtype} duckdb={b[c].dtype}"
+                for c in a.columns
+                if a[c].dtype.kind.replace("u", "i") != b[c].dtype.kind.replace("u", "i")
+            ]
+            if dtype_mismatch:
+                problems.append("dtype drift (driver hash would fail): " + "; ".join(dtype_mismatch))
             try:
                 pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             except AssertionError as exc:
