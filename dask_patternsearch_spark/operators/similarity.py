@@ -186,6 +186,87 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then within
+    each cluster greedily drop every vector whose cosine similarity to an
+    already-kept cluster-mate is ``>= threshold``.
+
+    Returns (vec_id, cell, keep, dup_of) -- ``dup_of`` is the kept
+    cluster-mate that shadowed a dropped vector (NULL for kept rows).
+    Keep order is ascending ``vec_id``, so output is deterministic.
+
+    Scale: this is the paper's own recipe for taming the quadratic --
+    the coarse quantizer trains on a bounded driver-side sample (same as
+    ``ivf_topk``), assignment is a map-only vectorized pandas UDF, and the
+    O(m^2) similarity matrix is confined to ONE cluster at a time inside
+    ``applyInPandas`` (m ~ N/n_cells; size ``n_cells`` so the largest
+    cluster fits an executor -- SemDeDup used 50k clusters for LAION-440M).
+    The only shuffle is the groupBy on cell id.
+    """
+    import pandas as pd
+
+    sample = np.array(
+        [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
+        dtype=float,
+    )
+    # the paper clusters L2-NORMALIZED embeddings (cosine geometry): a
+    # scaled copy of a vector must land in the same cell as its original
+    def _l2n(M: np.ndarray) -> np.ndarray:
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        return M / norms[:, None]
+
+    cents = _train_kmeans(_l2n(sample), n_cells, seed)
+
+    @F.pandas_udf("int")
+    def cell_of(embs):
+        if embs.empty:
+            return pd.Series([], dtype="int32")
+        M = _l2n(np.stack(embs.to_numpy()).astype(np.float64))
+        d = -2.0 * (M @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    assigned = emb.select("vec_id", "embedding", cell_of("embedding").alias("cell"))
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        Mn = M / norms[:, None]
+        S = Mn @ Mn.T
+        n = len(pdf)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            prior = S[i, :i][keep[:i]]
+            if prior.size and prior.max() >= threshold:
+                keep[i] = False
+                kept_ids = pdf["vec_id"].to_numpy()[:i][keep[:i]]
+                dup_of[i] = kept_ids[int(prior.argmax())]
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "keep": keep,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of], dtype="Int64"
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cluster, schema="vec_id long, cell int, keep boolean, dup_of long"
+    )
+
+
 def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-vector symmetric int8 quantization: ``scale = max(|x|)/127``,
     ``code_i = round(x_i / scale)`` -- the standard 4x storage/bandwidth

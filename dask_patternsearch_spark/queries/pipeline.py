@@ -97,6 +97,13 @@ SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
 """
 
 
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold tuned to the synthetic corpus like embedding_near_dups:
+    # max pairwise cosine is ~0.51, so the paper's 0.95 cut would drop
+    # nothing; 0.4 exercises clustering + within-cluster greedy dedup
+    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=0.4, n_cells=8)
+
+
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=8, k=5)
 
@@ -1072,6 +1079,7 @@ QUERIES = {
     "minhash_near_dups": minhash_near_dups,
     "simhash_near_dups": simhash_near_dups,
     "embedding_near_dups": embedding_near_dups,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "cosine_topk": cosine_topk,
     "lsh_topk": lsh_topk,
     "ivf_topk": ivf_topk,

@@ -574,6 +574,45 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         assert err.max() <= r["scale"] / 2 + 1e-12
 
 
+def test_semantic_dedup_drops_planted_duplicates(spark):
+    """A planted near-identical copy of a vector must be dropped with
+    ``dup_of`` pointing at the kept original; distant vectors survive."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((20, 16))
+    rows = [(i, base[i].tolist()) for i in range(20)]
+    # vec 100 = vec 0 + tiny noise (cosine ~ 1.0)
+    rows.append((100, (base[0] + 1e-3 * rng.standard_normal(16)).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.semantic_dedup(emb, threshold=0.95, n_cells=4).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 21
+    assert by_id[0]["keep"] is True
+    assert by_id[100]["keep"] is False
+    assert by_id[100]["dup_of"] == 0
+    # random gaussian 16-d vectors are nowhere near cosine 0.95 of each other
+    assert all(r["keep"] for vid, r in by_id.items() if vid != 100)
+
+
+def test_semantic_dedup_deterministic_and_keep_first(spark):
+    """Same input -> identical output, and within any duplicate group the
+    kept representative is the smallest vec_id."""
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((10, 8))
+    rows = []
+    for i in range(10):
+        rows.append((i, base[i].tolist()))
+        rows.append((1000 + i, (base[i] * 2.0).tolist()))  # same direction
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(map(tuple, similarity.semantic_dedup(emb, threshold=0.99, n_cells=3).collect()))
+    b = sorted(map(tuple, similarity.semantic_dedup(emb, threshold=0.99, n_cells=3).collect()))
+    assert a == b
+    by_id = {t[0]: t for t in a}
+    for i in range(10):
+        assert by_id[i][2] is True          # keep (smallest id in its pair)
+        assert by_id[1000 + i][2] is False  # scaled copy dropped
+        assert by_id[1000 + i][3] == i      # dup_of the original
+
+
 def test_write_clustered_produces_disjoint_file_ranges(spark, tmp_path):
     """Range-clustered layout: every output file must carry a tight,
     non-overlapping min/max range for the cluster key (what makes footer
