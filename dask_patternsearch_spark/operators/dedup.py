@@ -597,6 +597,40 @@ def contamination_pairs(
     )
 
 
+def ngram_overlap_contamination(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 5
+) -> DataFrame:
+    """EXACT n-gram collision decontamination (the GPT-3 appendix-C
+    method: a training document is contaminated if it shares ANY word
+    n-gram with a held-out benchmark document) -- the deterministic,
+    oracle-checkable complement to the MinHash-estimate
+    :func:`contamination_pairs`.
+
+    Returns (doc_id, n_shared_grams) for contaminated corpus documents
+    only.  Both inputs need (doc_id, text); tokenization matches the
+    corpus-side shingle ops (lower, trim, split on whitespace; distinct
+    grams per doc).
+
+    Scale: the benchmark gram set (eval sets are tiny next to a training
+    corpus) is distinct-ed and BROADCAST; the corpus side explodes grams
+    map-side and aggregates per doc_id -- the corpus never shuffles at
+    gram grain, only the (doc_id, count) result does.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        t = df.select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
+        return t.select("doc_id", F.explode(_shingles(F.col("toks"), n)).alias("gram"))
+
+    bench = grams(benchmark).select("gram").distinct()
+    return (
+        grams(corpus)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

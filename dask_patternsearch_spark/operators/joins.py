@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..util import ensure_parallelism
+
 _SALT = "__dps_salt"
 
 
@@ -249,13 +251,12 @@ def bloom_join(
         raise ValueError(f"bloom_join supports inner/left_semi, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
 
-    # coalesce the deduped hashes before bitset-building: every partition
-    # yields a full num_bits/8-byte bitset row regardless of its data, so
-    # the driver collect is partitions * m/8 bytes -- 8 partitions keeps it
-    # bounded while the (trivial) hashing stays parallel upstream
-    build_hashes = (
-        build.select(F.xxhash64(*keys).alias(_BLOOM_HASH)).distinct().coalesce(8)
-    )
+    # no distinct() before bitset-building: duplicate hashes set the same
+    # bits, so deduping would only add a full shuffle for zero effect on
+    # the result.  coalesce bounds the collect: every partition yields a
+    # full num_bits/8-byte bitset row regardless of its data, so the
+    # driver receives at most 8 * m/8 bytes
+    build_hashes = build.select(F.xxhash64(*keys).alias(_BLOOM_HASH)).coalesce(8)
 
     def _partition_bitsets(batches):
         bits = np.zeros(num_bits // 8, dtype=np.uint8)
@@ -287,8 +288,13 @@ def bloom_join(
                    >> (p & np.uint64(7)).astype(np.uint8)) & 1 > 0
         return pd.Series(ok)
 
+    # the vectorized probe must not inherit a 1-task scan (a single small
+    # parquet file would serialize the whole filter through one Python
+    # worker); at real scale the scan already exceeds core count and
+    # ensure_parallelism is a no-op, so this does NOT reintroduce a
+    # fact-table shuffle where it matters
     pruned = (
-        probe.withColumn(_BLOOM_HASH, F.xxhash64(*keys))
+        ensure_parallelism(probe.withColumn(_BLOOM_HASH, F.xxhash64(*keys)))
         .filter(might_contain(F.col(_BLOOM_HASH)))
         .drop(_BLOOM_HASH)
     )

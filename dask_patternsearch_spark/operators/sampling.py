@@ -47,6 +47,7 @@ def exact_stratified_sample(
     key_cols: list[str],
     seed: int = 0,
     n_salts: int = 32,
+    order_expr: Column | None = None,
 ) -> DataFrame:
     """Exactly ``min(n_per_stratum, |stratum|)`` rows per stratum, chosen
     pseudo-randomly but deterministically: rows are ranked inside each
@@ -64,7 +65,11 @@ def exact_stratified_sample(
     survivors per stratum.  Output is identical to the single-window
     spelling; determinism is unchanged (the salt itself is a key hash).
     """
-    order = _det_order(key_cols, seed)
+    # order_expr swaps the ranking hash for an engine-portable one (e.g.
+    # md5) when the cut must be reproducible OUTSIDE Spark; the salt stays
+    # xxhash64 -- it only routes rows to pre-rank buckets and cancels out
+    # of the result
+    order = order_expr if order_expr is not None else _det_order(key_cols, seed)
     salt = F.pmod(F.xxhash64(F.lit(seed + 1), *[F.col(c) for c in key_cols]),
                   F.lit(n_salts))
     tag, pre, s = "__dps_rank", "__dps_prerank", "__dps_salt"

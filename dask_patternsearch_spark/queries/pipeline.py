@@ -410,12 +410,28 @@ def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language balanced sample of the documents table
     (exact N per stratum, keyed hash order -- reproducible across runs and
-    cluster sizes).  Rows-only; exactness/determinism/subset properties are
-    asserted in tests/test_operators.py."""
+    cluster sizes).  Ranked by md5 so the identical cut is expressible in
+    the DuckDB oracle (the salted two-level window plan is unchanged);
+    exactness/determinism/subset properties are additionally asserted in
+    tests/test_operators.py."""
     from ..operators.sampling import exact_stratified_sample
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
-    return exact_stratified_sample(docs, "lang", 50, ["doc_id"], seed=7)
+    return exact_stratified_sample(
+        docs, "lang", 50, ["doc_id"], seed=7,
+        order_expr=F.md5(F.col("doc_id").cast("string")),
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = """
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 50
+"""
 
 
 
@@ -583,6 +599,49 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_clean_docs"))
     )
+
+
+def exact_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-collision decontamination (``operators.dedup.
+    ngram_overlap_contamination``): treat source src0 as the held-out
+    benchmark, drop every other doc sharing ANY 5-gram with it, report
+    per-language survivor counts.  Fully deterministic -> DuckDB oracle."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = docs.filter(F.col("source") != "src0")
+    dirty = dedup.ngram_overlap_contamination(
+        corpus.select("doc_id", "text"), benchmark, n=5
+    ).select("doc_id")
+    return (
+        corpus.join(dirty, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_clean_docs"))
+    )
+
+
+_EXACT_DECON_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source, lang,
+         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                               w[i+3] || ' ' || w[i+4]
+                               FOR i IN range(1, len(w) - 3)])) AS gram
+  FROM toks WHERE len(w) >= 5
+),
+bench AS (SELECT DISTINCT gram FROM sh WHERE source = 'src0'),
+dirty AS (
+  SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (gram)
+  WHERE s.source <> 'src0'
+)
+SELECT lang, count(*) AS n_clean_docs
+FROM documents
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM dirty)
+GROUP BY lang
+"""
 
 
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1103,6 +1162,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
     "decontaminate_corpus": decontaminate_corpus,
+    "exact_decontaminate_docs": exact_decontaminate_docs,
     "pack_context_bins": pack_context_bins,
     "quantized_embeddings": quantized_embeddings,
     "upsert_reactivated_customers": upsert_reactivated_customers,
@@ -1122,6 +1182,8 @@ QUERIES = {
 }
 
 ORACLE = {
+    "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
+    "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
     "unigram_logprob_scores": _UNIGRAM_SQL,

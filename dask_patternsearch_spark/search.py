@@ -134,14 +134,20 @@ class LocalEvaluator:
 class SparkEvaluator:
     """Distributed evaluation: one single-stage Spark job per poll round.
 
-    The objective runs inside ``mapInPandas`` so candidates reach Python as
-    Arrow batches (the idiomatic equivalent of the reference's
-    ``batchsize``/``vectorize`` modes, ``search.py:115-122,190-201`` --
-    Spark's Arrow batching replaces the hand-rolled task batching).  The
-    job is a ``spark.range`` over candidate indices with the coordinate
-    matrix shipped closure/broadcast-side, so a round costs exactly one
-    stage with zero shuffles.  Partition count is sized so every core gets
-    work: ``min(n_candidates, defaultParallelism)`` unless an explicit
+    The job is an RDD ``mapPartitions`` over candidate INDICES
+    (``sc.parallelize(range(n), k)`` -- contiguous splits, nothing
+    materialized driver-side) with the coordinate matrix shipped
+    closure/broadcast-side; evaluation inside the partition is vectorized
+    numpy, the equivalent of the reference's ``batchsize``/``vectorize``
+    modes (``search.py:115-122,190-201``).  This is the sanctioned RDD use
+    case -- per-partition imperative logic in a latency-critical driver
+    loop: a search runs ~25 poll rounds, each one Spark job, so per-round
+    fixed cost dominates wall clock.  The earlier ``mapInPandas`` spelling
+    paid Catalyst analysis + Arrow plan execution per round (~1.5x the
+    per-job latency, measured on local[32]); per-round results are a few
+    hundred floats, so Arrow's columnar transfer buys nothing here.
+    Partition count is sized so every core gets work:
+    ``min(n_candidates, defaultParallelism)`` unless an explicit
     ``batchsize`` dictates fewer, larger tasks.
     """
 
@@ -165,12 +171,9 @@ class SparkEvaluator:
             n_parts = max(1, min(len(points), self.spark.sparkContext.defaultParallelism))
 
         # One SINGLE-STAGE job per round: the candidate matrix travels to
-        # executors via closure/broadcast and the job itself is a
-        # ``spark.range(n, numPartitions=k)`` over candidate INDICES --
-        # contiguous splits, so no shuffle and no driver->JVM local-relation
-        # job (the earlier createDataFrame(pandas) + repartition spelling
-        # cost one extra stage + one extra job per round; at ~25 poll rounds
-        # per search that scheduling overhead dominated the wall clock).
+        # executors via closure/broadcast; the job itself partitions the
+        # index range into contiguous splits, so no shuffle and no
+        # driver->JVM local-relation job.
         xs_all = np.stack(points)
         bc = None
         if xs_all.nbytes > self._CLOSURE_BYTES:
@@ -179,28 +182,26 @@ class SparkEvaluator:
         else:
             get_xs = lambda: xs_all  # noqa: E731
 
-        def run(batches):
-            import pandas as pd
+        def run(it):
+            ids = np.fromiter(it, dtype=np.int64)
+            if ids.size == 0:
+                return
+            xs = np.asarray(get_xs(), dtype=float)[ids]
+            if vectorize:
+                out = np.asarray(func(xs, *args), dtype=float)
+            else:
+                out = np.array([func(x, *args) for x in xs], dtype=float)
+            yield ids, out
 
-            xs_full = np.asarray(get_xs(), dtype=float)
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                ids = pdf["id"].to_numpy()
-                xs = xs_full[ids]
-                if vectorize:
-                    costs = np.asarray(func(xs, *args), dtype=float)
-                else:
-                    costs = np.array([func(x, *args) for x in xs], dtype=float)
-                yield pd.DataFrame({"id": ids, "cost": costs})
-
-        df = self.spark.range(0, len(points), numPartitions=n_parts)
-        out = df.mapInPandas(run, "id long, cost double").collect()
+        parts = self.spark.sparkContext.parallelize(
+            range(len(points)), n_parts
+        ).mapPartitions(run).collect()
         if bc is not None:
             bc.unpersist()
         costs: list[float] = [math.nan] * len(points)
-        for row in out:
-            costs[row["id"]] = row["cost"]
+        for ids, vals in parts:
+            for i, v in zip(ids.tolist(), vals.tolist()):
+                costs[i] = v
         return costs
 
 

@@ -574,6 +574,29 @@ def test_quantize_embeddings_roundtrip_error_bound(spark):
         assert err.max() <= r["scale"] / 2 + 1e-12
 
 
+def test_ngram_overlap_contamination_detects_planted_leak(spark):
+    """A corpus doc sharing a 5-gram with a benchmark doc is flagged with
+    the right collision count; disjoint docs are not."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two distinct 5-grams with the benchmark doc
+            (1, "alpha beta gamma delta epsilon zeta eta"),
+            # same words, different order: no 5-gram collision
+            (2, "zeta epsilon delta gamma beta alpha"),
+            # too short for any 5-gram
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_shared_grams"]
+           for r in dedup.ngram_overlap_contamination(corpus, bench, n=5).collect()}
+    assert out == {1: 2}
+
+
 def test_semantic_dedup_drops_planted_duplicates(spark):
     """A planted near-identical copy of a vector must be dropped with
     ``dup_of`` pointing at the kept original; distant vectors survive."""
