@@ -87,3 +87,52 @@ def pagerank(
             )
         )
     return ranks.select("vertex", F.round("rank", 8).alias("rank"))
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges: distinct part pairs (a < b) appearing
+    in the same order.  The self-join keys on l_orderkey, whose group
+    sizes are the per-order line counts (TPC-H caps at 7) -- the pair
+    blow-up is bounded per key, so the shuffle stays proportional to the
+    input at any scale.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def triangle_participation(edges: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k vertices by triangle participation over an undirected edge
+    list (edges normalized src < dst).  Triangles are enumerated once
+    each via the ordered two-hop join: (a<b) |><| (b<c) |><| (a<c).
+
+    Scale: all three legs join on a single vertex key; the classic
+    degree-orientation refinement (orient each edge toward the
+    higher-degree endpoint so wedge counts are bounded by arboricity)
+    drops in by re-keying ``src/dst`` on (degree, id) order -- key-order
+    orientation is kept here because it makes the enumeration (and the
+    DuckDB oracle) deterministic, exact, and duplicate-free.  The final
+    top-k is a TakeOrderedAndProject over per-vertex counts.
+    """
+    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    verts = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("vertex")
+    )
+    return (
+        verts.groupBy("vertex")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+        .orderBy(F.desc("triangles"), F.asc("vertex"))
+        .limit(k)
+    )

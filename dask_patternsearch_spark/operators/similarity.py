@@ -354,3 +354,114 @@ def embedding_norm_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFram
     return ensure_parallelism(emb.select("vec_id", vec_col)).mapInArrow(
         batches, "vec_id long, l2_norm double, peak_abs double, dim int"
     )
+
+
+def _argmin_cell_udf(cents: np.ndarray):
+    """Nearest-centroid assignment against a broadcast centroid matrix:
+    one numpy distance matrix per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<cell: int, sqdist: double>")
+    def assign(embs):
+        import pandas as pd
+
+        if embs.empty:
+            return pd.DataFrame({"cell": [], "sqdist": []})
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        d = (
+            (M**2).sum(axis=1)[:, None]
+            - 2.0 * (M @ cents.T)
+            + (cents**2).sum(axis=1)[None, :]
+        )
+        best = d.argmin(axis=1)
+        return pd.DataFrame(
+            {
+                "cell": best.astype(np.int32),
+                "sqdist": np.maximum(d[np.arange(len(best)), best], 0.0),
+            }
+        )
+
+    return assign
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 16,
+    iters: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Fully distributed Lloyd's k-means over the embedding column --
+    unlike :func:`ivf_topk`'s sample-trained quantizer, every update pass
+    here reads the whole table, so cluster quality does not depend on a
+    driver-side sample.
+
+    Per iteration: (1) assignment is an Arrow-batched argmin against the
+    BROADCAST k x d centroid matrix (no shuffle); (2) the centroid update
+    posexplodes vectors to (cell, dim, value) grain and averages -- a
+    map-side-combined aggregate distributed over rows AND dimensions, so
+    no executor ever holds more than its partition's partial sums; only
+    the k x d centroid matrix itself returns to the driver.  This
+    broadcast-state-out / reduce-deltas-back round structure is the same
+    shape as the pattern-search poll loop (reference search.py:299-324),
+    with centroids in place of the incumbent.
+
+    Init is deterministic: the k vectors ranked first by
+    ``xxhash64(vec_id, seed)`` (a seeded pseudo-random draw with no
+    ``rand()``, reproducible across retries and partitionings).
+
+    Returns one row per cluster: size, inertia contribution, and the
+    centroid norm -- the k-row summary, never the assignment itself.
+    """
+    d0 = emb.select(
+        F.size("embedding").alias("d")
+    ).first()["d"]
+    init = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id", F.lit(seed)), F.asc("vec_id"))
+        .limit(k)
+        .collect()
+    )
+    cents = np.array([r["embedding"] for r in init], dtype=np.float64)
+    if cents.shape[0] < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} clusters")
+
+    for _ in range(iters):
+        assigned = emb.select(
+            _argmin_cell_udf(cents)("embedding").getField("cell").alias("cell"),
+            "embedding",
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their old centroid
+        for r in sums:
+            new[r["cell"], r["dim"]] = r["s"] / r["n"]
+        if np.allclose(new, cents, atol=1e-9):
+            cents = new
+            break
+        cents = new
+
+    final = emb.select(
+        _argmin_cell_udf(cents)("embedding").alias("a")
+    ).select(F.col("a.cell").alias("cell"), F.col("a.sqdist").alias("sqdist"))
+    norms = {i: float(np.sqrt((c**2).sum())) for i, c in enumerate(cents)}
+    norm_expr = F.create_map(
+        *[x for i in range(k) for x in (F.lit(i), F.lit(norms[i]))]
+    )
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.sum("sqdist"), 4).alias("inertia"),
+        )
+        .select(
+            "cell",
+            "n_vectors",
+            "inertia",
+            F.round(norm_expr[F.col("cell")], 6).alias("centroid_norm"),
+        )
+        .orderBy("cell")
+    )

@@ -723,3 +723,127 @@ def materialize_packs(
             F.length("packed").cast("long").alias("packed_len"),
         )
     )
+
+
+def substring_dup_fraction(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 8,
+) -> DataFrame:
+    """Exact substring-level duplication: the fraction of each document's
+    fixed-length character windows that also occur verbatim in ANOTHER
+    document (the scalable slice of suffix-array dedup a la Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better" --
+    repeated >=window-char spans are exactly the spans whose aligned
+    windows collide).
+
+    Windows start every ``stride`` characters, so the explode emits
+    ~len/stride rows per document -- the stride bounds the blow-up at
+    corpus scale (stride=8 on 100 TB of text is ~12x row inflation, each
+    row reduced to an 8-byte hash before the shuffle).  A window is
+    "duplicated" when its hash occurs in >=2 distinct documents; the
+    per-window reduce happens map-side first (partial count distinct via
+    the (hash, doc_id) pre-group), and the verdict joins back to the
+    per-document grain on the same hash key.
+
+    Spark groups windows by ``xxhash64`` (8 bytes shuffled instead of
+    ``window`` chars); at ~1e12 windows the collision odds are ~1e-7, the
+    standard content-hash dedup tradeoff (reference search.py:35 makes
+    the same exactness-by-hash assumption for its point memo).
+    """
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length("text") - F.lit(window) + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    wins = docs.select(
+        "doc_id",
+        "text",
+        F.explode(starts).alias("pos"),
+    ).select(
+        "doc_id",
+        F.xxhash64(F.expr(f"substr(text, pos, {window})")).alias("h"),
+    )
+    # (hash, doc) pre-group: map-side combine collapses within-doc repeats
+    per_doc = wins.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("n_win"))
+    cross_doc = per_doc.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n_docs_with")
+    )
+    return (
+        per_doc.join(cross_doc, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_win").cast("long").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, F.col("n_win")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 top-k keyword search over the corpus (the retrieval
+    primitive behind quality-classifier seed sets and targeted corpus
+    probes).  ``score(d) = sum_q idf(q) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``
+    with the +1-smoothed idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
+
+    Scale: the token explode aggregates immediately to (doc_id, term)
+    grain -- map-side combine -- and is pre-filtered to the query terms,
+    so the shuffle carries only matching postings (a handful of terms x
+    matching docs, not the corpus vocabulary).  Corpus stats (N, avgdl)
+    and per-term document frequencies are scalar/tiny aggregates joined
+    by broadcast; the final top-k is a TakeOrderedAndProject, never a
+    full sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        "doc_id",
+        F.explode(_tokens(F.col("text"))).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy(F.col("term").alias("df_term")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df), F.col("term") == F.col("df_term"))
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -1124,6 +1124,73 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.substring_dup_fraction(_docs(spark, sf_dir))
+
+
+_SUBSTRING_DUP_SQL = """
+WITH starts AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(len(text) - 31, 1) + 1, 8)) AS i
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 32) AS w, count(*) AS n_win
+  FROM starts GROUP BY 1, 2
+),
+cross_doc AS (
+  SELECT w, count(*) AS n_docs_with FROM per_doc GROUP BY 1
+)
+SELECT per_doc.doc_id,
+       CAST(sum(n_win) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN n_docs_with >= 2 THEN n_win ELSE 0 END) AS BIGINT)
+         AS n_dup_windows,
+       round(CAST(sum(CASE WHEN n_docs_with >= 2 THEN n_win ELSE 0 END) AS DOUBLE)
+             / sum(n_win), 6) AS dup_fraction
+FROM per_doc JOIN cross_doc USING (w)
+GROUP BY 1
+"""
+
+
+_BM25_TERMS = ["spark", "hash", "merge"]
+
+
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bm25_search(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+_BM25_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ('spark', 'hash', 'merge') GROUP BY 1, 2
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2
+                    / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)))), 6)
+         AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf
+JOIN df USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_clusters(_emb(spark, sf_dir), k=16, iters=8)
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1179,10 +1246,15 @@ QUERIES = {
     "embedding_norm_stats": embedding_norm_stats,
     "packed_training_sequences": packed_training_sequences,
     "near_dup_pagerank": near_dup_pagerank,
+    "substring_dup_docs": substring_dup_docs,
+    "bm25_top_docs": bm25_top_docs,
+    "kmeans_embedding_clusters": kmeans_embedding_clusters,
 }
 
 ORACLE = {
     "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
+    "substring_dup_docs": _SUBSTRING_DUP_SQL,
+    "bm25_top_docs": _BM25_SQL,
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

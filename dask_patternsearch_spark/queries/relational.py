@@ -2620,7 +2620,39 @@ LATERAL (
 """
 
 
+def triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 parts by triangle participation in the co-purchase graph
+    (parts co-ordered within an order); see operators/graph.py for the
+    wedge-join structure and the degree-orientation scale note."""
+    from ..operators import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return graph.triangle_participation(graph.copurchase_edges(li), k=10)
+
+
+_TRIANGLE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+verts AS (SELECT unnest([a, b, c]) AS vertex FROM tri)
+SELECT vertex, CAST(count(*) AS BIGINT) AS triangles
+FROM verts GROUP BY 1
+ORDER BY triangles DESC, vertex ASC
+LIMIT 10
+"""
+
+
 QUERIES = {
+    "triangle_copurchase": triangle_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
     "constraint_checks_orders": constraint_checks_orders,
@@ -2695,6 +2727,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "triangle_copurchase": _TRIANGLE_SQL,
     "sql_filtered_aggregates": _FILTERED_AGG_SQL,
     "calendar_order_stats": _CALENDAR_SQL,
     "constraint_checks_orders": _CONSTRAINTS_SQL,

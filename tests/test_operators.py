@@ -1049,3 +1049,93 @@ def test_pagerank_star_orders_hub_first(spark):
     assert all(hub > v for v in ranks.values())
     spokes = list(ranks.values())
     assert max(spokes) - min(spokes) < 1e-9  # symmetric spokes tie exactly
+
+
+def test_substring_dup_fraction_planted_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and keeps running far"
+    rows = [
+        (1, base),
+        (2, base),                       # verbatim copy: every window duplicated
+        (3, "completely different text with no overlap whatsoever here okay"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.substring_dup_fraction(docs, window=16, stride=4).collect()}
+    assert out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 1.0
+    assert out[3]["dup_fraction"] == 0.0
+    assert out[3]["n_windows"] > 1
+
+
+def test_substring_dup_fraction_partial_overlap(spark):
+    shared = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGH"
+    docs = spark.createDataFrame(
+        [(1, shared + " unique tail one xxxxxxxxxxxxxxxxxxxxxxxxxxx"),
+         (2, shared + " another different ending yyyyyyyyyyyyyyyyyy")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           text.substring_dup_fraction(docs, window=16, stride=4).collect()}
+    # the shared prefix duplicates some but not all windows
+    for d in (1, 2):
+        assert 0 < out[d]["n_dup_windows"] < out[d]["n_windows"]
+
+
+def test_bm25_search_ranks_matching_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark engine"),
+         (2, "spark appears once here in a much longer document padded out"),
+         (3, "nothing relevant at all"),
+         (4, "hash join hash"),],
+        "doc_id long, text string",
+    )
+    out = text.bm25_search(docs, ["spark", "hash"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                   # no query term, never retrieved
+    assert set(ids) == {1, 2, 4}
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2]          # higher tf, shorter doc wins
+    assert all(r["bm25"] > 0 for r in out)
+
+
+def test_triangle_participation_closed_form(spark):
+    from dask_patternsearch_spark.operators.graph import triangle_participation
+
+    # K4 on {1,2,3,4}: every vertex is in C(3,2)=3 triangles; vertex 5
+    # hangs off one edge and closes nothing.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    out = {r["vertex"]: r["triangles"] for r in
+           triangle_participation(edges, k=10).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_copurchase_edges_normalized_distinct(spark):
+    from dask_patternsearch_spark.operators.graph import copurchase_edges
+
+    li = spark.createDataFrame(
+        [(100, 7), (100, 3), (100, 3), (200, 3), (200, 7), (300, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    edges = copurchase_edges(li).collect()
+    assert {(r["src"], r["dst"]) for r in edges} == {(3, 7)}
+    assert len(edges) == 1  # distinct across orders, normalized src < dst
+
+
+def test_kmeans_clusters_planted_and_deterministic(spark):
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0, 0.0], [0.0, 10.0, 0.0], [0.0, 0.0, 10.0]])
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(0, 0.05, 3)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out1 = similarity.kmeans_clusters(emb, k=3, iters=10).collect()
+    sizes = sorted(r["n_vectors"] for r in out1)
+    assert sizes == [30, 30, 30]          # planted clusters recovered exactly
+    assert all(r["inertia"] < 5.0 for r in out1)
+    out2 = similarity.kmeans_clusters(emb, k=3, iters=10).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
