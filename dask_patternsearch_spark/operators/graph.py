@@ -194,3 +194,51 @@ def triangle_participation(edges: DataFrame, k: int = 10) -> DataFrame:
         .orderBy(F.desc("triangles"), F.asc("vertex"))
         .limit(k)
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    source: int | None = None,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Hop distances from ``source`` over an undirected edge list, by
+    frontier-expanding BFS -- the iterative-join pattern shared with
+    :func:`pagerank` and ``dedup.connected_components`` (per-round
+    localCheckpoint truncates lineage so round N never re-executes rounds
+    1..N-1).
+
+    ``source`` defaults to the smallest vertex id (deterministic).  Each
+    round joins only the NEW frontier against the edge list -- the
+    frontier is broadcast while it is small (it is, for the hop counts
+    that matter) and the anti-join against settled vertices keeps the
+    per-round work proportional to the unvisited boundary, so total work
+    is O(hops * m) worst case, not O(hops * visited).
+    """
+    bi = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    if source is None:
+        source = bi.agg(F.min("src").alias("m")).first()["m"]
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "vertex long, hops int"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            bi.join(
+                F.broadcast(frontier.select(F.col("vertex").alias("src"))), "src"
+            )
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(dist.select("vertex"), "vertex", "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist.orderBy("hops", "vertex")

@@ -114,3 +114,39 @@ def deterministic_split(
         out[name] = df.filter(cond)
         lo = hi
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted reservoir sampling without replacement (Efraimidis &
+    Spirakis A-ES, IPL 2006): rank every row by ``ln(u) / w`` with
+    ``u ~ U(0,1]`` and keep the top ``k`` -- inclusion probability is
+    proportional to weight, exactly the distribution a sequential weighted
+    reservoir draws.
+
+    Determinism: ``u`` is derived from ``md5(seed | key)``, never
+    ``rand()`` (same argument as :func:`exact_stratified_sample` -- the
+    sample must be identical across partitionings and cluster sizes, and
+    md5 keeps the cut reproducible outside Spark).  The 13 hex chars give
+    52 uniform bits, exact in a double; ``+1`` keeps ``u`` strictly
+    positive so ``ln`` is finite.
+
+    Scale: one scan, no shuffle beyond the global top-k, which Spark
+    executes as TakeOrderedAndProject (per-partition heaps of size k, then
+    a k-row merge on the driver) -- never a full sort.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(seed), *[F.col(c) for c in key_cols]))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        float(2**52)
+    )
+    es_key = F.log(u) / F.col(weight_col)
+    return (
+        df.withColumn("es_key", F.round(es_key, 9))
+        .orderBy(F.desc("es_key"), *[F.col(c) for c in key_cols])
+        .limit(k)
+    )

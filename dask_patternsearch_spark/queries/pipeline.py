@@ -1191,6 +1191,28 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_clusters(_emb(spark, sf_dir), k=16, iters=8)
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    return weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"),
+        weight_col="n_chars",
+        k=50,
+        key_cols=["doc_id"],
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id, n_chars,
+       round(ln((CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS UBIGINT)::BIGINT + 1.0) / 4503599627370496.0)
+             / n_chars, 9) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -1249,12 +1271,14 @@ QUERIES = {
     "substring_dup_docs": substring_dup_docs,
     "bm25_top_docs": bm25_top_docs,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
+    "weighted_sample_docs": weighted_sample_docs,
 }
 
 ORACLE = {
     "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
     "substring_dup_docs": _SUBSTRING_DUP_SQL,
     "bm25_top_docs": _BM25_SQL,
+    "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
     "tfidf_top_terms": _TFIDF_SQL,

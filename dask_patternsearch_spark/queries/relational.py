@@ -2651,8 +2651,40 @@ LIMIT 10
 """
 
 
+def bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop distances from the smallest part in the co-purchase graph
+    (frontier-expanding iterative joins; the recursive-CTE workload shape
+    Spark has no native operator for -- see operators/graph.py)."""
+    from ..operators import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return graph.bfs_distances(graph.copurchase_edges(li), max_hops=3)
+
+
+_BFS_SQL = """
+WITH RECURSIVE
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+bi AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+walk(vertex, hops) AS (
+  SELECT (SELECT min(src) FROM edges), 0
+  UNION
+  SELECT bi.dst, walk.hops + 1
+  FROM walk JOIN bi ON bi.src = walk.vertex
+  WHERE walk.hops < 3
+)
+SELECT vertex, CAST(min(hops) AS INTEGER) AS hops
+FROM walk GROUP BY vertex
+"""
+
+
 QUERIES = {
     "triangle_copurchase": triangle_copurchase,
+    "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
     "constraint_checks_orders": constraint_checks_orders,
@@ -2728,6 +2760,7 @@ QUERIES = {
 
 ORACLE = {
     "triangle_copurchase": _TRIANGLE_SQL,
+    "bfs_copurchase": _BFS_SQL,
     "sql_filtered_aggregates": _FILTERED_AGG_SQL,
     "calendar_order_stats": _CALENDAR_SQL,
     "constraint_checks_orders": _CONSTRAINTS_SQL,

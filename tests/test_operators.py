@@ -1139,3 +1139,48 @@ def test_kmeans_clusters_planted_and_deterministic(spark):
     assert all(r["inertia"] < 5.0 for r in out1)
     out2 = similarity.kmeans_clusters(emb, k=3, iters=10).collect()
     assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+
+
+def test_bfs_distances_chain_and_early_stop(spark):
+    from dask_patternsearch_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = {r["vertex"]: r["hops"] for r in
+           bfs_distances(chain, source=1, max_hops=5).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3}  # disconnected 10-11 unreached
+    # undirected: reachable against edge direction too
+    back = {r["vertex"]: r["hops"] for r in
+            bfs_distances(chain, source=4, max_hops=5).collect()}
+    assert back == {4: 0, 3: 1, 2: 2, 1: 3}
+
+
+def test_bfs_distances_respects_max_hops(spark):
+    from dask_patternsearch_spark.operators.graph import bfs_distances
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    out = {r["vertex"]: r["hops"] for r in
+           bfs_distances(chain, source=1, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_weighted_sample_determinism_and_bias(spark):
+    from dask_patternsearch_spark.operators.sampling import weighted_sample
+
+    # two weight classes: heavy rows 100x the weight of light rows
+    rows = [(i, 1000 if i < 50 else 10) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s1 = weighted_sample(df, "w", 40, ["doc_id"]).collect()
+    s2 = weighted_sample(df, "w", 40, ["doc_id"]).collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]  # deterministic
+    assert len(s1) == 40
+    heavy = sum(1 for r in s1 if r["w"] == 1000)
+    # 50 heavy rows at 100x weight dominate the draw; binomial noise
+    # cannot plausibly push them below half the sample
+    assert heavy >= 20
+    # a different seed draws a different sample
+    s3 = weighted_sample(df, "w", 40, ["doc_id"], seed=1).collect()
+    assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
