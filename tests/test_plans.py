@@ -346,3 +346,48 @@ def test_variant_query_stays_jvm_side(spark):
     info = summarize(R.QUERIES["variant_event_props"](spark, SF_DIR))
     assert info["python_stages"] == 0
     assert any("props" in s and "user_id" not in s for s in info["read_schemas"])
+
+
+def test_substring_dup_stays_jvm_and_prunes(spark):
+    """The window explode + hash + double aggregate must be pure Catalyst:
+    no Python stage anywhere, and the documents scan pruned to the two
+    columns the operator touches."""
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    info = summarize(P.QUERIES["substring_dup_docs"](spark, SF_DIR))
+    assert info["python_stages"] == 0
+    for schema in info["read_schemas"]:
+        assert "lang" not in schema and "source" not in schema
+
+
+def test_bm25_broadcasts_stats_and_stays_jvm(spark):
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    info = summarize(P.QUERIES["bm25_top_docs"](spark, SF_DIR))
+    assert info["python_stages"] == 0
+    # df + corpus stats arrive by broadcast, never a shuffle join
+    assert info["broadcast_hash_joins"] >= 2
+    assert info["sort_merge_joins"] == 0
+
+
+def test_weighted_sample_is_topk_not_full_sort(spark):
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    df = P.QUERIES["weighted_sample_docs"](spark, SF_DIR)
+    text = plan_text(df)
+    assert "TakeOrderedAndProject" in text
+    info = summarize(df)
+    assert info["python_stages"] == 0
+    assert info["exchanges"] == 0  # scan -> per-partition heaps -> driver merge
+
+
+def test_triangle_wedges_never_shuffle(spark):
+    """The wedge expansion and closure must both be broadcast joins --
+    only the edge build and the per-vertex count aggregate may exchange."""
+    from dask_patternsearch_spark.queries import relational as R2
+
+    info = summarize(R2.QUERIES["triangle_copurchase"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 2
+    assert info["sort_merge_joins"] == 0
+    assert info["nested_loop_joins"] == 0
+    assert info["python_stages"] == 0
