@@ -253,7 +253,12 @@ def language_id(docs: DataFrame) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "lang": pdf["lang"],
                     "predicted_lang": [langs[i] for i in best],
-                    "score": np.round(scores[np.arange(len(pdf)), best], 6),
+                    # half-up rounding (matching SQL round()), not
+                    # np.round's half-to-even: 5/128 must print .039063
+                    # on both sides of the oracle comparison
+                    "score": np.floor(
+                        scores[np.arange(len(pdf)), best] * 1e6 + 0.5
+                    ) / 1e6,
                 }
             )
 

@@ -179,6 +179,43 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_id(_docs(spark, sf_dir))
 
 
+def _langid_sql() -> str:
+    """DuckDB twin of text.language_id, generated from the SAME profile
+    table so the two can never drift: per-language score = sum of
+    non-overlapping gram counts (replace-based) / text length; the argmax
+    tie-breaks to the first language in sorted order, exactly as
+    np.argmax does."""
+    from ..operators.text import _LANG_PROFILES
+
+    langs = sorted(_LANG_PROFILES)
+    scores = []
+    for lang in langs:
+        terms = " + ".join(
+            f"(length(t) - length(replace(t, '{g}', ''))) / {len(g)}"
+            for g in _LANG_PROFILES[lang]
+        )
+        scores.append(f"CAST({terms} AS DOUBLE) / n AS score_{lang}")
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    pred = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang, lower(text) AS t,
+         greatest(length(text), 1) AS n
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, {', '.join(scores)} FROM s
+), ranked AS (
+  SELECT doc_id, lang, {best} AS best, * FROM scored
+)
+SELECT doc_id, lang,
+       CASE {pred} END AS predicted_lang,
+       round(best, 6) AS score
+FROM ranked
+"""
+
+
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bpe_token_counts(_docs(spark, sf_dir))
 
@@ -1279,6 +1316,7 @@ ORACLE = {
     "substring_dup_docs": _SUBSTRING_DUP_SQL,
     "bm25_top_docs": _BM25_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
+    "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
     "tfidf_top_terms": _TFIDF_SQL,
