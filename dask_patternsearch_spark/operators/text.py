@@ -807,27 +807,28 @@ def bm25_search(
     with the +1-smoothed idf ``ln(1 + (N-df+0.5)/(df+0.5))``.
 
     Scale: the token explode aggregates immediately to (doc_id, term)
-    grain -- map-side combine -- and is pre-filtered to the query terms,
-    so the shuffle carries only matching postings (a handful of terms x
-    matching docs, not the corpus vocabulary).  Corpus stats (N, avgdl)
-    and per-term document frequencies are scalar/tiny aggregates joined
-    by broadcast; the final top-k is a TakeOrderedAndProject, never a
-    full sort.
+    grain -- map-side combine -- and that ONE aggregate is materialized
+    and re-derived three ways (document lengths, query-term postings,
+    document frequencies), so the corpus is tokenized exactly once (the
+    ``tfidf_top_terms`` materialize pattern; the naive spelling re-ran
+    the explode per consumer).  Corpus stats (N, avgdl) and per-term
+    document frequencies are scalar/tiny aggregates joined by broadcast;
+    the final top-k is a TakeOrderedAndProject, never a full sort.  At
+    production scale the (doc, term) relation is the inverted-index
+    build -- persist it to parquet and amortize across queries.
     """
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(
-        "doc_id",
-        F.explode(_tokens(F.col("text"))).alias("term"),
+    tf_all = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf_all.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
-    tf = (
-        toks.filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = tf_all.filter(F.col("term").isin(terms))
     df = tf.groupBy(F.col("term").alias("df_term")).agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -1228,6 +1228,107 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_clusters(_emb(spark, sf_dir), k=16, iters=8)
 
 
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    rank documents by LM score (here the unigram proxy) and cut into
+    three equal buckets; report each bucket's size/token mass/mean score.
+
+    Ties order by (rounded score, doc_id) so bucket membership is
+    deterministic and engine-portable.  Scale: the per-lang ntile is a
+    per-language sort -- fine while languages are few and documents
+    shuffle-partition evenly; at corpus scale CCNet itself switches to
+    precomputed quantile BOUNDARIES (percentile_approx here) so the cut
+    is a scan-side filter instead of a global sort."""
+    from pyspark.sql import Window
+
+    scores = unigram_logprob_scores(spark, sf_dir)
+    langs = _docs(spark, sf_dir).select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("mean_neg_logp", "doc_id")
+    return (
+        scores.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("mean_neg_logp"), 6).alias("avg_neg_logp"),
+        )
+    )
+
+
+_CCNET_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+corpus AS (
+  SELECT term AS c_term, sum(tf) AS term_count FROM tf GROUP BY 1
+),
+total AS (SELECT sum(term_count) AS total_tokens FROM corpus),
+u AS (
+  SELECT doc_id,
+         round(sum(tf * -ln(term_count / total_tokens)) / sum(tf), 6)
+           AS mean_neg_logp,
+         CAST(sum(tf) AS BIGINT) AS n_tokens
+  FROM tf
+  JOIN corpus ON term = c_term
+  CROSS JOIN total
+  GROUP BY doc_id
+),
+b AS (
+  SELECT d.lang, u.n_tokens, u.mean_neg_logp,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY u.mean_neg_logp, u.doc_id) AS bucket
+  FROM u JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(mean_neg_logp), 6) AS avg_neg_logp
+FROM b GROUP BY 1, 2
+"""
+
+
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, document frequency and the first
+    20 postings (sorted doc ids, CSV-joined for engine-portable
+    comparison).  Terms below df 5 are dropped (hapax noise).
+
+    Scale: the (doc, term) distinct is the index's true grain and
+    combines map-side; the posting aggregate is one shuffle on term.  A
+    production build would write the FULL postings column to parquet
+    partitioned by term-hash range -- the capped slice here keeps the
+    registered query's output bounded."""
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+_POSTINGS_SQL = """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+FROM dt GROUP BY term HAVING count(*) >= 5
+"""
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample
 
@@ -1309,6 +1410,8 @@ QUERIES = {
     "bm25_top_docs": bm25_top_docs,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "weighted_sample_docs": weighted_sample_docs,
+    "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
+    "inverted_postings": inverted_postings,
 }
 
 ORACLE = {
@@ -1316,6 +1419,8 @@ ORACLE = {
     "substring_dup_docs": _SUBSTRING_DUP_SQL,
     "bm25_top_docs": _BM25_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
+    "ccnet_perplexity_buckets": _CCNET_SQL,
+    "inverted_postings": _POSTINGS_SQL,
     "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,

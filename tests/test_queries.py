@@ -175,3 +175,27 @@ def test_concurrent_queries_share_one_session(spark):
                 for n in names}
         concurrent = {n: f.result(timeout=300) for n, f in futs.items()}
     assert concurrent == serial
+
+
+def test_ccnet_buckets_balanced(spark):
+    """Every language cuts into 3 buckets; ntile keeps sizes within 1."""
+    out = entry.queries()["ccnet_perplexity_buckets"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r["n_docs"]
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {1, 2, 3}, (lang, buckets)
+        sizes = list(buckets.values())
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert all(n > 0 for n in sizes)
+
+
+def test_inverted_postings_contract(spark):
+    """df >= 5 everywhere; postings sorted ascending and capped at 20."""
+    rows = entry.queries()["inverted_postings"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["df"] >= 5
+        ids = [int(x) for x in r["postings_head"].split(",")]
+        assert ids == sorted(ids)
+        assert len(ids) == min(r["df"], 20)
