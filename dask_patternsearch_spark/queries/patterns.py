@@ -72,8 +72,39 @@ def pattern_search_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return results.to_spark(spark)
 
 
+def pattern_search_sphere_100d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's aspirational scale axis exercised live (reference
+    search.py:55-61: 'intended to scale to ~100 dimensions'): 100-d sphere
+    to stopratio=1e-2, vectorized serial evaluation (the stencil/driver
+    cost IS the thing measured -- cluster dispatch would only add noise).
+    Returns the per-halving convergence summary, not the 30k-row ledger."""
+    best, results = search(
+        lambda X: (np.atleast_2d(X) ** 2).sum(axis=1),
+        np.full(100, 1.0),
+        np.full(100, 0.5),
+        stopratio=1e-2,
+        seed=7,
+        vectorize=True,
+        batchsize=256,
+        max_tasks=60_000,
+    )
+    assert abs(best.point).max() < 2 * 1e-2 * 0.5
+    ledger = results.to_spark(spark)
+    from pyspark.sql import functions as F
+
+    return (
+        ledger.groupBy("halvings")
+        .agg(
+            F.count(F.lit(1)).alias("n_evals"),
+            F.round(F.min("cost"), 8).alias("best_result"),
+        )
+        .orderBy("halvings")
+    )
+
+
 QUERIES = {
     "pattern_search_sphere": pattern_search_sphere,
+    "pattern_search_sphere_100d": pattern_search_sphere_100d,
     "pattern_search_rosenbrock": pattern_search_rosenbrock,
     "pattern_search_distributed": pattern_search_distributed,
     "pattern_search_pipelined": pattern_search_pipelined,
