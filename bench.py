@@ -169,6 +169,15 @@ def main() -> None:
             stopratio=1e-2, max_tasks=20000, seed=42,
         )
         convergence[label] = len(results)
+    # the reference's aspirational axis (search.py:55-61, ~100 dims):
+    # evaluations to stopratio=1e-2 convergence, vectorized serial
+    _, results = ps_search(
+        lambda X: (np.atleast_2d(X) ** 2).sum(axis=1),
+        np.full(100, 1.0), np.full(100, 0.5),
+        stopratio=1e-2, seed=7, vectorize=True, batchsize=256,
+        max_tasks=60_000,
+    )
+    convergence["sphere_100d"] = len(results)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
