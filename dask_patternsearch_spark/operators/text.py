@@ -853,3 +853,47 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking (context-window prep / RAG
+    ingestion): token windows of ``chunk_tokens`` starting every
+    ``chunk_tokens - overlap`` tokens, last window short.  Emits the chunk
+    fingerprint and token count rather than the chunk text (same
+    bounded-output convention as ``materialize_packs``).
+
+    Chunk count is ``max(1, ceil((n - overlap) / stride))`` so every token
+    is covered and no chunk is fully contained in its predecessor.
+
+    Scale: pure map-side expression work -- tokenize once, explode one
+    small index array per document, slice/join/hash in codegen.  No
+    shuffle at all; output grain is (doc, chunk).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim("text"), r"\s+")
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.floor((n - F.lit(overlap) + F.lit(stride - 1)) / F.lit(stride))
+        .cast("int"),
+        F.lit(1),
+    )
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )

@@ -1329,6 +1329,27 @@ FROM dt GROUP BY term HAVING count(*) >= 5
 """
 
 
+def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+_CHUNK_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest((len(toks) - 16 + 47) // 48, 1))) AS chunk_id
+  FROM t
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[chunk_id*48 + 1 : chunk_id*48 + 64]) AS INT) AS n_tokens,
+       md5(array_to_string(toks[chunk_id*48 + 1 : chunk_id*48 + 64], ' '))
+         AS chunk_fp
+FROM c
+"""
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample
 
@@ -1412,6 +1433,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "inverted_postings": inverted_postings,
+    "chunk_docs": chunk_docs,
 }
 
 ORACLE = {
@@ -1421,6 +1443,7 @@ ORACLE = {
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "ccnet_perplexity_buckets": _CCNET_SQL,
     "inverted_postings": _POSTINGS_SQL,
+    "chunk_docs": _CHUNK_SQL,
     "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,

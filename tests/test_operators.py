@@ -1184,3 +1184,19 @@ def test_weighted_sample_determinism_and_bias(spark):
     # a different seed draws a different sample
     s3 = weighted_sample(df, "w", 40, ["doc_id"], seed=1).collect()
     assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(150))
+    docs = spark.createDataFrame([(1, words), (2, "short doc")],
+                                 "doc_id long, text string")
+    out = text.chunk_documents(docs, chunk_tokens=64, overlap=16).collect()
+    one = sorted([r for r in out if r["doc_id"] == 1], key=lambda r: r["chunk_id"])
+    # 150 tokens, stride 48: ceil((150-16)/48) = 3 chunks
+    assert [r["chunk_id"] for r in one] == [0, 1, 2]
+    assert [r["n_tokens"] for r in one] == [64, 64, 150 - 96]
+    # short docs still yield exactly one chunk
+    two = [r for r in out if r["doc_id"] == 2]
+    assert len(two) == 1 and two[0]["n_tokens"] == 2
+    # fingerprints of distinct windows differ
+    assert len({r["chunk_fp"] for r in one}) == 3
