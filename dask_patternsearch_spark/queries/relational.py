@@ -2651,6 +2651,91 @@ LIMIT 10
 """
 
 
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of the event value over an irregular
+    series (TWAP): each reading is weighted by how long it was current
+    (time until the user's next event); the final reading of a user has no
+    duration and drops out of the weighting.
+
+    Scale: one shuffle on user_id for the lead() window (high-cardinality
+    partition key, per-user state is one row), then the per-user aggregate
+    reuses the same partitioning -- Catalyst plans no second exchange.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = _epoch_ms(F.col("ts"))
+    dur = (F.lead(ms).over(w) - ms).alias("dur_ms")
+    timed = ev.select("user_id", "value", dur).filter(F.col("dur_ms").isNotNull())
+    return timed.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value") * F.col("dur_ms")) / F.sum("dur_ms"), 6)
+        .alias("twap"),
+        F.sum("dur_ms").cast("long").alias("covered_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+    )
+
+
+_TWAP_SQL = """
+WITH t AS (
+  SELECT user_id, value,
+         lead(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_ms(ts) AS dur_ms
+  FROM events
+)
+SELECT user_id,
+       round(sum(value * dur_ms) / sum(dur_ms), 6) AS twap,
+       CAST(sum(dur_ms) AS BIGINT) AS covered_ms,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM t WHERE dur_ms IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate scoring: block part names on their
+    first word, score within-block pairs by Levenshtein distance, return
+    the 20 closest pairs (deterministic (distance, name, name) order).
+
+    Scale: blocking is the whole point -- the self-join keys on the block,
+    so pair volume is sum(block^2), not corpus^2; the distance runs only
+    inside blocks, and the top-k is a TakeOrderedAndProject.  Skewed
+    blocks would salt the same way text.source_quota_cap does.
+    """
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.split(F.col("p_name"), " ")[0].alias("block"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.key") < F.col("b.key"))
+        .select(
+            "block",
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("distance"),
+        )
+        .orderBy(F.asc("distance"), F.asc("name_a"), F.asc("name_b"))
+        .limit(20)
+    )
+
+
+_LINKAGE_SQL = """
+WITH p AS (
+  SELECT p_partkey AS key, p_name AS name,
+         string_split(p_name, ' ')[1] AS block
+  FROM part
+)
+SELECT a.block,
+       a.name AS name_a,
+       b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
+FROM p a JOIN p b ON a.block = b.block AND a.key < b.key
+ORDER BY distance ASC, name_a ASC, name_b ASC
+LIMIT 20
+"""
+
+
 def bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from the smallest part in the co-purchase graph
     (frontier-expanding iterative joins; the recursive-CTE workload shape
@@ -2684,6 +2769,8 @@ FROM walk GROUP BY vertex
 
 QUERIES = {
     "triangle_copurchase": triangle_copurchase,
+    "time_weighted_value": time_weighted_value,
+    "record_linkage_parts": record_linkage_parts,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
@@ -2760,6 +2847,8 @@ QUERIES = {
 
 ORACLE = {
     "triangle_copurchase": _TRIANGLE_SQL,
+    "time_weighted_value": _TWAP_SQL,
+    "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,
     "sql_filtered_aggregates": _FILTERED_AGG_SQL,
     "calendar_order_stats": _CALENDAR_SQL,
