@@ -694,3 +694,77 @@ def canonicalize_near_dups(
             (F.col("doc_id") == F.col("kept_doc_id")).alias("kept"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    docs: DataFrame,
+    max_df_frac: float = 0.06,
+    k: int = 20,
+) -> DataFrame:
+    """All-pairs sparse cosine similarity over TF-IDF vectors with prefix
+    filtering (the Bayardo et al. WWW'07 similarity-join family):
+    candidate pairs are generated ONLY through discriminative terms
+    (document frequency <= ``max_df_frac * |corpus|`` -- a FRACTION, so
+    the filter's meaning is scale-invariant), then scored exactly over
+    every shared term.  Pairs that share nothing rarer than the cutoff
+    are not candidates -- the standard recall/volume tradeoff that makes
+    an all-pairs join feasible (without it the join is |corpus|^2).
+
+    Scale: the candidate self-join keys on a rare term, so its fan-out is
+    bounded by the df cutoff squared per term; scoring re-joins the (doc, term)
+    weight relation twice keyed on (doc) and (doc, term); the weight
+    relation is materialized once and is exactly the inverted-index grain
+    (persist it to parquet in production).  Output is a deterministic
+    top-k: (cosine desc, pair asc) via TakeOrderedAndProject.
+    """
+    tf = (
+        docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    n_docs = tf.select("doc_id").distinct().count()
+    dfrel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(dfrel, "term").select(
+        "doc_id",
+        "term",
+        "df",
+        (F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0))
+        .alias("w"),
+    ).localCheckpoint(eager=True)
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    rare = w.filter(F.col("df") <= max_df_frac * n_docs).select("doc_id", "term")
+    cands = (
+        rare.alias("ra")
+        .join(rare.alias("rb"), "term")
+        .filter(F.col("ra.doc_id") < F.col("rb.doc_id"))
+        .select(
+            F.col("ra.doc_id").alias("d1"), F.col("rb.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id").alias("d1"), "term", F.col("w").alias("wa"))
+    wb = w.select(F.col("doc_id").alias("d2"), "term", F.col("w").alias("wb"))
+    dots = (
+        cands.join(wa, "d1")
+        .join(wb, ["d2", "term"])
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    n1 = norms.select(F.col("doc_id").alias("d1"), F.col("norm").alias("n1"))
+    n2 = norms.select(F.col("doc_id").alias("d2"), F.col("norm").alias("n2"))
+    return (
+        dots.join(n1, "d1")
+        .join(n2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("dot") / (F.col("n1") * F.col("n2")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("d1"), F.asc("d2"))
+        .limit(k)
+    )

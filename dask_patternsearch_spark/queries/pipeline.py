@@ -1329,6 +1329,46 @@ FROM dt GROUP BY term HAVING count(*) >= 5
 """
 
 
+def sparse_cosine_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.sparse_cosine_pairs(_docs(spark, sf_dir), max_df_frac=0.06, k=20)
+
+
+_SPARSE_COSINE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+dfrel AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT tf.doc_id, tf.term, dfrel.df,
+         tf.tf * (ln((n.n_docs + 1.0) / (dfrel.df + 1.0)) + 1.0) AS w
+  FROM tf JOIN dfrel USING (term) CROSS JOIN n
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+rare AS (SELECT doc_id, term FROM w WHERE df <= 0.06 * (SELECT n_docs FROM n)),
+cands AS (
+  SELECT DISTINCT ra.doc_id AS d1, rb.doc_id AS d2
+  FROM rare ra JOIN rare rb ON ra.term = rb.term AND ra.doc_id < rb.doc_id
+),
+dots AS (
+  SELECT c.d1, c.d2, sum(wa.w * wb.w) AS dot
+  FROM cands c
+  JOIN w wa ON wa.doc_id = c.d1
+  JOIN w wb ON wb.doc_id = c.d2 AND wb.term = wa.term
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(dot / (na.norm * nb.norm), 6) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = d1
+JOIN norms nb ON nb.doc_id = d2
+ORDER BY cosine DESC, d1 ASC, d2 ASC
+LIMIT 20
+"""
+
+
 def chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
 
@@ -1434,6 +1474,7 @@ QUERIES = {
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "inverted_postings": inverted_postings,
     "chunk_docs": chunk_docs,
+    "sparse_cosine_docs": sparse_cosine_docs,
 }
 
 ORACLE = {
@@ -1444,6 +1485,7 @@ ORACLE = {
     "ccnet_perplexity_buckets": _CCNET_SQL,
     "inverted_postings": _POSTINGS_SQL,
     "chunk_docs": _CHUNK_SQL,
+    "sparse_cosine_docs": _SPARSE_COSINE_SQL,
     "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,

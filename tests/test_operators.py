@@ -1200,3 +1200,35 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(two) == 1 and two[0]["n_tokens"] == 2
     # fingerprints of distinct windows differ
     assert len({r["chunk_fp"] for r in one}) == 3
+
+
+def test_sparse_cosine_pairs_finds_planted_pair(spark):
+    rows = [
+        (1, "alpha beta gamma delta rareword"),
+        (2, "alpha beta gamma delta rareword"),   # identical -> cosine 1
+        (3, "epsilon zeta eta theta"),
+        (4, "alpha beta unrelated content here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # every term is rare in a 4-doc corpus at frac=1.0
+    out = dedup.sparse_cosine_pairs(docs, max_df_frac=1.0, k=5).collect()
+    top = out[0]
+    assert (top["d1"], top["d2"]) == (1, 2)
+    assert top["cosine"] == 1.0
+    pairs = {(r["d1"], r["d2"]) for r in out}
+    # doc 3 shares no term with anyone -> never a candidate
+    assert not any(3 in p for p in pairs)
+
+
+def test_sparse_cosine_prefix_filter_drops_common_only_pairs(spark):
+    rows = [
+        (1, "common common rare1"),
+        (2, "common common rare2"),
+        (3, "common common rare1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'common' has df=3/3 > 40%; rare1 df=2/3 > 0.4 too -- nothing qualifies
+    assert dedup.sparse_cosine_pairs(docs, max_df_frac=0.4, k=5).count() == 0
+    # at 70%, rare1 (df 2/3 = 0.67) qualifies: only the (1, 3) pair appears
+    out = dedup.sparse_cosine_pairs(docs, max_df_frac=0.7, k=5).collect()
+    assert {(r["d1"], r["d2"]) for r in out} == {(1, 3)}
