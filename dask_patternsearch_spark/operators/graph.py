@@ -242,3 +242,63 @@ def bfs_distances(
         dist = dist.unionAll(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return dist.orderBy("hops", "vertex")
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), made deterministic and oscillation-damped: every vertex
+    adopts the most frequent label among its neighbors PLUS ITSELF, ties
+    broken by the smallest label.  Including the self-label is the
+    standard damping for the bipartite flip-flop of synchronous LPA, and
+    the (count desc, label asc) vote makes every round a pure function of
+    the previous labeling -- no rand(), reproducible at any partitioning.
+
+    Scale: one round = one join of the label table against the edge list
+    (vertex-keyed, high cardinality) + a (vertex, label) count + a
+    min-struct argmax -- all shuffle-partitioned on vertex; lineage is cut
+    per round with localCheckpoint exactly as pagerank/BFS do.  Returns
+    (community, size, representative=min member) per community.
+    """
+    bi = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        bi.select(F.col("src").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(n_iter):
+        neighbor_votes = bi.join(
+            labels.withColumnRenamed("vertex", "dst"), "dst"
+        ).select(F.col("src").alias("vertex"), "label")
+        votes = (
+            neighbor_votes.unionAll(labels.select("vertex", "label"))
+            .groupBy("vertex", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        new_labels = (
+            votes.groupBy("vertex")
+            .agg(F.min(F.struct((-F.col("n")).alias("neg"),
+                                F.col("label").alias("l"))).alias("best"))
+            .select("vertex", F.col("best.l").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+        labels = new_labels
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.min("vertex").alias("representative"),
+        )
+        .orderBy(F.desc("size"), F.asc("community"))
+    )

@@ -2736,6 +2736,20 @@ LIMIT 20
 """
 
 
+def communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities of the first-year co-purchase graph
+    (iterative; rows-only like the other fixpoint algorithms --
+    correctness is locked by the closed-form clique/determinism tests in
+    test_operators.py).  The shipdate slice reaches the scan as a pushed
+    filter; the operator itself is scale-general."""
+    from ..operators import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    return graph.label_propagation(graph.copurchase_edges(li), n_iter=4)
+
+
 def bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from the smallest part in the co-purchase graph
     (frontier-expanding iterative joins; the recursive-CTE workload shape
@@ -2771,6 +2785,7 @@ QUERIES = {
     "triangle_copurchase": triangle_copurchase,
     "time_weighted_value": time_weighted_value,
     "record_linkage_parts": record_linkage_parts,
+    "communities_copurchase": communities_copurchase,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,

@@ -1232,3 +1232,35 @@ def test_sparse_cosine_prefix_filter_drops_common_only_pairs(spark):
     # at 70%, rare1 (df 2/3 = 0.67) qualifies: only the (1, 3) pair appears
     out = dedup.sparse_cosine_pairs(docs, max_df_frac=0.7, k=5).collect()
     assert {(r["d1"], r["d2"]) for r in out} == {(1, 3)}
+
+
+def test_label_propagation_two_cliques(spark):
+    from dask_patternsearch_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by a single bridge edge: LPA should settle on
+    # two communities (the bridge cannot outvote a clique)
+    def clique(vs):
+        return [(a, b) for a in vs for b in vs if a < b]
+
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    out = label_propagation(edges, n_iter=8).collect()
+    assert len(out) == 2
+    sizes = sorted(r["size"] for r in out)
+    assert sizes == [4, 4]
+    reps = sorted(r["representative"] for r in out)
+    assert reps == [1, 10]
+
+
+def test_label_propagation_deterministic(spark):
+    from dask_patternsearch_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (1, 3), (4, 6)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(edges, n_iter=6).collect()))
+    b = sorted(map(tuple, label_propagation(edges, n_iter=6).collect()))
+    assert a == b
