@@ -391,3 +391,42 @@ def test_triangle_wedges_never_shuffle(spark):
     assert info["sort_merge_joins"] == 0
     assert info["nested_loop_joins"] == 0
     assert info["python_stages"] == 0
+
+
+def test_chunk_docs_is_shuffle_free(spark):
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    info = summarize(P.QUERIES["chunk_docs"](spark, SF_DIR))
+    assert info["exchanges"] == 0
+    assert info["python_stages"] == 0
+
+
+def test_twap_single_exchange_reused_by_aggregate(spark):
+    """The lead() window and the per-user aggregate share one user_id
+    shuffle -- Catalyst must not plan a second exchange."""
+    from dask_patternsearch_spark.queries import relational as R2
+
+    info = summarize(R2.QUERIES["time_weighted_value"](spark, SF_DIR))
+    # summarize counts each exchange twice (tree line + detail section),
+    # so one physical shuffle reads as 2
+    assert info["exchanges"] <= 2
+    assert info["python_stages"] == 0
+
+
+def test_record_linkage_is_topk_no_nlj(spark):
+    from dask_patternsearch_spark.queries import relational as R2
+
+    df = R2.QUERIES["record_linkage_parts"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_text(df)
+    info = summarize(df)
+    assert info["nested_loop_joins"] == 0  # blocking keeps it an equi-join
+
+
+def test_sparse_cosine_no_nested_loop(spark):
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    df = P.QUERIES["sparse_cosine_docs"](spark, SF_DIR)
+    info = summarize(df)
+    assert info["nested_loop_joins"] == 0
+    assert info["python_stages"] == 0
+    assert "TakeOrderedAndProject" in plan_text(df)
