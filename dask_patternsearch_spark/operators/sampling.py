@@ -150,3 +150,36 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), *[F.col(c) for c in key_cols])
         .limit(k)
     )
+
+
+def stratified_weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    n_per_stratum: int,
+    key_cols: list[str],
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum weighted reservoir sampling: :func:`weighted_sample`'s
+    A-ES key (``ln(u)/w``, md5 uniforms), ranked WITHIN each stratum by
+    :func:`exact_stratified_sample`'s salted two-level window (same
+    containment argument: a hot stratum never drags through one task).
+    The per-language weighted downsample of a mixture pipeline.
+
+    ``es_key`` rides along in the output so the cut is auditable.
+    """
+    h = F.md5(F.concat_ws("|", F.lit(seed), *[F.col(c) for c in key_cols]))
+    u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
+        float(2**52)
+    )
+    es = F.round(F.log(u) / F.col(weight_col), 9)
+    # exact_stratified_sample ranks ASCENDING on order_expr; negate the
+    # A-ES key so the largest keys (the winners) rank first
+    return exact_stratified_sample(
+        df.withColumn("es_key", es),
+        strata_col,
+        n_per_stratum,
+        key_cols,
+        seed=seed,
+        order_expr=-F.col("es_key"),
+    )

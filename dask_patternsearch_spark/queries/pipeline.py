@@ -1228,6 +1228,34 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_clusters(_emb(spark, sf_dir), k=16, iters=8)
 
 
+def stratified_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_weighted_sample
+
+    return stratified_weighted_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        strata_col="lang",
+        weight_col="n_chars",
+        n_per_stratum=10,
+        key_cols=["doc_id"],
+    )
+
+
+_STRAT_WEIGHTED_SQL = """
+WITH s AS (
+  SELECT doc_id, lang, n_chars,
+         round(ln((CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                        AS UBIGINT)::BIGINT + 1.0) / 4503599627370496.0)
+               / n_chars, 9) AS es_key
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY es_key DESC, doc_id ASC) AS rn
+  FROM s
+)
+SELECT doc_id, lang, n_chars, es_key FROM r WHERE rn <= 10
+"""
+
+
 def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
     rank documents by LM score (here the unigram proxy) and cut into
@@ -1475,6 +1503,7 @@ QUERIES = {
     "inverted_postings": inverted_postings,
     "chunk_docs": chunk_docs,
     "sparse_cosine_docs": sparse_cosine_docs,
+    "stratified_weighted_docs": stratified_weighted_docs,
 }
 
 ORACLE = {
@@ -1486,6 +1515,7 @@ ORACLE = {
     "inverted_postings": _POSTINGS_SQL,
     "chunk_docs": _CHUNK_SQL,
     "sparse_cosine_docs": _SPARSE_COSINE_SQL,
+    "stratified_weighted_docs": _STRAT_WEIGHTED_SQL,
     "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,

@@ -1264,3 +1264,45 @@ def test_label_propagation_deterministic(spark):
     a = sorted(map(tuple, label_propagation(edges, n_iter=6).collect()))
     b = sorted(map(tuple, label_propagation(edges, n_iter=6).collect()))
     assert a == b
+
+
+def test_chunk_documents_reconstructs_token_stream(spark):
+    """De-overlapped chunk windows must tile the token stream exactly:
+    stride-sized steps cover every token once (plus overlap repeats)."""
+    import hashlib
+
+    words = " ".join(f"t{i}" for i in range(137))  # non-multiple of stride
+    docs = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = sorted(text.chunk_documents(docs, chunk_tokens=32, overlap=8).collect(),
+                 key=lambda r: r["chunk_id"])
+    toks = words.split()
+    stride = 32 - 8
+    for r in out:
+        window = toks[r["chunk_id"] * stride: r["chunk_id"] * stride + 32]
+        assert r["n_tokens"] == len(window)
+        assert r["chunk_fp"] == hashlib.md5(" ".join(window).encode()).hexdigest()
+    # last chunk reaches the final token
+    last = out[-1]
+    assert last["chunk_id"] * stride + last["n_tokens"] == len(toks)
+
+
+def test_substring_dup_fraction_bounds_and_invariance(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = {r["doc_id"]: r for r in
+            text.substring_dup_fraction(docs).collect()}
+    for r in base.values():
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+        assert r["n_dup_windows"] <= r["n_windows"]
+    # partitioning must not change the answer
+    rep = {r["doc_id"]: r for r in
+           text.substring_dup_fraction(docs.repartition(13)).collect()}
+    assert {k: tuple(v) for k, v in base.items()} == {k: tuple(v) for k, v in rep.items()}
+
+
+def test_weighted_sample_partitioning_invariance(spark):
+    from dask_patternsearch_spark.operators.sampling import weighted_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "n_chars")
+    a = weighted_sample(docs, "n_chars", 25, ["doc_id"]).collect()
+    b = weighted_sample(docs.repartition(17), "n_chars", 25, ["doc_id"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
