@@ -2651,6 +2651,129 @@ LIMIT 10
 """
 
 
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a stored base aggregate (orders
+    before 1999) combined with the delta batch's partial aggregate
+    (orders from 1999 on) by re-aggregating the PARTIALS -- sums and
+    counts combine associatively, and the average derives at read time
+    from the combined sums.  The result is bit-identical to a full
+    recompute (the oracle IS the full recompute), but the incremental
+    path only scans the delta plus a |groups|-row state table -- the
+    difference between touching one day and re-reading seven years at
+    100 TB.
+    """
+    cutoff = F.lit("1999-01-01").cast("timestamp_ntz")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+
+    def partial(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("s"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.round(F.sum("s"), 2).alias("total_price"),
+            F.round(F.sum("s") / F.sum("n"), 6).alias("avg_price"),
+        )
+    )
+
+
+_INCR_AGG_SQL = """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price,
+       round(sum(o_totalprice) / count(*), 6) AS avg_price
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit: every TPC-H foreign key
+    checked in one report via operators.quality.check_constraints (each FK
+    is a left_anti against the dimension's distinct keys -- broadcast when
+    the dimension is small, shuffle otherwise; the fact side is one
+    pruned-column scan per rule)."""
+    from ..operators.quality import check_constraints
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    reports = [
+        check_constraints(li, foreign_keys=[
+            ("l_orderkey", orders, "o_orderkey"),
+            ("l_partkey", part, "p_partkey"),
+            ("l_suppkey", supplier, "s_suppkey"),
+        ]).withColumn("table", F.lit("lineitem")),
+        check_constraints(orders, foreign_keys=[
+            ("o_custkey", customer, "c_custkey"),
+        ]).withColumn("table", F.lit("orders")),
+        check_constraints(customer, foreign_keys=[
+            ("c_nationkey", nation, "n_nationkey"),
+        ]).withColumn("table", F.lit("customer")),
+        check_constraints(supplier, foreign_keys=[
+            ("s_nationkey", nation, "n_nationkey"),
+        ]).withColumn("table", F.lit("supplier")),
+        check_constraints(nation, foreign_keys=[
+            ("n_regionkey", region, "r_regionkey"),
+        ]).withColumn("table", F.lit("nation")),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.select("table", "rule", "violations", "passed")
+
+
+_FK_AUDIT_SQL = """
+SELECT 'lineitem' AS "table", 'fk(l_orderkey -> o_orderkey)' AS rule,
+       CAST(count(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS violations,
+       count(*) FILTER (o.o_orderkey IS NULL) = 0 AS passed
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem', 'fk(l_partkey -> p_partkey)',
+       CAST(count(*) FILTER (p.p_partkey IS NULL) AS BIGINT),
+       count(*) FILTER (p.p_partkey IS NULL) = 0
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem', 'fk(l_suppkey -> s_suppkey)',
+       CAST(count(*) FILTER (s.s_suppkey IS NULL) AS BIGINT),
+       count(*) FILTER (s.s_suppkey IS NULL) = 0
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders', 'fk(o_custkey -> c_custkey)',
+       CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+       count(*) FILTER (c.c_custkey IS NULL) = 0
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'customer', 'fk(c_nationkey -> n_nationkey)',
+       CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT),
+       count(*) FILTER (n.n_nationkey IS NULL) = 0
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'supplier', 'fk(s_nationkey -> n_nationkey)',
+       CAST(count(*) FILTER (n.n_nationkey IS NULL) AS BIGINT),
+       count(*) FILTER (n.n_nationkey IS NULL) = 0
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+UNION ALL
+SELECT 'nation', 'fk(n_regionkey -> r_regionkey)',
+       CAST(count(*) FILTER (r.r_regionkey IS NULL) AS BIGINT),
+       count(*) FILTER (r.r_regionkey IS NULL) = 0
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
 def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of the event value over an irregular
     series (TWAP): each reading is weighted by how long it was current
@@ -2786,6 +2909,8 @@ QUERIES = {
     "time_weighted_value": time_weighted_value,
     "record_linkage_parts": record_linkage_parts,
     "communities_copurchase": communities_copurchase,
+    "fk_integrity_audit": fk_integrity_audit,
+    "incremental_agg_maintenance": incremental_agg_maintenance,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
@@ -2862,6 +2987,8 @@ QUERIES = {
 
 ORACLE = {
     "triangle_copurchase": _TRIANGLE_SQL,
+    "fk_integrity_audit": _FK_AUDIT_SQL,
+    "incremental_agg_maintenance": _INCR_AGG_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,
