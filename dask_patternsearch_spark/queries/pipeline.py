@@ -1228,6 +1228,84 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_clusters(_emb(spark, sf_dir), k=16, iters=8)
 
 
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores: per-document mean negative conditional
+    log probability ``-ln P(w2|w1)`` under the corpus's own bigram model
+    (``P(w2|w1) = c(w1 w2) / c(w1 ·)``) -- one step closer to KenLM
+    filtering than the unigram proxy; docs of fewer than 2 tokens drop
+    out (no bigram stream).
+
+    Scale: the bigram explode aggregates to (doc, w1, w2) grain with
+    map-side combine; corpus pair counts and prefix counts re-aggregate
+    that deduped relation (never a second token pass), and the final
+    score is one weighted average keyed on doc_id.  Same posture as
+    ``unigram_logprob_scores``.
+    """
+    toks = F.split(F.trim("text"), r"\s+")
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    tf = (
+        _docs(spark, sf_dir)
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .groupBy("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    c12 = tf.groupBy(
+        F.col("w1").alias("p1"), F.col("w2").alias("p2")
+    ).agg(F.sum("tf").alias("c12"))
+    c1 = c12.groupBy(F.col("p1").alias("q1")).agg(F.sum("c12").alias("c1"))
+    return (
+        tf.join(c12, (F.col("w1") == F.col("p1")) & (F.col("w2") == F.col("p2")))
+        .join(c1, F.col("w1") == F.col("q1"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("tf") * -F.log(F.col("c12") / F.col("c1")))
+                / F.sum("tf"),
+                6,
+            ).alias("mean_neg_logp2"),
+            F.sum("tf").cast("long").alias("n_bigrams"),
+        )
+    )
+
+
+_BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest([{'w1': toks[i], 'w2': toks[i+1]}
+                 FOR i IN range(1, greatest(len(toks), 1))]) AS p
+  FROM t WHERE len(toks) >= 2
+),
+tf AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2, count(*) AS tf
+  FROM pairs GROUP BY 1, 2, 3
+),
+c12 AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1)
+SELECT tf.doc_id,
+       round(sum(tf.tf * -ln(c12.c12 / c1.c1)) / sum(tf.tf), 6)
+         AS mean_neg_logp2,
+       CAST(sum(tf.tf) AS BIGINT) AS n_bigrams
+FROM tf
+JOIN c12 ON c12.w1 = tf.w1 AND c12.w2 = tf.w2
+JOIN c1 ON c1.w1 = tf.w1
+GROUP BY tf.doc_id
+"""
+
+
 def stratified_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import stratified_weighted_sample
 
@@ -1504,6 +1582,7 @@ QUERIES = {
     "chunk_docs": chunk_docs,
     "sparse_cosine_docs": sparse_cosine_docs,
     "stratified_weighted_docs": stratified_weighted_docs,
+    "bigram_logprob_scores": bigram_logprob_scores,
 }
 
 ORACLE = {
@@ -1516,6 +1595,7 @@ ORACLE = {
     "chunk_docs": _CHUNK_SQL,
     "sparse_cosine_docs": _SPARSE_COSINE_SQL,
     "stratified_weighted_docs": _STRAT_WEIGHTED_SQL,
+    "bigram_logprob_scores": _BIGRAM_LM_SQL,
     "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
