@@ -51,17 +51,29 @@ def pagerank(
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_ckpt = None
     for i in range(n_iter):
-        with_deg = ranks.join(out_deg, "vertex", "left").localCheckpoint(eager=True)
+        # the dangling-mass scalar rides the SAME job that materializes
+        # the checkpoint (df.observe): one executed plan per iteration
+        # instead of checkpoint + a separate dangling aggregate
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        with_deg = (
+            ranks.join(out_deg, "vertex", "left")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(F.when(F.col("deg").isNull(), F.col("rank"))),
+                    F.lit(0.0),
+                ).alias("dangling"),
+            )
+            .localCheckpoint(eager=True)
+        )
         if prev_ckpt is not None:
             # The previous iteration's materialization is no longer
             # reachable once this one exists; free its blocks.
             prev_ckpt.unpersist()
         prev_ckpt = with_deg
-        dangling = (
-            with_deg.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        dangling = obs.get["dangling"]
         contribs = (
             edges.join(
                 with_deg.filter(F.col("deg").isNotNull()).withColumnRenamed(
