@@ -465,3 +465,142 @@ def kmeans_clusters(
         )
         .orderBy("cell")
     )
+
+
+def _train_pq(sample: np.ndarray, m: int, k: int, seed: int) -> np.ndarray:
+    """Per-subspace codebooks, shape (m, k, d/m): independent k-means on
+    each of the m dimension groups (Jegou et al., PAMI 2011)."""
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m} subspaces")
+    sub = d // m
+    return np.stack([
+        _train_kmeans(sample[:, j * sub:(j + 1) * sub], k, seed + j)
+        for j in range(m)
+    ])
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+    vec_col: str = "embedding",
+):
+    """Product quantization: split each vector into ``m`` subvectors and
+    store only the nearest-codeword index per subspace -- ``m`` small ints
+    instead of ``d`` floats (FAISS's PQ memory layout; with 16 codewords
+    each vector compresses to ``m`` nibbles).
+
+    Returns ``(codes_df, codebooks)``: codes as an array<int> column, the
+    (m, k, d/m) codebook ndarray for the caller to score against.
+
+    Scale: training samples the driver side exactly like :func:`ivf_topk`
+    (bounded, standard for PQ builds); encoding is an Arrow-batched
+    map-only pass -- for each subspace one (batch, k) distance matrix.
+    """
+    sample = np.array(
+        [r[vec_col] for r in emb.select(vec_col).limit(sample_size).collect()],
+        dtype=float,
+    )
+    books = _train_pq(sample, m, k, seed)
+    sub = books.shape[2]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def encode(vs):
+        import pandas as pd
+
+        if vs.empty:
+            return pd.Series([], dtype=object)
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(M), m), dtype=np.int32)
+        for j in range(m):
+            X = M[:, j * sub:(j + 1) * sub]
+            C = books[j]
+            dist = (
+                (X**2).sum(axis=1)[:, None]
+                - 2.0 * (X @ C.T)
+                + (C**2).sum(axis=1)[None, :]
+            )
+            codes[:, j] = dist.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return emb.select("vec_id", encode(vec_col).alias("codes")), books
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance: exact query subvector
+    vs codeword lookup tables (ADC).  Each query precomputes an (m, k)
+    table of subspace distances; a candidate's score is m table lookups
+    summed -- no float vector is ever read at scan time.
+
+    Scale: the codes relation is the only big input (m ints per vector);
+    queries and their lookup tables broadcast; scoring is an Arrow-batched
+    map + TakeOrderedAndProject.  The standard IVF+PQ composition drops in
+    by bucketing this scan with :func:`ivf_topk`'s cells.
+    """
+    codes_df, books = pq_encode(emb, m=m, k=n_codes, seed=seed)
+    codes_df = codes_df.localCheckpoint(eager=True)
+    sub = books.shape[2]
+    qrows = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # (q, m, k) ADC tables: squared distance from each query subvector to
+    # every codeword
+    qids = np.array([r["vec_id"] for r in qrows])
+    Q = np.stack([np.asarray(r["embedding"], dtype=float) for r in qrows])
+    tables = np.empty((len(qids), m, books.shape[1]))
+    for j in range(m):
+        Xq = Q[:, j * sub:(j + 1) * sub]
+        C = books[j]
+        tables[:, j, :] = (
+            (Xq**2).sum(axis=1)[:, None]
+            - 2.0 * (Xq @ C.T)
+            + (C**2).sum(axis=1)[None, :]
+        )
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes):
+        import pandas as pd
+
+        if codes.empty:
+            return pd.Series([], dtype=object)
+        Cd = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        out = np.zeros((len(Cd), len(qids)))
+        for qi in range(len(qids)):
+            out[:, qi] = tables[qi, np.arange(m), :][
+                np.arange(m)[None, :], Cd
+            ].sum(axis=1)
+        return pd.Series(list(out))
+
+    scored = codes_df.select(
+        "vec_id", F.posexplode(adc_scores("codes")).alias("qpos", "sqdist")
+    ).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.element_at(
+            F.array(*[F.lit(int(q)) for q in qids]), F.col("qpos") + 1
+        ).alias("query_id"),
+        F.round(F.col("sqdist"), 6).alias("sqdist"),
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("sqdist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sqdist", "rnk")
+    )

@@ -1306,3 +1306,34 @@ def test_weighted_sample_partitioning_invariance(spark):
     a = weighted_sample(docs, "n_chars", 25, ["doc_id"]).collect()
     b = weighted_sample(docs.repartition(17), "n_chars", 25, ["doc_id"]).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_topk_recall_and_determinism(spark, emb):
+    out1 = similarity.pq_topk(emb, n_queries=4, k=5, m=16, n_codes=64).collect()
+    out2 = similarity.pq_topk(emb, n_queries=4, k=5, m=16, n_codes=64).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3}
+    assert all(len(v) == 5 for v in by_q.values())
+    # recall against the EXACT euclidean top-5.  The synthetic embeddings
+    # are near-isotropic noise (all pairwise distances concentrate), the
+    # worst case for PQ -- so assert recall WELL ABOVE CHANCE (random
+    # picks overlap ~1/20 in total), not a production-recall bar.
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+            for r in emb.select("vec_id", "embedding").collect()}
+    total = 0
+    for q, neigh in by_q.items():
+        d = {v: ((vecs[q] - x) ** 2).sum() for v, x in vecs.items() if v != q}
+        exact5 = {v for v, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:5]}
+        total += len(exact5 & set(neigh))
+    assert total >= 5, (total, by_q)
+
+
+def test_pq_encode_shapes_and_code_range(spark, emb):
+    codes_df, books = similarity.pq_encode(emb, m=4, k=16)
+    assert books.shape == (4, 16, 16)
+    rows = codes_df.collect()
+    assert all(len(r["codes"]) == 4 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
