@@ -112,6 +112,10 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(_emb(spark, sf_dir), n_queries=8, k=5)
 
 
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivfpq_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=8, k=5, n_probe=3)
 
@@ -1541,6 +1545,7 @@ QUERIES = {
     "lsh_topk": lsh_topk,
     "ivf_topk": ivf_topk,
     "pq_topk_embeddings": pq_topk_embeddings,
+    "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
     "doc_fingerprints": doc_fingerprints,
     "token_stats_by_lang": token_stats_by_lang,
     "quality_scores": quality_scores,

@@ -1337,3 +1337,25 @@ def test_pq_encode_shapes_and_code_range(spark, emb):
     rows = codes_df.collect()
     assert all(len(r["codes"]) == 4 for r in rows)
     assert all(0 <= c < 16 for r in rows for c in r["codes"])
+
+
+def test_ivfpq_topk_contract_and_determinism(spark, emb):
+    out1 = similarity.ivfpq_topk(emb, n_queries=4, k=5).collect()
+    out2 = similarity.ivfpq_topk(emb, n_queries=4, k=5).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    by_q = {}
+    for r in out1:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    for q, rows in by_q.items():
+        assert len(rows) == 5
+        ds = [r["sqdist"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert ds == sorted(ds)          # ranked by ADC distance
+        assert all(r["neighbor_id"] != q for r in rows)
+    # IVF+PQ candidates are a subset of PQ-over-everything: its best
+    # neighbor's ADC distance cannot beat the full-scan PQ best
+    full = similarity.pq_topk(emb, n_queries=4, k=1).collect()
+    best_full = {r["query_id"]: r["sqdist"] for r in full}
+    best_ivf = {q: min(r["sqdist"] for r in rows) for q, rows in by_q.items()}
+    for q in by_q:
+        assert best_ivf[q] >= best_full[q] - 1e-9
