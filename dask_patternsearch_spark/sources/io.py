@@ -212,3 +212,32 @@ def write_table_observed(
     )
     write_table(observed, path, fmt=fmt, mode=mode, **options)
     return dict(obs.get)
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving every other partition untouched -- the incremental
+    daily-reload pattern (re-land one day of a date-partitioned fact
+    without rewriting seven years).  Static overwrite mode would truncate
+    the whole table first; the dynamic mode scopes the delete to the
+    partitions the job actually emits.
+
+    The session-level ``partitionOverwriteMode`` is set around the write
+    and restored, so concurrent code keeps Spark's default semantics.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        writer = df.write.mode("overwrite").partitionBy(*partition_by)
+        getattr(writer, fmt)(path)
+    finally:
+        spark.conf.set(key, prev)
