@@ -1169,6 +1169,62 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-corpus preparation as ONE composed plan --
+    the flagship integration query: (0) raw corpus, (1) exact dedup
+    (md5 keeper), (2) near-dup canonicalization (MinHash -> connected
+    components -> keep best), (3) C4 heuristic quality filter, (4) exact
+    5-gram decontamination against the held-out source.  Emits the
+    audit funnel: one row per stage with surviving doc/char counts.
+
+    Rows-only (the MinHash stage is inside), but every component is
+    individually oracle-checked or property-tested; this query exists to
+    prove the stages COMPOSE -- one lineage, no driver round trips
+    between stages beyond the documented candidate materializations.
+    """
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+
+    def stage(df: DataFrame, name: str, idx: int) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
+        )
+
+    d1 = (
+        docs.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    verdicts = dedup.canonicalize_near_dups(d1, min_est_jaccard=0.5)
+    d2 = d1.join(verdicts.filter("kept").select("doc_id"), "doc_id")
+    d3 = d2.join(
+        text.c4_quality_filter(d2).filter("keep").select("doc_id"), "doc_id"
+    )
+    benchmark = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = d3.filter(F.col("source") != "src0")
+    dirty = dedup.ngram_overlap_contamination(
+        corpus.select("doc_id", "text"), benchmark, n=5
+    ).select("doc_id")
+    d4 = corpus.join(dirty, "doc_id", "left_anti")
+    out = stage(docs, "raw", 0)
+    for i, (name, df) in enumerate(
+        [("exact_dedup", d1), ("near_dedup", d2), ("quality", d3),
+         ("decontaminated", d4)],
+        start=1,
+    ):
+        out = out.unionByName(stage(df, name, i))
+    return out
+
+
 def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.substring_dup_fraction(_docs(spark, sf_dir))
 
@@ -1593,6 +1649,7 @@ QUERIES = {
     "sparse_cosine_docs": sparse_cosine_docs,
     "stratified_weighted_docs": stratified_weighted_docs,
     "bigram_logprob_scores": bigram_logprob_scores,
+    "pretrain_pipeline_stats": pretrain_pipeline_stats,
 }
 
 ORACLE = {

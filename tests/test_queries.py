@@ -199,3 +199,17 @@ def test_inverted_postings_contract(spark):
         ids = [int(x) for x in r["postings_head"].split(",")]
         assert ids == sorted(ids)
         assert len(ids) == min(r["df"], 20)
+
+
+def test_pretrain_pipeline_funnel_monotone(spark):
+    rows = sorted(
+        entry.queries()["pretrain_pipeline_stats"](spark, SF_DIR).collect(),
+        key=lambda r: r["stage_id"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "raw", "exact_dedup", "near_dedup", "quality", "decontaminated"]
+    docs = [r["n_docs"] for r in rows]
+    chars = [r["n_chars"] for r in rows]
+    assert docs == sorted(docs, reverse=True)    # every stage only drops
+    assert chars == sorted(chars, reverse=True)
+    assert docs[-1] > 0                           # something survives
