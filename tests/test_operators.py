@@ -1359,3 +1359,21 @@ def test_ivfpq_topk_contract_and_determinism(spark, emb):
     best_ivf = {q: min(r["sqdist"] for r in rows) for q, rows in by_q.items()}
     for q in by_q:
         assert best_ivf[q] >= best_full[q] - 1e-9
+
+
+def test_operators_handle_empty_input(spark):
+    """Scan-shaped operators must return empty results, not crash, when a
+    filter upstream leaves zero rows (routine in date-sliced pipelines)."""
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert dedup.exact_dedup(empty).count() == 0
+    assert dedup.minhash_lsh_candidates(empty).count() == 0
+    assert dedup.sparse_cosine_pairs(empty).count() == 0
+    assert text.substring_dup_fraction(empty).count() == 0
+    assert text.chunk_documents(empty).count() == 0
+    assert text.bm25_search(empty, ["anything"]).count() == 0
+    assert text.quality_scores(empty).count() == 0
+    from dask_patternsearch_spark.operators.sampling import weighted_sample
+
+    assert weighted_sample(empty, "n_chars", 5, ["doc_id"]).count() == 0
