@@ -1169,6 +1169,88 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension time travel: join every click to the purchase VERSION
+    valid at click time (the SCD2 history from ``operators.merge.scd2``,
+    open tails closed at corpus max ts + 1), aggregated per version.
+
+    Scale: the containment join runs through ``operators.joins.range_join``
+    -- bucketed to an EQUI join on (bucket, user_id), never a
+    broadcast-nested-loop -- and the per-version aggregate reuses the
+    user-keyed shuffle.  This is the canonical 'join facts to the
+    dimension version in force at event time' pattern.
+    """
+    from ..operators.joins import range_join
+    from ..util import epoch_ms
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", "event_type", epoch_ms("ts").alias("ts_ms")
+    )
+    hist = merge.scd2(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts_ms"
+        ),
+        keys=["user_id"],
+        ts_col="ts_ms",
+        tie_break=["event_id"],
+    ).select(
+        "user_id",
+        F.col("event_id").alias("version_id"),
+        "valid_from",
+        "valid_to",
+    )
+    closed = ev.agg((F.max("ts_ms") + 1).alias("closed"))
+    hist = hist.join(F.broadcast(closed)).select(
+        "user_id",
+        "version_id",
+        "valid_from",
+        F.coalesce(F.col("valid_to"), F.col("closed")).alias("valid_until"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_ms"
+    )
+    week_ms = 7 * 24 * 3600 * 1000
+    joined = range_join(
+        clicks,
+        hist,
+        point_col="ts_ms",
+        lo_col="valid_from",
+        hi_col="valid_until",
+        bucket_width=week_ms,
+        extra_on=["user_id"],
+    )
+    return joined.groupBy("user_id", "version_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clicks"),
+        F.min("ts_ms").cast("long").alias("first_click_ms"),
+        F.max("ts_ms").cast("long").alias("last_click_ms"),
+    )
+
+
+_SCD2_PIT_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+hist AS (
+  SELECT user_id, event_id AS version_id, ts_ms AS valid_from,
+         lead(ts_ms) OVER (PARTITION BY user_id
+                           ORDER BY ts_ms, event_id) AS valid_to
+  FROM ev WHERE event_type = 'purchase'
+),
+mx AS (SELECT max(ts_ms) + 1 AS closed FROM ev),
+clicks AS (SELECT user_id, ts_ms FROM ev WHERE event_type = 'click')
+SELECT h.user_id, h.version_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(min(c.ts_ms) AS BIGINT) AS first_click_ms,
+       CAST(max(c.ts_ms) AS BIGINT) AS last_click_ms
+FROM clicks c
+CROSS JOIN mx
+JOIN hist h ON h.user_id = c.user_id
+           AND c.ts_ms >= h.valid_from
+           AND c.ts_ms < coalesce(h.valid_to, mx.closed)
+GROUP BY 1, 2
+"""
+
+
 def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretraining-corpus preparation as ONE composed plan --
     the flagship integration query: (0) raw corpus, (1) exact dedup
@@ -1650,6 +1732,7 @@ QUERIES = {
     "stratified_weighted_docs": stratified_weighted_docs,
     "bigram_logprob_scores": bigram_logprob_scores,
     "pretrain_pipeline_stats": pretrain_pipeline_stats,
+    "scd2_pointintime_join": scd2_pointintime_join,
 }
 
 ORACLE = {
@@ -1663,6 +1746,7 @@ ORACLE = {
     "sparse_cosine_docs": _SPARSE_COSINE_SQL,
     "stratified_weighted_docs": _STRAT_WEIGHTED_SQL,
     "bigram_logprob_scores": _BIGRAM_LM_SQL,
+    "scd2_pointintime_join": _SCD2_PIT_SQL,
     "language_id": _langid_sql(),
     "exact_decontaminate_docs": _EXACT_DECON_SQL,
     "exact_dedup_docs": _EXACT_DEDUP_SQL,
