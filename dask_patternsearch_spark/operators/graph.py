@@ -314,3 +314,77 @@ def label_propagation(
         )
         .orderBy(F.desc("size"), F.asc("community"))
     )
+
+
+def sssp(
+    edges: DataFrame,
+    source: int | None = None,
+    weight_col: str = "weight",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Single-source shortest paths over a weighted undirected edge list
+    by distributed Bellman-Ford: each round relaxes every edge out of the
+    current distance table (one vertex-keyed join + a min-combine), stops
+    early when a round improves nothing.  Negative weights are rejected
+    (undirected negative edges make shortest paths undefined).
+
+    Scale: the relaxation join is vertex-keyed and the min-combine is a
+    partial-aggregated groupBy -- same shuffle posture as BFS/LPA; the
+    distance table is localCheckpoint-ed per round so round N never
+    replays rounds 1..N-1.  Rounds needed = shortest-path hop diameter,
+    not |V|.
+    """
+    neg = edges.filter(F.col(weight_col) < 0).limit(1).count()
+    if neg:
+        raise ValueError("sssp requires non-negative weights")
+    bi = (
+        edges.select("src", "dst", weight_col)
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                weight_col,
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    if source is None:
+        source = bi.agg(F.min("src")).first()[0]
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0.0)], "vertex long, dist double"
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        relaxed = (
+            bi.join(
+                dist.withColumnRenamed("vertex", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("vertex"),
+                (F.col("dist") + F.col(weight_col)).alias("dist"),
+            )
+        )
+        new = (
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = (
+            new.join(
+                dist.withColumnRenamed("dist", "old"), "vertex", "left"
+            )
+            .filter(
+                F.col("old").isNull() | (F.col("dist") < F.col("old") - 1e-12)
+            )
+            .limit(1)
+            .count()
+        )
+        prev = dist
+        dist = new
+        prev.unpersist()
+        if improved == 0:
+            break
+    return dist.select("vertex", F.round("dist", 6).alias("dist")).orderBy(
+        "dist", "vertex"
+    )

@@ -2905,6 +2905,33 @@ def communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(graph.copurchase_edges(li), n_iter=4)
 
 
+def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from the smallest part over the first-year
+    co-purchase graph, edge weight = 1 / co-occurrence count (strong
+    affinities are short hops).  Iterative Bellman-Ford -- rows-only like
+    BFS/LPA; closed-form weighted-graph tests lock correctness."""
+    from ..operators import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    pairs = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> "
+            "transform(slice(ps, i + 2, size(ps)), "
+            "y -> struct(x AS src, y AS dst)))"
+        )
+    )
+    weighted = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+        .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
+    )
+    return graph.sssp(weighted, max_iter=6)
+
+
 def bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from the smallest part in the co-purchase graph
     (frontier-expanding iterative joins; the recursive-CTE workload shape
@@ -2941,6 +2968,7 @@ QUERIES = {
     "time_weighted_value": time_weighted_value,
     "record_linkage_parts": record_linkage_parts,
     "communities_copurchase": communities_copurchase,
+    "sssp_copurchase": sssp_copurchase,
     "fk_integrity_audit": fk_integrity_audit,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "bfs_copurchase": bfs_copurchase,

@@ -1377,3 +1377,27 @@ def test_operators_handle_empty_input(spark):
     from dask_patternsearch_spark.operators.sampling import weighted_sample
 
     assert weighted_sample(empty, "n_chars", 5, ["doc_id"]).count() == 0
+
+
+def test_sssp_weighted_chain_and_shortcut(spark):
+    from dask_patternsearch_spark.operators.graph import sssp
+
+    # 1-2-3 costs 1+1=2, but the direct 1-3 edge costs 5: shortest is 2.
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 5.0), (3, 4, 0.5)],
+        "src long, dst long, weight double",
+    )
+    out = {r["vertex"]: r["dist"] for r in sssp(edges, source=1).collect()}
+    assert out == {1: 0.0, 2: 1.0, 3: 2.0, 4: 2.5}
+
+
+def test_sssp_rejects_negative_weights(spark):
+    import pytest as _pytest
+
+    from dask_patternsearch_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, -1.0)], "src long, dst long, weight double"
+    )
+    with _pytest.raises(ValueError):
+        sssp(edges, source=1)

@@ -430,3 +430,15 @@ def test_sparse_cosine_no_nested_loop(spark):
     assert info["nested_loop_joins"] == 0
     assert info["python_stages"] == 0
     assert "TakeOrderedAndProject" in plan_text(df)
+
+
+def test_scd2_pit_join_is_equi_not_nested_loop(spark):
+    """The interval containment must run as the bucketed equi join --
+    a nested-loop plan here is the O(n*m) trap range_join exists to avoid."""
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    info = summarize(P.QUERIES["scd2_pointintime_join"](spark, SF_DIR))
+    assert info["nested_loop_joins"] <= 2  # the 1-row closed-ts broadcast only
+    assert info["sort_merge_joins"] + info["broadcast_hash_joins"] + \
+        info["shuffled_hash_joins"] >= 2
+    assert info["python_stages"] == 0
