@@ -1853,8 +1853,19 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
+            # per-row snap to exact ten-thousandths, sum BIGINTs, divide:
+            # identical expression trees on both engines, so the .xx5
+            # rounding boundary cannot flip on sum order (the q9 technique)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 10000.0
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -1900,8 +1911,19 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
+            # per-row snap to exact ten-thousandths, sum BIGINTs, divide:
+            # identical expression trees on both engines, so the .xx5
+            # rounding boundary cannot flip on sum order (the q9 technique)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 10000.0
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -2651,6 +2673,72 @@ LIMIT 10
 """
 
 
+def star_wide_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denormalization pass at its widest: flatten the full star
+    (lineitem -> orders -> customer -> nation -> region, plus part and
+    supplier) and roll revenue up by (region, brand, order year).
+
+    Scale: every dimension chain broadcasts (region/nation/customer are
+    the classic descending-size chain; part and supplier join on their
+    keys) and every scan is pruned to the 2-3 columns the rollup needs --
+    the fact table shuffles ONCE at most (AQE usually broadcasts all
+    sides here).  This is the ETL wide-table build every warehouse runs
+    nightly, expressed as one Catalyst plan.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    wide = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    )
+    return (
+        wide.groupBy("r_name", "p_brand", "order_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            # per-row snap to exact ten-thousandths, sum BIGINTs, divide:
+            # identical expression trees on both engines, so the .xx5
+            # rounding boundary cannot flip on sum order (the q9 technique)
+            F.round(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        * 10000.0
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+_STAR_WIDE_SQL = """
+SELECT r.r_name, p.p_brand, year(o.o_orderdate) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       round(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                               * 10000.0 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+"""
+
+
 def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized-view maintenance: a stored base aggregate (orders
     before 1999) combined with the delta batch's partial aggregate
@@ -2971,6 +3059,7 @@ QUERIES = {
     "sssp_copurchase": sssp_copurchase,
     "fk_integrity_audit": fk_integrity_audit,
     "incremental_agg_maintenance": incremental_agg_maintenance,
+    "star_wide_rollup": star_wide_rollup,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
@@ -3049,6 +3138,7 @@ ORACLE = {
     "triangle_copurchase": _TRIANGLE_SQL,
     "fk_integrity_audit": _FK_AUDIT_SQL,
     "incremental_agg_maintenance": _INCR_AGG_SQL,
+    "star_wide_rollup": _STAR_WIDE_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,
