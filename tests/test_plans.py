@@ -442,3 +442,16 @@ def test_scd2_pit_join_is_equi_not_nested_loop(spark):
     assert info["sort_merge_joins"] + info["broadcast_hash_joins"] + \
         info["shuffled_hash_joins"] >= 2
     assert info["python_stages"] == 0
+
+
+def test_star_wide_rollup_broadcasts_every_dim(spark):
+    """The denormalization flatten: all five dimension joins broadcast,
+    no nested loops, every scan pruned to what the rollup needs."""
+    from dask_patternsearch_spark.queries import relational as R2
+
+    info = summarize(R2.QUERIES["star_wide_rollup"](spark, SF_DIR))
+    assert info["broadcast_hash_joins"] >= 8  # 4+ joins, double-counted
+    assert info["nested_loop_joins"] == 0
+    assert info["python_stages"] == 0
+    li_schema = next(s for s in info["read_schemas"] if "l_extendedprice" in s)
+    assert "l_comment" not in li_schema and "l_shipdate" not in li_schema
