@@ -213,3 +213,21 @@ def test_pretrain_pipeline_funnel_monotone(spark):
     assert docs == sorted(docs, reverse=True)    # every stage only drops
     assert chars == sorted(chars, reverse=True)
     assert docs[-1] > 0                           # something survives
+
+
+def test_schema_stable_across_scale_factors(spark):
+    """The driver smoke-checks schema stability; partition-count- or
+    data-dependent schemas (e.g. pivot columns inferred from values)
+    would break a cluster-size change.  Representative deterministic
+    queries must produce IDENTICAL schemas at sf0.001 and sf0.01."""
+    names = [
+        "q1_pricing_summary", "exact_dedup_docs", "token_stats_by_lang",
+        "window_rank_orders", "star_wide_rollup", "chunk_docs",
+        "weighted_sample_docs", "fk_integrity_audit",
+    ]
+    qs = entry.queries()
+    for name in names:
+        s1 = qs[name](spark, "/root/testdata/sf0.001").schema
+        s2 = qs[name](spark, "/root/testdata/sf0.01").schema
+        assert [(f.name, f.dataType.simpleString()) for f in s1] == \
+               [(f.name, f.dataType.simpleString()) for f in s2], name
