@@ -2673,6 +2673,52 @@ LIMIT 10
 """
 
 
+def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic surface: under Spark 4's default ANSI mode,
+    division by zero and bad casts THROW unless routed through the
+    ``try_*`` family -- this query exercises the NULL-on-failure forms a
+    pipeline needs for dirty data (DuckDB's plain operators already have
+    these semantics, so the oracle is direct).
+
+    Per order-priority: average items-per-line ratio where the divisor
+    can be zero-ish (quantity floor), a try_cast of the numeric tail of
+    the priority string, and the count of rows the safe forms nulled.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_linenumber"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.try_divide(F.col("l_linenumber"), F.floor(F.col("l_quantity") / 10))
+        .alias("ratio"),
+        F.try_to_number(
+            F.substring("o_orderpriority", 1, 1), F.lit("9")
+        ).cast("int").alias("prio_num"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("ratio").isNull().cast("long")).alias("n_null_ratios"),
+        F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        F.max("prio_num").alias("prio_num"),
+    )
+
+
+_TRY_ARITH_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN floor(l.l_quantity / 10) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_null_ratios,
+       round(avg(CASE WHEN floor(l.l_quantity / 10) = 0 THEN NULL
+                      ELSE l.l_linenumber / floor(l.l_quantity / 10) END), 6)
+         AS avg_ratio,
+       CAST(max(TRY_CAST(substr(o.o_orderpriority, 1, 1) AS INTEGER))
+            AS INTEGER) AS prio_num
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 def star_wide_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The denormalization pass at its widest: flatten the full star
     (lineitem -> orders -> customer -> nation -> region, plus part and
@@ -3060,6 +3106,7 @@ QUERIES = {
     "fk_integrity_audit": fk_integrity_audit,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "star_wide_rollup": star_wide_rollup,
+    "try_arithmetic_safety": try_arithmetic_safety,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
@@ -3139,6 +3186,7 @@ ORACLE = {
     "fk_integrity_audit": _FK_AUDIT_SQL,
     "incremental_agg_maintenance": _INCR_AGG_SQL,
     "star_wide_rollup": _STAR_WIDE_SQL,
+    "try_arithmetic_safety": _TRY_ARITH_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,
