@@ -2673,6 +2673,57 @@ LIMIT 10
 """
 
 
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode (30-min gap) -- the same
+    operator Structured Streaming uses, proven against the lag+cumsum
+    islands formulation in the oracle.  Boundary semantics matter: an
+    event exactly ``gap`` after its predecessor starts a NEW session
+    (sessions span ``[start, last+gap)``), so the islands twin marks new
+    sessions on ``diff >= gap``, not ``>``.
+
+    Scale: one shuffle on the session-window grouping; per-group state is
+    a session's events.  (The manual-islands ``sessionize_events`` costs
+    the same shuffle; this registers the native spelling.)
+    """
+    ev = _t(spark, sf_dir, "events").select("user_id", "value", "ts")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            _epoch_ms(F.col("session_window.start")).alias("session_start_ms"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+_SESSION_WINDOW_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms FROM events
+),
+m AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                      (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                      >= 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM ev
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS seq
+  FROM m
+)
+SELECT user_id,
+       CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, seq
+"""
+
+
 def try_arithmetic_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI-safe arithmetic surface: under Spark 4's default ANSI mode,
     division by zero and bad casts THROW unless routed through the
@@ -3107,6 +3158,7 @@ QUERIES = {
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "star_wide_rollup": star_wide_rollup,
     "try_arithmetic_safety": try_arithmetic_safety,
+    "session_window_batch": session_window_batch,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
@@ -3187,6 +3239,7 @@ ORACLE = {
     "incremental_agg_maintenance": _INCR_AGG_SQL,
     "star_wide_rollup": _STAR_WIDE_SQL,
     "try_arithmetic_safety": _TRY_ARITH_SQL,
+    "session_window_batch": _SESSION_WINDOW_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,
