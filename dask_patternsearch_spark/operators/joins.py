@@ -89,8 +89,10 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports left/inner, got {how!r}")
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     payload_cols = [c for c in right.columns if c not in keys]
     overlap = set(payload_cols) & set(left.columns)
@@ -111,22 +113,60 @@ def asof_join(
     ).withColumn(payload, F.lit(None).cast(tagged_r.schema[payload].dataType))
 
     merged = tagged_l.unionByName(tagged_r, allowMissingColumns=True)
-    order_col = F.col(order) if direction == "backward" else F.col(order).desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(order_col, F.col(side))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = merged.withColumn(payload, F.last(payload, ignorenulls=True).over(w))
+    if direction == "nearest":
+        # pandas merge_asof(direction='nearest') parity: carry BOTH the
+        # latest-preceding and earliest-following right rows (two window
+        # passes sharing one key shuffle -- the second direction only adds
+        # an in-partition re-sort) and keep whichever is closer; exact
+        # ties resolve to the backward match (documented, deterministic).
+        w_b = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(order), F.col(side))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_f = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(order).desc(), F.col(side))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        back = F.last(payload, ignorenulls=True).over(w_b)
+        fwd = F.last(payload, ignorenulls=True).over(w_f)
+        carried = merged.withColumn("__dps_back", back).withColumn(
+            "__dps_fwd", fwd
+        )
+        bdist = F.col(order) - F.col("__dps_back")[right_ts]
+        fdist = F.col("__dps_fwd")[right_ts] - F.col(order)
+        chosen = (
+            F.when(F.col("__dps_back").isNull(), F.col("__dps_fwd"))
+            .when(F.col("__dps_fwd").isNull(), F.col("__dps_back"))
+            .when(fdist < bdist, F.col("__dps_fwd"))
+            .otherwise(F.col("__dps_back"))
+        )
+        carried = carried.withColumn(payload, chosen).drop(
+            "__dps_back", "__dps_fwd"
+        )
+    else:
+        order_col = (
+            F.col(order) if direction == "backward" else F.col(order).desc()
+        )
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(order_col, F.col(side))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = merged.withColumn(
+            payload, F.last(payload, ignorenulls=True).over(w)
+        )
     out = carried.filter(F.col(side) == 1)
 
     matched = F.col(payload).isNotNull()
     if tolerance is not None:
-        dist = (
-            F.col(left_ts) - F.col(payload)[right_ts]
-            if direction == "backward"
-            else F.col(payload)[right_ts] - F.col(left_ts)
-        )
+        if direction == "backward":
+            dist = F.col(left_ts) - F.col(payload)[right_ts]
+        elif direction == "forward":
+            dist = F.col(payload)[right_ts] - F.col(left_ts)
+        else:
+            dist = F.abs(F.col(left_ts) - F.col(payload)[right_ts])
         matched = matched & (dist <= F.lit(tolerance))
     if how == "inner":
         out = out.filter(matched)

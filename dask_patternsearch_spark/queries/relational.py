@@ -1263,6 +1263,57 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("gap_ms", F.col("ts_ms") - F.col("click_ts_ms"))
 
 
+def asof_join_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``direction='nearest'`` as-of join (pandas merge_asof parity):
+    each purchase matched to the user's CLOSEST click in either
+    direction, ties to the preceding click.  Still the merge
+    formulation -- one user_id shuffle carrying both directional window
+    passes; the oracle ranks the per-user candidate pairs by
+    (|gap|, after-flag, ts) which encodes the same tie rule.
+    """
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_ms"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_event_id"),
+        F.col("ts_ms").alias("click_ts_ms"),
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts_ms",
+        right_ts="click_ts_ms", direction="nearest",
+    ).withColumn("abs_gap_ms", F.abs(F.col("ts_ms") - F.col("click_ts_ms")))
+
+
+_ASOF_NEAREST_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+p AS (SELECT user_id, event_id, ts_ms FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT user_id, event_id AS click_event_id, ts_ms AS click_ts_ms
+      FROM ev WHERE event_type = 'click'),
+ranked AS (
+  SELECT p.user_id, p.event_id, p.ts_ms,
+         c.click_event_id, c.click_ts_ms,
+         row_number() OVER (
+           PARTITION BY p.user_id, p.event_id
+           ORDER BY abs(c.click_ts_ms - p.ts_ms),
+                    CASE WHEN c.click_ts_ms > p.ts_ms THEN 1 ELSE 0 END,
+                    c.click_ts_ms
+         ) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id
+)
+SELECT p.user_id, p.event_id, p.ts_ms,
+       r.click_event_id, r.click_ts_ms,
+       CAST(abs(p.ts_ms - r.click_ts_ms) AS BIGINT) AS abs_gap_ms
+FROM p LEFT JOIN ranked r
+  ON r.user_id = p.user_id AND r.event_id = p.event_id AND r.rn = 1
+"""
+
+
 _ASOF_SQL = """
 WITH p AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
            FROM events WHERE event_type = 'purchase'),
@@ -3159,6 +3210,7 @@ QUERIES = {
     "star_wide_rollup": star_wide_rollup,
     "try_arithmetic_safety": try_arithmetic_safety,
     "session_window_batch": session_window_batch,
+    "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
     "calendar_order_stats": calendar_order_stats,
@@ -3240,6 +3292,7 @@ ORACLE = {
     "star_wide_rollup": _STAR_WIDE_SQL,
     "try_arithmetic_safety": _TRY_ARITH_SQL,
     "session_window_batch": _SESSION_WINDOW_SQL,
+    "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,

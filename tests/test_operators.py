@@ -1401,3 +1401,39 @@ def test_sssp_rejects_negative_weights(spark):
     )
     with _pytest.raises(ValueError):
         sssp(edges, source=1)
+
+
+def test_asof_join_nearest_matches_pandas_semantics(spark):
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 24), (1, 30), (2, 5)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 25, "b"), (1, 100, "c"), (3, 1, "z")],
+        "k long, rts long, tag string",
+    )
+    out = {(r["k"], r["lts"]): r["tag"] for r in
+           asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     direction="nearest").collect()}
+    assert out[(1, 10)] == "a"    # 8 at dist 2 beats 25 at dist 15
+    assert out[(1, 24)] == "b"    # 25 at dist 1 beats 8 at dist 16
+    assert out[(1, 30)] == "b"    # 25 at dist 5 beats 100 at dist 70
+    assert out[(2, 5)] is None    # no right rows for key 2
+    # tolerance cuts far matches in BOTH directions
+    tol = {(r["k"], r["lts"]): r["tag"] for r in
+           asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                     direction="nearest", tolerance=3).collect()}
+    assert tol[(1, 10)] == "a" and tol[(1, 24)] == "b" and tol[(1, 30)] is None
+
+
+def test_asof_join_nearest_tie_prefers_backward(spark):
+    from dask_patternsearch_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k long, lts long")
+    right = spark.createDataFrame(
+        [(1, 8, "early"), (1, 12, "late")], "k long, rts long, tag string"
+    )
+    out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
+                    direction="nearest").collect()
+    assert out[0]["tag"] == "early"  # dist 2 both ways -> backward wins
