@@ -79,3 +79,37 @@ def check_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Join/aggregation-key skew diagnostic: the top-k heaviest key groups
+    with each group's share of all rows and its ratio to the MEAN group
+    size -- the number that predicts whether this key needs salting or
+    AQE skew-split before it becomes a straggler task.
+
+    Scale: one count aggregate at key grain (map-side combined), a 1-row
+    stats aggregate joined by broadcast, and a TakeOrderedAndProject
+    top-k.  Run it on the key of any join that misbehaves.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            *key_cols,
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("row_share"),
+            F.round(
+                F.col("n_rows") * F.col("n_groups") / F.col("total_rows"), 4
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
+        .limit(k)
+    )

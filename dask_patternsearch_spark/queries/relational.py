@@ -2724,6 +2724,35 @@ LIMIT 10
 """
 
 
+def skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic over the orders-per-customer distribution
+    (operators.quality.skew_report): the heaviest join keys with their
+    row share and ratio to the mean group size -- the pre-flight check
+    before salting or trusting AQE's skew split."""
+    from ..operators.quality import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "orders").select("o_custkey"), ["o_custkey"], k=10
+    )
+
+
+_SKEW_REPORT_SQL = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS n_rows FROM orders GROUP BY 1
+),
+stats AS (
+  SELECT sum(n_rows) AS total_rows, count(*) AS n_groups FROM counts
+)
+SELECT c.o_custkey,
+       CAST(c.n_rows AS BIGINT) AS n_rows,
+       round(c.n_rows / s.total_rows, 6) AS row_share,
+       round(c.n_rows * s.n_groups / s.total_rows, 4) AS skew_ratio
+FROM counts c CROSS JOIN stats s
+ORDER BY n_rows DESC, o_custkey ASC
+LIMIT 10
+"""
+
+
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` in BATCH mode (30-min gap) -- the same
     operator Structured Streaming uses, proven against the lag+cumsum
@@ -3210,6 +3239,7 @@ QUERIES = {
     "star_wide_rollup": star_wide_rollup,
     "try_arithmetic_safety": try_arithmetic_safety,
     "session_window_batch": session_window_batch,
+    "skew_report_orders": skew_report_orders,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3292,6 +3322,7 @@ ORACLE = {
     "star_wide_rollup": _STAR_WIDE_SQL,
     "try_arithmetic_safety": _TRY_ARITH_SQL,
     "session_window_batch": _SESSION_WINDOW_SQL,
+    "skew_report_orders": _SKEW_REPORT_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
