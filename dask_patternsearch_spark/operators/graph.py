@@ -388,3 +388,48 @@ def sssp(
     return dist.select("vertex", F.round("dist", 6).alias("dist")).orderBy(
         "dist", "vertex"
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    max_iter: int = 20,
+) -> DataFrame:
+    """The k-core of an undirected graph: iteratively peel vertices of
+    degree < k until none remain (Seidman 1983) -- the standard dense-
+    subgraph extraction (spam rings, tight duplicate neighborhoods,
+    community cores).  Returns surviving (vertex, core_degree).
+
+    Scale: each peel round is one degree aggregate plus two semi-joins
+    filtering the edge list to surviving endpoints -- all vertex-keyed,
+    checkpoint-cut like the other fixpoint operators.  Rounds are
+    bounded by the peel depth (graph degeneracy ordering length), far
+    below |V| in practice; the edge list only ever shrinks.
+    """
+    bi = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    cur = bi
+    for _ in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("src").limit(1).count()
+        if low == 0:
+            break
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        prev = cur
+        cur = nxt
+        if prev is not bi:
+            prev.unpersist()
+    return (
+        cur.groupBy(F.col("src").alias("vertex"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .orderBy("vertex")
+    )

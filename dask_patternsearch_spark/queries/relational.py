@@ -3197,6 +3197,20 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.sssp(weighted, max_iter=6)
 
 
+def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense core of the first-year co-purchase graph: the 4-core's
+    surviving parts and their within-core degrees (mean degree is ~3, so
+    k=4 isolates the genuinely dense neighborhoods; iterative peel,
+    rows-only like the other fixpoint operators -- closed-form
+    triangle/cascade tests lock correctness)."""
+    from ..operators import graph
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
+    )
+    return graph.kcore(graph.copurchase_edges(li), k=4)
+
+
 def bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hop distances from the smallest part in the co-purchase graph
     (frontier-expanding iterative joins; the recursive-CTE workload shape
@@ -3234,6 +3248,7 @@ QUERIES = {
     "record_linkage_parts": record_linkage_parts,
     "communities_copurchase": communities_copurchase,
     "sssp_copurchase": sssp_copurchase,
+    "kcore_copurchase": kcore_copurchase,
     "fk_integrity_audit": fk_integrity_audit,
     "incremental_agg_maintenance": incremental_agg_maintenance,
     "star_wide_rollup": star_wide_rollup,

@@ -1437,3 +1437,26 @@ def test_asof_join_nearest_tie_prefers_backward(spark):
     out = asof_join(left, right, on="k", left_ts="lts", right_ts="rts",
                     direction="nearest").collect()
     assert out[0]["tag"] == "early"  # dist 2 both ways -> backward wins
+
+
+def test_kcore_peels_tails_keeps_cliques(spark):
+    from dask_patternsearch_spark.operators.graph import kcore
+
+    # triangle {1,2,3} with a tail 3-4-5: the 2-core is exactly the triangle
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    out = {r["vertex"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+    # 3-core of the same graph is empty (triangle degrees are only 2)
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_cascading_peel(spark):
+    from dask_patternsearch_spark.operators.graph import kcore
+
+    # chain 1-2-3-4: removing endpoints cascades until nothing survives k=2
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert kcore(edges, k=2).count() == 0
