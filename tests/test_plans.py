@@ -279,6 +279,7 @@ def test_whole_relational_surface_plan_audit(spark):
         "q17_small_quantity_revenue", "q18_large_volume", "q20_excess_shippers",
         "resample_hourly_gaps",         # scalar min/max grid bounds broadcast
         "price_decile_bins",            # one-row edge vector broadcast
+        "skew_report_orders",           # one-row corpus-stats broadcast
     }
     # declared Python-stage queries: a pandas-UDF demo and the bloom join's
     # vectorized membership probe
