@@ -196,7 +196,15 @@ def main() -> None:
     if sweep:
         payload["sweep_queries"] = len(sweep)
         payload["sweep_seconds"] = round(sum(sweep.values()), 3)
-        payload["sweep"] = sweep
+        # per-query sweep detail goes to a side file, NOT the stdout JSON
+        # line: the driver tail-captures stdout and a 172-entry inline dict
+        # overflowed its window in round 2 ("parsed": null), losing the
+        # headline number entirely.  The final stdout line stays compact.
+        sweep_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json")
+        with open(sweep_path, "w") as fh:
+            json.dump({"sf": sf_val, "sweep": sweep}, fh, indent=1)
+        print(f"# full sweep detail -> {sweep_path}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
 

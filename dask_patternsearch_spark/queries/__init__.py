@@ -19,12 +19,14 @@ _MODULES = (relational, tpch, pipeline, patterns)
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _driver_green() -> set[str]:
-    """Query names already hash-verified by the driver in ANY prior round
-    (CORRECTNESS_r*.json at the repo root).  Used to order the registry so
-    the driver's bounded per-round sample covers not-yet-verified queries
-    first; the set grows monotonically across rounds."""
+def _driver_history() -> tuple[set[str], set[str]]:
+    """(green, seen): query names hash-verified / sampled-at-all by the
+    driver in ANY prior round (CORRECTNESS_r*.json at the repo root).
+    Used to order the registry so the driver's bounded per-round sample
+    covers not-yet-verified queries first; both sets grow monotonically
+    across rounds."""
     green: set[str] = set()
+    seen: set[str] = set()
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
@@ -32,9 +34,12 @@ def _driver_green() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if not isinstance(row, dict):
+                continue
+            seen.add(name)
+            if row.get("hash_match") is True:
                 green.add(name)
-    return green
+    return green, seen
 
 
 def _merge(attr: str) -> dict:
@@ -54,16 +59,17 @@ def _merge(attr: str) -> dict:
 def all_queries():
     """Registry ordered for the driver's bounded correctness sample:
     oracle-checked queries with no driver-green row yet come first, then
-    already-verified ones, then rows-only (no-oracle) queries.  Stable
-    within each tier, so module order still breaks ties."""
+    rows-only queries the driver has never sampled (its weaker rows-only
+    check is still a verification row), then everything already verified.
+    Stable within each tier, so module order still breaks ties."""
     merged = _merge("QUERIES")
     oracles = _merge("ORACLE")
-    green = _driver_green()
+    green, seen = _driver_history()
 
     def tier(name: str) -> int:
         if name in oracles:
-            return 0 if name not in green else 1
-        return 2
+            return 0 if name not in green else 2
+        return 1 if name not in seen else 3
 
     return dict(sorted(merged.items(), key=lambda kv: tier(kv[0])))
 
