@@ -1926,7 +1926,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q7_SQL = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l_shipdate) AS INT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000.0 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN supplier ON s_suppkey = l_suppkey
@@ -1985,7 +1986,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                               * 10000.0 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -2933,9 +2935,14 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def partial(df):
+        # snap each price to exact integer cents and sum longs: the
+        # base+delta partial-sum order then cannot drift from the oracle's
+        # single-pass double sum at a rounding boundary (the q9 technique)
         return df.groupBy("o_orderstatus").agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("o_totalprice").alias("s"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+            ).alias("s"),
         )
 
     base = partial(o.filter(F.col("o_orderdate") < cutoff))
@@ -2945,8 +2952,8 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(
             F.sum("n").cast("long").alias("n_orders"),
-            F.round(F.sum("s"), 2).alias("total_price"),
-            F.round(F.sum("s") / F.sum("n"), 6).alias("avg_price"),
+            F.round(F.sum("s") / 100.0, 2).alias("total_price"),
+            F.round(F.sum("s") / 100.0 / F.sum("n"), 6).alias("avg_price"),
         )
     )
 
@@ -2954,8 +2961,10 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_AGG_SQL = """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total_price,
-       round(sum(o_totalprice) / count(*), 6) AS avg_price
+       round(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2)
+           AS total_price,
+       round(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+             / count(*), 6) AS avg_price
 FROM orders
 GROUP BY o_orderstatus
 """
