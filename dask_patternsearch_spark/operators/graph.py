@@ -10,8 +10,12 @@ otherwise append to one ever-growing plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import logging
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 
 def pagerank(
@@ -54,8 +58,6 @@ def pagerank(
         # the dangling-mass scalar rides the SAME job that materializes
         # the checkpoint (df.observe): one executed plan per iteration
         # instead of checkpoint + a separate dangling aggregate
-        from pyspark.sql import Observation
-
         obs = Observation()
         with_deg = (
             ranks.join(out_deg, "vertex", "left")
@@ -331,12 +333,16 @@ def sssp(
     Scale: the relaxation join is vertex-keyed and the min-combine is a
     partial-aggregated groupBy -- same shuffle posture as BFS/LPA; the
     distance table is localCheckpoint-ed per round so round N never
-    replays rounds 1..N-1.  Rounds needed = shortest-path hop diameter,
-    not |V|.
+    replays rounds 1..N-1, and the improved-distance convergence probe
+    rides that SAME checkpoint job via ``observe`` (one executed job per
+    iteration, the pagerank dangling-mass pattern).  Rounds needed =
+    shortest-path hop diameter, not |V|; if ``max_iter`` rounds pass
+    without reaching the fixpoint a warning is logged (distances are then
+    upper bounds, not final).
     """
-    neg = edges.filter(F.col(weight_col) < 0).limit(1).count()
-    if neg:
-        raise ValueError("sssp requires non-negative weights")
+    # the negative-weight validation and the min-vertex default ride the
+    # one job that materializes the bidirectional edge list
+    bi_obs = Observation()
     bi = (
         edges.select("src", "dst", weight_col)
         .unionAll(
@@ -346,14 +352,22 @@ def sssp(
                 weight_col,
             )
         )
+        .observe(
+            bi_obs,
+            F.coalesce(F.min(weight_col), F.lit(0.0)).alias("min_w"),
+            F.min("src").alias("min_src"),
+        )
         .localCheckpoint(eager=True)
     )
+    if bi_obs.get["min_w"] < 0:
+        raise ValueError("sssp requires non-negative weights")
     if source is None:
-        source = bi.agg(F.min("src")).first()[0]
+        source = bi_obs.get["min_src"]
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(source), 0.0)], "vertex long, dist double"
     ).localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         relaxed = (
             bi.join(
@@ -364,27 +378,42 @@ def sssp(
                 (F.col("dist") + F.col(weight_col)).alias("dist"),
             )
         )
+        obs = Observation()
         new = (
             dist.unionByName(relaxed)
             .groupBy("vertex")
             .agg(F.min("dist").alias("dist"))
+            .join(
+                dist.select("vertex", F.col("dist").alias("__old")),
+                "vertex",
+                "left",
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(
+                        F.col("__old").isNull()
+                        | (F.col("dist") < F.col("__old") - 1e-12),
+                        1,
+                    ).otherwise(0)
+                ).alias("improved"),
+            )
+            .select("vertex", "dist")
             .localCheckpoint(eager=True)
         )
-        improved = (
-            new.join(
-                dist.withColumnRenamed("dist", "old"), "vertex", "left"
-            )
-            .filter(
-                F.col("old").isNull() | (F.col("dist") < F.col("old") - 1e-12)
-            )
-            .limit(1)
-            .count()
-        )
+        improved = obs.get["improved"]
         prev = dist
         dist = new
         prev.unpersist()
         if improved == 0:
+            converged = True
             break
+    if not converged:
+        logger.warning(
+            "sssp: max_iter=%d exhausted before fixpoint; returned "
+            "distances are upper bounds (raise max_iter to cover the "
+            "graph's hop diameter)", max_iter,
+        )
     return dist.select("vertex", F.round("dist", 6).alias("dist")).orderBy(
         "dist", "vertex"
     )
@@ -402,31 +431,52 @@ def kcore(
 
     Scale: each peel round is one degree aggregate plus two semi-joins
     filtering the edge list to surviving endpoints -- all vertex-keyed,
-    checkpoint-cut like the other fixpoint operators.  Rounds are
-    bounded by the peel depth (graph degeneracy ordering length), far
-    below |V| in practice; the edge list only ever shrinks.
+    checkpoint-cut like the other fixpoint operators.  The fixpoint test
+    rides the peel job itself via ``observe`` (directed-edge count
+    unchanged <=> no vertex peeled <=> every survivor has degree >= k),
+    so each round executes exactly ONE job -- no separate low-degree
+    probe.  Rounds are bounded by the peel depth (graph degeneracy
+    ordering length), far below |V| in practice; the edge list only ever
+    shrinks.  If ``max_iter`` rounds pass without reaching the fixpoint
+    a warning is logged (the result may then contain vertices outside
+    the true k-core).
     """
+    bi_obs = Observation()
     bi = (
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .observe(bi_obs, F.count(F.lit(1)).alias("m"))
         .localCheckpoint(eager=True)
     )
+    prev_m = bi_obs.get["m"]
     cur = bi
+    converged = prev_m == 0
     for _ in range(max_iter):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        low = deg.filter(F.col("deg") < k).select("src").limit(1).count()
-        if low == 0:
+        if converged:
             break
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("src")
+        obs = Observation()
         nxt = (
             cur.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .observe(obs, F.count(F.lit(1)).alias("m"))
             .localCheckpoint(eager=True)
         )
+        m = obs.get["m"]
         prev = cur
         cur = nxt
         if prev is not bi:
             prev.unpersist()
+        if m == prev_m or m == 0:
+            converged = True
+        prev_m = m
+    if not converged:
+        logger.warning(
+            "kcore: max_iter=%d exhausted before the peel fixpoint; the "
+            "result may include vertices outside the true %d-core (raise "
+            "max_iter to cover the graph's peel depth)", max_iter, k,
+        )
     return (
         cur.groupBy(F.col("src").alias("vertex"))
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
