@@ -146,9 +146,25 @@ def weighted_sample(
     )
     es_key = F.log(u) / F.col(weight_col)
     return (
-        df.withColumn("es_key", F.round(es_key, 9))
+        df.withColumn("es_key", _snap_significant(es_key))
         .orderBy(F.desc("es_key"), *[F.col(c) for c in key_cols])
         .limit(k)
+    )
+
+
+def _snap_significant(col, sig: int = 9):
+    """Snap a double to ``sig`` SIGNIFICANT digits -- relative precision,
+    so cross-engine libm last-ulp drift in ln() cannot flip the sort while
+    the key's real ordering information survives at ANY weight magnitude.
+    (A fixed decimal-place round degenerates: for weights above ~1e6 the
+    A-ES key magnitude drops below the rounding grain and most keys
+    collapse to ties, turning the weighted draw into key-order.)  Uses the
+    floor(x*p+0.5)/p half-up spelling with p = 10^(sig-1 - floor(log10|x|))
+    -- expressible identically in Spark and DuckDB."""
+    mag = F.floor(F.log10(F.abs(col)))
+    p = F.pow(F.lit(10.0), F.lit(float(sig - 1)) - mag)
+    return F.when(col == 0, F.lit(0.0)).otherwise(
+        F.floor(col * p + F.lit(0.5)) / p
     )
 
 
@@ -172,7 +188,7 @@ def stratified_weighted_sample(
     u = (F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0) / F.lit(
         float(2**52)
     )
-    es = F.round(F.log(u) / F.col(weight_col), 9)
+    es = _snap_significant(F.log(u) / F.col(weight_col))
     # exact_stratified_sample ranks ASCENDING on order_expr; negate the
     # A-ES key so the largest keys (the winners) rank first
     return exact_stratified_sample(

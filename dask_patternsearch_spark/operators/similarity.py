@@ -412,9 +412,6 @@ def kmeans_clusters(
     Returns one row per cluster: size, inertia contribution, and the
     centroid norm -- the k-row summary, never the assignment itself.
     """
-    d0 = emb.select(
-        F.size("embedding").alias("d")
-    ).first()["d"]
     init = (
         emb.select("vec_id", "embedding")
         .orderBy(F.xxhash64("vec_id", F.lit(seed)), F.asc("vec_id"))

@@ -1465,12 +1465,18 @@ def stratified_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STRAT_WEIGHTED_SQL = """
-WITH s AS (
+WITH raw AS (
   SELECT doc_id, lang, n_chars,
-         round(ln((CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 13))
-                        AS UBIGINT)::BIGINT + 1.0) / 4503599627370496.0)
-               / n_chars, 9) AS es_key
+         ln((CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS UBIGINT)::BIGINT + 1.0) / 4503599627370496.0)
+           / n_chars AS ek
   FROM documents
+), s AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN ek = 0 THEN 0.0
+              ELSE floor(ek * pow(10, 8 - floor(log10(abs(ek)))) + 0.5)
+                   / pow(10, 8 - floor(log10(abs(ek)))) END AS es_key
+  FROM raw
 ), r AS (
   SELECT *, row_number() OVER (PARTITION BY lang
                                ORDER BY es_key DESC, doc_id ASC) AS rn
@@ -1654,11 +1660,18 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _WEIGHTED_SAMPLE_SQL = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         ln((CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 13))
+                  AS UBIGINT)::BIGINT + 1.0) / 4503599627370496.0)
+           / n_chars AS ek
+  FROM documents
+)
 SELECT doc_id, n_chars,
-       round(ln((CAST(('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 13))
-                      AS UBIGINT)::BIGINT + 1.0) / 4503599627370496.0)
-             / n_chars, 9) AS es_key
-FROM documents
+       CASE WHEN ek = 0 THEN 0.0
+            ELSE floor(ek * pow(10, 8 - floor(log10(abs(ek)))) + 0.5)
+                 / pow(10, 8 - floor(log10(abs(ek)))) END AS es_key
+FROM s
 ORDER BY es_key DESC, doc_id ASC
 LIMIT 50
 """

@@ -1186,6 +1186,26 @@ def test_weighted_sample_determinism_and_bias(spark):
     assert {r["doc_id"] for r in s3} != {r["doc_id"] for r in s1}
 
 
+def test_weighted_sample_huge_weights_stay_weighted(spark):
+    """Significant-digit snapping keeps the A-ES key informative at any
+    weight magnitude: with weights ~1e8 a fixed 9-decimal round would
+    collapse every key to a tie and return doc_ids 0..39 in key order."""
+    from dask_patternsearch_spark.operators.sampling import weighted_sample
+
+    rows = [(i, (100_000_000 if i < 250 else 1_000_000_000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    s = weighted_sample(df, "w", 40, ["doc_id"]).collect()
+    ids = [r["doc_id"] for r in s]
+    # not degenerate key-order: the draw must not be the first 40 ids
+    assert ids != sorted(ids)[:40] or set(ids) != set(range(40))
+    # keys are (near-)distinct, not one giant tie
+    keys = {r["es_key"] for r in s}
+    assert len(keys) >= 35
+    # weight bias survives: the 10x-heavier class dominates
+    heavy = sum(1 for r in s if r["w"] == 1_000_000_000)
+    assert heavy >= 25
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     words = " ".join(f"w{i}" for i in range(150))
     docs = spark.createDataFrame([(1, words), (2, "short doc")],
