@@ -1492,19 +1492,54 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     three equal buckets; report each bucket's size/token mass/mean score.
 
     Ties order by (rounded score, doc_id) so bucket membership is
-    deterministic and engine-portable.  Scale: the per-lang ntile is a
-    per-language sort -- fine while languages are few and documents
-    shuffle-partition evenly; at corpus scale CCNet itself switches to
-    precomputed quantile BOUNDARIES (percentile_approx here) so the cut
-    is a scan-side filter instead of a global sort."""
+    deterministic and engine-portable.
+
+    Scale: a naive per-lang ``ntile`` makes one language one partition =
+    one task sorting every document of that language.  Instead the exact
+    ntile POSITION is reconstructed from boundaries: (1) a score
+    histogram at (lang, score) grain (map-side combined -- the 6dp score
+    rounding compresses the domain by orders of magnitude); (2) a
+    cumulative count over that compressed histogram (the only per-lang
+    sort left touches distinct score VALUES, not documents -- CCNet's
+    "precomputed quantile boundaries", kept exact); (3) each document's
+    global rank = its score's cum-count + a row_number inside its
+    (lang, score) TIE GROUP only, so no window partition ever exceeds
+    the largest tie group.  Bit-identical to ntile(3) at every scale --
+    the oracle keeps the ntile spelling.  The scored relation feeds two
+    branches, so it is localCheckpoint-ed once (at production scale:
+    written to the cluster FS) rather than re-scoring the corpus."""
     from pyspark.sql import Window
 
     scores = unigram_logprob_scores(spark, sf_dir)
     langs = _docs(spark, sf_dir).select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("mean_neg_logp", "doc_id")
+    scored = scores.join(langs, "doc_id").localCheckpoint(eager=True)
+
+    hist = scored.groupBy("lang", "mean_neg_logp").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("mean_neg_logp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "lang", "mean_neg_logp",
+        F.coalesce(F.sum("c").over(w_cum), F.lit(0)).alias("cnt_lt"),
+    )
+    sizes = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+
+    w_tie = Window.partitionBy("lang", "mean_neg_logp").orderBy("doc_id")
+    q = F.floor(F.col("n") / 3)
+    n1 = q + F.when(F.col("n") % 3 >= 1, 1).otherwise(0)
+    n2 = n1 + q + F.when(F.col("n") % 3 >= 2, 1).otherwise(0)
+    pos = F.col("cnt_lt") + F.row_number().over(w_tie)
     return (
-        scores.join(langs, "doc_id")
-        .withColumn("bucket", F.ntile(3).over(w))
+        scored.join(cum, ["lang", "mean_neg_logp"])
+        .join(F.broadcast(sizes), "lang")
+        .withColumn(
+            "bucket",
+            F.when(pos <= n1, 1).when(pos <= n2, 2).otherwise(3),
+        )
         .groupBy("lang", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1556,17 +1591,39 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparison).  Terms below df 5 are dropped (hapax noise).
 
     Scale: the (doc, term) distinct is the index's true grain and
-    combines map-side; the posting aggregate is one shuffle on term.  A
-    production build would write the FULL postings column to parquet
-    partitioned by term-hash range -- the capped slice here keeps the
-    registered query's output bounded."""
-    return (
-        _docs(spark, sf_dir)
-        .select("doc_id", F.explode(
+    combines map-side.  The head postings are rank-filtered to the 20
+    smallest doc_ids per term BEFORE any list aggregate, via a salted
+    two-level window (the source_quota_cap containment argument: any
+    globally-top-20 doc_id has <20 smaller peers overall, hence <20 in
+    its own salt, so it survives level 1): no aggregation buffer ever
+    holds more than 20*n_salts doc_ids, where the naive
+    collect_list-then-slice would buffer a stopword term's ENTIRE
+    posting list -- billions of ids in one buffer at corpus scale.  df
+    stays exact without a second scan: each salt's full count rides the
+    same (term, salt) window pass and is summed from the rank-1
+    survivors.  A production build would write the FULL postings column
+    to parquet partitioned by term-hash range -- the capped slice here
+    keeps the registered query's output bounded."""
+    from pyspark.sql import Window
+
+    n_salts = 32
+    posts = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(
             F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("term"))
-        .groupBy("term")
+    w_rank = Window.partitionBy("term", "salt").orderBy("doc_id")
+    w_cnt = Window.partitionBy("term", "salt")
+    cand = (
+        posts.withColumn(
+            "salt", F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).cast("int"))
+        .withColumn("rn1", F.row_number().over(w_rank))
+        .withColumn("cnt", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("rn1") <= 20)
+    )
+    return (
+        cand.groupBy("term")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum(F.when(F.col("rn1") == 1, F.col("cnt")))
+            .cast("long").alias("df"),
             F.concat_ws(
                 ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20)
             ).alias("postings_head"),

@@ -456,3 +456,33 @@ def test_star_wide_rollup_broadcasts_every_dim(spark):
     assert info["python_stages"] == 0
     li_schema = next(s for s in info["read_schemas"] if "l_extendedprice" in s)
     assert "l_comment" not in li_schema and "l_shipdate" not in li_schema
+
+
+def test_inverted_postings_bounds_aggregation_buffer(spark):
+    """The head-postings list must be rank-filtered (salted row_number
+    windows) BEFORE any collect_list: no aggregation buffer may hold a
+    term's full posting list (a stopword term at corpus scale is one
+    unbounded buffer -> executor OOM on a hot key)."""
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    df = P.QUERIES["inverted_postings"](spark, SF_DIR)
+    text = plan_text(df)
+    assert "row_number" in text  # the pre-agg rank filter exists
+    # the window partitions on (term, salt) -- never on term alone at
+    # document grain (that would re-create the hot-key funnel)
+    assert "salt" in text
+    info = summarize(df)
+    assert info["python_stages"] == 0
+
+
+def test_ccnet_buckets_have_no_per_lang_doc_sort(spark):
+    """ntile positions are reconstructed from histogram boundaries; no
+    window may partition by lang alone over document-grain rows (one
+    language = one task sorting every document of that language)."""
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    df = P.QUERIES["ccnet_perplexity_buckets"](spark, SF_DIR)
+    text = plan_text(df)
+    assert "ntile" not in text
+    # the only doc-grain window is the tie group (lang, mean_neg_logp)
+    assert "row_number" in text
