@@ -331,6 +331,31 @@ def hyperplane_bucket_udf(planes: np.ndarray):
     return bucket
 
 
+def hyperplane_buckets_udf(planes: np.ndarray, n_tables: int):
+    """Multi-table variant of :func:`hyperplane_bucket_udf`: ``planes``
+    stacks ``n_tables`` independent plane sets ((n_tables*n_planes) x dim)
+    and ONE matmul per Arrow batch yields every table's bucket at once,
+    returned as ``array<int>`` of length ``n_tables`` (one Python stage
+    regardless of table count)."""
+    from pyspark.sql.functions import pandas_udf
+
+    n_planes = planes.shape[0] // n_tables
+
+    @pandas_udf("array<int>")
+    def buckets(embs):
+        import pandas as pd
+
+        if embs.empty:
+            return pd.Series([], dtype="object")
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        bits = (M @ planes.T) > 0  # (batch, n_tables*n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        per_table = bits.reshape(len(M), n_tables, n_planes) @ weights
+        return pd.Series(list(per_table.astype(np.int32)))
+
+    return buckets
+
+
 def _make_cosine_udf():
     """Row-wise cosine similarity between two array<float> columns as an
     Arrow-vectorized pandas UDF (float64 einsum over the whole batch).
@@ -364,33 +389,62 @@ def _cosine(a, b):
 
 
 def embedding_near_duplicates(
-    emb: DataFrame, threshold: float = 0.9, n_planes: int = 12, seed: int = 42
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 42,
+    n_tables: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs above ``threshold``.
 
     Scale path: random-hyperplane signatures bucket the vectors (an
-    equi-join), then exact cosine verifies within buckets.  High-cosine
-    pairs collide with probability (1 - theta/pi)^n_planes, so recall is
-    tunable via ``n_planes``; a production near-dup pass would OR several
-    signature tables together (multi-probe).
+    equi-join), then exact cosine verifies within buckets.  A single
+    table misses a high-cosine pair with probability
+    ``1 - (1 - theta/pi)^n_planes``; ``n_tables`` INDEPENDENT plane sets
+    are OR-ed together (multi-probe), driving the miss rate to that
+    value ^n_tables -- the production recall knob.  All tables' buckets
+    come out of ONE matmul/Arrow stage; the candidate join is an
+    equi-join on (table, bucket); candidate pairs found by several
+    tables are deduplicated BEFORE the exact-cosine verify, so each pair
+    is verified exactly once regardless of how many tables caught it.
     """
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = first["d"] if first else 0
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sig = hyperplane_bucket_udf(planes)
-    bucketed = emb.select("vec_id", "embedding", sig("embedding").alias("bucket"))
-    pairs = (
-        bucketed.alias("x")
+    planes = rng.standard_normal((n_tables * n_planes, dim))
+    sig = hyperplane_buckets_udf(planes, n_tables)
+    sigs = emb.select(
+        "vec_id", F.posexplode(sig("embedding")).alias("t", "bucket")
+    )
+    cand = (
+        sigs.alias("x")
         .join(
-            bucketed.alias("y"),
-            (F.col("x.bucket") == F.col("y.bucket"))
+            sigs.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            F.round(_cosine(F.col("x.embedding"), F.col("y.embedding")), 6).alias(
+        )
+        .distinct()
+    )
+    ex = emb.select("vec_id", "embedding")
+    pairs = (
+        cand.join(
+            ex.select(F.col("vec_id").alias("vec_a"),
+                      F.col("embedding").alias("emb_a")),
+            "vec_a",
+        )
+        .join(
+            ex.select(F.col("vec_id").alias("vec_b"),
+                      F.col("embedding").alias("emb_b")),
+            "vec_b",
+        )
+        .select(
+            "vec_a", "vec_b",
+            F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias(
                 "cosine_sim"
             ),
         )

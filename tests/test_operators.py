@@ -1480,3 +1480,38 @@ def test_kcore_cascading_peel(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert kcore(edges, k=2).count() == 0
+
+
+def test_embedding_neardup_multiprobe_recall(spark):
+    """Multi-probe (n_tables=2) must dominate the single table: with the
+    same seed the first plane set of the stacked matrix IS the single
+    table (row-major RNG draw order), so its pairs are a subset -- and
+    the extra table can only add planted pairs, never lose them."""
+    import numpy as np
+    from dask_patternsearch_spark.operators.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((60, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        # plant a near-duplicate of each of the first 25 vectors
+        if i < 25:
+            dup = v + 0.02 * rng.standard_normal(16)
+            rows.append((1000 + i, [float(x) for x in dup]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(i, 1000 + i) for i in range(25)}
+
+    def found(n_tables):
+        out = embedding_near_duplicates(
+            emb, threshold=0.9, n_planes=8, seed=7, n_tables=n_tables
+        ).collect()
+        return {(r["vec_a"], r["vec_b"]) for r in out}
+
+    one, two = found(1), found(2)
+    assert one <= two  # OR-ing tables never drops a pair
+    assert len(two & planted) >= len(one & planted)
+    assert len(two & planted) >= 20  # multi-probe recall is high
+    # verified pairs really are above threshold (dedup-before-verify kept
+    # the exact cosine gate intact)
+    assert all(a < b for a, b in two)
