@@ -178,6 +178,18 @@ def main() -> None:
         max_tasks=60_000,
     )
     convergence["sphere_100d"] = len(results)
+    # the same 100-dim axis on the EXECUTOR path: cluster-side vectorized
+    # evaluation with two poll rounds in flight (async-approximation mode);
+    # coarse stopratio -- this datapoint is distributed round-count scaling
+    # at dims=100, not full convergence (the serial entry above covers that)
+    _, results = ps_search(
+        lambda X: (np.atleast_2d(X) ** 2).sum(axis=1),
+        np.full(100, 1.0), np.full(100, 0.5),
+        spark=spark, stopratio=0.25, seed=7, vectorize=True, batchsize=512,
+        pipeline_depth=2, max_tasks=20,
+    )
+    convergence["sphere_100d_distributed_rounds"] = results.rounds
+    convergence["sphere_100d_distributed_tasks"] = len(results)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

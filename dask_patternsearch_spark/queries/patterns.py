@@ -108,8 +108,43 @@ def pattern_search_sphere_100d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pattern_search_100d_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aspirational 100-dim axis ON THE EXECUTOR PATH (reference
+    search.py:55-61 x clients.py's distributed client): 100-d sphere with
+    cluster-side vectorized evaluation and two poll rounds in flight
+    (``pipeline_depth=2``, the async-approximation mode).  Coarse
+    stopratio keeps the round count small -- the datapoint is round-count
+    scaling at dims=100 on the distributed evaluator, not the full
+    convergence ledger (pattern_search_sphere_100d covers that axis
+    serially).  Returns a one-row summary: rounds processed, tasks
+    evaluated, best cost."""
+
+    def sphere_vec(xs: np.ndarray) -> np.ndarray:
+        return (np.atleast_2d(xs) ** 2).sum(axis=1)
+
+    best, results = search(
+        sphere_vec,
+        np.full(100, 1.0),
+        np.full(100, 0.5),
+        spark=spark,
+        vectorize=True,
+        batchsize=512,
+        stopratio=0.25,
+        seed=7,
+        pipeline_depth=2,
+        max_tasks=20,  # task = one batch (reference search.py:293 semantics)
+    )
+    assert results.rounds >= 2
+    assert best.result <= 100.0  # improved on the f(start)=100 origin-offset
+    return spark.createDataFrame(
+        [(int(results.rounds), int(len(results)), round(float(best.result), 8))],
+        "n_rounds int, n_evals int, best_result double",
+    )
+
+
 QUERIES = {
     "pattern_search_sphere": pattern_search_sphere,
+    "pattern_search_100d_distributed": pattern_search_100d_distributed,
     "pattern_search_sphere_100d": pattern_search_sphere_100d,
     "pattern_search_rosenbrock": pattern_search_rosenbrock,
     "pattern_search_distributed": pattern_search_distributed,

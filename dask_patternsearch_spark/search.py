@@ -90,7 +90,11 @@ class TrialPoint:
 
 
 class SearchResults(dict):
-    """``dict[TrialPoint, float]`` ledger with a DataFrame exporter."""
+    """``dict[TrialPoint, float]`` ledger with a DataFrame exporter.
+    ``rounds`` counts the poll rounds the search processed (an observable
+    for the distributed round-count scaling datapoint)."""
+
+    rounds: int = 0
 
     def to_spark(self, spark):
         """Export the ledger as a DataFrame (SURVEY.md section 1.1 schema)."""
@@ -435,6 +439,7 @@ def search(
         """Record one round's results and update the acceptance candidate
         (shared by the sync path and the async drain)."""
         nonlocal carried_best, carried_key
+        results.rounds = getattr(results, "rounds", 0) + 1
         now = time()
         for tp, cost in zip(cand, costs):
             tp.stop_time = now
