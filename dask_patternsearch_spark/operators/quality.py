@@ -113,3 +113,44 @@ def skew_report(
         .orderBy(F.desc("n_rows"), *[F.asc(c) for c in key_cols])
         .limit(k)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Key-wise diff of two table snapshots: each key is classified
+    ``added`` (only in new), ``removed`` (only in old), ``changed``
+    (present in both, any compared column differs) or ``unchanged`` --
+    the audit primitive behind incremental re-landings, CDC validation
+    and dataset-version comparisons.
+
+    Scale: ONE full outer join on the key (the minimum possible -- a
+    diff must co-locate both sides per key); the compared columns are
+    collapsed to a single null-safe fingerprint per side BEFORE the
+    join, so wide tables shuffle key + one 32-byte hash, never the full
+    row payload.  Null-safe: md5 over each value's string form with a
+    per-column null sentinel, so NULL != '' and NULL == NULL.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+
+    def fp(df: DataFrame, side: str) -> DataFrame:
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in compare_cols
+        ]
+        return df.select(
+            *key_cols, F.md5(F.concat_ws("\x01", *cols)).alias(f"__fp_{side}")
+        )
+
+    joined = fp(old, "old").join(fp(new, "new"), key_cols, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(*key_cols, change.alias("change_type"))

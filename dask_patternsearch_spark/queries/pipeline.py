@@ -1705,6 +1705,181 @@ FROM c
 """
 
 
+def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    for each query document, a LEXICAL ranking (distinct-term overlap)
+    and a VECTOR ranking (embedding cosine, the cosine_topk machinery)
+    are fused as ``1/(60+r_lex) + 1/(60+r_cos)`` and the top-5 fused
+    candidates returned -- the standard two-tower retrieval pattern
+    (sparse + dense) of a RAG/retrieval data pipeline.
+
+    Scale: the query side is a handful of rows broadcast to both scoring
+    passes (each pass is one scan of its table -- candidates never
+    shuffle for scoring); ranks are per-query windows over the candidate
+    scores (bounded by n_queries * n_candidates, partitioned by query);
+    the fusion join is query+candidate keyed.  Cosine runs through the
+    same Arrow-batched matmul UDF as cosine_topk, with 6dp rounding
+    BEFORE ranking so ranks are deterministic and engine-portable."""
+    from pyspark.sql import Window
+    from ..operators.dedup import _cosine
+
+    qd = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("terms"),
+    )
+    q_terms = qd.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), F.col("terms").alias("q_terms")
+    )
+    lex = (
+        qd.join(F.broadcast(q_terms), F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("cand_id"),
+            F.size(F.array_intersect("q_terms", "terms")).alias("overlap"),
+        )
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("overlap"), F.asc("cand_id")
+    )
+    lexr = lex.withColumn("r_lex", F.row_number().over(w_lex))
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q_emb = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cos = (
+        emb.join(F.broadcast(q_emb), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cosine(F.col("qv"), F.col("embedding")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w_cos = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("cand_id")
+    )
+    cosr = cos.withColumn("r_cos", F.row_number().over(w_cos))
+
+    fused = lexr.join(cosr, ["query_id", "cand_id"]).select(
+        "query_id",
+        "cand_id",
+        F.round(
+            1.0 / (F.lit(60) + F.col("r_lex"))
+            + 1.0 / (F.lit(60) + F.col("r_cos")),
+            6,
+        ).alias("rrf_score"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "cand_id", "rrf_score")
+    )
+
+
+_RRF_SQL = """
+WITH qd AS (
+  SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS terms
+  FROM documents
+), q AS (
+  SELECT doc_id AS query_id, terms AS q_terms FROM qd WHERE doc_id < 3
+), lexr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY overlap DESC, cand_id ASC) AS r_lex
+  FROM (
+    SELECT q.query_id, d.doc_id AS cand_id,
+           len(list_intersect(q.q_terms, d.terms)) AS overlap
+    FROM q JOIN qd d ON d.doc_id <> q.query_id
+  )
+), qe AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+), cosr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, cand_id ASC) AS r_cos
+  FROM (
+    SELECT qe.query_id, e.vec_id AS cand_id,
+           round(list_cosine_similarity(CAST(qe.qv AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6)
+             AS cosine_sim
+    FROM qe JOIN embeddings e ON e.vec_id <> qe.query_id
+  )
+), fused AS (
+  SELECT l.query_id, l.cand_id,
+         round(1.0 / (60 + l.r_lex) + 1.0 / (60 + c.r_cos), 6) AS rrf_score
+  FROM lexr l JOIN cosr c ON c.query_id = l.query_id AND c.cand_id = l.cand_id
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, cand_id ASC) AS rn
+  FROM fused
+)
+SELECT query_id, cand_id, rrf_score FROM rk WHERE rn <= 5
+"""
+
+
+def zscore_extreme_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score) + per-group top-k: the
+    three most length-anomalous documents of each language by |z| of
+    n_chars -- the standard feature-scaling primitive of an ML data
+    pipeline, spelled scale-safely.
+
+    Scale: group stats come from ONE map-side-combined aggregate of
+    exact integer moments (count, sum, sum-of-squares) broadcast back --
+    never a second scan or a window over the whole table; mean/variance
+    derive from those exact integers in a fixed expression tree, so the
+    doubles are deterministic and engine-portable (no stddev_samp
+    accumulation-order drift).  The per-lang top-3 is a rank filter
+    Catalyst executes as WindowGroupLimit (per-partition heaps), not a
+    full per-lang sort."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("ss"),
+    )
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    z = F.round(
+        (F.col("n_chars") - s_d / F.col("n"))
+        / F.sqrt((ss_d - s_d * s_d / F.col("n")) / (F.col("n") - 1)),
+        6,
+    )
+    w = Window.partitionBy("lang").orderBy(F.abs(F.col("z")).desc(), F.asc("doc_id"))
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .withColumn("z", z)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars", "z")
+    )
+
+
+_ZSCORE_SQL = """
+WITH stats AS (
+  SELECT lang, count(*) AS n, sum(n_chars) AS s,
+         sum(n_chars * n_chars) AS ss
+  FROM documents GROUP BY 1
+), z AS (
+  SELECT d.lang, d.doc_id, d.n_chars,
+         round((d.n_chars - CAST(s AS DOUBLE) / n)
+               / sqrt((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                      / (n - 1)), 6) AS z
+  FROM documents d JOIN stats USING (lang)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY abs(z) DESC, doc_id ASC) AS rn
+  FROM z
+)
+SELECT lang, doc_id, n_chars, z FROM r WHERE rn <= 3
+"""
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sampling import weighted_sample
 
@@ -1795,6 +1970,8 @@ QUERIES = {
     "bm25_top_docs": bm25_top_docs,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "weighted_sample_docs": weighted_sample_docs,
+    "zscore_extreme_docs": zscore_extreme_docs,
+    "rrf_hybrid_search": rrf_hybrid_search,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "inverted_postings": inverted_postings,
     "chunk_docs": chunk_docs,
@@ -1810,6 +1987,8 @@ ORACLE = {
     "substring_dup_docs": _SUBSTRING_DUP_SQL,
     "bm25_top_docs": _BM25_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
+    "zscore_extreme_docs": _ZSCORE_SQL,
+    "rrf_hybrid_search": _RRF_SQL,
     "ccnet_perplexity_buckets": _CCNET_SQL,
     "inverted_postings": _POSTINGS_SQL,
     "chunk_docs": _CHUNK_SQL,

@@ -2755,6 +2755,76 @@ LIMIT 10
 """
 
 
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff (operators.quality.snapshot_diff): classify
+    every order key across two simulated snapshots of the orders table --
+    snapshot A is orders before 1998-01-01; snapshot B extends the date
+    range (rows 'added') and re-prices every 'P'-status order (+10.00,
+    rows 'changed').  Returns the per-class audit summary.
+
+    Scale: the operator collapses compared columns to one fingerprint
+    per side BEFORE its single full-outer join, so a 100-column fact
+    diff shuffles key+hash only; the summary is a 4-row aggregate."""
+    from ..operators.quality import snapshot_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderdate") < "1998-01-01")
+    new = (
+        base.filter(F.col("o_orderdate") < "1998-06-01")
+        # simulated hard-deletes so the diff exercises all four classes
+        .filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderstatus") == "P",
+                F.round(F.col("o_totalprice") + 10.0, 2),
+            ).otherwise(F.col("o_totalprice")),
+        )
+    )
+    diff = snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+    return (
+        diff.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderdate < '1998-01-01'
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderstatus = 'P'
+              THEN round(o_totalprice + 10.0, 2) ELSE o_totalprice END
+           AS o_totalprice
+  FROM orders WHERE o_orderdate < '1998-06-01' AND o_orderkey % 97 <> 0
+), d AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN (old.o_orderstatus IS DISTINCT FROM new.o_orderstatus)
+                OR (old.o_totalprice IS DISTINCT FROM new.o_totalprice)
+              THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT change_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` in BATCH mode (30-min gap) -- the same
     operator Structured Streaming uses, proven against the lag+cumsum
@@ -3264,6 +3334,7 @@ QUERIES = {
     "try_arithmetic_safety": try_arithmetic_safety,
     "session_window_batch": session_window_batch,
     "skew_report_orders": skew_report_orders,
+    "snapshot_diff_orders": snapshot_diff_orders,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3347,6 +3418,7 @@ ORACLE = {
     "try_arithmetic_safety": _TRY_ARITH_SQL,
     "session_window_batch": _SESSION_WINDOW_SQL,
     "skew_report_orders": _SKEW_REPORT_SQL,
+    "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
