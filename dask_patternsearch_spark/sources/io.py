@@ -241,3 +241,62 @@ def overwrite_partitions(
         getattr(writer, fmt)(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 512 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction: rewrite a table directory so each output
+    file is ~``target_file_bytes`` -- the standing maintenance job of any
+    large table (streaming sinks, dynamic-partition re-lands and
+    per-task writers all shed thousands of small files, and at 100 TB
+    file-open overhead + footer reads dominate scans of a fragmented
+    table).
+
+    The output file count derives from the CURRENT on-disk byte total
+    (driver-side file listing -- metadata only, no data read), then one
+    ``repartition(n)`` round-robin shuffle spreads rows evenly across
+    exactly ``n`` writers.  Two-phase safety: the compacted copy lands in
+    a sibling temp dir first and is swapped in with directory renames, so
+    readers never observe a half-written table and the original survives
+    any mid-job failure.
+
+    Returns a manifest dict: files/bytes before and after.
+    """
+    import math
+    import os
+    import shutil
+
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
+
+    def _scan(d: str) -> tuple[int, int]:
+        n = b = 0
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                n += 1
+                b += os.path.getsize(os.path.join(root, f))
+        return n, b
+
+    files_before, bytes_before = _scan(path)
+    n_out = max(1, math.ceil(bytes_before / target_file_bytes))
+    tmp = path.rstrip("/") + "__compact_tmp"
+    old = path.rstrip("/") + "__compact_old"
+    df = getattr(spark.read, fmt)(path)
+    getattr(df.repartition(n_out).write.mode("overwrite"), fmt)(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after, bytes_after = _scan(path)
+    return {
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": files_after,
+        "bytes_after": bytes_after,
+        "target_file_bytes": target_file_bytes,
+    }

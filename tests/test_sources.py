@@ -22,3 +22,25 @@ def test_overwrite_partitions_touches_only_emitted_partitions(spark, tmp_path):
     assert out == {(1, "a"): 11.0, (5, "a"): 50.0, (3, "b"): 30.0, (4, "c"): 40.0}
     # the session conf was restored
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+
+def test_compact_files_reduces_file_count_preserves_data(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.sources.io import compact_files
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(64).write.parquet(path)  # 64 small files
+    before = spark.read.parquet(path)
+    rows_before = sorted(tuple(r) for r in before.collect())
+
+    manifest = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert manifest["files_before"] == 64
+    assert manifest["files_after"] == 1  # total bytes << 1 GiB target
+    after = spark.read.parquet(path)
+    assert sorted(tuple(r) for r in after.collect()) == rows_before
+    # no temp/old dirs left behind
+    import os
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
