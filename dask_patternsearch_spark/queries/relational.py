@@ -2825,6 +2825,91 @@ FROM d GROUP BY 1 ORDER BY 1
 """
 
 
+def cascade_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-propagation audit (the right-to-be-forgotten pre-flight):
+    given a victim set of customers (deterministic ``c_custkey % 1000 ==
+    7`` here; in production the request table), report how many rows each
+    downstream table loses through the FK cascade customer -> orders ->
+    lineitem, with totals for blast-radius review BEFORE any delete runs.
+
+    Scale: the victim set broadcasts to the orders probe; the affected
+    order keys then semi-join lineitem (key-only shuffle at worst --
+    broadcast while the victim slice is small); each table contributes
+    one conditional aggregate, so the audit costs one scan per table."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    victims = cust.filter(F.col("c_custkey") % 1000 == 7)
+    orders_hit = orders.join(
+        F.broadcast(victims), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey")
+
+    def audit(df, hit, table):
+        return (
+            df.join(hit, df.columns[:1], "left_semi")
+            .agg(F.count(F.lit(1)).cast("long").alias("rows_deleted"))
+            .crossJoin(
+                df.agg(F.count(F.lit(1)).cast("long").alias("rows_total"))
+            )
+            .select(
+                F.lit(table).alias("table"),
+                "rows_deleted",
+                "rows_total",
+                F.round(F.col("rows_deleted") / F.col("rows_total"), 6).alias(
+                    "delete_fraction"
+                ),
+            )
+        )
+
+    out = (
+        audit(cust, victims, "customer")
+        .unionByName(
+            audit(
+                orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+                victims,
+                "orders",
+            )
+        )
+        .unionByName(
+            audit(li.select("l_orderkey"), orders_hit.select(
+                F.col("o_orderkey").alias("l_orderkey")), "lineitem")
+        )
+    )
+    return out.orderBy("table")
+
+
+_CASCADE_DELETE_SQL = """
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 1000 = 7
+), orders_hit AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims)
+)
+SELECT 'customer' AS "table",
+       CAST((SELECT count(*) FROM victims) AS BIGINT) AS rows_deleted,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS rows_total,
+       round(CAST((SELECT count(*) FROM victims) AS BIGINT)
+             / CAST((SELECT count(*) FROM customer) AS BIGINT), 6)
+         AS delete_fraction
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM orders_hit)) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       round(CAST((SELECT count(*) FROM lineitem
+                   WHERE l_orderkey IN (SELECT o_orderkey FROM orders_hit))
+                  AS BIGINT)
+             / CAST((SELECT count(*) FROM lineitem) AS BIGINT), 6)
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM orders_hit) AS BIGINT),
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       round(CAST((SELECT count(*) FROM orders_hit) AS BIGINT)
+             / CAST((SELECT count(*) FROM orders) AS BIGINT), 6)
+ORDER BY "table"
+"""
+
+
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native ``session_window`` in BATCH mode (30-min gap) -- the same
     operator Structured Streaming uses, proven against the lag+cumsum
@@ -3335,6 +3420,7 @@ QUERIES = {
     "session_window_batch": session_window_batch,
     "skew_report_orders": skew_report_orders,
     "snapshot_diff_orders": snapshot_diff_orders,
+    "cascade_delete_audit": cascade_delete_audit,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3419,6 +3505,7 @@ ORACLE = {
     "session_window_batch": _SESSION_WINDOW_SQL,
     "skew_report_orders": _SKEW_REPORT_SQL,
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
+    "cascade_delete_audit": _CASCADE_DELETE_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,

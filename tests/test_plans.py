@@ -280,6 +280,7 @@ def test_whole_relational_surface_plan_audit(spark):
         "resample_hourly_gaps",         # scalar min/max grid bounds broadcast
         "price_decile_bins",            # one-row edge vector broadcast
         "skew_report_orders",           # one-row corpus-stats broadcast
+        "cascade_delete_audit",         # 1-row deleted x 1-row total cross joins
     }
     # declared Python-stage queries: a pandas-UDF demo and the bloom join's
     # vectorized membership probe
