@@ -44,3 +44,45 @@ def test_compact_files_reduces_file_count_preserves_data(spark, tmp_path):
     import os
     assert not os.path.exists(path + "__compact_tmp")
     assert not os.path.exists(path + "__compact_old")
+
+
+def test_jsonl_shards_roundtrip_and_parallelism(spark, tmp_path):
+    """Custom Python data source (PySpark 4 datasource API): write gz
+    jsonl shards with a commit manifest, read them back with one input
+    partition per shard file."""
+    import gzip
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.sources.jsonl import JsonlShards
+
+    spark.dataSource.register(JsonlShards)
+    out = str(tmp_path / "corpus")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    (df.repartition(4).write.format("jsonl_shards").mode("overwrite")
+       .option("path", out).option("compress", "true").save())
+
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".jsonl.gz"))
+    assert len(shards) == 4
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+    with gzip.open(os.path.join(out, shards[0]), "rt") as fh:
+        first = json.loads(fh.readline())
+    assert set(first) == {"doc_id", "text"}
+
+    back = (spark.read.format("jsonl_shards")
+            .schema("doc_id long, text string")
+            .option("path", out).load())
+    assert back.rdd.getNumPartitions() == 4  # one partition per shard
+    rows = sorted((r["doc_id"], r["text"]) for r in back.collect())
+    assert rows == sorted((r["doc_id"], r["text"]) for r in df.collect())
+
+    # explicit schema is mandatory -- inference is a 100 TB anti-pattern
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        spark.read.format("jsonl_shards").option("path", out).load().collect()
