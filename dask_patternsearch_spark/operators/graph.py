@@ -244,19 +244,27 @@ def bfs_distances(
     per-round work proportional to the unvisited boundary, so total work
     is O(hops * m) worst case, not O(hops * visited).
     """
+    bi_obs = Observation()
     bi = (
         edges.select("src", "dst")
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .observe(bi_obs, F.min("src").alias("min_src"))
         .localCheckpoint(eager=True)
     )
     if source is None:
-        source = bi.agg(F.min("src").alias("m")).first()["m"]
+        source = bi_obs.get["min_src"]
     spark = edges.sparkSession
     dist = spark.createDataFrame(
         [(int(source), 0)], "vertex long, hops int"
     ).localCheckpoint(eager=True)
     frontier = dist
     for hop in range(1, max_hops + 1):
+        # the frontier-size probe rides the checkpoint job via observe
+        # (one executed job per hop); the accumulated distance table is a
+        # lazy union of ALREADY-materialized frontiers -- re-checkpointing
+        # the growing union every hop would rewrite all settled vertices
+        # per round for no lineage benefit
+        obs = Observation()
         nxt = (
             bi.join(
                 F.broadcast(frontier.select(F.col("vertex").alias("src"))), "src"
@@ -265,11 +273,12 @@ def bfs_distances(
             .distinct()
             .join(dist.select("vertex"), "vertex", "left_anti")
             .withColumn("hops", F.lit(hop))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
         )
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        dist = dist.unionAll(nxt)
         frontier = nxt
     return dist.orderBy("hops", "vertex")
 
