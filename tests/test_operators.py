@@ -1482,6 +1482,42 @@ def test_kcore_cascading_peel(spark):
     assert kcore(edges, k=2).count() == 0
 
 
+def test_kcore_and_sssp_warn_on_max_iter_exhaustion(spark, caplog):
+    """Hitting max_iter before the fixpoint must be surfaced, not
+    silent: the result may then include non-core vertices / un-relaxed
+    distances."""
+    import logging
+
+    from dask_patternsearch_spark.operators.graph import kcore, sssp
+
+    # a 6-chain needs 3 peel rounds to empty at k=2; max_iter=1 cannot
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src long, dst long"
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="dask_patternsearch_spark.operators.graph"):
+        kcore(chain, k=2, max_iter=1).count()
+    assert any("max_iter" in r.message for r in caplog.records)
+
+    caplog.clear()
+    # hop diameter 5 from vertex 1; one Bellman-Ford round cannot settle it
+    weighted = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, 6)], "src long, dst long, weight double"
+    )
+    with caplog.at_level(logging.WARNING,
+                         logger="dask_patternsearch_spark.operators.graph"):
+        sssp(weighted, source=1, max_iter=1).count()
+    assert any("max_iter" in r.message for r in caplog.records)
+
+    caplog.clear()
+    # converged runs stay silent
+    with caplog.at_level(logging.WARNING,
+                         logger="dask_patternsearch_spark.operators.graph"):
+        kcore(chain, k=2, max_iter=10).count()
+        sssp(weighted, source=1, max_iter=10).count()
+    assert not caplog.records
+
+
 def test_embedding_neardup_multiprobe_recall(spark):
     """Multi-probe (n_tables=2) must dominate the single table: with the
     same seed the first plane set of the stacked matrix IS the single
