@@ -51,7 +51,9 @@ HEADLINE = [
     "cosine_topk",
     "ivf_topk",
     "lsh_topk",
-    "embedding_near_dups",
+    "embedding_near_dups",  # n_tables=2 multi-probe since round 3: ~2x the
+    # single-table candidate volume by design (recall knob), so its r2
+    # timing is not directly comparable
     "semantic_dedup_embeddings",
     "token_stats_by_lang",
     "quality_scores",
