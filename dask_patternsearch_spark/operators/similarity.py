@@ -723,3 +723,105 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sqdist", "rnk")
     )
+
+
+def write_ivf_layout(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+) -> np.ndarray:
+    """Materialize the IVF index as a DISK LAYOUT: vectors written to
+    parquet partitioned by their nearest-centroid cell, centroids saved
+    alongside (``_centroids.parquet``).  A probe then reads ONLY its
+    ``n_probe`` cell partitions -- Spark's ordinary partition pruning
+    becomes the ANN index, no resident service required.  This is the
+    batch-search posture for a 100 TB embedding corpus: the index build
+    is one assignment pass + one partitioned write, and every later
+    query-batch job scans ``~n_probe/n_cells`` of the data.
+
+    Returns the centroid matrix (also persisted).
+    """
+    sample = np.array(
+        [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
+        dtype=float,
+    )
+    cents = _train_kmeans(sample, n_cells, seed)
+
+    @F.pandas_udf("int")
+    def cell_of(embs):
+        import pandas as pd
+
+        if embs.empty:
+            return pd.Series([], dtype="int32")
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        d = -2.0 * (M @ cents.T) + (cents**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    (
+        emb.withColumn("cell", cell_of("embedding"))
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    spark = emb.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path.rstrip("/") + "/_centroids.parquet")
+    return cents
+
+
+def ivf_layout_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+) -> DataFrame:
+    """Search a :func:`write_ivf_layout` index: the centroid table (tiny)
+    is read once driver-side, each query's ``n_probe`` nearest cells are
+    computed, and the vector scan carries ``cell IN (...)`` -- a
+    PARTITION filter, so only the probed cell directories are listed and
+    read (the pruning is visible in the scan's ``PartitionFilters``).
+    Exact cosine re-ranks within the candidates; ``queries`` is
+    (query_id, qv) and is broadcast to the scan.
+    """
+    cents = np.array(
+        sorted(
+            (
+                (r["cell"], r["centroid"])
+                for r in spark.read.parquet(
+                    path.rstrip("/") + "/_centroids.parquet"
+                ).collect()
+            )
+        ),
+        dtype=object,
+    )
+    cent_m = np.stack([np.asarray(c, dtype=float) for _, c in cents])
+    q_rows = queries.collect()
+    qm = np.stack([np.asarray(r["qv"], dtype=float) for r in q_rows])
+    d = -2.0 * (qm @ cent_m.T) + (cent_m**2).sum(axis=1)[None, :]
+    order = np.argsort(d, axis=1, kind="stable")[:, :n_probe]
+    probe_cells = sorted({int(c) for row in order for c in row})
+    q_probe = spark.createDataFrame(
+        [
+            (int(r["query_id"]), [float(x) for x in r["qv"]], int(c))
+            for r, row in zip(q_rows, order)
+            for c in row
+        ],
+        "query_id long, qv array<double>, cell int",
+    )
+    vecs = spark.read.parquet(path).filter(F.col("cell").isin(probe_cells))
+    scored = (
+        vecs.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("qv"), F.col("embedding")), 6).alias("cosine_sim"),
+        )
+        .distinct()
+    )
+    return _rank_topk(scored, k)
