@@ -44,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -143,6 +144,58 @@ class _JsonlWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class _JsonlStreamReader(SimpleDataSourceStreamReader):
+    """Streaming ingest of an append-only shard directory: each
+    micro-batch reads the files that appeared since the last offset.
+
+    The offset is ``{"idx": N}`` over the LEXICALLY SORTED listing, so it
+    stays O(1) regardless of corpus size -- the contract is that shards
+    arrive with lexically increasing names (date/sequence-stamped shard
+    files, the layout every shard writer here emits).  A mid-listing
+    late arrival would be skipped; ingest pipelines that cannot
+    guarantee naming order need a manifest/ledger source instead.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_shards requires .option('path', ...)")
+        self._path = path
+        self._pattern = options.get("pattern", "*.jsonl*")
+        self._fields = [f.name for f in schema.fields]
+
+    def _files(self):
+        return sorted(glob.glob(os.path.join(self._path, self._pattern)))
+
+    def initialOffset(self):
+        return {"idx": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        idx = start.get("idx", 0)
+        # materialized, not a generator: the simple stream reader runs
+        # driver-side and Spark pickles the batch into its prefetch cache
+        rows = []
+        for p in files[idx:]:
+            with _open(p, "r") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    rows.append(tuple(obj.get(f) for f in self._fields))
+        return rows, {"idx": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        for p in files[start.get("idx", 0):end.get("idx", 0)]:
+            with _open(p, "r") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    obj = json.loads(line)
+                    yield tuple(obj.get(f) for f in self._fields)
+
+
 class JsonlShards(DataSource):
     """``jsonl_shards`` data source (see module docstring)."""
 
@@ -161,3 +214,6 @@ class JsonlShards(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool):
         return _JsonlWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema: StructType):
+        return _JsonlStreamReader(schema, self.options)

@@ -469,3 +469,45 @@ def test_observed_write_audits_row_count(spark, scratch_dir):
     metrics = write_table_observed(docs, out)
     n = spark.read.parquet(out).count()
     assert metrics["n_rows"] == n == docs.count()
+
+
+def test_jsonl_shards_streaming_ingest_is_incremental(spark, tmp_path):
+    """The custom source's streaming reader picks up ONLY files that
+    appeared since the checkpointed offset (append-only shard ingest)."""
+    import json
+    import os
+
+    from dask_patternsearch_spark.sources.jsonl import JsonlShards
+
+    spark.dataSource.register(JsonlShards)
+    src = str(tmp_path / "arriving")
+    os.makedirs(src)
+    ckpt = str(tmp_path / "ckpt")
+
+    def shard(name, ids):
+        with open(os.path.join(src, name), "w") as fh:
+            for i in ids:
+                fh.write(json.dumps({"doc_id": i, "text": f"doc {i}"}) + "\n")
+
+    sink = str(tmp_path / "ingested")
+
+    def drain():
+        q = (
+            spark.readStream.format("jsonl_shards")
+            .schema("doc_id long, text string")
+            .option("path", src)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+
+    shard("shard-00000.jsonl", [1, 2, 3])
+    assert drain() == {1, 2, 3}
+    # a later-named shard arrives; only its rows are appended on restart
+    shard("shard-00001.jsonl", [4, 5])
+    assert drain() == {1, 2, 3, 4, 5}
