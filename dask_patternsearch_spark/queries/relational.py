@@ -2002,6 +2002,46 @@ LIMIT 20
 
 
 
+def sql_recursive_chain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk each part's
+    binary-ancestor chain (node -> floor(node/2), a synthetic but
+    deterministic DAG over p_partkey) accumulating depth and the chain's
+    retail-price rollup -- the BOM/org-hierarchy traversal the SQL
+    surface previously could not express natively (the engine's
+    iterative operators, graph.py, cover the data-driven cases; this
+    registers the declarative spelling).
+
+    Scale: each recursion step is one equi-join of the frontier against
+    the dimension, exactly the BFS frontier-join plan Catalyst already
+    executes for the hand-built loops; depth bounds the step count
+    (<= log2(max key) here).  The oracle runs the IDENTICAL statement --
+    both engines only support UNION ALL recursion, and the tree
+    structure guarantees termination without dedup.
+    """
+    _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    ).createOrReplaceTempView("dps_part_v")
+    return spark.sql(_RECURSIVE_TEMPLATE.format(tbl="dps_part_v"))
+
+
+_RECURSIVE_TEMPLATE = """
+WITH RECURSIVE chain(p_partkey, node, depth, price_sum) AS (
+  SELECT p_partkey, p_partkey, 0, p_retailprice
+  FROM {tbl} WHERE p_partkey < 256
+  UNION ALL
+  SELECT c.p_partkey, pp.p_partkey, c.depth + 1, c.price_sum + pp.p_retailprice
+  FROM chain c JOIN {tbl} pp ON pp.p_partkey = CAST(floor(c.node / 2.0) AS BIGINT)
+  WHERE c.node > 1
+)
+SELECT p_partkey,
+       CAST(max(depth) AS INT) AS depth,
+       round(max(price_sum), 2) AS chain_price
+FROM chain GROUP BY p_partkey
+"""
+
+_RECURSIVE_SQL = _RECURSIVE_TEMPLATE.format(tbl="part")
+
+
 def sql_qualify_latest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-API surface (spark.sql): each customer's two most recent orders
     via a windowed subquery (OSS Spark has no QUALIFY; the oracle uses
@@ -3421,6 +3461,7 @@ QUERIES = {
     "skew_report_orders": skew_report_orders,
     "snapshot_diff_orders": snapshot_diff_orders,
     "cascade_delete_audit": cascade_delete_audit,
+    "sql_recursive_chain_rollup": sql_recursive_chain_rollup,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3506,6 +3547,7 @@ ORACLE = {
     "skew_report_orders": _SKEW_REPORT_SQL,
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
     "cascade_delete_audit": _CASCADE_DELETE_SQL,
+    "sql_recursive_chain_rollup": _RECURSIVE_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
