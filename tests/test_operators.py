@@ -1551,3 +1551,40 @@ def test_embedding_neardup_multiprobe_recall(spark):
     # verified pairs really are above threshold (dedup-before-verify kept
     # the exact cosine gate intact)
     assert all(a < b for a, b in two)
+
+
+def test_snapshot_diff_property_invariants(spark):
+    """Randomized invariants of the table diff: classes partition the key
+    union; 'added'/'removed' match set differences; 'changed' +
+    'unchanged' = key intersection; null-safe compare treats NULL==NULL
+    as unchanged and NULL vs value as changed."""
+    import random
+
+    from dask_patternsearch_spark.operators.quality import snapshot_diff
+
+    rng = random.Random(5)
+    for _ in range(5):
+        old_keys = set(rng.sample(range(50), 30))
+        new_keys = set(rng.sample(range(50), 30))
+        old_rows = [(k, rng.choice([None, "a", "b"]), rng.randint(0, 3))
+                    for k in sorted(old_keys)]
+        # shared keys keep old values half the time, mutate otherwise
+        old_map = {r[0]: r for r in old_rows}
+        new_rows = []
+        for k in sorted(new_keys):
+            if k in old_map and rng.random() < 0.5:
+                new_rows.append(old_map[k])
+            else:
+                new_rows.append((k, rng.choice([None, "a", "c"]), rng.randint(0, 3)))
+        old = spark.createDataFrame(old_rows, "k long, s string, v int")
+        new = spark.createDataFrame(new_rows, "k long, s string, v int")
+        out = {r["k"]: r["change_type"]
+               for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert set(out) == old_keys | new_keys
+        assert {k for k, c in out.items() if c == "added"} == new_keys - old_keys
+        assert {k for k, c in out.items() if c == "removed"} == old_keys - new_keys
+        new_map = {r[0]: r for r in new_rows}
+        for k in old_keys & new_keys:
+            same = old_map[k][1:] == new_map[k][1:]
+            assert out[k] == ("unchanged" if same else "changed"), (
+                k, old_map[k], new_map[k], out[k])
