@@ -232,3 +232,156 @@ def resize(media: DataFrame, target_bytes: int = 256) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema)
+
+
+# ---- real container-header parsing (no codec libraries needed) -------------
+
+def probe_metadata(payload: bytes) -> dict:
+    """REAL media-container metadata extraction with zero dependencies:
+    the container formats put dimensions / sample rates in fixed header
+    positions, so width/height (PNG, JPEG SOF, GIF), sample rate +
+    channels (WAV RIFF fmt) and container brand (MP4 ftyp) parse out of
+    the first bytes -- no PIL/soundfile required.  This is the metadata
+    pass a 100 TB media pipeline runs BEFORE any decode (corrupt-file
+    triage, resolution histograms, dedup keys); pixel/sample decode
+    stays behind ``codec_decoders``.
+
+    Returns {container, width, height, sample_rate, channels}; unknown
+    payloads get container=None.
+    """
+    out: dict = {
+        "container": None, "width": None, "height": None,
+        "sample_rate": None, "channels": None,
+    }
+    if not payload or len(payload) < 12:
+        return out
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+        out["container"] = "png"
+        out["width"] = int.from_bytes(payload[16:20], "big")
+        out["height"] = int.from_bytes(payload[20:24], "big")
+    elif payload[:3] == b"\xff\xd8\xff":
+        out["container"] = "jpeg"
+        i = 2
+        while i + 9 < len(payload) and payload[i] == 0xFF:
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(payload[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                out["height"] = int.from_bytes(payload[i + 5:i + 7], "big")
+                out["width"] = int.from_bytes(payload[i + 7:i + 9], "big")
+                break
+            i += 2 + seglen
+    elif payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        out["container"] = "gif"
+        out["width"] = int.from_bytes(payload[6:8], "little")
+        out["height"] = int.from_bytes(payload[8:10], "little")
+    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        out["container"] = "wav"
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i:i + 4]
+            clen = int.from_bytes(payload[i + 4:i + 8], "little")
+            if cid == b"fmt " and i + 16 <= len(payload):
+                out["channels"] = int.from_bytes(payload[i + 10:i + 12], "little")
+                out["sample_rate"] = int.from_bytes(payload[i + 12:i + 16], "little")
+                break
+            i += 8 + clen + (clen & 1)
+    elif payload[4:8] == b"ftyp":
+        out["container"] = "mp4"
+    return out
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Build REAL (minimal but spec-valid) media payloads per document --
+    PNG / WAV / MP4 headers whose dimensions and sample rates are closed
+    forms of doc_id -- so the header-parsing pass can be verified end to
+    end by an oracle that computes the same closed forms.  Pure map over
+    Arrow batches (the blob exists only inside the batch)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ])
+    src = ensure_parallelism(docs.select("doc_id"))
+
+    def run(batches):
+        import pandas as pd
+
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads, types = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kind = d % 3
+                if kind == 0:
+                    w, h = d % 64 + 1, d % 48 + 1
+                    p = (b"\x89PNG\r\n\x1a\n"
+                         + (13).to_bytes(4, "big") + b"IHDR"
+                         + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                         + b"\x08\x00\x00\x00\x00" + b"\x00\x00\x00\x00")
+                    types.append("image/png")
+                elif kind == 1:
+                    sr, ch = rates[(d // 3) % len(rates)], d % 2 + 1
+                    fmt = (b"\x01\x00" + ch.to_bytes(2, "little")
+                           + sr.to_bytes(4, "little")
+                           + (sr * ch * 2).to_bytes(4, "little")
+                           + (ch * 2).to_bytes(2, "little") + b"\x10\x00")
+                    p = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+                         + b"fmt " + (16).to_bytes(4, "little") + fmt
+                         + b"data" + (0).to_bytes(4, "little"))
+                    types.append("audio/wav")
+                else:
+                    p = ((20).to_bytes(4, "big") + b"ftyp" + b"isom"
+                         + (0).to_bytes(4, "big") + b"isom")
+                    types.append("video/mp4")
+                payloads.append(p)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": payloads,
+                "media_type": types,
+                "n_bytes": [len(p) for p in payloads],
+            })
+
+    return src.mapInPandas(run, schema)
+
+
+def extract_metadata(media: DataFrame) -> DataFrame:
+    """Container-header metadata per payload via Arrow-batched
+    ``mapInPandas`` over :func:`probe_metadata` -- the real, dependency-
+    free triage pass (blobs never outlive their batch, no shuffle)."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ])
+    media = ensure_parallelism(media)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            metas = [probe_metadata(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "container": [m["container"] for m in metas],
+                "width": pd.array([m["width"] for m in metas], dtype="Int32"),
+                "height": pd.array([m["height"] for m in metas], dtype="Int32"),
+                "sample_rate": pd.array(
+                    [m["sample_rate"] for m in metas], dtype="Int32"),
+                "channels": pd.array(
+                    [m["channels"] for m in metas], dtype="Int32"),
+            })
+
+    return media.mapInPandas(run, schema)

@@ -1705,6 +1705,36 @@ FROM c
 """
 
 
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media-container metadata extraction, verified end to end:
+    spec-valid PNG/WAV/MP4 payloads are synthesized per document (their
+    dimensions / sample rates are closed forms of doc_id), then the
+    dependency-free header parser (operators.multimodal.probe_metadata)
+    recovers them byte-level -- the triage pass a media pipeline runs
+    before any decode.  The oracle computes the same closed forms, so a
+    parser regression breaks the hash."""
+    media = multimodal.synthesize_media(_docs(spark, sf_dir))
+    return multimodal.extract_metadata(media)
+
+
+_MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS media_type,
+       CASE doc_id % 3 WHEN 0 THEN 'png'
+                       WHEN 1 THEN 'wav'
+                       ELSE 'mp4' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 48 + 1 AS INT) END AS height,
+       CASE WHEN doc_id % 3 = 1
+            THEN CAST([8000, 16000, 44100][CAST((doc_id // 3) % 3 AS INT) + 1] AS INT)
+       END AS sample_rate,
+       CASE WHEN doc_id % 3 = 1 THEN CAST(doc_id % 2 + 1 AS INT) END AS channels
+FROM documents
+"""
+
+
 def rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
     for each query document, a LEXICAL ranking (distinct-term overlap)
@@ -1972,6 +2002,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "zscore_extreme_docs": zscore_extreme_docs,
     "rrf_hybrid_search": rrf_hybrid_search,
+    "multimodal_metadata": multimodal_metadata,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "inverted_postings": inverted_postings,
     "chunk_docs": chunk_docs,
@@ -1989,6 +2020,7 @@ ORACLE = {
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "zscore_extreme_docs": _ZSCORE_SQL,
     "rrf_hybrid_search": _RRF_SQL,
+    "multimodal_metadata": _MULTIMODAL_META_SQL,
     "ccnet_perplexity_buckets": _CCNET_SQL,
     "inverted_postings": _POSTINGS_SQL,
     "chunk_docs": _CHUNK_SQL,

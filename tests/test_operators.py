@@ -1588,3 +1588,38 @@ def test_snapshot_diff_property_invariants(spark):
             same = old_map[k][1:] == new_map[k][1:]
             assert out[k] == ("unchanged" if same else "changed"), (
                 k, old_map[k], new_map[k], out[k])
+
+
+def test_probe_metadata_parses_real_container_headers():
+    """Dependency-free byte-level parsing of real container headers --
+    incl. a JPEG whose SOF0 sits behind an APP0 segment, and graceful
+    None on truncated/corrupt payloads."""
+    from dask_patternsearch_spark.operators.multimodal import probe_metadata
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + bytes(9))
+    assert probe_metadata(png) == {
+        "container": "png", "width": 640, "height": 480,
+        "sample_rate": None, "channels": None}
+
+    jpeg = (b"\xff\xd8\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+            + bytes(9) + b"\xff\xc0" + (17).to_bytes(2, "big") + b"\x08"
+            + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + bytes(10))
+    m = probe_metadata(jpeg)
+    assert (m["container"], m["width"], m["height"]) == ("jpeg", 1920, 1080)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes(4)
+    m = probe_metadata(gif)
+    assert (m["container"], m["width"], m["height"]) == ("gif", 320, 200)
+
+    wav = (b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + b"\x01\x00\x01\x00" + (8000).to_bytes(4, "little")
+           + (16000).to_bytes(4, "little") + b"\x02\x00\x10\x00"
+           + b"data" + (0).to_bytes(4, "little"))
+    m = probe_metadata(wav)
+    assert (m["container"], m["sample_rate"], m["channels"]) == ("wav", 8000, 1)
+
+    assert probe_metadata(b"")["container"] is None
+    assert probe_metadata(b"\x89PNG\r\n\x1a")["container"] is None  # truncated
+    assert probe_metadata(b"plain text payload here")["container"] is None
