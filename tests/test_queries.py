@@ -224,6 +224,8 @@ def test_schema_stable_across_scale_factors(spark):
         "q1_pricing_summary", "exact_dedup_docs", "token_stats_by_lang",
         "window_rank_orders", "star_wide_rollup", "chunk_docs",
         "weighted_sample_docs", "fk_integrity_audit",
+        "snapshot_diff_orders", "cascade_delete_audit", "zscore_extreme_docs",
+        "rrf_hybrid_search", "sql_recursive_chain_rollup", "multimodal_metadata",
     ]
     qs = entry.queries()
     for name in names:
