@@ -3165,6 +3165,66 @@ GROUP BY o_orderstatus
 """
 
 
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN (the delta-join identity):
+    with base tables split into (old, delta) -- orders by a date cut,
+    customers by a key slice -- the refreshed join is
+
+        old_A (join) old_B  UNION ALL  delta_A (join) FULL_B
+                           UNION ALL  old_A (join) delta_B
+
+    (the delta-delta term rides in ``delta_A (join) FULL_B``), so a daily
+    refresh joins ONE day of orders against customers plus the customer
+    delta against the old orders -- never re-joining seven years against
+    the full dimension.  The oracle IS the monolithic full join; per-row
+    cent snapping (the q9 technique) makes the union's sum order
+    irrelevant, proving bit-identity of the maintained view.
+
+    Scale: each delta term is a small-side broadcast or key-partitioned
+    join over a sliver; the final aggregate is map-side combined.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_cut = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    c_cut = F.col("c_custkey") % 10 < 9
+    old_o, delta_o = o.filter(o_cut), o.filter(~o_cut)
+    old_c, delta_c = c.filter(c_cut), c.filter(~c_cut)
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+
+    def term(orders_part, cust_part):
+        return orders_part.join(
+            cust_part, F.col("o_custkey") == F.col("c_custkey")
+        ).select("c_nationkey", cents.alias("cents"))
+
+    view = (
+        term(old_o, old_c)
+        .unionByName(term(delta_o, c))       # delta_A x full_B (incl. delta-delta)
+        .unionByName(term(old_o, delta_c))   # old_A x delta_B
+    )
+    return (
+        view.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_INCR_JOIN_SQL = """
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0, 2)
+         AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-schema referential-integrity audit: every TPC-H foreign key
     checked in one report via operators.quality.check_constraints (each FK
@@ -3462,6 +3522,7 @@ QUERIES = {
     "snapshot_diff_orders": snapshot_diff_orders,
     "cascade_delete_audit": cascade_delete_audit,
     "sql_recursive_chain_rollup": sql_recursive_chain_rollup,
+    "incremental_join_maintenance": incremental_join_maintenance,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3548,6 +3609,7 @@ ORACLE = {
     "snapshot_diff_orders": _SNAPSHOT_DIFF_SQL,
     "cascade_delete_audit": _CASCADE_DELETE_SQL,
     "sql_recursive_chain_rollup": _RECURSIVE_SQL,
+    "incremental_join_maintenance": _INCR_JOIN_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
