@@ -128,6 +128,13 @@ class _JsonlWriter(DataSourceWriter):
         return _ShardCommit(final, n)
 
     def commit(self, messages):
+        written = {m.path for m in messages if m is not None}
+        if self._overwrite:
+            # overwrite semantics: stale shards from a previous (possibly
+            # wider) write must not survive, or readers see mixed outputs
+            for f in glob.glob(os.path.join(self._path, "*.jsonl*")):
+                if f not in written and ".tmp-" not in f:
+                    os.remove(f)
         manifest = {
             "shards": [
                 {"path": m.path, "n_rows": m.n_rows}

@@ -134,3 +134,28 @@ def test_ivf_layout_prunes_partitions_and_recalls(spark, tmp_path):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.6  # blob structure makes 3-probe recall high
+
+
+def test_jsonl_shards_overwrite_clears_stale_shards(spark, tmp_path):
+    """A narrower overwrite must not leave shards from a previous wider
+    write behind (readers would see mixed outputs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.sources.jsonl import JsonlShards
+
+    spark.dataSource.register(JsonlShards)
+    out = str(tmp_path / "corpus2")
+    df = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    (df.repartition(8).write.format("jsonl_shards").mode("overwrite")
+       .option("path", out).save())
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 8
+    (df.repartition(2).write.format("jsonl_shards").mode("overwrite")
+       .option("path", out).save())
+    assert len([f for f in os.listdir(out) if f.endswith(".jsonl")]) == 2
+    back = (spark.read.format("jsonl_shards")
+            .schema("doc_id long, text string").option("path", out).load())
+    assert back.count() == 40
