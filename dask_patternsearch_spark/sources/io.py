@@ -287,6 +287,11 @@ def compact_files(
     n_out = max(1, math.ceil(bytes_before / target_file_bytes))
     tmp = path.rstrip("/") + "__compact_tmp"
     old = path.rstrip("/") + "__compact_old"
+    # a previous run that died between its renames may have left either
+    # sibling behind; clear them so this run's renames cannot fail
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
     df = getattr(spark.read, fmt)(path)
     getattr(df.repartition(n_out).write.mode("overwrite"), fmt)(tmp)
     os.rename(path, old)
