@@ -3458,7 +3458,11 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
     )
-    return graph.sssp(weighted, max_iter=6)
+    # 12 covers the weighted hop diameter at every test SF with a round to
+    # spare for the zero-improvement fixpoint observation (at 6 the loop
+    # warned 'exhausted before fixpoint' on sf0.01: distances were still
+    # upper bounds on the deepest paths)
+    return graph.sssp(weighted, max_iter=12)
 
 
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
