@@ -1623,3 +1623,29 @@ def test_probe_metadata_parses_real_container_headers():
     assert probe_metadata(b"")["container"] is None
     assert probe_metadata(b"\x89PNG\r\n\x1a")["container"] is None  # truncated
     assert probe_metadata(b"plain text payload here")["container"] is None
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Empty-side robustness: the round-3 operators must degrade to
+    empty/one-sided results, not crash."""
+    from dask_patternsearch_spark.operators.quality import snapshot_diff
+    from dask_patternsearch_spark.operators.sampling import weighted_sample
+
+    empty = spark.createDataFrame([], "k long, v string")
+    some = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(empty, some, ["k"]).collect()}
+    assert out == {1: "added", 2: "added"}
+    out = {r["k"]: r["change_type"]
+           for r in snapshot_diff(some, empty, ["k"]).collect()}
+    assert out == {1: "removed", 2: "removed"}
+    assert snapshot_diff(empty, empty, ["k"]).count() == 0
+
+    wdf = spark.createDataFrame([], "doc_id long, w long")
+    assert weighted_sample(wdf, "w", 5, ["doc_id"]).count() == 0
+
+    from dask_patternsearch_spark.operators.similarity import kmeans_clusters
+    import pytest as _pytest
+    edf = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="seed"):
+        kmeans_clusters(edf, k=2)
