@@ -12,6 +12,21 @@
   formulation), bucketed range join (interval containment as equi join),
   bloom-filter join (map-side probe pruning)
 * ``merge``      -- latest-wins upsert (MERGE-INTO semantics), SCD2 history
+* ``graph``      -- PageRank, BFS, label propagation, SSSP, k-core,
+  degree-oriented triangle counting (checkpoint-cut fixpoint loops)
+* ``quality``    -- declarative constraints, key-skew report, snapshot diff
+* ``profile``    -- one-pass table profiling
 """
 
-from . import dedup, joins, merge, multimodal, sampling, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    graph,
+    joins,
+    merge,
+    multimodal,
+    profile,
+    quality,
+    sampling,
+    similarity,
+    text,
+)
