@@ -7,9 +7,13 @@ readers/writers that keep the scale-relevant options in one place.
 """
 
 from .io import (  # noqa: F401
+    compact_files,
+    overwrite_partitions,
     read_table,
     write_bucketed_table,
     write_clustered,
     write_table,
+    write_table_observed,
     write_zordered,
 )
+from .jsonl import JsonlShards  # noqa: F401
