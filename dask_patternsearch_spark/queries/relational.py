@@ -1699,6 +1699,70 @@ FROM documents
 """
 
 
+def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.3) of each user's
+    event values over their last 20 events -- the time-series smoothing
+    primitive (anomaly baselines, load forecasting) whose recursion
+    ``y_t = a*x_t + (1-a)*y_{t-1}`` SQL cannot express directly; a
+    BOUNDED window array + a fold expresses it exactly (both engines
+    reduce left-to-right from the frame's oldest element, so the double
+    chains are identical).
+
+    Scale: the frame is ROWS-bounded (20 values), so the window buffer
+    is constant per row no matter how long a user's history is -- the
+    unbounded formulation would buffer whole histories.  One shuffle on
+    user_id; the final latest-row filter is a WindowGroupLimit rank."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    vals = F.collect_list(F.col("value").cast("double")).over(wf)
+    with_vals = ev.withColumn("vals", vals)
+    ewma = F.round(
+        F.aggregate(
+            F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+            F.element_at("vals", 1),
+            lambda acc, x: acc * F.lit(0.7) + x * F.lit(0.3),
+        ),
+        6,
+    )
+    w_last = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        with_vals.withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.size("vals").cast("int").alias("n_window"),
+            ewma.alias("ewma"),
+        )
+    )
+
+
+_EWMA_SQL = """
+WITH w AS (
+  SELECT user_id, event_id, ts,
+         list(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM w
+)
+SELECT user_id,
+       CAST(len(vals) AS INT) AS n_window,
+       round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 6) AS ewma
+FROM r WHERE rn = 1
+"""
+
+
 def resample_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification (gap filling): the full hourly grid from
     min to max event hour, per event type, with zero-filled counts --
@@ -3527,6 +3591,7 @@ QUERIES = {
     "cascade_delete_audit": cascade_delete_audit,
     "sql_recursive_chain_rollup": sql_recursive_chain_rollup,
     "incremental_join_maintenance": incremental_join_maintenance,
+    "ewma_user_values": ewma_user_values,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3614,6 +3679,7 @@ ORACLE = {
     "cascade_delete_audit": _CASCADE_DELETE_SQL,
     "sql_recursive_chain_rollup": _RECURSIVE_SQL,
     "incremental_join_maintenance": _INCR_JOIN_SQL,
+    "ewma_user_values": _EWMA_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
