@@ -735,6 +735,73 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join, drained deterministically:
+    unmatched purchases only emit once the WATERMARK passes their match
+    window, and a watermark only advances BETWEEN micro-batches -- so the
+    events are staged as two time-ordered files and streamed with
+    maxFilesPerTrigger=1 (batch 1 advances the watermark, batch 2 flushes
+    batch-1's unmatched purchases).  The returned table is restricted to
+    the region the final watermark provably flushed (p_ms <= early-file
+    max - delay - slack), making the result independent of how the file
+    source happened to batch -- on a real continuous stream the watermark
+    advances forever and no such cut is needed.  Rows-only check; the
+    region equals the batch left join in tests/test_streaming.py."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time as timemod
+
+    from ..streaming import events as sev
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lo, hi = ev.agg(
+        F.unix_millis(F.min("ts").cast("timestamp")),
+        F.unix_millis(F.max("ts").cast("timestamp")),
+    ).first()
+    cut_ms = lo + int((hi - lo) * 0.8)
+    staged = tempfile.mkdtemp(prefix="dps_ssleft_")
+    try:
+        early = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) < cut_ms)
+        late = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) >= cut_ms)
+        early.coalesce(1).write.mode("append").parquet(staged)
+        late.coalesce(1).write.mode("append").parquet(staged)
+        parts = sorted(globmod.glob(os.path.join(staged, "part-*")))
+        # pin modification times so 'oldest first' == time order
+        now = timemod.time()
+        for i, pth in enumerate(parts):
+            os.utime(pth, (now + i, now + i))
+        early_max = early.agg(
+            F.unix_millis(F.max("ts").cast("timestamp"))
+        ).first()[0]
+
+        schema = ev.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(staged)
+            .withColumn("event_time", F.col("ts").cast("timestamp"))
+        )
+        _STREAM_SEQ[0] += 1
+        name = f"dps_stream_ssleft_{_STREAM_SEQ[0]}"
+        sev.run_to_memory(
+            sev.purchase_click_left_join_stream(stream),
+            name,
+            spark,
+            output_mode="append",
+        )
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    flushed = early_max - 3_600_000 - 1_000  # watermark delay + join slack
+    return (
+        spark.table(name)
+        .filter(F.col("p_ms") <= flushed)
+        .select("user_id", "purchase_id", "click_id", "gap_ms")
+    )
+
+
 def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator over the event stream: the
     per-event-type running minimum of ``value`` via
@@ -1975,6 +2042,7 @@ QUERIES = {
     "streaming_incumbent_minima": streaming_incumbent_minima,
     "streaming_session_windows": streaming_session_windows,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_left_interval_join": streaming_left_interval_join,
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,

@@ -146,6 +146,63 @@ def purchase_click_join_stream(
     )
 
 
+def purchase_click_left_join_stream(
+    events: DataFrame, lookback_ms: int = 600000
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every purchase emitted,
+    paired with same-user clicks in the ``lookback_ms`` window before it
+    or with NULL click columns once the WATERMARK proves no match can
+    still arrive.  The outer semantics are the part batch left-joins get
+    for free but streams must earn: an unmatched purchase sits in join
+    state until the watermark passes its upper match bound, THEN emits
+    with nulls -- so emission timing (and state size) is governed by the
+    watermark, and a stream that never advances its watermark never
+    emits an unmatched row.  Same two-layer condition as the inner
+    variant (event-time range drives state expiry, the ms-truncated
+    predicate is the exact batch-equal semantics)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("event_time").alias("p_time"),
+            F.unix_millis(F.col("event_time")).alias("p_ms"),
+        )
+        .withWatermark("p_time", "1 hour")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("event_time").alias("c_time"),
+            F.unix_millis(F.col("event_time")).alias("c_ms"),
+        )
+        .withWatermark("c_time", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (
+            F.col("c_time")
+            >= F.col("p_time")
+            - F.expr(f"INTERVAL {lookback_ms} MILLISECOND")
+            - F.expr("INTERVAL 1 SECOND")
+        )
+        & (F.col("c_time") <= F.col("p_time") + F.expr("INTERVAL 1 SECOND"))
+        & (F.col("c_ms") >= F.col("p_ms") - F.lit(lookback_ms))
+        & (F.col("c_ms") < F.col("p_ms")),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "p_ms",
+        "click_id",
+        (F.col("p_ms") - F.col("c_ms")).alias("gap_ms"),
+    )
+
+
 def dedup_events_stream(events: DataFrame, within: str = "1 hour") -> DataFrame:
     """Streaming exact deduplication with BOUNDED state:
     ``dropDuplicatesWithinWatermark`` keeps one row per ``event_id`` among

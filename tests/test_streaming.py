@@ -511,3 +511,56 @@ def test_jsonl_shards_streaming_ingest_is_incremental(spark, tmp_path):
     # a later-named shard arrives; only its rows are appended on restart
     shard("shard-00001.jsonl", [4, 5])
     assert drain() == {1, 2, 3, 4, 5}
+
+
+def test_streaming_left_outer_join_matches_batch_on_flushed_region(spark):
+    """The left-outer stream-stream join's flushed region must equal the
+    batch left join exactly: matched pairs identical, and every
+    unmatched purchase present exactly once with NULL click columns."""
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.queries.pipeline import (
+        streaming_left_interval_join,
+    )
+
+    out = streaming_left_interval_join(spark, SF_DIR)
+    got = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_ms"])
+        for r in out.collect()
+    }
+    assert got, "flushed region must not be empty"
+    assert any(c is None for _, _, c, _ in got), "no null emissions flushed"
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "ms", F.unix_millis(F.col("ts").cast("timestamp"))
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ms").alias("pms"),
+    )
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ms").alias("cms"),
+    )
+    batch = (
+        p.join(
+            c,
+            (F.col("pu") == F.col("cu"))
+            & (F.col("cms") >= F.col("pms") - 600000)
+            & (F.col("cms") < F.col("pms")),
+            "left",
+        )
+        .select(
+            F.col("pu").alias("user_id"),
+            F.col("pid").alias("purchase_id"),
+            F.col("cid").alias("click_id"),
+            (F.col("pms") - F.col("cms")).alias("gap_ms"),
+        )
+    )
+    emitted_pids = {pid for _, pid, _, _ in got}
+    want = {
+        (r["user_id"], r["purchase_id"], r["click_id"], r["gap_ms"])
+        for r in batch.collect()
+        if r["purchase_id"] in emitted_pids
+    }
+    assert got == want
