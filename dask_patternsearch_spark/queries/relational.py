@@ -1699,6 +1699,85 @@ FROM documents
 """
 
 
+def regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group simple linear regression (least squares of extended
+    price on quantity) -- slope / intercept / R^2 -- computed from EXACT
+    integer moments (quantity is integral, price snapped to cents, so
+    Sx/Sy/Sxx/Sxy/Syy are exact BIGINT sums) and combined in one fixed
+    expression tree.  The built-in ``regr_slope``/``corr`` aggregates
+    stream partial double sums whose accumulation order is partition-
+    dependent -- fine statistically, but not bit-reproducible across
+    engines or cluster sizes; the moment formulation is both (same
+    single-pass map-side-combined scan, one extra column)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long").alias("p"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sx"),
+        F.sum("p").cast("long").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
+        F.sum(F.col("q") * F.col("p")).cast("long").alias("sxy"),
+        F.sum(F.col("p") * F.col("p")).cast("long").alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxx, sxy, syy = [F.col(c).cast("double") for c in ("sxx", "sxy", "syy")]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = slope * slope * (n * sxx - sx * sx) / (n * syy - sy * sy)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope / 100.0, 6).alias("slope"),          # cents -> dollars
+        F.round(intercept / 100.0, 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(sum(CAST(l_quantity AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) / 100.0, 6) AS slope,
+       round(((CAST(sy AS DOUBLE)
+               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 100.0, 4)
+         AS intercept,
+       round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 6) AS r2
+FROM m ORDER BY l_returnflag
+"""
+
+
 def ewma_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially weighted moving average (alpha=0.3) of each user's
     event values over their last 20 events -- the time-series smoothing
@@ -3592,6 +3671,7 @@ QUERIES = {
     "sql_recursive_chain_rollup": sql_recursive_chain_rollup,
     "incremental_join_maintenance": incremental_join_maintenance,
     "ewma_user_values": ewma_user_values,
+    "regression_by_flag": regression_by_flag,
     "asof_join_nearest_click": asof_join_nearest_click,
     "bfs_copurchase": bfs_copurchase,
     "sql_filtered_aggregates": sql_filtered_aggregates,
@@ -3680,6 +3760,7 @@ ORACLE = {
     "sql_recursive_chain_rollup": _RECURSIVE_SQL,
     "incremental_join_maintenance": _INCR_JOIN_SQL,
     "ewma_user_values": _EWMA_SQL,
+    "regression_by_flag": _REGRESSION_SQL,
     "asof_join_nearest_click": _ASOF_NEAREST_SQL,
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
