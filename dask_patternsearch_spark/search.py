@@ -263,6 +263,28 @@ def _chunked_shuffle(step_iter, dims: int, rng: np.random.Generator):
         size = dims
 
 
+def _iter_warm_start(src):
+    """Normalize a ``search(warm_start=...)`` input to (TrialPoint, cost)
+    pairs: a SearchResults/dict, an iterable of (point, halvings, cost)
+    tuples, or a parquet ledger path (``SearchResults.to_spark`` schema,
+    read driver-side via pyarrow -- the ledger is driver state)."""
+    if isinstance(src, str):
+        import pyarrow.parquet as pq
+
+        for row in pq.read_table(src, columns=["point", "halvings", "cost"]).to_pylist():
+            tp = TrialPoint(np.asarray(row["point"], dtype=float), int(row["halvings"]))
+            yield tp, row["cost"]
+        return
+    if isinstance(src, dict):
+        for tp, cost in src.items():
+            if not isinstance(tp, TrialPoint):
+                raise TypeError("warm_start dict keys must be TrialPoint")
+            yield tp, cost
+        return
+    for point, halvings, cost in src:
+        yield TrialPoint(np.asarray(point, dtype=float), int(halvings)), cost
+
+
 def search(
     func,
     x0,
@@ -286,6 +308,7 @@ def search(
     client=None,
     max_queue_size: int | None = None,
     min_queue_size: int | None = None,
+    warm_start=None,
 ):
     """Minimize ``func`` by parallel pattern search; returns ``(best, results)``.
 
@@ -330,6 +353,20 @@ def search(
         maps to ``round_size`` (one poll round IS the queue);
         ``min_queue_size`` is accepted and ignored (the round model has
         no refill threshold).
+    warm_start : crash-recovery / resume input -- a prior run's
+        ``SearchResults`` (or any ``dict``-like of TrialPoint-compatible
+        entries), an iterable of ``(point, halvings, cost)`` tuples, or a
+        path to a parquet ledger written by ``SearchResults.to_spark``.
+        Seeded points enter the exact-dedup memo, so the resumed search
+        NEVER re-calls the objective for an already-evaluated point -- on
+        a 100k-core run the objective calls are the cost; the driver-side
+        decision loop is free.  The resumed run is a memoized restart,
+        not a bit-exact replay: rounds skip known points, so their
+        composition (and hence the acceptance path) can differ from the
+        uninterrupted run while remaining a valid pattern search over the
+        cumulative ledger.  Seeded entries appear in the returned ledger
+        and count toward ``max_tasks`` (the budget is cumulative across
+        the resumed run).
 
     Returns
     -------
@@ -411,6 +448,12 @@ def search(
     incumbent.start_time = time()
     incumbent_cost = np.inf
     results = SearchResults()
+    if warm_start is not None:
+        for tp, cost in _iter_warm_start(warm_start):
+            if cost is None or not np.isfinite(cost):
+                continue
+            tp.result = cost
+            results[tp] = cost
 
     # --- per-epoch (per-incumbent) state ------------------------------------
     def new_epoch():

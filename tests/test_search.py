@@ -216,3 +216,69 @@ def test_reference_signature_aliases(spark):
         search(obj, X0, STEP, spark=spark, client=spark)
     with pytest.raises(ValueError, match="SparkSession"):
         search(obj, X0, STEP, client=object())
+
+
+def test_warm_start_resumes_without_reevaluation():
+    """A resumed search seeded with a prior run's ledger must never
+    re-call the objective for a known point, must count the seeded
+    entries against the cumulative budget, and must keep improving from
+    where the prior run stopped."""
+    from dask_patternsearch_spark import search
+
+    def make_counter():
+        calls = {"n": 0}
+
+        def sphere(x):
+            calls["n"] += 1
+            return float((x * x).sum())
+
+        return sphere, calls
+
+    f1, c1 = make_counter()
+    best_partial, partial = search(f1, [5.0, 5.0], [1.0, 1.0], max_tasks=40, seed=11)
+    assert c1["n"] == 40
+
+    f3, c3 = make_counter()
+    best_resumed, resumed = search(
+        f3, [5.0, 5.0], [1.0, 1.0], max_tasks=160, seed=11, warm_start=partial
+    )
+    # every warm point is in the final ledger with its original cost
+    for p, v in partial.items():
+        assert resumed[p] == v
+    # only NEW points were evaluated (x0 is re-seeded, hence the +1);
+    # the budget is cumulative: ledger size respects max_tasks
+    assert c3["n"] == len(resumed) - len(partial) + 1
+    assert len(resumed) <= 160
+    # the resumed search improves on (never regresses from) the prior best
+    assert best_resumed.result <= best_partial.result
+    assert best_resumed.result == min(resumed.values())
+
+
+def test_warm_start_roundtrips_through_parquet(spark, tmp_path):
+    """The parquet ledger written by to_spark is a valid warm_start."""
+    import numpy as np
+
+    from dask_patternsearch_spark import search
+
+    def sphere(x):
+        return float((x * x).sum())
+
+    _, partial = search(sphere, [4.0, 4.0], [1.0, 1.0], max_tasks=30, seed=5)
+    path = str(tmp_path / "ledger")
+    partial.to_spark(spark).write.parquet(path)
+
+    calls = {"n": 0}
+
+    def counting(x):
+        calls["n"] += 1
+        return float((x * x).sum())
+
+    best, resumed = search(
+        counting, [4.0, 4.0], [1.0, 1.0], max_tasks=60, seed=5, warm_start=path
+    )
+    assert len(resumed) <= 60
+    assert calls["n"] == len(resumed) - 30 + 1  # only new points + re-seeded x0
+    # every ledger row round-tripped through parquet into the memo
+    for p, v in partial.items():
+        assert resumed[p] == v
+    assert best.result == min(resumed.values())
