@@ -309,6 +309,8 @@ def search(
     max_queue_size: int | None = None,
     min_queue_size: int | None = None,
     warm_start=None,
+    ledger_path: str | None = None,
+    ledger_every: int = 10,
 ):
     """Minimize ``func`` by parallel pattern search; returns ``(best, results)``.
 
@@ -367,6 +369,13 @@ def search(
         cumulative ledger.  Seeded entries appear in the returned ledger
         and count toward ``max_tasks`` (the budget is cumulative across
         the resumed run).
+    ledger_path / ledger_every : periodic ledger checkpointing -- every
+        ``ledger_every`` poll rounds (and at finish) the newly evaluated
+        (point, halvings, cost) rows append as a parquet part file under
+        ``ledger_path``.  Written driver-side via pyarrow (the ledger IS
+        driver state); a crashed run resumes with
+        ``search(..., warm_start=ledger_path)`` and pays zero repeated
+        objective calls for checkpointed rounds.
 
     Returns
     -------
@@ -478,11 +487,43 @@ def search(
     inflight: deque = deque()   # (candidates, Future) in submission order
     inflight_keys: set = set()  # TrialPoints awaiting results (dedup memo)
 
+    # periodic ledger checkpoint state (see ledger_path in the docstring)
+    ledger_buf: list = []
+
+    def flush_ledger():
+        if ledger_path is None or not ledger_buf:
+            return
+        import os as _os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _os.makedirs(ledger_path, exist_ok=True)
+        table = pa.table({
+            "point": pa.array([p for p, _h, _c in ledger_buf],
+                              type=pa.list_(pa.float64())),
+            "halvings": pa.array([h for _p, h, _c in ledger_buf], type=pa.int32()),
+            "cost": pa.array([c for _p, _h, c in ledger_buf], type=pa.float64()),
+        })
+        part = _os.path.join(
+            ledger_path, f"part-{results.rounds:08d}-{len(results):08d}.parquet")
+        pq.write_table(table, part)
+        ledger_buf.clear()
+
     def process_round(cand, costs):
         """Record one round's results and update the acceptance candidate
         (shared by the sync path and the async drain)."""
         nonlocal carried_best, carried_key
         results.rounds = getattr(results, "rounds", 0) + 1
+        if ledger_path is not None:
+            for tp, cost in zip(cand, costs):
+                c = float(cost)
+                ledger_buf.append((
+                    tp.point.tolist(), int(tp.halvings),
+                    c if np.isfinite(c) else float("nan"),
+                ))
+            if results.rounds % ledger_every == 0:
+                flush_ledger()
         now = time()
         for tp, cost in zip(cand, costs):
             tp.stop_time = now
@@ -677,4 +718,5 @@ def search(
             incumbent_cost = best_c
 
     incumbent.stop_time = time()
+    flush_ledger()
     return incumbent, results

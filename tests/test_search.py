@@ -282,3 +282,38 @@ def test_warm_start_roundtrips_through_parquet(spark, tmp_path):
     for p, v in partial.items():
         assert resumed[p] == v
     assert best.result == min(resumed.values())
+
+
+def test_ledger_checkpoint_and_resume(tmp_path):
+    """ledger_path writes periodic parquet parts a crashed run can resume
+    from; the checkpointed rows equal the in-memory ledger."""
+    import pyarrow.parquet as pq
+
+    from dask_patternsearch_spark import search
+
+    def sphere(x):
+        return float((x * x).sum())
+
+    path = str(tmp_path / "ledger")
+    _, results = search(
+        sphere, [5.0, 5.0], [1.0, 1.0], max_tasks=48, seed=3,
+        ledger_path=path, ledger_every=2,
+    )
+    t = pq.read_table(path).to_pylist()
+    assert len(t) == len(results) == 48
+    mem = {tuple(p.point): v for p, v in results.items()}
+    for row in t:
+        assert mem[tuple(row["point"])] == row["cost"]
+
+    calls = {"n": 0}
+
+    def counting(x):
+        calls["n"] += 1
+        return float((x * x).sum())
+
+    best, resumed = search(
+        counting, [5.0, 5.0], [1.0, 1.0], max_tasks=96, seed=3,
+        warm_start=path,
+    )
+    assert calls["n"] == len(resumed) - 48 + 1
+    assert best.result == min(resumed.values())
