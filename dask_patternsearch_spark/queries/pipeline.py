@@ -777,8 +777,14 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).first()[0]
 
         schema = ev.schema
+        # session clone (shared SparkContext, own conf): a stream-stream
+        # join instantiates one state-store per shuffle partition per side
+        # per batch -- 8 partitions cut that fixed machinery 4x without
+        # touching the shared session's conf
+        s2 = spark.newSession()
+        s2.conf.set("spark.sql.shuffle.partitions", "8")
         stream = (
-            spark.readStream.schema(schema)
+            s2.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .option("latestFirst", "false")
             .parquet(staged)
@@ -789,14 +795,14 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         sev.run_to_memory(
             sev.purchase_click_left_join_stream(stream),
             name,
-            spark,
+            s2,
             output_mode="append",
         )
     finally:
         shutil.rmtree(staged, ignore_errors=True)
     flushed = early_max - 3_600_000 - 1_000  # watermark delay + join slack
     return (
-        spark.table(name)
+        s2.table(name)
         .filter(F.col("p_ms") <= flushed)
         .select("user_id", "purchase_id", "click_id", "gap_ms")
     )
