@@ -356,6 +356,20 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SEQ = [0]
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Low-parallelism session clone for the registered streaming drains:
+    same SparkContext, own conf.  A stateful streaming operator
+    instantiates one state store per shuffle partition per operator per
+    micro-batch; at test scale 8 partitions cut that fixed machinery 4x
+    versus the shared session's 32 while leaving the shared conf (and
+    every batch query) untouched.  On a real cluster the streaming job
+    would own its session and size partitions to its state volume --
+    this helper is that sizing decision, expressed locally."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    return s2
+
+
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation over a file-source stream of
     the events table, drained with an availableNow trigger; returns the
@@ -366,9 +380,10 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_hourly_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
-    sev.run_to_memory(sev.hourly_counts_stream(stream), name, spark)
-    return spark.table(name)
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
+    sev.run_to_memory(sev.hourly_counts_stream(stream), name, s2)
+    return s2.table(name)
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,9 +393,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_sessions_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
-    sev.run_to_memory(sev.session_counts_stream(stream), name, spark)
-    return spark.table(name)
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
+    sev.run_to_memory(sev.session_counts_stream(stream), name, s2)
+    return s2.table(name)
 
 
 def streaming_incumbent_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -395,7 +411,8 @@ def streaming_incumbent_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_incumbent_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
     evals = stream.select(
         F.col("event_type").alias("group"),
         F.array(F.col("value")).alias("point"),
@@ -410,7 +427,7 @@ def streaming_incumbent_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return s2.table(name)
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,12 +439,13 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_dedup_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
     doubled = stream.unionByName(stream)
     sev.run_to_memory(
-        sev.dedup_events_stream(doubled), name, spark, output_mode="append"
+        sev.dedup_events_stream(doubled), name, s2, output_mode="append"
     )
-    return spark.table(name)
+    return s2.table(name)
 
 
 
@@ -728,11 +746,12 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_ssjoin_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
     sev.run_to_memory(
-        sev.purchase_click_join_stream(stream), name, spark, output_mode="append"
+        sev.purchase_click_join_stream(stream), name, s2, output_mode="append"
     )
-    return spark.table(name)
+    return s2.table(name)
 
 
 def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,8 +800,7 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join instantiates one state-store per shuffle partition per side
         # per batch -- 8 partitions cut that fixed machinery 4x without
         # touching the shared session's conf
-        s2 = spark.newSession()
-        s2.conf.set("spark.sql.shuffle.partitions", "8")
+        s2 = _stream_session(spark)
         stream = (
             s2.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -823,7 +841,8 @@ def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_incumbent_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
     evals = stream.select(
         F.col("event_type").alias("group"),
         F.array(F.col("value")).alias("point"),
@@ -840,7 +859,7 @@ def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     # the memory sink holds every improvement; keep the final incumbent
     return (
-        spark.table(name)
+        s2.table(name)
         .groupBy("group")
         .agg(F.min("cost").alias("best_cost"))
     )
@@ -1234,12 +1253,13 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _STREAM_SEQ[0] += 1
     name = f"dps_stream_enriched_{_STREAM_SEQ[0]}"
-    stream = sev.read_events_stream(spark, sf_dir, glob="events.parquet")
-    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+    s2 = _stream_session(spark)
+    stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
+    dim = s2.read.parquet(f"{sf_dir}/customer.parquet").select(
         "c_custkey", "c_mktsegment"
     )
-    sev.run_to_memory(sev.enrich_stream(stream, dim), name, spark)
-    return spark.table(name)
+    sev.run_to_memory(sev.enrich_stream(stream, dim), name, s2)
+    return s2.table(name)
 
 
 def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
