@@ -138,7 +138,14 @@ def main() -> None:
     # with SPARK_GRAFT_BENCH_SWEEP=0.
     sweep: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
-        for name, fn in qs.items():
+        for i, (name, fn) in enumerate(qs.items()):
+            if i % 25 == 24:
+                # long single-JVM sessions accumulate broadcast/checkpoint
+                # garbage that inflates late sweep entries by 2-4x; an
+                # explicit collection every ~25 queries keeps single-run
+                # numbers comparable across registry positions (a real
+                # cluster pays none of this -- fresh executors per job)
+                spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             try:
                 fn(spark, SF_DIR).count()
