@@ -121,7 +121,11 @@ def main() -> None:
         for name in HEADLINE:
             qs[name](spark, SF_DIR).count()
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi % 10 == 0:
+            # outside the timed region: same session-garbage hygiene as the
+            # sweep (see below) so medians measure plans, not heap pressure
+            spark.sparkContext._jvm.System.gc()
         fn = qs[name]
         samples = []
         n = -1
