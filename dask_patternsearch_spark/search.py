@@ -311,6 +311,7 @@ def search(
     warm_start=None,
     ledger_path: str | None = None,
     ledger_every: int = 10,
+    bounds=None,
 ):
     """Minimize ``func`` by parallel pattern search; returns ``(best, results)``.
 
@@ -376,6 +377,13 @@ def search(
         driver state); a crashed run resumes with
         ``search(..., warm_start=ledger_path)`` and pays zero repeated
         objective calls for checkpointed rounds.
+    bounds : optional box constraints ``(lower, upper)`` (arrays of length
+        ``dims``; beyond the reference, which is unconstrained).  Trial
+        points landing outside the box are never generated -- infeasible
+        directions simply drop out of the poll set, so the contraction
+        gate does not wait on them and the search converges to the best
+        FEASIBLE lattice point (boundary optima included).  ``x0`` must
+        lie inside the box.
 
     Returns
     -------
@@ -406,6 +414,17 @@ def search(
     dims = len(stepsize)
     if len(x0) != dims:
         raise ValueError("x0 and stepsize must have the same length")
+    if bounds is not None:
+        lower = np.array(bounds[0], dtype=float)
+        upper = np.array(bounds[1], dtype=float)
+        if len(lower) != dims or len(upper) != dims:
+            raise ValueError("bounds must match the dimension count")
+        if np.any(lower > upper):
+            raise ValueError("bounds lower > upper")
+        if np.any(x0 < lower) or np.any(x0 > upper):
+            raise ValueError("x0 must lie inside bounds")
+    else:
+        lower = upper = None
     max_halvings = math.frexp(1 / stopratio)[1]
     gridsize = stepsize / 2.0 ** max_halvings
     stencil = SimplexStencil(dims, max_halvings)
@@ -593,6 +612,10 @@ def search(
                 trial = to_grid(incumbent.point + dx)
             if halvings > max_halvings:
                 return True  # over-resolved; skip (reference search.py:279-280)
+            if lower is not None and (
+                np.any(trial < lower) or np.any(trial > upper)
+            ):
+                return True  # infeasible (outside the box); never generated
             tp = TrialPoint(trial, halvings)
             known = results.get(tp, False)
             if epoch["index"] <= 2 * dims and known is False:

@@ -317,3 +317,23 @@ def test_ledger_checkpoint_and_resume(tmp_path):
     )
     assert calls["n"] == len(resumed) - 48 + 1
     assert best.result == min(resumed.values())
+
+
+def test_bounds_constrain_search_to_box():
+    """Box constraints (beyond the reference): the sphere's free optimum
+    (0,0) lies outside [1,3]^2, so the search must converge to the best
+    feasible lattice point (the (1,1) corner) without ever evaluating
+    outside the box."""
+    best, results = search(
+        sphere, [2.0, 2.0], [0.5, 0.5], seed=7,
+        bounds=([1.0, 1.0], [3.0, 3.0]),
+    )
+    for p in results:
+        assert (p.point >= 1.0 - 1e-9).all() and (p.point <= 3.0 + 1e-9).all()
+    assert best.result == min(results.values())
+    assert np.abs(best.point - 1.0).max() < 2 * 0.01 * 0.5 + 1e-9
+
+    with pytest.raises(ValueError, match="inside bounds"):
+        search(sphere, [0.0, 0.0], [0.5, 0.5], bounds=([1.0, 1.0], [3.0, 3.0]))
+    with pytest.raises(ValueError, match="lower > upper"):
+        search(sphere, [2.0, 2.0], [0.5, 0.5], bounds=([4.0, 4.0], [3.0, 3.0]))
