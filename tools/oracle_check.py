@@ -6,6 +6,8 @@ order-insensitive value comparison (exact after string normalization --
 stricter than a hash: shows the first differing rows).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
+       python tools/oracle_check.py [sf_dir] --window N   # first N registry
+       entries -- the exact slice the driver samples per round
 """
 
 from __future__ import annotations
@@ -34,7 +36,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    window = None
+    if "--window" in args:
+        i = args.index("--window")
+        window = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    only = set(args)
 
     import __spark_entry__ as entrymod
     from dask_patternsearch_spark.session import get_spark
@@ -50,7 +58,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     n_pass = n_fail = n_rowsonly = 0
-    for name, fn in qs.items():
+    items = list(qs.items())
+    if window is not None:
+        items = items[:window]
+    for name, fn in items:
         if only and name not in only:
             continue
         try:
