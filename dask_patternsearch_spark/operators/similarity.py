@@ -761,6 +761,10 @@ def write_ivf_layout(
 
     (
         emb.withColumn("cell", cell_of("embedding"))
+        # co-locate each cell before the partitioned write: one writer per
+        # cell -> one file per cell directory, not tasks x cells shards
+        # (ANN probes open whole cells, so fewer bigger files win)
+        .repartition("cell")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)

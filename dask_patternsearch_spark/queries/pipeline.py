@@ -1798,6 +1798,34 @@ FROM c
 """
 
 
+def ivf_layout_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disk-backed ANN end to end: the embeddings table is written as an
+    IVF layout (parquet partitioned by nearest-centroid cell +
+    a persisted centroid table), then probed -- the scan carries a
+    PARTITION filter, so only the probed cells' directories are listed
+    and read (partition pruning IS the index; see
+    operators.similarity.write_ivf_layout).  Rows-only; recall vs brute
+    force and the pruning property are test-locked."""
+    import shutil
+    import tempfile
+
+    from ..operators.similarity import ivf_layout_topk, write_ivf_layout
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="dps_ivf_layout_")
+    try:
+        write_ivf_layout(emb, path, n_cells=16)
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        rows = ivf_layout_topk(spark, path, queries, k=5, n_probe=3).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine_sim double"
+    )
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media-container metadata extraction, verified end to end:
     spec-valid PNG/WAV/MP4 payloads are synthesized per document (their
@@ -2097,6 +2125,7 @@ QUERIES = {
     "zscore_extreme_docs": zscore_extreme_docs,
     "rrf_hybrid_search": rrf_hybrid_search,
     "multimodal_metadata": multimodal_metadata,
+    "ivf_layout_topk_embeddings": ivf_layout_topk_embeddings,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "inverted_postings": inverted_postings,
     "chunk_docs": chunk_docs,
