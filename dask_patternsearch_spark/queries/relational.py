@@ -2552,21 +2552,67 @@ LIMIT 10
 
 
 def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency discretization: decile edges of l_extendedprice
-    from ONE exact-percentile aggregate, broadcast back, bin assignment as
-    a pure array fold -- the feature-engineering binning pattern.
+    """Equal-frequency discretization: EXACT interpolated decile edges of
+    l_extendedprice, broadcast back, bin assignment as a pure array fold
+    -- the feature-engineering binning pattern.
 
-    Scale: no global sort and no ntile window (the naive spelling sorts
-    100 TB through one ordering); the edge vector is 9 doubles broadcast
-    to every task, so assignment is map-side only and the final group-by
-    has 10 keys.  At extreme scale swap ``percentile`` for
-    ``approx_percentile`` -- identical plan, sketchable pass.
+    Scale: no global sort, no ntile window, and -- unlike the built-in
+    exact ``percentile`` aggregate, which buffers the ENTIRE column in
+    one aggregation buffer (the same hot-buffer hazard class as an
+    uncapped collect_list) -- the edges are reconstructed from a
+    value-grain HISTOGRAM: one map-side-combined count per distinct
+    price, a cumulative count over that compressed domain, and two
+    containment probes per decile for the order statistics either side
+    of the interpolation rank.  Memory is bounded by the price DOMAIN,
+    never the row count, and the result is bit-identical to the
+    percentile aggregate (same (n-1)*q interpolation, same expression
+    tree -- the oracle is unchanged).
     """
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     qs = [i / 10.0 for i in range(1, 10)]
-    edges = li.agg(
-        F.percentile("l_extendedprice", F.array(*[F.lit(q) for q in qs])).alias("edges")
+    hist = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, -1
     )
+    cum = hist.select(
+        F.col("l_extendedprice").alias("v"),
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + 1).alias("r_lo"),
+        (F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c")).alias("r_hi"),
+    )
+    n_total = hist.agg(F.sum("c").alias("n"))
+    ranks = (
+        spark.createDataFrame([(q,) for q in qs], "q double")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "q",
+            ((F.col("n") - 1) * F.col("q")).alias("idx"),
+        )
+        .select(
+            "q",
+            (F.floor("idx") + 1).alias("lo_rank"),
+            (F.floor("idx") + 2).alias("hi_rank"),
+            (F.col("idx") - F.floor("idx")).alias("frac"),
+        )
+    )
+    lo = cum.join(
+        F.broadcast(ranks),
+        (F.col("lo_rank") >= F.col("r_lo")) & (F.col("lo_rank") <= F.col("r_hi")),
+    ).select("q", "frac", F.col("v").alias("v_lo"), "hi_rank")
+    both = lo.join(
+        F.broadcast(cum.withColumnRenamed("v", "v_hi")),
+        (F.col("hi_rank") >= F.col("r_lo")) & (F.col("hi_rank") <= F.col("r_hi")),
+        "left",  # hi_rank may exceed n when q lands exactly on the last row
+    ).select(
+        "q",
+        (
+            F.col("v_lo")
+            + (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
+            * F.col("frac")
+        ).alias("edge"),
+    )
+    edges = both.agg(F.sort_array(F.collect_list("edge")).alias("edges"))
     bin_id = F.lit(1) + F.aggregate(
         "edges",
         F.lit(0),
