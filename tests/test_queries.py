@@ -233,3 +233,39 @@ def test_schema_stable_across_scale_factors(spark):
         s2 = qs[name](spark, "/root/testdata/sf0.01").schema
         assert [(f.name, f.dataType.simpleString()) for f in s1] == \
                [(f.name, f.dataType.simpleString()) for f in s2], name
+
+
+def test_registry_order_prioritizes_unverified_queries():
+    """The driver samples the FIRST rows of all_queries() each round; the
+    ordering contract is: oracle-checked-but-never-driver-green first,
+    then rows-only never-sampled, then already-verified -- so every
+    window slot goes to a query that still needs a verification row."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green, seen = set(), set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        for name, row in json.load(open(path)).items():
+            seen.add(name)
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    qs = list(entry.queries())
+    oracles = set(entry.oracle_sql())
+
+    def tier(name):
+        if name in oracles:
+            return 0 if name not in green else 2
+        return 1 if name not in seen else 3
+
+    tiers = [tier(n) for n in qs]
+    assert tiers == sorted(tiers), "registry must be tier-sorted"
+    # ordering is deterministic across calls
+    assert qs == list(entry.queries())
+    # the driver's 50-row window contains ONLY queries without a prior
+    # verification row (as long as enough such queries exist)
+    unverified = [n for n in qs if tier(n) <= 1]
+    window = qs[:50]
+    expected = min(50, len(unverified))
+    assert sum(1 for n in window if tier(n) <= 1) == expected
