@@ -60,6 +60,63 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def blocked_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_tokens: int = 16,
+) -> DataFrame:
+    """Deterministic near-duplicate pairs: EXACT n-gram Jaccard over
+    length-blocked candidates (sorted-neighborhood blocking on token
+    count).  Docs are bucketed by ``floor(n_tokens / block_tokens)`` and
+    only same-or-adjacent-bucket pairs are compared -- near-duplicates
+    have near-equal lengths, so the block recalls them while the join
+    stays an equi-join on the probe bucket (each doc probes buckets
+    {b-1, b, b+1}; the right side carries only {b}, so every candidate
+    pair is generated exactly once -- no distinct pass).
+
+    Unlike the MinHash path this pair graph is a pure function of the
+    corpus (no hash family), so downstream clustering is oracle-checkable
+    end to end.  Scale: work is bounded by the largest length bucket, not
+    |corpus|^2; for a production corpus pair the bucket key with a
+    cheap prefilter (e.g. same language / source shard) to tighten the
+    blocks further.
+    """
+    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        _shingles(F.col("toks"), n).alias("shingles"),
+        F.floor(F.size("toks") / block_tokens).cast("long").alias("block"),
+    )
+    probes = sh.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(F.col("block") - 1, F.col("block"), F.col("block") + 1)
+        ).alias("bkey"),
+    )
+    a = probes.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(
+        F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles")))
+    )
+    jac = inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.block"))
+            & (F.col("b.doc_id") > F.col("a.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_consecutive(docs: DataFrame, n: int = 3) -> DataFrame:
     """Exact n-gram Jaccard similarity for consecutive doc_id pairs.
 

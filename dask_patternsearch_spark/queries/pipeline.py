@@ -499,12 +499,18 @@ SELECT doc_id, lang, source, n_chars FROM ranked WHERE rk <= 50
 
 
 def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate CLUSTERS: connected components over the MinHash-LSH
-    candidate pair graph, with the min doc_id as each cluster's canonical
-    representative and the cluster size attached.  Rows-only (iterative
-    fixpoint, not SQL-expressible); label correctness is property-tested in
-    tests/test_operators.py."""
-    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    """Duplicate CLUSTERS: connected components (iterative min-label
+    propagation) over a deterministic near-duplicate pair graph, with the
+    min doc_id as each cluster's canonical representative and the cluster
+    size attached.  The pair graph is ``dedup.blocked_jaccard_pairs`` --
+    EXACT n-gram Jaccard over length-blocked candidates -- a pure function
+    of the corpus, so the whole pipeline (blocking, shingle Jaccard, CC
+    fixpoint) is checked against a DuckDB recursive reachability-min
+    oracle (``_NEARDUP_CLUSTERS_SQL``).  The MinHash-LSH variant of the
+    same endgame (hash-family-dependent, rows-only) is
+    ``near_dup_clusters_star``; label correctness of CC itself is also
+    property-tested in tests/test_operators.py."""
+    pairs = dedup.blocked_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -516,6 +522,69 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# Blocked exact-Jaccard pairs + connected components as one recursive
+# CTE: the pair stage mirrors blocked_jaccard_pairs (same tokenize /
+# shingle / length-block spelling -- jaccard is a ratio of exact integer
+# counts, so the 0.5 threshold cannot drift between engines), and the CC
+# stage is min-label propagation with a self-loop-augmented edge list so
+# the recursive term needs only one self-reference.  24 rounds >= any
+# dup-cluster diameter here; post-fixpoint rounds re-emit the identical
+# labeling, so it = 24 is the fixpoint.
+_NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+-- MATERIALIZED: inlining would re-run the shingle comprehension once per
+-- JOIN ROW in cand (the same trap _shingles documents for Catalyst) --
+-- measured >400 s vs ~8 s at sf0.01
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles,
+         CAST(floor(len(t) / 16.0) AS BIGINT) AS block
+  FROM toks
+),
+cand AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / nullif(len(list_distinct(a.shingles || b.shingles)), 0) AS j
+  FROM sh a JOIN sh b
+    ON b.doc_id > a.doc_id
+   AND abs(a.block - b.block) <= 1
+),
+pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand WHERE j >= 0.5),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+bis AS MATERIALIZED (
+  SELECT src, dst FROM bi
+  UNION ALL
+  SELECT DISTINCT src, src FROM bi
+),
+cc(node, label, it) AS (
+    SELECT DISTINCT src, src, 0 FROM bi
+  UNION ALL
+    SELECT s.src, min(l.label), min(l.it) + 1
+    FROM cc l JOIN bis s ON s.dst = l.node
+    WHERE l.it < 24
+    GROUP BY s.src
+),
+labels AS (SELECT node, label FROM cc WHERE it = 24),
+sizes AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM labels GROUP BY label
+)
+SELECT CAST(l.node AS BIGINT)  AS doc_id,
+       CAST(l.label AS BIGINT) AS cluster_id,
+       s.cluster_size
+FROM labels l JOIN sizes s USING (label)
+"""
 
 
 def upsert_reactivated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -588,8 +657,19 @@ FROM events
 def quantized_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embeddings table
     (``operators.similarity.quantize_embeddings``); codes and scales are
-    exactly reproduced by the DuckDB list_transform oracle."""
-    return similarity.quantize_embeddings(_emb(spark, sf_dir))
+    exactly reproduced by the DuckDB list_transform oracle.
+
+    The codes are emitted comma-joined (``codes_str``) rather than as an
+    ``array<int>`` column: the comparison harness canonicalizes by sorting
+    every output column, and list-typed cells are unsortable there.  The
+    joined string carries the full code vector bit-for-bit, so the value
+    check is just as strict."""
+    q = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes_str"),
+    )
 
 
 _QUANTIZE_SQL = """
@@ -601,11 +681,12 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, scale,
-       CASE WHEN scale = 0
-            THEN list_transform(embedding, v -> 0)
-            ELSE list_transform(embedding,
-                                v -> CAST(floor(v / scale + 0.5) AS INT))
-       END AS codes
+       array_to_string(
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, v -> 0)
+              ELSE list_transform(embedding,
+                                  v -> CAST(floor(v / scale + 0.5) AS INT))
+         END, ',') AS codes_str
 FROM s
 """
 
@@ -2181,4 +2262,5 @@ ORACLE = {
     "profile_lineitem": _PROFILE_SQL,
     "embedding_norm_stats": _NORM_STATS_SQL,
     "packed_training_sequences": _PACKED_SQL,
+    "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
 }

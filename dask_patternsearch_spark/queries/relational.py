@@ -3610,11 +3610,13 @@ LIMIT 20
 
 
 def communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Label-propagation communities of the first-year co-purchase graph
-    (iterative; rows-only like the other fixpoint algorithms --
-    correctness is locked by the closed-form clique/determinism tests in
-    test_operators.py).  The shipdate slice reaches the scan as a pushed
-    filter; the operator itself is scale-general."""
+    """Label-propagation communities of the first-year co-purchase graph.
+    Synchronous deterministic LPA (most-frequent neighbor+self label, ties
+    to the smallest) is a pure function of the previous labeling, so the
+    4-round result is exactly reproduced by a DuckDB recursive CTE
+    (``_LPA_SQL``) -- each recursive step re-derives the full label table
+    from a vote count + windowed argmax.  The shipdate slice reaches the
+    scan as a pushed filter; the operator itself is scale-general."""
     from ..operators import graph
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
@@ -3623,11 +3625,59 @@ def communities_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(graph.copurchase_edges(li), n_iter=4)
 
 
+# Synchronous LPA as a recursive CTE: bi_self carries one self-loop per
+# vertex so the "neighbors PLUS ITSELF" vote needs only ONE reference to
+# the recursive table (recursive terms allow a single self-reference);
+# the (count DESC, label ASC) row_number picks the same winner as the
+# engine's min(struct(-n, label)).  Exactly n_iter = 4 rounds.
+_LPA_SQL = """
+WITH RECURSIVE
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1996-01-01'
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+),
+bi AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges
+),
+bi_self AS (
+  SELECT src, dst FROM bi
+  UNION ALL
+  SELECT DISTINCT src, src FROM bi
+),
+lp(vertex, label, it) AS (
+    SELECT DISTINCT src, src, 0 FROM bi
+  UNION ALL
+    SELECT vertex, label, it + 1 FROM (
+      SELECT s.src AS vertex, l.label AS label, l.it AS it,
+             row_number() OVER (PARTITION BY s.src
+                                ORDER BY count(*) DESC, l.label ASC) AS rn
+      FROM lp l JOIN bi_self s ON s.dst = l.vertex
+      WHERE l.it < 4
+      GROUP BY s.src, l.label, l.it
+    ) WHERE rn = 1
+)
+SELECT CAST(label AS BIGINT)    AS community,
+       CAST(count(*) AS BIGINT) AS size,
+       CAST(min(vertex) AS BIGINT) AS representative
+FROM lp WHERE it = 4
+GROUP BY label
+ORDER BY size DESC, community ASC
+"""
+
+
 def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted shortest paths from the smallest part over the first-year
     co-purchase graph, edge weight = 1 / co-occurrence count (strong
-    affinities are short hops).  Iterative Bellman-Ford -- rows-only like
-    BFS/LPA; closed-form weighted-graph tests lock correctness."""
+    affinities are short hops).  Iterative Bellman-Ford, checked exactly
+    against a DuckDB recursive-CTE Bellman-Ford oracle (``_SSSP_SQL``)."""
     from ..operators import graph
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
@@ -3647,25 +3697,116 @@ def sssp_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
         .agg((F.lit(1.0) / F.count(F.lit(1))).alias("weight"))
     )
-    # 12 covers the weighted hop diameter at every test SF with a round to
-    # spare for the zero-improvement fixpoint observation (at 6 the loop
-    # warned 'exhausted before fixpoint' on sf0.01: distances were still
-    # upper bounds on the deepest paths)
-    return graph.sssp(weighted, max_iter=12)
+    # generous safety cap: the loop exits on the observe-fused
+    # zero-improvement signal (one round past the fixpoint), so headroom
+    # beyond the true weighted hop diameter (13/14 rounds at
+    # sf0.001/sf0.01) costs nothing; 12 was measured insufficient at
+    # sf0.01 and left upper-bound distances in the result
+    return graph.sssp(weighted, max_iter=64)
+
+
+# Fixed-round distributed Bellman-Ford as a recursive CTE: each recursive
+# step re-derives the FULL distance table (min over carry + one-edge
+# relaxations), so the working set stays |reached vertices| per round --
+# no path enumeration, no explosion.  32 rounds >= the measured fixpoint
+# depth (14 at sf0.01) with 2x margin; post-fixpoint rounds re-emit the
+# identical table, so the it = 32 slice is the fixpoint.
+_SSSP_SQL = """
+WITH RECURSIVE
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1996-01-01'
+),
+edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         1.0 / COUNT(*) AS weight
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+),
+bi AS (
+  SELECT src, dst, weight FROM edges
+  UNION ALL
+  SELECT dst, src, weight FROM edges
+),
+bf(vertex, dist, it) AS (
+    SELECT (SELECT min(src) FROM bi), CAST(0.0 AS DOUBLE), 0
+  UNION ALL
+    SELECT vertex, min(dist) AS dist, min(it) + 1 AS it
+    FROM (
+      SELECT vertex, dist, it FROM bf WHERE it < 32
+      UNION ALL
+      SELECT e.dst AS vertex, b.dist + e.weight AS dist, b.it
+      FROM bf b JOIN bi e ON e.src = b.vertex WHERE b.it < 32
+    )
+    GROUP BY vertex
+)
+SELECT CAST(vertex AS BIGINT) AS vertex,
+       round(dist, 6) AS dist
+FROM bf WHERE it = 32
+ORDER BY dist, vertex
+"""
 
 
 def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense core of the first-year co-purchase graph: the 4-core's
     surviving parts and their within-core degrees (mean degree is ~3, so
-    k=4 isolates the genuinely dense neighborhoods; iterative peel,
-    rows-only like the other fixpoint operators -- closed-form
-    triangle/cascade tests lock correctness)."""
+    k=4 isolates the genuinely dense neighborhoods).  The iterative peel
+    is checked exactly against a DuckDB recursive-CTE peel oracle
+    (``_KCORE_SQL``): each recursive step keeps only edges whose BOTH
+    endpoints still have degree >= k -- identical round semantics to the
+    engine's semi-join peel."""
     from ..operators import graph
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz")
     )
     return graph.kcore(graph.copurchase_edges(li), k=4)
+
+
+# Iterative peel as a recursive CTE over the surviving (directed) edge
+# list: per-endpoint degrees come from window counts (bi is symmetric, so
+# degree(v) = count of rows with src = v), and a round drops every edge
+# with an under-degree endpoint -- the same transition as kcore()'s
+# degree-filter + two semi-joins.  20 rounds matches the engine's
+# max_iter; post-fixpoint rounds recycle the identical edge set, so the
+# it = 20 slice is the fixpoint (or empty when the core is empty, which
+# is also what the engine returns).
+_KCORE_SQL = """
+WITH RECURSIVE
+items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_shipdate < TIMESTAMP '1996-01-01'
+),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+),
+bi AS (
+  SELECT src, dst FROM edges
+  UNION ALL
+  SELECT dst, src FROM edges
+),
+peel(src, dst, it) AS (
+    SELECT src, dst, 0 FROM bi
+  UNION ALL
+    SELECT src, dst, it + 1 FROM (
+      SELECT src, dst, it,
+             count(*) OVER (PARTITION BY src) AS dsrc,
+             count(*) OVER (PARTITION BY dst) AS ddst
+      FROM peel WHERE it < 20
+    ) WHERE dsrc >= 4 AND ddst >= 4
+)
+SELECT CAST(src AS BIGINT) AS vertex,
+       CAST(count(*) AS BIGINT) AS core_degree
+FROM peel WHERE it = 20
+GROUP BY src
+HAVING count(*) >= 4
+ORDER BY vertex
+"""
 
 
 def bfs_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3811,6 +3952,9 @@ ORACLE = {
     "time_weighted_value": _TWAP_SQL,
     "record_linkage_parts": _LINKAGE_SQL,
     "bfs_copurchase": _BFS_SQL,
+    "sssp_copurchase": _SSSP_SQL,
+    "kcore_copurchase": _KCORE_SQL,
+    "communities_copurchase": _LPA_SQL,
     "sql_filtered_aggregates": _FILTERED_AGG_SQL,
     "calendar_order_stats": _CALENDAR_SQL,
     "constraint_checks_orders": _CONSTRAINTS_SQL,
