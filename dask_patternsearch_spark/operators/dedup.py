@@ -374,6 +374,14 @@ def hyperplane_bucket_udf(planes: np.ndarray):
     batch and the planes matrix rides along as a closure broadcast."""
     from pyspark.sql.functions import pandas_udf
 
+    if planes.shape[0] >= 32:
+        # bucket ids are bit-weighted 1 << plane_index into the declared
+        # int32 return type; 32+ planes would silently overflow/truncate
+        raise ValueError(
+            f"n_planes must be < 32 for int32 bucket ids (got {planes.shape[0]}); "
+            "use fewer planes per table (more tables) instead"
+        )
+
     @pandas_udf("int")
     def bucket(embs):
         import pandas as pd
@@ -397,6 +405,12 @@ def hyperplane_buckets_udf(planes: np.ndarray, n_tables: int):
     from pyspark.sql.functions import pandas_udf
 
     n_planes = planes.shape[0] // n_tables
+    if n_planes >= 32:
+        # same int32 bit-weight bound as hyperplane_bucket_udf
+        raise ValueError(
+            f"planes-per-table must be < 32 for int32 bucket ids (got {n_planes}); "
+            "raise n_tables or drop planes"
+        )
 
     @pandas_udf("array<int>")
     def buckets(embs):

@@ -865,10 +865,19 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         early = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) < cut_ms)
         late = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) >= cut_ms)
+        # Part filenames carry random UUIDs, so lexical order says nothing
+        # about write order: capture the early file set BEFORE the late
+        # write (glob diff) and pin mtimes early-first -- the file source
+        # orders by mtime, and stamping the late file older would advance
+        # the watermark first and drop the early purchases as late data.
         early.coalesce(1).write.mode("append").parquet(staged)
+        early_parts = sorted(globmod.glob(os.path.join(staged, "part-*")))
         late.coalesce(1).write.mode("append").parquet(staged)
-        parts = sorted(globmod.glob(os.path.join(staged, "part-*")))
-        # pin modification times so 'oldest first' == time order
+        late_parts = sorted(
+            set(globmod.glob(os.path.join(staged, "part-*"))) - set(early_parts)
+        )
+        parts = early_parts + late_parts
+        # pin modification times so 'oldest first' == stage order
         now = timemod.time()
         for i, pth in enumerate(parts):
             os.utime(pth, (now + i, now + i))

@@ -1715,13 +1715,19 @@ def regression_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
         .cast("long").alias("p"),
     )
+    # Per-row products fit BIGINT (p <= ~1e7 cents -> p^2 <= ~1e14), but
+    # their SUMS pass int64's ~9.2e18 at moderate scale factors -- so the
+    # second-moment accumulators are decimal(38,0) (exact 128-bit sums,
+    # matching the oracle's HUGEINT promotion); the double math below is
+    # unchanged because decimal->double and int->double round the same
+    # exact integer to the same double.
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("q").cast("long").alias("sx"),
         F.sum("p").cast("long").alias("sy"),
-        F.sum(F.col("q") * F.col("q")).cast("long").alias("sxx"),
-        F.sum(F.col("q") * F.col("p")).cast("long").alias("sxy"),
-        F.sum(F.col("p") * F.col("p")).cast("long").alias("syy"),
+        F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("q") * F.col("p")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("p") * F.col("p")).cast("decimal(38,0)")).alias("syy"),
     )
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
     sxx, sxy, syy = [F.col(c).cast("double") for c in ("sxx", "sxy", "syy")]
@@ -1743,11 +1749,14 @@ WITH m AS (
          CAST(count(*) AS BIGINT) AS n,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
          CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sy,
-         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         -- HUGEINT: sum(BIGINT) promotes to 128-bit (the engine side
+         -- accumulates decimal(38,0)); a BIGINT cast here would overflow
+         -- at moderate scale factors
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx,
          CAST(sum(CAST(l_quantity AS BIGINT)
-                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sxy,
+                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS sxy,
          CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
-                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS syy
+                  * CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS syy
   FROM lineitem GROUP BY 1
 )
 SELECT l_returnflag, n,

@@ -261,8 +261,18 @@ def compact_files(
     ``repartition(n)`` round-robin shuffle spreads rows evenly across
     exactly ``n`` writers.  Two-phase safety: the compacted copy lands in
     a sibling temp dir first and is swapped in with directory renames, so
-    readers never observe a half-written table and the original survives
-    any mid-job failure.
+    readers never observe a HALF-WRITTEN table and the original survives
+    any mid-job failure (a failure between the two renames restores the
+    original path).
+
+    Concurrency contract (local-FS implementation): the swap is two
+    directory renames, so there is a brief window in which ``path`` does
+    not exist -- a reader listing the table in exactly that window sees
+    FileNotFound.  Run compaction single-writer with no concurrent
+    readers (the maintenance-window posture).  On a production
+    lake/metastore, swap a table POINTER (metastore location update,
+    Iceberg/Delta commit) instead of the directory -- that swap is atomic
+    for readers.
 
     Returns a manifest dict: files/bytes before and after.
     """
@@ -295,7 +305,13 @@ def compact_files(
     df = getattr(spark.read, fmt)(path)
     getattr(df.repartition(n_out).write.mode("overwrite"), fmt)(tmp)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # never leave the table absent: put the original back before
+        # propagating (the __compact_tmp copy is left for inspection)
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
     files_after, bytes_after = _scan(path)
     return {

@@ -96,12 +96,21 @@ class _JsonlReader(DataSourceReader):
 
 class _JsonlWriter(DataSourceWriter):
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        import time
+
         self._path = options.get("path")
         if not self._path:
             raise ValueError("jsonl_shards requires .option('path', ...)")
         self._fields = [f.name for f in schema.fields]
         self._gz = options.get("compress", "false").lower() == "true"
         self._overwrite = overwrite
+        # Per-JOB token in every shard name: partition ids repeat across
+        # jobs, so `shard-{pid}` alone would silently clobber a previous
+        # append's shards.  Millisecond-epoch keeps names lexically
+        # increasing across jobs, which the streaming reader's offset
+        # contract relies on.  (Constructed driver-side, shipped to every
+        # task via writer serialization -- all tasks of one job share it.)
+        self._job = f"{int(time.time() * 1000):013d}"
 
     def write(self, iterator):
         from pyspark import TaskContext
@@ -111,7 +120,7 @@ class _JsonlWriter(DataSourceWriter):
         ext = ".jsonl.gz" if self._gz else ".jsonl"
         # task-attempt temp name + atomic rename on success: a retried or
         # speculated task never leaves a half-written shard visible
-        final = os.path.join(self._path, f"shard-{pid:05d}{ext}")
+        final = os.path.join(self._path, f"shard-{self._job}-{pid:05d}{ext}")
         tmp = final + f".tmp-{os.getpid()}"
         n = 0
         opener = (
@@ -135,14 +144,24 @@ class _JsonlWriter(DataSourceWriter):
             for f in glob.glob(os.path.join(self._path, "*.jsonl*")):
                 if f not in written and ".tmp-" not in f:
                     os.remove(f)
-        manifest = {
-            "shards": [
-                {"path": m.path, "n_rows": m.n_rows}
-                for m in messages
-                if m is not None
-            ]
-        }
-        with open(os.path.join(self._path, "_MANIFEST.json"), "w") as fh:
+        shards = [
+            {"path": m.path, "n_rows": m.n_rows}
+            for m in messages
+            if m is not None
+        ]
+        manifest_path = os.path.join(self._path, "_MANIFEST.json")
+        if not self._overwrite and os.path.exists(manifest_path):
+            # append: MERGE with the previous manifest (keeping only
+            # entries whose shards still exist) -- replacing it would
+            # orphan every earlier write's shards from the manifest view
+            with open(manifest_path) as fh:
+                prior = json.load(fh).get("shards", [])
+            shards = [
+                s for s in prior
+                if s["path"] not in written and os.path.exists(s["path"])
+            ] + shards
+        manifest = {"shards": shards}
+        with open(manifest_path, "w") as fh:
             json.dump(manifest, fh, indent=1)
 
     def abort(self, messages):

@@ -159,3 +159,45 @@ def test_jsonl_shards_overwrite_clears_stale_shards(spark, tmp_path):
     back = (spark.read.format("jsonl_shards")
             .schema("doc_id long, text string").option("path", out).load())
     assert back.count() == 40
+
+
+def test_jsonl_shards_append_does_not_clobber(spark, tmp_path):
+    """Append mode must be additive: partition ids repeat across jobs, so
+    shard names carry a per-job token (no silent overwrite of the prior
+    write's shards) and the commit manifest MERGES rather than replaces."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.sources.jsonl import JsonlShards
+
+    spark.dataSource.register(JsonlShards)
+    out = str(tmp_path / "corpus_append")
+    df1 = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("first").alias("text")
+    )
+    df2 = spark.range(100, 250).select(
+        F.col("id").alias("doc_id"), F.lit("second").alias("text")
+    )
+    (df1.repartition(4).write.format("jsonl_shards").mode("append")
+        .option("path", out).save())
+    (df2.repartition(4).write.format("jsonl_shards").mode("append")
+        .option("path", out).save())
+
+    shards = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(shards) == 8
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(manifest["shards"]) == 8
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 250
+
+    back = (spark.read.format("jsonl_shards")
+            .schema("doc_id long, text string")
+            .option("path", out).load())
+    assert back.count() == 250
+    # overwrite still clears everything stale, manifest shrinks with it
+    (df1.repartition(2).write.format("jsonl_shards").mode("overwrite")
+        .option("path", out).save())
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert len(manifest["shards"]) == 2
+    assert sum(s["n_rows"] for s in manifest["shards"]) == 100
