@@ -2572,7 +2572,15 @@ def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-grain HISTOGRAM: one map-side-combined count per distinct
     price, a cumulative count over that compressed domain, and two
     containment probes per decile for the order statistics either side
-    of the interpolation rank.  Memory is bounded by the price DOMAIN,
+    of the interpolation rank.  The cumulative count is a DISTRIBUTED
+    prefix sum (integer counts, so exactness is unaffected by the
+    split): the histogram is range-partitioned by value, each partition
+    computes its local running sum in parallel, and per-partition
+    offsets come from one tiny window over the per-partition subtotals
+    (rows = partition count, NOT domain size -- the one single-partition
+    step, bounded by cluster width).  A near-continuous value domain at
+    100x therefore never funnels through one task, which the previous
+    global-ordered window did.  Memory is bounded by the price DOMAIN,
     never the row count, and the result is bit-identical to the
     percentile aggregate (same (n-1)*q interpolation, same expression
     tree -- the oracle is unchanged).
@@ -2582,13 +2590,34 @@ def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     qs = [i / 10.0 for i in range(1, 10)]
     hist = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("l_extendedprice").rowsBetween(
+    # checkpoint pins the range-shuffle output so spark_partition_id is
+    # consistent between the local-prefix pass and the subtotal pass
+    # (RangePartitioner samples; two independent executions of the
+    # exchange are not guaranteed identical boundaries)
+    ranged = (
+        hist.repartitionByRange(32, "l_extendedprice")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = Window.partitionBy("pid").orderBy("l_extendedprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    cum = hist.select(
+    local = ranged.select(
+        "pid",
+        "l_extendedprice",
+        "c",
+        F.coalesce(F.sum("c").over(wloc), F.lit(0)).alias("loc"),
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("c").alias("pc"))
+        .select("pid", F.coalesce(F.sum("pc").over(woff), F.lit(0)).alias("off"))
+    )
+    cum = local.join(F.broadcast(offsets), "pid").select(
         F.col("l_extendedprice").alias("v"),
-        (F.coalesce(F.sum("c").over(w), F.lit(0)) + 1).alias("r_lo"),
-        (F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c")).alias("r_hi"),
+        (F.col("off") + F.col("loc") + 1).alias("r_lo"),
+        (F.col("off") + F.col("loc") + F.col("c")).alias("r_hi"),
     )
     n_total = hist.agg(F.sum("c").alias("n"))
     ranks = (

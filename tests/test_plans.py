@@ -487,3 +487,22 @@ def test_ccnet_buckets_have_no_per_lang_doc_sort(spark):
     assert "ntile" not in text
     # the only doc-grain window is the tie group (lang, mean_neg_logp)
     assert "row_number" in text
+
+
+def test_price_decile_histogram_prefix_sum_is_distributed(spark):
+    """The cumulative count over the price histogram must be a
+    range-partitioned prefix sum, not one global ordered window: the only
+    single-partition window allowed in the plan is the per-partition
+    OFFSET combine, whose input cardinality is the partition count (a
+    'pid' grouping), never the value domain."""
+    import re
+
+    df = R.QUERIES["price_decile_bins"](spark, SF_DIR)
+    text = plan_text(df)
+    # the domain-sized running sum is partitioned by pid
+    assert re.search(r"Window .*partitionBy.*pid|hashpartitioning\(pid", text), text
+    # no Window node may sort the raw value domain without a partition
+    # spec: every singlepartition exchange feeding a Window must sit on
+    # the pid-subtotal side (its aggregate references pid, not prices)
+    for m in re.finditer(r"Window \[[^\]]*\], \[l_extendedprice[^,\]]*\]\n", text):
+        raise AssertionError(f"global value-domain window in plan: {m.group(0)}")
