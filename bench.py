@@ -8,9 +8,10 @@ median of 3 runs, after one untimed warm-up pass over the suite (JVM JIT +
 codegen caches reach steady state first; a long-lived cluster is always
 warm).  No result caching is introduced between runs -- operators that
 internally materialize (localCheckpoint) rebuild from scratch each run.
-Pattern-search entries time the whole search loop.  A single-run sweep of
+Pattern-search entries time the whole search loop.  A median-of-3 sweep of
 EVERY registered query follows the timed headline (sweep_* keys in the
-JSON) as the coverage-honest secondary metric.
+JSON; per-entry medians + min/max spread in BENCH_sweep.json) as the
+coverage-honest secondary metric.
 """
 
 from __future__ import annotations
@@ -137,26 +138,38 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s median of "
               f"{[round(s, 2) for s in samples]} ({n} rows)", file=sys.stderr)
 
-    # full-registry sweep: every registered query once (single run) -- the
-    # honest coverage number alongside the repeated-median headline.  Off
-    # with SPARK_GRAFT_BENCH_SWEEP=0.
+    # full-registry sweep: every registered query, median of
+    # SPARK_GRAFT_BENCH_SWEEP_RUNS full passes (default 3) -- the
+    # coverage-honest secondary metric, now round-comparable per entry
+    # (single-run numbers carried ambient-drift noise; the per-entry
+    # spread is recorded alongside so outliers are visible).  Off with
+    # SPARK_GRAFT_BENCH_SWEEP=0.
     sweep: dict[str, float] = {}
+    sweep_spread: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SWEEP", "1") != "0":
-        for i, (name, fn) in enumerate(qs.items()):
-            if i % 25 == 24:
-                # long single-JVM sessions accumulate broadcast/checkpoint
-                # garbage that inflates late sweep entries by 2-4x; an
-                # explicit collection every ~25 queries keeps single-run
-                # numbers comparable across registry positions (a real
-                # cluster pays none of this -- fresh executors per job)
-                spark.sparkContext._jvm.System.gc()
-            t0 = time.perf_counter()
-            try:
-                fn(spark, SF_DIR).count()
-            except Exception as exc:  # pragma: no cover - diagnostics only
-                print(f"# sweep {name} ERROR {exc}", file=sys.stderr)
-                continue
-            sweep[name] = round(time.perf_counter() - t0, 3)
+        sweep_runs = int(os.environ.get("SPARK_GRAFT_BENCH_SWEEP_RUNS", "3"))
+        samples: dict[str, list[float]] = {name: [] for name in qs}
+        for _pass in range(sweep_runs):
+            for i, (name, fn) in enumerate(qs.items()):
+                if i % 25 == 24:
+                    # long single-JVM sessions accumulate broadcast/
+                    # checkpoint garbage that inflates late sweep entries
+                    # by 2-4x; an explicit collection every ~25 queries
+                    # keeps numbers comparable across registry positions
+                    # (a real cluster pays none of this -- fresh
+                    # executors per job)
+                    spark.sparkContext._jvm.System.gc()
+                t0 = time.perf_counter()
+                try:
+                    fn(spark, SF_DIR).count()
+                except Exception as exc:  # pragma: no cover - diagnostics
+                    print(f"# sweep {name} ERROR {exc}", file=sys.stderr)
+                    continue
+                samples[name].append(time.perf_counter() - t0)
+        for name, ss in samples.items():
+            if ss:
+                sweep[name] = round(sorted(ss)[len(ss) // 2], 3)
+                sweep_spread[name] = [round(min(ss), 3), round(max(ss), 3)]
 
     # BASELINE.md's tasks-to-converge metric: ledger size for sphere and
     # Rosenbrock at dims 2 and 10, stopratio=1e-2, serial mode (directly
@@ -228,7 +241,11 @@ def main() -> None:
         sweep_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json")
         with open(sweep_path, "w") as fh:
-            json.dump({"sf": sf_val, "sweep": sweep}, fh, indent=1)
+            json.dump({"sf": sf_val,
+                       "runs": int(os.environ.get(
+                           "SPARK_GRAFT_BENCH_SWEEP_RUNS", "3")),
+                       "sweep": sweep,
+                       "spread": sweep_spread}, fh, indent=1)
         print(f"# full sweep detail -> {sweep_path}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()

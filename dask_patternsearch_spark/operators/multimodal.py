@@ -56,15 +56,103 @@ def _bucket_means(arr: np.ndarray) -> np.ndarray:
     return np.array([s.mean() if s.size else 0.0 for s in np.array_split(arr, FEATURE_DIM)])
 
 
+def _builtin_png_decode(payload: bytes) -> np.ndarray:
+    """Dependency-free 8-bit grayscale PNG decode: IHDR/IDAT chunk walk,
+    stdlib ``zlib`` inflate, scanline de-filtering (None/Sub/Up -- the
+    filters an uncompressed-pipeline writer emits), pixels normalized to
+    [0, 1] and reduced to the FEATURE_DIM bucket-mean contract.  PNG's
+    only compression IS zlib, so no codec library is required for this
+    subset; anything else (color, palettes, 16-bit, Paeth) raises and
+    ``decode`` falls back."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    i, idat = 8, b""
+    w = h = bit = color = None
+    while i + 8 <= len(payload):
+        ln = int.from_bytes(payload[i:i + 4], "big")
+        typ = payload[i + 4:i + 8]
+        data = payload[i + 8:i + 8 + ln]
+        if typ == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            bit, color = data[8], data[9]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if not idat or bit != 8 or color != 0:
+        raise ValueError("builtin PNG decoder handles 8-bit grayscale only")
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    if len(raw) < stride * h:
+        raise ValueError("truncated PNG pixel data")
+    rows = []
+    prev = np.zeros(w, dtype=np.uint8)
+    for r in range(h):
+        line = raw[r * stride:(r + 1) * stride]
+        ftype = line[0]
+        cur = np.frombuffer(line[1:], dtype=np.uint8).copy()
+        if ftype == 2:  # Up
+            cur = (cur.astype(np.int32) + prev).astype(np.uint8)
+        elif ftype == 1:  # Sub
+            for c in range(1, w):
+                cur[c] = (int(cur[c]) + int(cur[c - 1])) & 0xFF
+        elif ftype != 0:  # None
+            raise ValueError(f"unsupported PNG filter {ftype}")
+        rows.append(cur)
+        prev = cur
+    px = np.concatenate(rows).astype(np.float64) / 255.0
+    return _bucket_means(px)
+
+
+def _builtin_wav_decode(payload: bytes) -> np.ndarray:
+    """Dependency-free PCM16 WAV decode: RIFF chunk walk, little-endian
+    int16 samples normalized to [-1, 1], channels averaged -- the same
+    semantics soundfile gives for this format -- then |samples| bucket
+    means.  Non-PCM or non-16-bit raises and ``decode`` falls back."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i:i + 4]
+        clen = int.from_bytes(payload[i + 4:i + 8], "little")
+        chunk = payload[i + 8:i + 8 + clen]
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        i += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or ch < 1:
+        raise ValueError("builtin WAV decoder handles PCM16 only")
+    usable = len(data) - (len(data) % (2 * ch))
+    if usable == 0:
+        raise ValueError("empty WAV data chunk")
+    arr = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return _bucket_means(np.abs(arr))
+
+
 def codec_decoders() -> dict:
-    """Real decoders keyed by major media type, for whatever codec libs the
-    environment actually ships (PIL for image/*, soundfile for audio/*).
+    """Real decoders keyed by major media type: codec libraries when the
+    environment ships them (PIL for image/*, soundfile for audio/*), else
+    the BUILT-IN pure-python decoders for the formats that need no codec
+    library at all (8-bit grayscale PNG -- stdlib zlib is the whole
+    codec -- and PCM16 WAV).  The builtin tier means the real decode
+    branch runs even in this container; a payload outside the builtin
+    subset raises and ``decode`` falls back to the deterministic fake.
+    video/* stays fake until a pyav-style dependency is added.
 
     Import-probed at call time -- on an executor this runs once per Python
-    worker.  In this container both probes fail and the dict is empty, so
-    everything falls back to the deterministic fake; in a deployment with
-    codecs installed the same pipeline decodes for real with no code
-    change.  video/* stays fake until a pyav-style dependency is added.
+    worker.
     """
     decoders: dict = {}
     try:  # pragma: no cover - codec libs absent in the test container
@@ -98,6 +186,8 @@ def codec_decoders() -> dict:
         decoders["audio"] = _audio
     except ImportError:
         pass
+    decoders.setdefault("image", _builtin_png_decode)
+    decoders.setdefault("audio", _builtin_wav_decode)
     return decoders
 
 

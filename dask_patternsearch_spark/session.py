@@ -31,6 +31,12 @@ def get_spark(app_name: str = "dask-patternsearch-spark", cpus: str | None = Non
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # pin AQE's starting partition count to the static shuffle number:
+        # the default leaves it unset (falls back per-plan), and making it
+        # explicit keeps physical plans -- and therefore bench numbers --
+        # identical across sessions and rounds
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(cpus))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -123,15 +123,19 @@ def test_multimodal_plumbing(spark, docs):
 
 def test_multimodal_codec_dispatch():
     """decode() routes to a real codec when one exists for the media type
-    and falls back to the deterministic fake otherwise (this container
-    ships no codecs, so codec_decoders() is empty here)."""
+    and falls back to the deterministic fake otherwise (the builtin
+    pure-python decoders are always registered, but raise on payloads
+    outside their subset -- like these text bytes -- so the fake path
+    still serves undecodable content)."""
     import numpy as np
 
     payload = b"some media bytes"
     fake = multimodal._fake_decode(payload)
 
-    # no codecs importable in this container -> empty registry, fake path
-    assert multimodal.codec_decoders() == {}
+    # builtin pure-python decoders are registered even with no codec libs
+    assert set(multimodal.codec_decoders()) == {"image", "audio"}
+    # ...but text bytes are not a PNG: the builtin decoder raises and
+    # decode() falls back to the deterministic fake
     assert np.allclose(multimodal.decode(payload, "image/png"), fake)
 
     # injected codec wins for its media type, other types still fake
@@ -147,6 +151,70 @@ def test_multimodal_codec_dispatch():
     assert np.allclose(
         multimodal.decode(payload, "image/png", {"image": broken}), fake
     )
+
+
+def _make_png_gray8(width, height, pixels):
+    """Spec-valid 8-bit grayscale PNG (filter 0 scanlines, real CRCs)."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(pixels[r * width:(r + 1) * width])
+        for r in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _make_wav_pcm16(sample_rate, channels, samples):
+    """Spec-valid PCM16 WAV with an actual data chunk."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def test_builtin_decoders_decode_real_payloads():
+    """The REAL decode branch runs in this container: spec-valid PNG and
+    WAV payloads decode through the builtin pure-python codecs to the
+    closed-form pixel/sample bucket means -- NOT the byte-histogram
+    fake."""
+    import numpy as np
+
+    # 8x4 grayscale gradient: pixel r*w + c has value (r*w + c) * 7 % 256
+    w, h = 8, 4
+    pixels = [(i * 7) % 256 for i in range(w * h)]
+    png = _make_png_gray8(w, h, pixels)
+    got = multimodal.decode(png, "image/png")
+    expected = multimodal._bucket_means(
+        np.array(pixels, dtype=np.float64) / 255.0
+    )
+    assert np.allclose(got, expected)
+    assert not np.allclose(got, multimodal._fake_decode(png))
+    # metadata triage agrees with the pixel decode's own header
+    meta = multimodal.probe_metadata(png)
+    assert (meta["container"], meta["width"], meta["height"]) == ("png", w, h)
+
+    # stereo PCM16: decode averages channels then takes |sample| means
+    samples = [(-1) ** i * (i * 300 % 32768) for i in range(64)]
+    wav = _make_wav_pcm16(16000, 2, samples)
+    got = multimodal.decode(wav, "audio/wav")
+    arr = np.array(samples, dtype=np.float64).reshape(-1, 2).mean(axis=1)
+    expected = multimodal._bucket_means(np.abs(arr / 32768.0))
+    assert np.allclose(got, expected)
+    assert not np.allclose(got, multimodal._fake_decode(wav))
+    meta = multimodal.probe_metadata(wav)
+    assert (meta["container"], meta["sample_rate"], meta["channels"]) == (
+        "wav", 16000, 2)
 
 
 def test_language_id_shapes(spark, docs):

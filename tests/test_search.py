@@ -337,3 +337,55 @@ def test_bounds_constrain_search_to_box():
         search(sphere, [0.0, 0.0], [0.5, 0.5], bounds=([1.0, 1.0], [3.0, 3.0]))
     with pytest.raises(ValueError, match="lower > upper"):
         search(sphere, [2.0, 2.0], [0.5, 0.5], bounds=([4.0, 4.0], [3.0, 3.0]))
+
+
+def test_ledger_checkpoint_and_resume_100d(tmp_path):
+    """Warm-start resume at the dimensionality the 100,000-core posture
+    implies (dims=100; reference search.py:55-61): a checkpointed first
+    stage dies mid-search, the resumed stage must re-evaluate ZERO known
+    lattice points (only the re-seeded x0), keep improving, and respect
+    the cumulative budget."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from dask_patternsearch_spark import search
+
+    dims = 100
+    x0 = np.full(dims, 3.0)
+    steps = np.ones(dims)
+    path = str(tmp_path / "ledger100")
+
+    seen1 = set()
+
+    def sphere1(x):
+        seen1.add(tuple(x))
+        return float((x * x).sum())
+
+    best1, results1 = search(
+        sphere1, x0, steps, max_tasks=2048, seed=17,
+        ledger_path=path, ledger_every=3,
+    )
+    rows = pq.read_table(path).to_pylist()
+    assert len(rows) == len(results1) == 2048  # every eval checkpointed
+    mem = {tuple(p.point): v for p, v in results1.items()}
+    for row in rows:
+        assert mem[tuple(row["point"])] == row["cost"]
+
+    seen2 = set()
+
+    def sphere2(x):
+        seen2.add(tuple(x))
+        return float((x * x).sum())
+
+    best2, results2 = search(
+        sphere2, x0, steps, max_tasks=4096, seed=17, warm_start=path,
+    )
+    # zero repeated work: the only prior point the resumed run may touch
+    # is the re-seeded x0
+    assert seen2 & seen1 <= {tuple(x0)}
+    assert len(results2) <= 4096
+    assert len(seen2 - {tuple(x0)}) == len(results2) - len(results1)
+    # resume must not regress, and in 100d with half the budget left it
+    # must strictly improve on the interrupted stage
+    assert best2.result < best1.result
+    assert best2.result == min(results2.values())
