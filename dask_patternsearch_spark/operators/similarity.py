@@ -731,6 +731,7 @@ def write_ivf_layout(
     n_cells: int = 16,
     seed: int = 7,
     sample_size: int = 2048,
+    centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Materialize the IVF index as a DISK LAYOUT: vectors written to
     parquet partitioned by their nearest-centroid cell, centroids saved
@@ -742,12 +743,22 @@ def write_ivf_layout(
     query-batch job scans ``~n_probe/n_cells`` of the data.
 
     Returns the centroid matrix (also persisted).
+
+    ``centroids`` overrides the k-means training with an explicit matrix
+    (e.g. deterministic seed vectors) -- the layout/probe machinery is
+    identical either way; seeded cells make the whole index a pure
+    function of the data, which is what lets the registered layout query
+    be oracle-checked end to end.
     """
-    sample = np.array(
-        [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
-        dtype=float,
-    )
-    cents = _train_kmeans(sample, n_cells, seed)
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=float)
+        n_cells = len(cents)
+    else:
+        sample = np.array(
+            [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
+            dtype=float,
+        )
+        cents = _train_kmeans(sample, n_cells, seed)
 
     @F.pandas_udf("int")
     def cell_of(embs):

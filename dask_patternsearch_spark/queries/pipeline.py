@@ -1894,17 +1894,31 @@ def ivf_layout_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a persisted centroid table), then probed -- the scan carries a
     PARTITION filter, so only the probed cells' directories are listed
     and read (partition pruning IS the index; see
-    operators.similarity.write_ivf_layout).  Rows-only; recall vs brute
-    force and the pruning property are test-locked."""
+    operators.similarity.write_ivf_layout).  Cells are SEEDED from the
+    first 16 vectors (deterministic Voronoi assignment, no Lloyd
+    refinement), making the whole index a pure function of the data --
+    so the layout write, the per-query cell probe and the exact cosine
+    re-rank are all checked against an independent DuckDB spelling
+    (``_IVF_LAYOUT_SQL``); the k-means-trained path is covered by
+    ``ivf_topk`` + the pruning/recall tests.  Assignment argmins are
+    robust to cross-engine float association (min runner-up distance gap
+    ~5e-4 vs ~1e-16 accumulation noise at dim 64)."""
     import shutil
     import tempfile
+
+    import numpy as np
 
     from ..operators.similarity import ivf_layout_topk, write_ivf_layout
 
     emb = _emb(spark, sf_dir)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.stack([np.asarray(r["embedding"], dtype=float) for r in cent_rows])
     path = tempfile.mkdtemp(prefix="dps_ivf_layout_")
     try:
-        write_ivf_layout(emb, path, n_cells=16)
+        write_ivf_layout(emb, path, centroids=cents)
         queries = emb.filter(F.col("vec_id") < 8).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
         )
@@ -1914,6 +1928,55 @@ def ivf_layout_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "query_id long, neighbor_id long, cosine_sim double"
     )
+
+
+# Independent spelling of the seeded IVF search: Voronoi-assign every
+# vector to its nearest seed centroid (argmin of -2<v,c> + <c,c>, the
+# engine's distance form; ties to the smaller cell), take each query's 3
+# nearest cells, exact-cosine re-rank within the probed cells.  The
+# engine reads the assignment back off the partitioned DISK layout -- the
+# oracle recomputes it relationally, so a bug anywhere in the
+# write/probe/prune/re-rank chain breaks the hash.
+_IVF_LAYOUT_SQL = """
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY -2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * list_inner_product(CAST(q.embedding AS DOUBLE[]), c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine_sim
+  FROM qprobe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
 
 
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2272,4 +2335,5 @@ ORACLE = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "packed_training_sequences": _PACKED_SQL,
     "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
+    "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
 }
