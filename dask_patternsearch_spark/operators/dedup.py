@@ -60,59 +60,94 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def blocked_jaccard_pairs(
+def jaccard_prefix_pairs(
     docs: DataFrame,
     n: int = 3,
-    threshold: float = 0.5,
-    block_tokens: int = 16,
+    threshold: float = 0.8,
 ) -> DataFrame:
-    """Deterministic near-duplicate pairs: EXACT n-gram Jaccard over
-    length-blocked candidates (sorted-neighborhood blocking on token
-    count).  Docs are bucketed by ``floor(n_tokens / block_tokens)`` and
-    only same-or-adjacent-bucket pairs are compared -- near-duplicates
-    have near-equal lengths, so the block recalls them while the join
-    stays an equi-join on the probe bucket (each doc probes buckets
-    {b-1, b, b+1}; the right side carries only {b}, so every candidate
-    pair is generated exactly once -- no distinct pass).
+    """Deterministic EXACT n-gram-Jaccard similarity join by PREFIX
+    FILTERING (the AllPairs/PPJoin family, Bayardo et al. WWW'07; same
+    exact-join machinery Chaudhuri's SSJoin line uses): two sets with
+    Jaccard >= t must share an element within the first
+    ``|S| - ceil(t*|S|) + 1`` elements of any COMMON total ordering of
+    their shingles, so candidates come from an inverted-index equi-join
+    over only those prefix shingles, and only candidates pass the full
+    intersection.  The ordering is ascending document frequency
+    (rarest-first, ties lexical), the classic choice that keeps prefix
+    posting lists short -- frequent shingles never enter a prefix unless
+    a set is nearly all-frequent.
 
-    Unlike the MinHash path this pair graph is a pure function of the
-    corpus (no hash family), so downstream clustering is oracle-checkable
-    end to end.  Scale: work is bounded by the largest length bucket, not
-    |corpus|^2; for a production corpus pair the bucket key with a
-    cheap prefilter (e.g. same language / source shard) to tighten the
-    blocks further.
+    LOSSLESS at the threshold (unlike length/band blocking: a qualifying
+    pair can never be missed) and a pure function of the corpus (no hash
+    family), so downstream clustering is oracle-checkable end to end.
+
+    Scale: everything is an equi-join or aggregate on gram/doc_id keys --
+    no all-pairs stage exists; work is sum over prefix grams of
+    posting-list-squared, which the rare-first ordering minimizes, plus
+    one exact verify per surviving candidate (a length-ratio
+    necessary-condition filter prunes before the intersection).  The
+    shingle table is checkpointed once and reused by the prefix explode
+    and both verify probes (re-deriving it per reference is the
+    documented Catalyst re-evaluation trap).
     """
     toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
-    sh = toks.select(
-        "doc_id",
-        _shingles(F.col("toks"), n).alias("shingles"),
-        F.floor(F.size("toks") / block_tokens).cast("long").alias("block"),
+    sh = (
+        toks.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
+        # checkpoint the shingle pipeline once: grams is derived twice
+        # (df count + ordering join) and would otherwise re-run it
+        .localCheckpoint(eager=False)
     )
-    probes = sh.select(
-        "doc_id",
-        "shingles",
-        F.explode(
-            F.array(F.col("block") - 1, F.col("block"), F.col("block") + 1)
-        ).alias("bkey"),
+    grams = sh.select("doc_id", F.explode("shingles").alias("g"))
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        grams.join(gram_df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "g"))),
+                lambda s: s["g"],
+            ).alias("shingles")
+        )
+        .localCheckpoint(eager=False)
     )
-    a = probes.alias("a")
-    b = sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(
-        F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles")))
+    plen = (
+        F.size("shingles")
+        - F.ceil(F.size("shingles") * F.lit(threshold))
+        + 1
+    ).cast("int")
+    pref = ordered.select(
+        "doc_id", F.explode(F.slice("shingles", F.lit(1), plen)).alias("g")
     )
-    jac = inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
-    return (
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bkey") == F.col("b.block"))
+            (F.col("a.g") == F.col("b.g"))
             & (F.col("b.doc_id") > F.col("a.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    sa = ordered.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = ordered.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

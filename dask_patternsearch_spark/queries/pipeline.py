@@ -502,15 +502,16 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components (iterative min-label
     propagation) over a deterministic near-duplicate pair graph, with the
     min doc_id as each cluster's canonical representative and the cluster
-    size attached.  The pair graph is ``dedup.blocked_jaccard_pairs`` --
-    EXACT n-gram Jaccard over length-blocked candidates -- a pure function
-    of the corpus, so the whole pipeline (blocking, shingle Jaccard, CC
-    fixpoint) is checked against a DuckDB recursive reachability-min
-    oracle (``_NEARDUP_CLUSTERS_SQL``).  The MinHash-LSH variant of the
-    same endgame (hash-family-dependent, rows-only) is
+    size attached.  The pair graph is ``dedup.jaccard_prefix_pairs`` --
+    an EXACT n-gram-Jaccard similarity join via rarest-first prefix
+    filtering (lossless at the threshold, no hash family) -- a pure
+    function of the corpus, so the whole pipeline (prefix candidates,
+    shingle Jaccard, CC fixpoint) is checked against a DuckDB recursive
+    reachability-min oracle (``_NEARDUP_CLUSTERS_SQL``).  The MinHash-LSH
+    variant of the same endgame (hash-family-dependent, rows-only) is
     ``near_dup_clusters_star``; label correctness of CC itself is also
     property-tested in tests/test_operators.py."""
-    pairs = dedup.blocked_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    pairs = dedup.jaccard_prefix_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
     comp = dedup.connected_components(pairs)
     sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -524,39 +525,62 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# Blocked exact-Jaccard pairs + connected components as one recursive
-# CTE: the pair stage mirrors blocked_jaccard_pairs (same tokenize /
-# shingle / length-block spelling -- jaccard is a ratio of exact integer
-# counts, so the 0.5 threshold cannot drift between engines), and the CC
-# stage is min-label propagation with a self-loop-augmented edge list so
-# the recursive term needs only one self-reference.  24 rounds >= any
-# dup-cluster diameter here; post-fixpoint rounds re-emit the identical
-# labeling, so it = 24 is the fixpoint.
+# Prefix-filtered exact-Jaccard pairs + connected components as one
+# recursive CTE: the pair stage mirrors jaccard_prefix_pairs (same
+# tokenize / shingle / rarest-first ordering / prefix-length spelling --
+# jaccard is a ratio of exact integer counts, so the 0.8 threshold
+# cannot drift between engines), and the CC stage is min-label
+# propagation with a self-loop-augmented edge list so the recursive term
+# needs only one self-reference.  24 rounds >= any dup-cluster diameter
+# here; post-fixpoint rounds re-emit the identical labeling, so it = 24
+# is the fixpoint.  MATERIALIZED everywhere: inlining re-runs the
+# shingle comprehension per join row AND per recursion round (measured
+# >400 s vs seconds at sf0.01).
 _NEARDUP_CLUSTERS_SQL = """
 WITH RECURSIVE
 toks AS MATERIALIZED (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
 ),
--- MATERIALIZED: inlining would re-run the shingle comprehension once per
--- JOIN ROW in cand (the same trap _shingles documents for Catalyst) --
--- measured >400 s vs ~8 s at sf0.01
 sh AS MATERIALIZED (
   SELECT doc_id,
          list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles,
-         CAST(floor(len(t) / 16.0) AS BIGINT) AS block
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
   FROM toks
 ),
-cand AS MATERIALIZED (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / nullif(len(list_distinct(a.shingles || b.shingles)), 0) AS j
-  FROM sh a JOIN sh b
-    ON b.doc_id > a.doc_id
-   AND abs(a.block - b.block) <= 1
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
 ),
-pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM cand WHERE j >= 0.5),
+ordered AS MATERIALIZED (
+  SELECT doc_id, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id
+),
+pref AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.g = b.g AND b.doc_id > a.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(sa.shingles || sb.shingles)), 0) AS j
+    FROM cand c
+    JOIN ordered sa ON sa.doc_id = c.doc_a
+    JOIN ordered sb ON sb.doc_id = c.doc_b
+    WHERE least(len(sa.shingles), len(sb.shingles))
+          >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+  ) WHERE j >= 0.8
+),
 bi AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL

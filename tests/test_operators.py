@@ -1717,3 +1717,33 @@ def test_new_operators_handle_empty_inputs(spark):
     edf = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="seed"):
         kmeans_clusters(edf, k=2)
+
+
+def test_jaccard_prefix_pairs_lossless_vs_brute_force(spark, docs):
+    """The prefix-filtered exact similarity join must return EXACTLY the
+    brute-force all-pairs result at the threshold -- the losslessness
+    theorem the operator's candidate pruning rests on (any common total
+    order; rarest-first is only an optimization)."""
+    sub = docs.filter(F.col("doc_id") < 120)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_prefix_pairs(sub, n=3, threshold=0.5).collect()
+    }
+    toks = dedup._shingles(dedup._tokens(F.col("text")), 3)
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in sub.select("doc_id", toks.alias("s")).collect()
+    }
+    ids = sorted(sh)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = sh[a] | sh[b]
+            if not u:
+                continue
+            j = len(sh[a] & sh[b]) / len(u)
+            if j >= 0.5:
+                expected[(a, b)] = j
+    assert set(got) == set(expected)
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-12
