@@ -807,11 +807,15 @@ def canonicalize_near_dups(
     docs: DataFrame,
     min_est_jaccard: float = 0.5,
     quality_col: str = "n_chars",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """The dedup endgame in one call: MinHash-LSH candidate pairs ->
+    """The dedup endgame in one call: near-duplicate candidate pairs ->
     connected components -> keep the HIGHEST-QUALITY document per
     duplicate cluster (ties broken by min doc_id), singletons passing
-    through untouched.
+    through untouched.  ``pairs`` overrides the default MinHash-LSH
+    candidate source with any (doc_a, doc_b) pair DataFrame (e.g. the
+    deterministic :func:`jaccard_prefix_pairs`, which makes the whole
+    endgame oracle-checkable).
 
     Returns ``(doc_id, cluster, cluster_size, kept)`` for every input
     document, so the caller can either filter ``kept`` or audit what was
@@ -826,7 +830,8 @@ def canonicalize_near_dups(
     AQE will broadcast at test scale but correctly shuffle at 100 TB
     (where "a few percent" is billions of rows).
     """
-    pairs = minhash_lsh_candidates(docs, min_est_jaccard=min_est_jaccard)
+    if pairs is None:
+        pairs = minhash_lsh_candidates(docs, min_est_jaccard=min_est_jaccard)
     labels = connected_components(pairs)
     labeled = docs.join(
         labels.select(F.col("node").alias("doc_id"), "label"),

@@ -984,7 +984,104 @@ def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def canonicalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.canonicalize_near_dups(_docs(spark, sf_dir))
+    """Dedup ENDGAME, oracle-checked end to end: deterministic
+    prefix-filtered exact-Jaccard pairs -> connected components -> keep
+    the highest-quality doc per cluster (tie: lowest doc_id), singletons
+    pass through.  The MinHash-LSH pair source remains the operator's
+    default (rows-only, property-tested); injecting the deterministic
+    pair graph makes the canonical-pick/passthrough logic value-checked
+    by ``_CANONICALIZE_SQL``."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.8)
+    return dedup.canonicalize_near_dups(docs, pairs=pairs)
+
+
+# The prefix-pair + CC machinery of _NEARDUP_CLUSTERS_SQL, then the
+# endgame: every document labeled (singletons = own cluster), one
+# argmax(quality, tie lowest doc_id) per cluster via a window rank.
+_CANONICALIZE_SQL = """
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM toks
+),
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
+),
+ordered AS MATERIALIZED (
+  SELECT doc_id, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id
+),
+pref AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.g = b.g AND b.doc_id > a.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(sa.shingles || sb.shingles)), 0) AS j
+    FROM cand c
+    JOIN ordered sa ON sa.doc_id = c.doc_a
+    JOIN ordered sb ON sb.doc_id = c.doc_b
+    WHERE least(len(sa.shingles), len(sb.shingles))
+          >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+  ) WHERE j >= 0.8
+),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+bis AS MATERIALIZED (
+  SELECT src, dst FROM bi
+  UNION ALL
+  SELECT DISTINCT src, src FROM bi
+),
+cc(node, label, it) AS (
+    SELECT DISTINCT src, src, 0 FROM bi
+  UNION ALL
+    SELECT s.src, min(l.label), min(l.it) + 1
+    FROM cc l JOIN bis s ON s.dst = l.node
+    WHERE l.it < 24
+    GROUP BY s.src
+),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(l.label, d.doc_id) AS cluster,
+         CAST(d.n_chars AS BIGINT) AS quality
+  FROM documents d
+  LEFT JOIN (SELECT node, label FROM cc WHERE it = 24) l ON l.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster, quality,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM labeled
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster AS BIGINT) AS cluster,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       rn = 1 AS kept
+FROM ranked
+"""
 
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2360,4 +2457,5 @@ ORACLE = {
     "packed_training_sequences": _PACKED_SQL,
     "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
+    "canonicalize_corpus": _CANONICALIZE_SQL,
 }
