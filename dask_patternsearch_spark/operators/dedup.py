@@ -803,6 +803,109 @@ def decontaminate(
     return corpus.join(dirty, "doc_id", "left_anti")
 
 
+def contamination_pairs_exact(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-set variant of :func:`jaccard_prefix_pairs`: every
+    (corpus doc, benchmark doc) pair with EXACT n-gram Jaccard >=
+    ``threshold``, found losslessly via rarest-first prefix filtering --
+    the deterministic alternative to the MinHash
+    :func:`contamination_pairs` (no hash family, so a decontamination
+    pass built on it is oracle-checkable end to end).
+
+    The shingle-frequency ordering is computed over the UNION of both
+    sets so the two sides share one canonical total order (required for
+    the prefix theorem).  Scale posture matches the self-join variant:
+    gram/doc-keyed equi-joins only, candidate volume bounded by prefix
+    posting products, one exact verify per survivor; benchmark sets are
+    typically tiny next to the corpus, so its postings are short.
+
+    Returns ``(doc_id, benchmark_doc_id, jaccard)`` -- corpus ids in
+    ``doc_id`` to match ``contamination_pairs``'s consumer contract.
+    """
+    def _grams(df: DataFrame) -> DataFrame:
+        t = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        s = t.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
+        return s.select("doc_id", F.explode("shingles").alias("g"))
+
+    cg = _grams(corpus).localCheckpoint(eager=False)
+    bg = _grams(benchmark).localCheckpoint(eager=False)
+    gram_df = (
+        cg.unionByName(bg).groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    def _ordered(grams: DataFrame) -> DataFrame:
+        return (
+            grams.join(gram_df, "g")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("df", "g"))),
+                    lambda s: s["g"],
+                ).alias("shingles")
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    def _prefix(ordered: DataFrame) -> DataFrame:
+        plen = (
+            F.size("shingles")
+            - F.ceil(F.size("shingles") * F.lit(threshold))
+            + 1
+        ).cast("int")
+        return ordered.select(
+            "doc_id", F.explode(F.slice("shingles", F.lit(1), plen)).alias("g")
+        )
+
+    co, bo = _ordered(cg), _ordered(bg)
+    cand = (
+        _prefix(co).alias("a")
+        .join(_prefix(bo).alias("b"), F.col("a.g") == F.col("b.g"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("benchmark_doc_id"),
+        )
+        .distinct()
+    )
+    sa = co.select(F.col("doc_id"), F.col("shingles").alias("sh_a"))
+    sb = bo.select(
+        F.col("doc_id").alias("benchmark_doc_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    jac = inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
+    return (
+        cand.join(sa, "doc_id")
+        .join(sb, "benchmark_doc_id")
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
+        .select("doc_id", "benchmark_doc_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """:func:`decontaminate` on the deterministic
+    :func:`contamination_pairs_exact` join -- same anti-join contract,
+    fully oracle-checkable."""
+    dirty = (
+        contamination_pairs_exact(corpus, benchmark, n=n, threshold=threshold)
+        .select("doc_id")
+        .distinct()
+    )
+    return corpus.join(dirty, "doc_id", "left_anti")
+
+
 def canonicalize_near_dups(
     docs: DataFrame,
     min_est_jaccard: float = 0.5,

@@ -751,22 +751,85 @@ GROUP BY lang, CAST(floor(prev_tokens / 512.0) AS BIGINT)
 
 
 def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-set decontamination (``operators.dedup.decontaminate``): treat
-    source src0 as the held-out benchmark, drop near-matching docs from
-    the rest of the corpus, report per-language survivor counts.
-    Rows-only (LSH); planted-duplicate removal is property-tested in
+    """Test-set decontamination: treat source src0 as the held-out
+    benchmark, drop near-matching docs from the rest of the corpus,
+    report per-language survivor counts.  Uses the DETERMINISTIC
+    cross-set exact-Jaccard prefix join
+    (``operators.dedup.decontaminate_exact``), so the whole pass is
+    value-checked by ``_DECONTAMINATE_SQL``; the MinHash variant of the
+    same pass (``dedup.decontaminate``) stays property-tested in
     tests/test_operators.py."""
     docs = _docs(spark, sf_dir)
     benchmark = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     corpus = docs.filter(F.col("source") != "src0")
-    clean = dedup.decontaminate(
-        corpus.select("doc_id", "text"), benchmark, min_est_jaccard=0.8
+    clean = dedup.decontaminate_exact(
+        corpus.select("doc_id", "text"), benchmark, threshold=0.8
     )
     return (
         clean.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_clean_docs"))
     )
+
+
+# Cross-set prefix-filtered exact-Jaccard contamination, mirrored
+# relationally: one shared rarest-first ordering over ALL documents'
+# shingles (corpus UNION benchmark = the whole table here), per-side
+# prefixes, corpus x benchmark candidate equi-join, exact verify, then
+# the anti-join survivor count per language.
+_DECONTAMINATE_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM toks
+),
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
+),
+ordered AS MATERIALIZED (
+  SELECT doc_id, source, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, s.source, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN sh s ON s.doc_id = u.doc_id
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id, source
+),
+pref AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS c_doc, b.doc_id AS b_doc
+  FROM pref a JOIN pref b ON a.g = b.g
+  WHERE a.source <> 'src0' AND b.source = 'src0'
+),
+dirty AS MATERIALIZED (
+  SELECT DISTINCT c_doc AS doc_id FROM (
+    SELECT c.c_doc,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(sa.shingles || sb.shingles)), 0) AS j
+    FROM cand c
+    JOIN ordered sa ON sa.doc_id = c.c_doc
+    JOIN ordered sb ON sb.doc_id = c.b_doc
+    WHERE least(len(sa.shingles), len(sb.shingles))
+          >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+  ) WHERE j >= 0.8
+)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_clean_docs
+FROM documents d
+LEFT JOIN dirty x ON x.doc_id = d.doc_id
+WHERE d.source <> 'src0' AND x.doc_id IS NULL
+GROUP BY d.lang
+"""
 
 
 def exact_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2458,4 +2521,5 @@ ORACLE = {
     "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
     "canonicalize_corpus": _CANONICALIZE_SQL,
+    "decontaminate_corpus": _DECONTAMINATE_SQL,
 }
