@@ -1621,15 +1621,17 @@ GROUP BY 1, 2
 def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole pretraining-corpus preparation as ONE composed plan --
     the flagship integration query: (0) raw corpus, (1) exact dedup
-    (md5 keeper), (2) near-dup canonicalization (MinHash -> connected
-    components -> keep best), (3) C4 heuristic quality filter, (4) exact
-    5-gram decontamination against the held-out source.  Emits the
-    audit funnel: one row per stage with surviving doc/char counts.
+    (md5 keeper), (2) near-dup canonicalization (deterministic
+    prefix-filtered exact-Jaccard pairs -> connected components -> keep
+    best), (3) C4 heuristic quality filter, (4) exact 5-gram
+    decontamination against the held-out source.  Emits the audit
+    funnel: one row per stage with surviving doc/char counts.
 
-    Rows-only (the MinHash stage is inside), but every component is
-    individually oracle-checked or property-tested; this query exists to
-    prove the stages COMPOSE -- one lineage, no driver round trips
-    between stages beyond the documented candidate materializations.
+    Every stage is deterministic, so the COMPOSED funnel is value-checked
+    end to end by ``_PRETRAIN_SQL`` (the strongest integration signal:
+    a regression in any stage, or in how the stages chain, breaks the
+    hash).  The MinHash spelling of stage 2 remains the operator default,
+    exercised by ``near_dup_clusters_star``/property tests.
     """
     from pyspark.sql import Window
 
@@ -1653,7 +1655,9 @@ def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rk") == 1)
         .drop("__rk")
     )
-    verdicts = dedup.canonicalize_near_dups(d1, min_est_jaccard=0.5)
+    verdicts = dedup.canonicalize_near_dups(
+        d1, pairs=dedup.jaccard_prefix_pairs(d1, n=3, threshold=0.8)
+    )
     d2 = d1.join(verdicts.filter("kept").select("doc_id"), "doc_id")
     d3 = d2.join(
         text.c4_quality_filter(d2).filter("keep").select("doc_id"), "doc_id"
@@ -1672,6 +1676,147 @@ def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         out = out.unionByName(stage(df, name, i))
     return out
+
+
+# The flagship funnel, mirrored stage by stage: md5-keeper dedup,
+# prefix-join near-dedup canonicalization over the STAGE-1 SURVIVORS
+# (shingle frequencies are computed on d1, exactly as the engine does),
+# the C4 heuristic filter, and 5-gram decontamination whose benchmark
+# grams come from the FULL corpus's src0 slice -- then the audit counts.
+_PRETRAIN_SQL = r"""
+WITH RECURSIVE
+d1 AS MATERIALIZED (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rk
+    FROM documents
+  ) WHERE rk = 1
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM d1
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM toks
+),
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
+),
+ordered AS MATERIALIZED (
+  SELECT doc_id, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id
+),
+pref AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.g = b.g AND b.doc_id > a.doc_id
+),
+jpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(sa.shingles || sb.shingles)), 0) AS j
+    FROM cand c
+    JOIN ordered sa ON sa.doc_id = c.doc_a
+    JOIN ordered sb ON sb.doc_id = c.doc_b
+    WHERE least(len(sa.shingles), len(sb.shingles))
+          >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+  ) WHERE j >= 0.8
+),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+),
+bis AS MATERIALIZED (
+  SELECT src, dst FROM bi
+  UNION ALL
+  SELECT DISTINCT src, src FROM bi
+),
+cc(node, label, it) AS (
+    SELECT DISTINCT src, src, 0 FROM bi
+  UNION ALL
+    SELECT s.src, min(l.label), min(l.it) + 1
+    FROM cc l JOIN bis s ON s.dst = l.node
+    WHERE l.it < 24
+    GROUP BY s.src
+),
+kept AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT d.doc_id,
+           row_number() OVER (
+             PARTITION BY coalesce(l.label, d.doc_id)
+             ORDER BY CAST(d.n_chars AS BIGINT) DESC, d.doc_id ASC) AS rn
+    FROM d1 d
+    LEFT JOIN (SELECT node, label FROM cc WHERE it = 24) l
+      ON l.node = d.doc_id
+  ) WHERE rn = 1
+),
+d2 AS MATERIALIZED (SELECT d1.* FROM d1 JOIN kept USING (doc_id)),
+c4 AS MATERIALIZED (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+'))                AS n_words,
+           len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+           len(regexp_replace(text, '\s', '', 'g'))                  AS n_nonspace,
+           contains(text, '{')                                       AS has_brace,
+           contains(lower(text), 'lorem ipsum')                      AS has_lorem
+    FROM d2
+  )
+  WHERE n_words >= 15
+    AND n_nonspace / CAST(nullif(n_words, 0) AS DOUBLE) BETWEEN 2.0 AND 12.0
+    AND n_distinct / CAST(nullif(n_words, 0) AS DOUBLE) >= 0.1
+    AND NOT has_brace AND NOT has_lorem
+),
+d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN c4 USING (doc_id)),
+wtoks AS MATERIALIZED (
+  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS w
+  FROM documents
+),
+g5 AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                               w[i+3] || ' ' || w[i+4]
+                               FOR i IN range(1, len(w) - 3)])) AS gram
+  FROM wtoks WHERE len(w) >= 5
+),
+bench AS MATERIALIZED (SELECT DISTINCT gram FROM g5 WHERE source = 'src0'),
+corpus3 AS MATERIALIZED (SELECT * FROM d3 WHERE source <> 'src0'),
+dirty AS MATERIALIZED (
+  SELECT DISTINCT g.doc_id FROM g5 g JOIN bench b USING (gram)
+  WHERE g.source <> 'src0'
+),
+d4 AS (
+  SELECT * FROM corpus3
+  WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+)
+SELECT CAST(0 AS INT) AS stage_id, 'raw' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars FROM documents
+UNION ALL
+SELECT 1, 'exact_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d1
+UNION ALL
+SELECT 2, 'near_dedup', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d2
+UNION ALL
+SELECT 3, 'quality', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d3
+UNION ALL
+SELECT 4, 'decontaminated', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_chars), 0) AS BIGINT) FROM d4
+"""
 
 
 def substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2522,4 +2667,5 @@ ORACLE = {
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
     "canonicalize_corpus": _CANONICALIZE_SQL,
     "decontaminate_corpus": _DECONTAMINATE_SQL,
+    "pretrain_pipeline_stats": _PRETRAIN_SQL,
 }
