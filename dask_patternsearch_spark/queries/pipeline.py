@@ -1442,20 +1442,105 @@ FROM embeddings
 
 
 def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the (symmetrized) MinHash near-dup candidate graph:
-    high-rank documents are the hubs of duplicate clusters -- the ones to
-    keep (or inspect) first.  Iterative joins with checkpointed lineage
-    (``operators.graph.pagerank``); rows-only, with closed-form property
-    tests in tests/test_operators.py."""
+    """PageRank over the (symmetrized) deterministic near-dup pair graph
+    (``dedup.jaccard_prefix_pairs``): high-rank documents are the hubs of
+    duplicate clusters -- the ones to keep (or inspect) first.  Iterative
+    joins with checkpointed lineage (``operators.graph.pagerank``),
+    value-checked against a recursive-CTE PageRank oracle
+    (``_NEARDUP_PAGERANK_SQL``): the symmetrized graph has no dangling
+    vertices, every per-iteration expression is spelled identically on
+    both engines, and the 8-dp output rounding absorbs summation-order
+    ulps (closed-form property tests in tests/test_operators.py still
+    cover the dangling-mass path the oracle graph cannot reach)."""
     from ..operators.graph import pagerank
 
-    pairs = dedup.minhash_lsh_candidates(
-        _docs(spark, sf_dir), min_est_jaccard=0.3
+    pairs = dedup.jaccard_prefix_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.8
     ).select("doc_a", "doc_b")
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
     return pagerank(edges, n_iter=8).orderBy(F.desc("rank"), F.asc("vertex"))
+
+
+# Recursive-CTE PageRank over the same prefix-join pair graph: each
+# recursive step re-derives the full rank table (symmetric graph -> every
+# vertex has in-edges, dangling mass is identically zero).  The damping
+# constants are spelled (1 - 0.85)/n exactly as the engine computes its
+# base term, so the only cross-engine difference is float summation
+# order -- absorbed by the 8-dp rounding.
+_NEARDUP_PAGERANK_SQL = r"""
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM toks
+),
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
+),
+ordered AS MATERIALIZED (
+  SELECT doc_id, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id
+),
+pref AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.g = b.g AND b.doc_id > a.doc_id
+),
+jpairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(sa.shingles || sb.shingles)), 0) AS j
+    FROM cand c
+    JOIN ordered sa ON sa.doc_id = c.doc_a
+    JOIN ordered sb ON sb.doc_id = c.doc_b
+    WHERE least(len(sa.shingles), len(sb.shingles))
+          >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+  ) WHERE j >= 0.8
+),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM jpairs
+),
+deg AS MATERIALIZED (SELECT src AS vertex, count(*) AS deg FROM bi GROUP BY src),
+nv AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+pr(vertex, rank, it) AS (
+    SELECT vertex, 1.0 / (SELECT n FROM nv), 0 FROM deg
+  UNION ALL
+    SELECT vertex,
+           (1 - 0.85) / (SELECT n FROM nv) + 0.85 * contrib AS rank,
+           it + 1
+    FROM (
+      SELECT e.dst AS vertex, sum(p.rank / d.deg) AS contrib,
+             min(p.it) AS it
+      FROM pr p
+      JOIN bi e ON e.src = p.vertex
+      JOIN deg d ON d.vertex = p.vertex
+      WHERE p.it < 8
+      GROUP BY e.dst
+    )
+)
+SELECT CAST(vertex AS BIGINT) AS vertex, round(rank, 8) AS rank
+FROM pr WHERE it = 8
+ORDER BY rank DESC, vertex ASC
+"""
 
 
 def packed_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2668,4 +2753,5 @@ ORACLE = {
     "canonicalize_corpus": _CANONICALIZE_SQL,
     "decontaminate_corpus": _DECONTAMINATE_SQL,
     "pretrain_pipeline_stats": _PRETRAIN_SQL,
+    "near_dup_pagerank": _NEARDUP_PAGERANK_SQL,
 }
