@@ -506,3 +506,15 @@ def test_price_decile_histogram_prefix_sum_is_distributed(spark):
     # the pid-subtotal side (its aggregate references pid, not prices)
     for m in re.finditer(r"Window \[[^\]]*\], \[l_extendedprice[^,\]]*\]\n", text):
         raise AssertionError(f"global value-domain window in plan: {m.group(0)}")
+
+
+def test_jaccard_prefix_join_is_equi_join_jvm_side(spark):
+    """The exact similarity join must never fall back to a nested-loop /
+    cartesian plan: candidates come from gram equi-joins, verification
+    from doc_id equi-joins, all JVM-side."""
+    from dask_patternsearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    info = summarize(dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.8))
+    assert info["nested_loop_joins"] == 0
+    assert info["python_stages"] == 0
