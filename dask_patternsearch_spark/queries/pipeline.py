@@ -1454,9 +1454,15 @@ def near_dup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cover the dangling-mass path the oracle graph cannot reach)."""
     from ..operators.graph import pagerank
 
-    pairs = dedup.jaccard_prefix_pairs(
-        _docs(spark, sf_dir), n=3, threshold=0.8
-    ).select("doc_a", "doc_b")
+    # materialize the pair join ONCE: pagerank references its edge input
+    # in every damped iteration, and without the checkpoint the whole
+    # prefix-join pipeline above re-executes per iteration (measured 8x
+    # the query cost in the sweep)
+    pairs = (
+        dedup.jaccard_prefix_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
         pairs.selectExpr("doc_b AS src", "doc_a AS dst")
     )
