@@ -342,8 +342,66 @@ LIMIT 20
 # ---- multimodal -------------------------------------------------------------
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (``multimodal.extract_features``), made oracle-checkable: these
+    text-bytes stand-in payloads deterministically take the
+    byte-statistics fallback (they are not decodable PNG/WAV), whose
+    FEATURE_DIM=16 histogram bins are exactly the count of each high
+    NIBBLE of the payload bytes -- so the features, rescaled back to
+    integer counts, are reproduced by a DuckDB hex-digit count
+    (``_MULTIMODAL_FEATURES_SQL``).  Emitted comma-joined (exact
+    integers, no float formatting; list cells also break the comparison
+    canonicalizer).  The real-decode branch is covered by the
+    closed-form builtin PNG/WAV tests in tests/test_operators.py."""
     media = multimodal.attach_binary(_docs(spark, sf_dir))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    counts = F.transform(
+        "features",
+        lambda f: F.round(f * F.col("n_bytes")).cast("long").cast("string"),
+    )
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(counts, ",").alias("feature_counts"),
+    )
+
+
+# The byte-statistics fallback's histogram (np.histogram over bins of
+# width 16 on [0, 256)) assigns byte b to bin b // 16 = its high hex
+# nibble, so per-bin COUNTS are hex-digit counts at the odd positions of
+# hex(payload).  Zero-filled via a 16-row spine per document.
+_MULTIMODAL_FEATURES_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT doc_id,
+         hex(encode(text)) AS h,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+nib AS (
+  SELECT doc_id,
+         strpos('0123456789ABCDEF', substr(h, CAST(i AS INT), 1)) - 1 AS bin
+  FROM (SELECT doc_id, h, unnest(range(1, len(h) + 1, 2)) AS i FROM b)
+),
+cnt AS (SELECT doc_id, bin, count(*) AS c FROM nib GROUP BY doc_id, bin),
+spine AS (
+  SELECT b.doc_id, CAST(r.range AS BIGINT) AS bin
+  FROM b, range(0, 16) r
+),
+vec AS (
+  SELECT s.doc_id,
+         list(CAST(coalesce(c.c, 0) AS VARCHAR) ORDER BY s.bin) AS counts
+  FROM spine s LEFT JOIN cnt c ON c.doc_id = s.doc_id AND c.bin = s.bin
+  GROUP BY s.doc_id
+)
+SELECT b.doc_id,
+       CASE b.doc_id % 3 WHEN 0 THEN 'image/png'
+                         WHEN 1 THEN 'audio/wav'
+                         ELSE 'video/mp4' END AS media_type,
+       b.n_bytes,
+       array_to_string(v.counts, ',') AS feature_counts
+FROM b JOIN vec v ON v.doc_id = b.doc_id
+"""
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2760,4 +2818,5 @@ ORACLE = {
     "decontaminate_corpus": _DECONTAMINATE_SQL,
     "pretrain_pipeline_stats": _PRETRAIN_SQL,
     "near_dup_pagerank": _NEARDUP_PAGERANK_SQL,
+    "multimodal_features": _MULTIMODAL_FEATURES_SQL,
 }
