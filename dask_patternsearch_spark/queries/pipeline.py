@@ -405,8 +405,35 @@ FROM b JOIN vec v ON v.doc_id = b.doc_id
 
 
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (``multimodal.frame_sample``): each payload split
+    into 4 evenly spaced byte windows, one row per frame.  The emitted
+    frame sizes are pure byte arithmetic over the payload length
+    (window = max(ceil(n/4), 1); frame i carries clamp(n - i*window,
+    0, window) bytes), so the explode shape and per-frame metadata are
+    value-checked by ``_MULTIMODAL_FRAMES_SQL``."""
     media = multimodal.attach_binary(_docs(spark, sf_dir))
     return multimodal.frame_sample(media, n_frames=4)
+
+
+_MULTIMODAL_FRAMES_SQL = """
+WITH b AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n,
+         greatest(CAST(ceil(n / 4.0) AS BIGINT), 1) AS fs,
+         unnest(range(0, 4)) AS i
+  FROM b
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS media_type,
+       CAST(i AS INT) AS frame_idx,
+       CAST(greatest(0, least(fs, n - i * fs)) AS BIGINT) AS frame_n_bytes
+FROM f
+"""
 
 
 # ---- streaming --------------------------------------------------------------
@@ -954,12 +981,37 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary 'resize' plumbing (byte-striding stub for image resize):
-    payload in, smaller payload + updated metadata out.  Rows-only; size
-    bound and determinism asserted in tests/test_operators.py."""
+    payload in, smaller payload + updated metadata out.  The emitted
+    sizes are integer arithmetic over the original length (stride =
+    max(1, ceil(n/128)); resized = ceil(n/stride)), so the mapInPandas
+    pass is value-checked by ``_MULTIMODAL_RESIZE_SQL``; the size bound
+    and byte-level determinism stay asserted in
+    tests/test_operators.py."""
     media = multimodal.attach_binary(_docs(spark, sf_dir))
     return multimodal.resize(media, target_bytes=128).select(
         "doc_id", "media_type", "orig_bytes", "n_bytes"
     )
+
+
+_MULTIMODAL_RESIZE_SQL = """
+WITH b AS (
+  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS orig
+  FROM documents
+),
+s AS (
+  SELECT doc_id, orig,
+         greatest(CAST(ceil(orig / 128.0) AS BIGINT), 1) AS stride
+  FROM b
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4' END AS media_type,
+       orig AS orig_bytes,
+       CASE WHEN orig = 0 THEN 0
+            ELSE (orig + stride - 1) // stride END AS n_bytes
+FROM s
+"""
 
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2819,4 +2871,6 @@ ORACLE = {
     "pretrain_pipeline_stats": _PRETRAIN_SQL,
     "near_dup_pagerank": _NEARDUP_PAGERANK_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
+    "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
+    "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
 }
