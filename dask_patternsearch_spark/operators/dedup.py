@@ -116,15 +116,24 @@ def jaccard_prefix_pairs(
         + 1
     ).cast("int")
     pref = ordered.select(
-        "doc_id", F.explode(F.slice("shingles", F.lit(1), plen)).alias("g")
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode(F.slice("shingles", F.lit(1), plen)).alias("g"),
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # the length-ratio necessary condition rides the candidate join
+    # itself: incompatible-size pairs never reach the distinct/verify
+    # stages (lossless -- J >= t implies min >= t * max)
+    size_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.n"), F.col("b.n"))
     cand = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
-            & (F.col("b.doc_id") > F.col("a.doc_id")),
+            & (F.col("b.doc_id") > F.col("a.doc_id"))
+            & size_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -857,13 +866,18 @@ def contamination_pairs_exact(
             + 1
         ).cast("int")
         return ordered.select(
-            "doc_id", F.explode(F.slice("shingles", F.lit(1), plen)).alias("g")
+            "doc_id",
+            F.size("shingles").alias("n"),
+            F.explode(F.slice("shingles", F.lit(1), plen)).alias("g"),
         )
 
     co, bo = _ordered(cg), _ordered(bg)
+    size_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.n"), F.col("b.n"))
     cand = (
         _prefix(co).alias("a")
-        .join(_prefix(bo).alias("b"), F.col("a.g") == F.col("b.g"))
+        .join(_prefix(bo).alias("b"), (F.col("a.g") == F.col("b.g")) & size_ok)
         .select(
             F.col("a.doc_id").alias("doc_id"),
             F.col("b.doc_id").alias("benchmark_doc_id"),

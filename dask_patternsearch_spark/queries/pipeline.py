@@ -963,10 +963,13 @@ GROUP BY lang
 def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same duplicate-cluster extraction as ``near_dup_clusters`` but via
     the alternating large-star/small-star algorithm -- the diameter-proof
-    scale path (O(log^2 n) rounds on any graph shape).  Rows-only;
-    equivalence with min-label propagation is property-tested in
-    tests/test_operators.py."""
-    pairs = dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+    scale path (O(log^2 n) rounds on any graph shape).  Runs on the same
+    deterministic prefix-join pair graph, and both algorithms converge to
+    the identical min-label fixpoint -- so this query shares
+    ``near_dup_clusters``'s recursive oracle verbatim, which certifies
+    the star implementation against an independent algorithm AND engine.
+    Equivalence is also property-tested in tests/test_operators.py."""
+    pairs = dedup.jaccard_prefix_pairs(_docs(spark, sf_dir), n=3, threshold=0.8)
     comp = dedup.connected_components_star(pairs)
     sizes = comp.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -2873,4 +2876,7 @@ ORACLE = {
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
     "multimodal_frames": _MULTIMODAL_FRAMES_SQL,
     "multimodal_resize": _MULTIMODAL_RESIZE_SQL,
+    # the star variant reaches the same min-label fixpoint over the same
+    # deterministic pair graph -- one oracle certifies both algorithms
+    "near_dup_clusters_star": _NEARDUP_CLUSTERS_SQL,
 }
