@@ -825,12 +825,17 @@ def contamination_pairs_exact(
     :func:`contamination_pairs` (no hash family, so a decontamination
     pass built on it is oracle-checkable end to end).
 
-    The shingle-frequency ordering is computed over the UNION of both
-    sets so the two sides share one canonical total order (required for
-    the prefix theorem).  Scale posture matches the self-join variant:
-    gram/doc-keyed equi-joins only, candidate volume bounded by prefix
-    posting products, one exact verify per survivor; benchmark sets are
-    typically tiny next to the corpus, so its postings are short.
+    The shingle-frequency ordering is computed ONCE over the UNION of
+    both sets -- the two sides must share one canonical total order
+    (required by the prefix theorem), and a single build also halves the
+    ordering shuffles; each side is then a cheap semi-join slice of the
+    shared table.  The two inputs must carry disjoint ``doc_id`` spaces
+    (they are disjoint slices of one corpus in every consumer here; an
+    overlap would double-count that doc's grams in the ordering).  Scale
+    posture matches the self-join variant: gram/doc-keyed equi-joins
+    only, candidate volume bounded by prefix posting products, one exact
+    verify per survivor; benchmark sets are typically tiny next to the
+    corpus, so their postings are short.
 
     Returns ``(doc_id, benchmark_doc_id, jaccard)`` -- corpus ids in
     ``doc_id`` to match ``contamination_pairs``'s consumer contract.
@@ -840,24 +845,22 @@ def contamination_pairs_exact(
         s = t.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
         return s.select("doc_id", F.explode("shingles").alias("g"))
 
-    cg = _grams(corpus).localCheckpoint(eager=False)
-    bg = _grams(benchmark).localCheckpoint(eager=False)
-    gram_df = (
-        cg.unionByName(bg).groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    grams = (
+        _grams(corpus).unionByName(_grams(benchmark))
+        .localCheckpoint(eager=False)
     )
-
-    def _ordered(grams: DataFrame) -> DataFrame:
-        return (
-            grams.join(gram_df, "g")
-            .groupBy("doc_id")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("df", "g"))),
-                    lambda s: s["g"],
-                ).alias("shingles")
-            )
-            .localCheckpoint(eager=False)
+    gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    ordered_all = (
+        grams.join(gram_df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "g"))),
+                lambda s: s["g"],
+            ).alias("shingles")
         )
+        .localCheckpoint(eager=False)
+    )
 
     def _prefix(ordered: DataFrame) -> DataFrame:
         plen = (
@@ -871,7 +874,12 @@ def contamination_pairs_exact(
             F.explode(F.slice("shingles", F.lit(1), plen)).alias("g"),
         )
 
-    co, bo = _ordered(cg), _ordered(bg)
+    co = ordered_all.join(
+        corpus.select("doc_id"), "doc_id", "left_semi"
+    )
+    bo = ordered_all.join(
+        benchmark.select("doc_id"), "doc_id", "left_semi"
+    )
     size_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
         threshold
     ) * F.greatest(F.col("a.n"), F.col("b.n"))

@@ -1747,3 +1747,36 @@ def test_jaccard_prefix_pairs_lossless_vs_brute_force(spark, docs):
     assert set(got) == set(expected)
     for k, j in expected.items():
         assert abs(got[k] - j) < 1e-12
+
+
+def test_contamination_pairs_exact_lossless_vs_brute_force(spark, docs):
+    """Cross-set prefix filtering must equal brute-force corpus x
+    benchmark exact Jaccard at the threshold (shared ordering over the
+    union -- the prefix theorem's requirement)."""
+    sub = docs.filter(F.col("doc_id") < 150)
+    bench = sub.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    corp = sub.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    got = {
+        (r["doc_id"], r["benchmark_doc_id"]): r["jaccard"]
+        for r in dedup.contamination_pairs_exact(
+            corp, bench, n=3, threshold=0.5
+        ).collect()
+    }
+    toks = dedup._shingles(dedup._tokens(F.col("text")), 3)
+    sh = {
+        r["doc_id"]: set(r["s"])
+        for r in sub.select("doc_id", toks.alias("s")).collect()
+    }
+    expected = {}
+    for c in sh:
+        if c % 5 == 0:
+            continue
+        for b in sh:
+            if b % 5 != 0:
+                continue
+            u = sh[c] | sh[b]
+            if u and len(sh[c] & sh[b]) / len(u) >= 0.5:
+                expected[(c, b)] = len(sh[c] & sh[b]) / len(u)
+    assert set(got) == set(expected)
+    for k, j in expected.items():
+        assert abs(got[k] - j) < 1e-12
