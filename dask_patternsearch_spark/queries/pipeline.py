@@ -1849,6 +1849,10 @@ def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long").alias("n_chars"),
         )
 
+    # each stage result is consumed TWICE (its audit aggregate + the
+    # next stage's input -- d1 five times via the pair join); checkpoint
+    # the stage boundaries so the funnel executes each stage once
+    # instead of re-deriving the whole prefix upstream per consumer
     d1 = (
         docs.withColumn(
             "__rk",
@@ -1858,14 +1862,17 @@ def pretrain_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("__rk") == 1)
         .drop("__rk")
+        .localCheckpoint(eager=False)
     )
     verdicts = dedup.canonicalize_near_dups(
         d1, pairs=dedup.jaccard_prefix_pairs(d1, n=3, threshold=0.8)
     )
-    d2 = d1.join(verdicts.filter("kept").select("doc_id"), "doc_id")
+    d2 = d1.join(
+        verdicts.filter("kept").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
     d3 = d2.join(
         text.c4_quality_filter(d2).filter("keep").select("doc_id"), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     benchmark = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     corpus = d3.filter(F.col("source") != "src0")
     dirty = dedup.ngram_overlap_contamination(
