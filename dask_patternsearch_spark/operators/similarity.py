@@ -192,6 +192,7 @@ def semantic_dedup(
     n_cells: int = 16,
     seed: int = 7,
     sample_size: int = 2048,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means-cluster the embedding space, then within
@@ -212,10 +213,6 @@ def semantic_dedup(
     """
     import pandas as pd
 
-    sample = np.array(
-        [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
-        dtype=float,
-    )
     # the paper clusters L2-NORMALIZED embeddings (cosine geometry): a
     # scaled copy of a vector must land in the same cell as its original
     def _l2n(M: np.ndarray) -> np.ndarray:
@@ -223,7 +220,18 @@ def semantic_dedup(
         norms[norms == 0.0] = 1.0
         return M / norms[:, None]
 
-    cents = _train_kmeans(_l2n(sample), n_cells, seed)
+    if centroids is not None:
+        # explicit (already-normalized) cells -- e.g. deterministic seed
+        # vectors, which make the whole pass oracle-checkable
+        cents = np.asarray(centroids, dtype=float)
+        n_cells = len(cents)
+    else:
+        sample = np.array(
+            [r["embedding"]
+             for r in emb.select("embedding").limit(sample_size).collect()],
+            dtype=float,
+        )
+        cents = _train_kmeans(_l2n(sample), n_cells, seed)
 
     @F.pandas_udf("int")
     def cell_of(embs):

@@ -98,10 +98,109 @@ SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
 
 
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # threshold tuned to the synthetic corpus like embedding_near_dups:
-    # max pairwise cosine is ~0.51, so the paper's 0.95 cut would drop
-    # nothing; 0.4 exercises clustering + within-cluster greedy dedup
-    return similarity.semantic_dedup(_emb(spark, sf_dir), threshold=0.4, n_cells=8)
+    """SemDeDup (Abbas et al. 2023) with deterministic seeded cells: the
+    first 8 vectors (L2-normalized) are the coarse quantizer, so the
+    cell assignment, the ascending-vec_id greedy keep/drop chain and the
+    shadowing ``dup_of`` attribution are all value-checked against a
+    recursive DuckDB oracle (``_SEMANTIC_DEDUP_SQL``) -- the recursion
+    carries the cumulative decision table and decides one cell rank per
+    round.  Threshold tuned to the synthetic corpus like
+    embedding_near_dups: max pairwise cosine is ~0.51, so the paper's
+    0.95 cut would drop nothing; 0.4 exercises clustering + greedy dedup
+    (decision margins are ~1e-4 off the threshold vs ~1e-15 cross-engine
+    float noise).  The k-means-trained quantizer stays the operator
+    default, covered by the planted-dup/determinism property tests."""
+    import numpy as np
+
+    emb = _emb(spark, sf_dir)
+    rows = sorted(
+        emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    C = np.stack([np.asarray(r["embedding"], dtype=float) for r in rows])
+    norms = np.sqrt((C * C).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    return similarity.semantic_dedup(
+        emb, threshold=0.4, centroids=C / norms[:, None]
+    )
+
+
+# SemDeDup mirrored relationally: normalize, Voronoi-assign to the seed
+# cells, rank within cell by vec_id, then a recursion that carries the
+# full decision table and decides rank it+1 each round -- a candidate is
+# dropped iff its best kept prior (within-cell normalized dot, ranked
+# sim DESC / vec_id ASC like numpy's first-max argmax) reaches the
+# threshold.  96 rounds > the largest seeded cell (71) at the test SFs.
+_SEMANTIC_DEDUP_SQL = """
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+norm AS MATERIALIZED (
+  SELECT vec_id, list_transform(v, x -> x / nv) AS vn
+  FROM (
+    SELECT vec_id, v,
+           CASE WHEN sqrt(list_inner_product(v, v)) = 0 THEN 1.0
+                ELSE sqrt(list_inner_product(v, v)) END AS nv
+    FROM base
+  )
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell, vn AS cv FROM norm WHERE vec_id < 8
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell, vn FROM (
+    SELECT n.vec_id, c.cell, n.vn,
+           row_number() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY -2 * list_inner_product(n.vn, c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS pick
+    FROM norm n CROSS JOIN cents c
+  ) WHERE pick = 1
+),
+ranked AS MATERIALIZED (
+  SELECT vec_id, cell, vn,
+         row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+  FROM assign
+),
+pairs AS MATERIALIZED (
+  SELECT a.cell, a.rn AS rn_lo, b.rn AS rn_hi, a.vec_id AS vec_lo,
+         list_inner_product(a.vn, b.vn) AS sim
+  FROM ranked a JOIN ranked b
+    ON a.cell = b.cell AND a.rn < b.rn
+),
+greedy(vec_id, cell, rn, keep, dup_of, it) AS (
+    SELECT vec_id, cell, rn, TRUE, CAST(NULL AS BIGINT), 1
+    FROM ranked WHERE rn = 1
+  UNION ALL
+    SELECT * FROM (
+      SELECT vec_id, cell, rn, keep, dup_of, it + 1
+      FROM greedy WHERE it < 96
+      UNION ALL
+      SELECT c.vec_id, c.cell, c.rn,
+             coalesce(mx.ms < 0.4, TRUE) AS keep,
+             CASE WHEN mx.ms >= 0.4 THEN mx.mid END AS dup_of,
+             (SELECT max(it) FROM greedy) + 1 AS it
+      FROM ranked c
+      LEFT JOIN (
+        SELECT cell, rn_hi, ms, mid FROM (
+          SELECT p.cell, p.rn_hi, p.sim AS ms, p.vec_lo AS mid,
+                 row_number() OVER (PARTITION BY p.cell, p.rn_hi
+                                    ORDER BY p.sim DESC, p.vec_lo ASC) AS k
+          FROM pairs p
+          JOIN greedy g ON g.cell = p.cell AND g.rn = p.rn_lo AND g.keep
+        ) WHERE k = 1
+      ) mx ON mx.cell = c.cell AND mx.rn_hi = c.rn
+      WHERE c.rn = (SELECT max(it) FROM greedy) + 1
+        AND (SELECT max(it) FROM greedy) < 96
+    )
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(cell AS INT) AS cell,
+       keep,
+       dup_of
+FROM greedy WHERE it = 96
+"""
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2886,4 +2985,5 @@ ORACLE = {
     # the star variant reaches the same min-label fixpoint over the same
     # deterministic pair graph -- one oracle certifies both algorithms
     "near_dup_clusters_star": _NEARDUP_CLUSTERS_SQL,
+    "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
 }
