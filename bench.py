@@ -17,6 +17,7 @@ coverage-honest secondary metric.
 from __future__ import annotations
 
 import json
+import statistics
 import os
 import sys
 import time
@@ -168,7 +169,7 @@ def main() -> None:
                 samples[name].append(time.perf_counter() - t0)
         for name, ss in samples.items():
             if ss:
-                sweep[name] = round(sorted(ss)[len(ss) // 2], 3)
+                sweep[name] = round(statistics.median(ss), 3)
                 sweep_spread[name] = [round(min(ss), 3), round(max(ss), 3)]
 
     # BASELINE.md's tasks-to-converge metric: ledger size for sphere and

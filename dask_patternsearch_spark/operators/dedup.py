@@ -828,31 +828,33 @@ def contamination_pairs_exact(
     The shingle-frequency ordering is computed ONCE over the UNION of
     both sets -- the two sides must share one canonical total order
     (required by the prefix theorem), and a single build also halves the
-    ordering shuffles; each side is then a cheap semi-join slice of the
-    shared table.  The two inputs must carry disjoint ``doc_id`` spaces
-    (they are disjoint slices of one corpus in every consumer here; an
-    overlap would double-count that doc's grams in the ordering).  Scale
-    posture matches the self-join variant: gram/doc-keyed equi-joins
-    only, candidate volume bounded by prefix posting products, one exact
-    verify per survivor; benchmark sets are typically tiny next to the
-    corpus, so their postings are short.
+    ordering shuffles.  Rows are keyed by (side, doc_id), so overlapping
+    ``doc_id`` spaces are well-defined (each side's document stays its
+    own row; nothing merges or double-counts) and each side is recovered
+    by a free ``filter`` instead of a semi-join.  Scale posture matches
+    the self-join variant: gram/doc-keyed equi-joins only, candidate
+    volume bounded by prefix posting products, one exact verify per
+    survivor; benchmark sets are typically tiny next to the corpus, so
+    their postings are short.
 
     Returns ``(doc_id, benchmark_doc_id, jaccard)`` -- corpus ids in
     ``doc_id`` to match ``contamination_pairs``'s consumer contract.
     """
-    def _grams(df: DataFrame) -> DataFrame:
+    def _grams(df: DataFrame, side: str) -> DataFrame:
         t = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
         s = t.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
-        return s.select("doc_id", F.explode("shingles").alias("g"))
+        return s.select(
+            F.lit(side).alias("side"), "doc_id", F.explode("shingles").alias("g")
+        )
 
     grams = (
-        _grams(corpus).unionByName(_grams(benchmark))
+        _grams(corpus, "c").unionByName(_grams(benchmark, "b"))
         .localCheckpoint(eager=False)
     )
     gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ordered_all = (
         grams.join(gram_df, "g")
-        .groupBy("doc_id")
+        .groupBy("side", "doc_id")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "g"))),
@@ -874,12 +876,8 @@ def contamination_pairs_exact(
             F.explode(F.slice("shingles", F.lit(1), plen)).alias("g"),
         )
 
-    co = ordered_all.join(
-        corpus.select("doc_id"), "doc_id", "left_semi"
-    )
-    bo = ordered_all.join(
-        benchmark.select("doc_id"), "doc_id", "left_semi"
-    )
+    co = ordered_all.filter(F.col("side") == "c").drop("side")
+    bo = ordered_all.filter(F.col("side") == "b").drop("side")
     size_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
         threshold
     ) * F.greatest(F.col("a.n"), F.col("b.n"))

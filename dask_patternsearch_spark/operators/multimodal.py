@@ -70,7 +70,7 @@ def _builtin_png_decode(payload: bytes) -> np.ndarray:
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
     i, idat = 8, b""
-    w = h = bit = color = None
+    w = h = bit = color = method = None
     while i + 8 <= len(payload):
         ln = int.from_bytes(payload[i:i + 4], "big")
         typ = payload[i + 4:i + 8]
@@ -78,13 +78,18 @@ def _builtin_png_decode(payload: bytes) -> np.ndarray:
         if typ == b"IHDR":
             w, h = struct.unpack(">II", data[:8])
             bit, color = data[8], data[9]
+            method = tuple(data[10:13])  # compression, filter, interlace
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
             break
         i += 12 + ln
-    if not idat or bit != 8 or color != 0:
-        raise ValueError("builtin PNG decoder handles 8-bit grayscale only")
+    if not idat or bit != 8 or color != 0 or method != (0, 0, 0):
+        # bit/color: 8-bit grayscale only; method: compression and filter
+        # must be 0 and the image non-interlaced (Adam7 reorders scanlines
+        # into passes -- a sequential walk would decode wrong pixels)
+        raise ValueError("builtin PNG decoder handles 8-bit grayscale, "
+                         "method-0, non-interlaced only")
     raw = zlib.decompress(idat)
     stride = w + 1
     if len(raw) < stride * h:

@@ -454,9 +454,19 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form builtin PNG/WAV tests in tests/test_operators.py."""
     media = multimodal.attach_binary(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
+    # count recovery via round(feature * n_bytes) is exact only while
+    # n_bytes < 1e6 (extract_features pre-rounds to 6 dp); enforce the
+    # bound inside the expression so a >1 MB payload fails loudly instead
+    # of silently emitting wrong counts
+    nb = F.when(F.col("n_bytes") < F.lit(1_000_000), F.col("n_bytes")).otherwise(
+        F.raise_error(F.lit(
+            "multimodal_features: payload >= 1e6 bytes breaks 6-dp count "
+            "recovery; recompute counts pre-rounding instead"
+        ))
+    )
     counts = F.transform(
         "features",
-        lambda f: F.round(f * F.col("n_bytes")).cast("long").cast("string"),
+        lambda f: F.round(f * nb).cast("long").cast("string"),
     )
     return feats.select(
         "doc_id",

@@ -38,6 +38,7 @@ import glob
 import gzip
 import json
 import os
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -108,9 +109,23 @@ class _JsonlWriter(DataSourceWriter):
         # jobs, so `shard-{pid}` alone would silently clobber a previous
         # append's shards.  Millisecond-epoch keeps names lexically
         # increasing across jobs, which the streaming reader's offset
-        # contract relies on.  (Constructed driver-side, shipped to every
-        # task via writer serialization -- all tasks of one job share it.)
-        self._job = f"{int(time.time() * 1000):013d}"
+        # contract relies on; two same-millisecond jobs (or an NTP step
+        # backwards) would break both uniqueness and ordering, so the
+        # token is bumped past the highest already on disk.  (Constructed
+        # driver-side, shipped to every task via writer serialization --
+        # all tasks of one job share it.)
+        ms = int(time.time() * 1000)
+        try:
+            prior = max(
+                (int(name.split("-")[1])
+                 for name in os.listdir(self._path)
+                 if name.startswith("shard-") and name.count("-") >= 2
+                 and name.split("-")[1].isdigit()),
+                default=0,
+            )
+        except OSError:
+            prior = 0
+        self._job = f"{max(ms, prior + 1):013d}-{uuid.uuid4().hex[:8]}"
 
     def write(self, iterator):
         from pyspark import TaskContext
