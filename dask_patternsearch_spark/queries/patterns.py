@@ -13,7 +13,26 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from ..search import search
+
+
+def _canon_ledger(df: DataFrame) -> DataFrame:
+    """Stringify the ledger's array<double> columns (point, parent): the
+    driver's rows-only canonicalizer sorts every output column and dies on
+    list cells (pandas ``unhashable type: 'list'``).  Lattice coordinates
+    are exact binary fractions, so ``cast(double as string)`` is a stable
+    spelling; NULL parent stays NULL through ``array_join``'s null
+    propagation."""
+    s = lambda c: F.array_join(F.transform(c, lambda v: v.cast("string")), ",")
+    return df.select(
+        s("point").alias("point"),
+        "halvings",
+        s("parent").alias("parent"),
+        "is_accepted",
+        "cost",
+    )
 
 
 def _sphere(x: np.ndarray) -> float:
@@ -28,7 +47,7 @@ def pattern_search_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serial-mode sphere minimization; returns the evaluation ledger."""
     best, results = search(_sphere, [10.0, 15.0], [1.0, 1.0], seed=42)
     assert abs(best.point).max() < 0.02
-    return results.to_spark(spark)
+    return _canon_ledger(results.to_spark(spark))
 
 
 def pattern_search_rosenbrock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,7 +55,7 @@ def pattern_search_rosenbrock(spark: SparkSession, sf_dir: str) -> DataFrame:
     best, results = search(
         _rosenbrock, np.full(5, 2.0), np.full(5, 0.5), max_tasks=1500, seed=42
     )
-    return results.to_spark(spark)
+    return _canon_ledger(results.to_spark(spark))
 
 
 def pattern_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +70,7 @@ def pattern_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sphere_vec, [10.0, 15.0], [1.0, 1.0],
         spark=spark, vectorize=True, batchsize=16, stopratio=0.05, seed=42,
     )
-    return results.to_spark(spark)
+    return _canon_ledger(results.to_spark(spark))
 
 
 def pattern_search_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,7 +88,7 @@ def pattern_search_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline_depth=2,
     )
     assert abs(best.point).max() < 0.8  # coarse stop: 0.05 stopratio grid
-    return results.to_spark(spark)
+    return _canon_ledger(results.to_spark(spark))
 
 
 def pattern_search_sphere_100d(spark: SparkSession, sf_dir: str) -> DataFrame:

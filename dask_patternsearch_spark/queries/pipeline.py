@@ -566,10 +566,11 @@ def _stream_session(spark: SparkSession) -> SparkSession:
 
 def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation over a file-source stream of
-    the events table, drained with an availableNow trigger; returns the
-    materialized result (rows-only check -- streaming execution is not
-    SQL-expressible, but its answer equals ``events_hourly``, asserted in
-    tests/test_streaming.py)."""
+    the events table, drained with an availableNow trigger.  ORACLE-checked:
+    the complete-mode drain of a finite stream is the batch aggregation
+    (no state is evicted in complete mode), so the final table equals a
+    plain GROUP BY over the same hours -- the window start is emitted as
+    epoch millis so both engines spell the value identically."""
     from ..streaming import events as sev
 
     _STREAM_SEQ[0] += 1
@@ -577,12 +578,30 @@ def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = _stream_session(spark)
     stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
     sev.run_to_memory(sev.hourly_counts_stream(stream), name, s2)
-    return s2.table(name)
+    return s2.table(name).select(
+        F.unix_millis(F.col("hour_start")).alias("hour_ms"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+_STREAMING_HOURLY_SQL = """
+SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+       event_type,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
 
 
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native gap-based session windows over the event stream (rows-only;
-    cross-checked against the batch lag-based sessionization in tests)."""
+    """Native gap-based session windows over the event stream.
+    ORACLE-checked: the complete-mode drain of the finite stream equals
+    the batch lag+cumsum islands formulation (same boundary rule as
+    ``session_window_batch``: a gap of exactly 30 min starts a NEW
+    session)."""
     from ..streaming import events as sev
 
     _STREAM_SEQ[0] += 1
@@ -590,7 +609,33 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = _stream_session(spark)
     stream = sev.read_events_stream(s2, sf_dir, glob="events.parquet")
     sev.run_to_memory(sev.session_counts_stream(stream), name, s2)
-    return s2.table(name)
+    return s2.table(name).select(
+        "user_id",
+        F.unix_millis(F.col("session_start")).alias("session_start_ms"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+_STREAMING_SESSIONS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+),
+m AS (
+  SELECT *, CASE WHEN ts_ms - lag(ts_ms) OVER
+                      (PARTITION BY user_id ORDER BY ts_ms, event_id)
+                      >= 1800000 THEN 1 ELSE 0 END AS is_new
+  FROM ev
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                              ROWS UNBOUNDED PRECEDING) AS seq
+  FROM m
+)
+SELECT user_id,
+       CAST(min(ts_ms) AS BIGINT) AS session_start_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, seq
+"""
 
 
 def streaming_incumbent_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -621,7 +666,33 @@ def streaming_incumbent_minima(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return s2.table(name)
+    # the memory sink holds the stream of improvements; collapse to the
+    # FINAL incumbent per group (min cost, its point), which is the
+    # deterministic quantity a finite drain converges to regardless of
+    # micro-batch boundaries -- and makes the query oracle-checkable.
+    # The point column is unnested to its single coordinate (scalar
+    # double; list cells break the driver's canonicalizer).
+    t = s2.table(name)
+    return (
+        t.groupBy("group")
+        .agg(F.min_by(F.struct("point", "cost"), F.col("cost")).alias("s"))
+        .select(
+            "group",
+            F.element_at(F.col("s.point"), 1).alias("point_0"),
+            F.col("s.cost").alias("cost"),
+        )
+    )
+
+
+# the incumbent's point for this stream is array(value), so the final
+# per-group incumbent is (min value, min value)
+_STREAMING_INCUMBENT_SQL = """
+SELECT event_type AS "group",
+       min(value) AS point_0,
+       min(value) AS cost
+FROM events
+GROUP BY event_type
+"""
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -640,6 +711,13 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         sev.dedup_events_stream(doubled), name, s2, output_mode="append"
     )
     return s2.table(name)
+
+
+# event_id is unique in the events table (checked at every SF), so
+# exactly-once dedup of the self-unioned stream is the table itself
+_STREAMING_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+"""
 
 
 
@@ -1144,6 +1222,22 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s2.table(name)
 
 
+# identical semantics to the batch range_join twin
+# (relational._INTERVAL_JOIN_SQL): inner matches emit as found, so the
+# finite drain is exactly the batch join
+_STREAMING_SSJOIN_SQL = """
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_ms(ts) AS c_ms
+           FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS p_ms
+           FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, c.click_id, p.p_ms - c.c_ms AS gap_ms
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ms >= p.p_ms - 600000
+ AND c.c_ms < p.p_ms
+"""
+
+
 def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join, drained deterministically:
     unmatched purchases only emit once the WATERMARK passes their match
@@ -1225,6 +1319,35 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the flushed region's cut is pure data arithmetic (staging cut at
+# lo + trunc(0.8*(hi-lo)); flushed = max early ts - watermark delay -
+# slack), so the provably-drained left join is batch-expressible
+_STREAMING_SSLEFT_SQL = """
+WITH bounds AS (
+  SELECT epoch_ms(min(ts)) AS lo, epoch_ms(max(ts)) AS hi FROM events
+),
+cut AS (
+  SELECT lo + CAST(trunc((hi - lo) * 0.8) AS BIGINT) AS cut_ms FROM bounds
+),
+ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ms FROM events
+),
+em AS (
+  SELECT max(ms) - 3600000 - 1000 AS flushed
+  FROM ev, cut WHERE ms < cut_ms
+),
+p AS (SELECT user_id AS pu, event_id AS pid, ms AS pms FROM ev
+      WHERE event_type = 'purchase'),
+c AS (SELECT user_id AS cu, event_id AS cid, ms AS cms FROM ev
+      WHERE event_type = 'click')
+SELECT pu AS user_id, pid AS purchase_id, cid AS click_id,
+       pms - cms AS gap_ms
+FROM p LEFT JOIN c
+  ON pu = cu AND cms >= pms - 600000 AND cms < pms
+WHERE pms <= (SELECT flushed FROM em)
+"""
+
+
 def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator over the event stream: the
     per-event-type running minimum of ``value`` via
@@ -1262,6 +1385,13 @@ def streaming_running_minimum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("group")
         .agg(F.min("cost").alias("best_cost"))
     )
+
+
+_STREAMING_RUNMIN_SQL = """
+SELECT event_type AS "group", min(value) AS best_cost
+FROM events
+GROUP BY event_type
+"""
 
 
 def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1847,6 +1977,17 @@ def streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sev.run_to_memory(sev.enrich_stream(stream, dim), name, s2)
     return s2.table(name)
+
+
+# the stream-static broadcast join re-reads the dimension per batch; with
+# a static dimension and a finite drain it equals the batch left join
+_STREAMING_ENRICHED_SQL = """
+SELECT c.c_mktsegment,
+       count(*)             AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1
+"""
 
 
 def scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2996,4 +3137,18 @@ ORACLE = {
     # deterministic pair graph -- one oracle certifies both algorithms
     "near_dup_clusters_star": _NEARDUP_CLUSTERS_SQL,
     "semantic_dedup_embeddings": _SEMANTIC_DEDUP_SQL,
+    # streaming queries whose finite availableNow drain is deterministic
+    # and equal to a batch formulation (complete-mode aggregations evict
+    # no state; inner joins emit matches as found; the left join is cut
+    # to the provably-flushed region; dedup keys are unique); streaming
+    # EXECUTION stays covered by tests/test_streaming.py, these oracles
+    # certify the drained ANSWERS
+    "streaming_hourly_events": _STREAMING_HOURLY_SQL,
+    "streaming_session_windows": _STREAMING_SESSIONS_SQL,
+    "streaming_incumbent_minima": _STREAMING_INCUMBENT_SQL,
+    "streaming_dedup_events": _STREAMING_DEDUP_SQL,
+    "streaming_interval_join": _STREAMING_SSJOIN_SQL,
+    "streaming_left_interval_join": _STREAMING_SSLEFT_SQL,
+    "streaming_running_minimum": _STREAMING_RUNMIN_SQL,
+    "streaming_enriched_events": _STREAMING_ENRICHED_SQL,
 }
