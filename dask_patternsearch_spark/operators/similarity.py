@@ -414,15 +414,27 @@ def kmeans_clusters(
     with centroids in place of the incumbent.
 
     Init is deterministic: the k vectors ranked first by
-    ``xxhash64(vec_id, seed)`` (a seeded pseudo-random draw with no
-    ``rand()``, reproducible across retries and partitionings).
+    ``md5(vec_id || ':' || seed)`` (a seeded pseudo-random draw with no
+    ``rand()``, reproducible across retries, partitionings AND engines --
+    md5 is the one keyed hash DuckDB shares, which makes the whole
+    training loop oracle-checkable).
+
+    Updated centroid coordinates are snapped to 6 decimals (half-up,
+    ``floor(x*1e6+0.5)/1e6`` on both engines): a distributed ``sum`` adds
+    in nondeterministic order, so unrounded means carry ~1e-16 noise that
+    would make assignments engine- (and run-) dependent near cell
+    boundaries; the snap makes every iteration bit-reproducible while
+    moving centroids by < 1e-6, far under the assignment margins.
 
     Returns one row per cluster: size, inertia contribution, and the
     centroid norm -- the k-row summary, never the assignment itself.
     """
     init = (
         emb.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id", F.lit(seed)), F.asc("vec_id"))
+        .orderBy(
+            F.md5(F.concat_ws(":", F.col("vec_id"), F.lit(int(seed)))),
+            F.asc("vec_id"),
+        )
         .limit(k)
         .collect()
     )
@@ -443,9 +455,10 @@ def kmeans_clusters(
         )
         new = cents.copy()  # empty cells keep their old centroid
         for r in sums:
-            new[r["cell"], r["dim"]] = r["s"] / r["n"]
-        if np.allclose(new, cents, atol=1e-9):
-            cents = new
+            # half-up 6-dp snap (same spelling as the oracle; np.round
+            # would be half-even)
+            new[r["cell"], r["dim"]] = np.floor(r["s"] / r["n"] * 1e6 + 0.5) / 1e6
+        if np.array_equal(new, cents):  # exact fixpoint under the 6-dp snap
             break
         cents = new
 

@@ -2344,7 +2344,82 @@ LIMIT 10
 
 
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, ORACLE-checked end to end: md5-seeded
+    init and the half-up 6-dp centroid snap (see ``kmeans_clusters``) make
+    every training iteration bit-reproducible across engines, so the
+    whole loop -- init draw, 8 assignment/update rounds, final
+    assignment, inertia -- is replayed by a recursive DuckDB CTE
+    (``_KMEANS_SQL``) carrying the centroid list through the rounds."""
     return similarity.kmeans_clusters(_emb(spark, sf_dir), k=16, iters=8)
+
+
+# Lloyd's replayed relationally: the recursion state is ONE row per round
+# holding the k x d centroid list; each step Voronoi-assigns every vector
+# (same full ||v||^2 - 2<v,c> + ||c||^2 distance spelling as the engine's
+# argmin UDF), re-averages per (cell, dim) with the identical half-up 6-dp
+# snap, and keeps empty cells' old centroids.  Running all 8 rounds is
+# engine-equivalent even when the engine early-stops: the snap makes
+# convergence an exact fixpoint, so extra rounds are no-ops.
+_KMEANS_SQL = """
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+init AS MATERIALIZED (
+  SELECT list(v ORDER BY h, vec_id) AS cents FROM (
+    SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || ':7') AS h
+    FROM base ORDER BY h, vec_id LIMIT 16
+  )
+),
+lloyd(it, cents) AS (
+  SELECT 0 AS it, cents FROM init
+  UNION ALL
+  SELECT l.it + 1,
+    (SELECT list(coalesce(u.cv, l.cents[ci.i + 1]) ORDER BY ci.i)
+     FROM (SELECT unnest(range(0, 16)) AS i) ci
+     LEFT JOIN (
+       SELECT cell, list(m ORDER BY dim) AS cv FROM (
+         SELECT cell, dim,
+                floor(sum(val) / count(*) * 1000000 + 0.5) / 1000000 AS m
+         FROM (
+           SELECT a.cell, d.i AS dim, a.v[d.i] AS val
+           FROM (
+             SELECT vec_id, v, list_position(dd, list_min(dd)) - 1 AS cell
+             FROM (
+               SELECT vec_id, v,
+                      list_transform(l.cents,
+                        c -> list_inner_product(v, v)
+                             - 2 * list_inner_product(v, c)
+                             + list_inner_product(c, c)) AS dd
+               FROM base
+             )
+           ) a, LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) d
+         ) GROUP BY cell, dim
+       ) GROUP BY cell
+     ) u ON u.cell = ci.i)
+  FROM lloyd l WHERE l.it < 8
+),
+fin AS MATERIALIZED (SELECT cents FROM lloyd WHERE it = 8),
+asg AS (
+  SELECT vec_id, list_position(dd, list_min(dd)) - 1 AS cell,
+         greatest(list_min(dd), 0) AS sqd
+  FROM (
+    SELECT b.vec_id,
+           list_transform(f.cents,
+             c -> list_inner_product(b.v, b.v)
+                  - 2 * list_inner_product(b.v, c)
+                  + list_inner_product(c, c)) AS dd
+    FROM base b, fin f
+  )
+)
+SELECT CAST(a.cell AS INT) AS cell,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(sum(a.sqd), 4) AS inertia,
+       round(sqrt(list_inner_product(f.cents[a.cell + 1], f.cents[a.cell + 1])), 6)
+         AS centroid_norm
+FROM asg a, fin f
+GROUP BY a.cell, f.cents
+"""
 
 
 def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3151,4 +3226,5 @@ ORACLE = {
     "streaming_left_interval_join": _STREAMING_SSLEFT_SQL,
     "streaming_running_minimum": _STREAMING_RUNMIN_SQL,
     "streaming_enriched_events": _STREAMING_ENRICHED_SQL,
+    "kmeans_embedding_clusters": _KMEANS_SQL,
 }
