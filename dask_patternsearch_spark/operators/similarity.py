@@ -101,11 +101,28 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
-def _train_kmeans(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
-    """Tiny deterministic Lloyd's k-means for the coarse quantizer."""
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-    cents = sample[idx].copy()
+def _train_kmeans(
+    sample: np.ndarray,
+    n_cells: int,
+    seed: int,
+    iters: int = 10,
+    *,
+    init: np.ndarray | None = None,
+    snap: bool = False,
+) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means for the coarse quantizer.
+
+    ``init`` overrides the seeded-rng init with caller-chosen centroids;
+    ``snap`` applies the half-up 6-dp coordinate snap after each update
+    (same spelling as :func:`kmeans_clusters`), which makes the training
+    trajectory bit-reproducible across engines -- the oracle-checkable
+    mode ``ivf_topk`` uses."""
+    if init is not None:
+        cents = init.copy()
+    else:
+        rng = np.random.default_rng(seed)
+        idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+        cents = sample[idx].copy()
     for _ in range(iters):
         d = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
@@ -113,6 +130,8 @@ def _train_kmeans(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) 
             members = sample[assign == c]
             if len(members):
                 cents[c] = members.mean(axis=0)
+                if snap:
+                    cents[c] = np.floor(cents[c] * 1e6 + 0.5) / 1e6
     return cents
 
 
@@ -132,12 +151,26 @@ def ivf_topk(
     for IVF builds); assignment is a broadcast argmin, and the search join
     is an equi-join on cell id -- candidate volume drops by
     ~``n_probe/n_cells`` versus brute force.
+
+    The sample is a DETERMINISTIC seeded draw -- the ``sample_size``
+    vectors ranked first by ``md5(vec_id || ':' || seed)`` -- rather than
+    an order-dependent ``limit()``; with init = the first ``n_cells`` of
+    that ranking and the 6-dp snap, the trained quantizer (and hence the
+    whole search) is bit-reproducible and oracle-checkable.
     """
-    sample = np.array(
-        [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
-        dtype=float,
+    sample_rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy(
+            F.md5(F.concat_ws(":", F.col("vec_id"), F.lit(int(seed)))),
+            F.asc("vec_id"),
+        )
+        .limit(sample_size)
+        .collect()
     )
-    cents = _train_kmeans(sample, n_cells, seed)
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=float)
+    cents = _train_kmeans(
+        sample, n_cells, seed, init=sample[:n_cells], snap=True
+    )
 
     def nearest_cells_udf(n: int):
         """Vectorized n-nearest-centroid assignment: one numpy distance

@@ -216,7 +216,103 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a TRAINED coarse quantizer, ORACLE-checked end to
+    end: the quantizer trains on a deterministic md5-ranked sample with
+    6-dp-snapped Lloyd updates (``similarity.ivf_topk``), so the DuckDB
+    oracle (``_IVF_TOPK_SQL``) replays the training recursion, the
+    Voronoi assignment, the 3-cell probe and the exact cosine re-rank --
+    unlike ``ivf_layout_topk_embeddings`` (seeded, untrained centroids),
+    this certifies the full train/assign/probe/re-rank chain."""
     return similarity.ivf_topk(_emb(spark, sf_dir), n_queries=8, k=5, n_probe=3)
+
+
+# The trained-IVF search replayed relationally: sample = the 2048 vectors
+# ranked first by md5(vec_id || ':7') (all of them at test SFs), init =
+# the first 16 of that ranking, 10 Lloyd rounds over the SAMPLE with the
+# same half-up 6-dp snap, then assignment/probe via the engine's
+# -2<v,c> + <c,c> distance form and an exact cosine top-5 within probed
+# cells.
+_IVF_TOPK_SQL = """
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+samp AS MATERIALIZED (
+  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rk FROM (
+    SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || ':7') AS h
+    FROM base ORDER BY h, vec_id LIMIT 2048
+  )
+),
+init AS MATERIALIZED (
+  SELECT list(v ORDER BY rk) AS cents FROM samp WHERE rk <= 16
+),
+lloyd(it, cents) AS (
+  SELECT 0 AS it, cents FROM init
+  UNION ALL
+  SELECT l.it + 1,
+    (SELECT list(coalesce(u.cv, l.cents[ci.i + 1]) ORDER BY ci.i)
+     FROM (SELECT unnest(range(0, 16)) AS i) ci
+     LEFT JOIN (
+       SELECT cell, list(m ORDER BY dim) AS cv FROM (
+         SELECT cell, dim,
+                floor(sum(val) / count(*) * 1000000 + 0.5) / 1000000 AS m
+         FROM (
+           SELECT a.cell, d.i AS dim, a.v[d.i] AS val
+           FROM (
+             SELECT vec_id, v, list_position(dd, list_min(dd)) - 1 AS cell
+             FROM (
+               SELECT vec_id, v,
+                      list_transform(l.cents,
+                        c -> list_inner_product(v, v)
+                             - 2 * list_inner_product(v, c)
+                             + list_inner_product(c, c)) AS dd
+               FROM samp
+             )
+           ) a, LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) d
+         ) GROUP BY cell, dim
+       ) GROUP BY cell
+     ) u ON u.cell = ci.i)
+  FROM lloyd l WHERE l.it < 10
+),
+cents AS MATERIALIZED (
+  SELECT ci - 1 AS cell, f.cents[ci] AS cv
+  FROM (SELECT cents FROM lloyd WHERE it = 10) f,
+       LATERAL (SELECT unnest(range(1, 17)) AS ci) u
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY -2 * list_inner_product(b.v, c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * list_inner_product(q.v, c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM base q CROSS JOIN cents c WHERE q.vec_id < 8
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, b.v), 6) AS cosine_sim
+  FROM qprobe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN base b ON b.vec_id = a.vec_id AND b.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
 
 
 # ---- text analysis ----------------------------------------------------------
@@ -3227,4 +3323,5 @@ ORACLE = {
     "streaming_running_minimum": _STREAMING_RUNMIN_SQL,
     "streaming_enriched_events": _STREAMING_ENRICHED_SQL,
     "kmeans_embedding_clusters": _KMEANS_SQL,
+    "ivf_topk": _IVF_TOPK_SQL,
 }
