@@ -158,16 +158,7 @@ def ivf_topk(
     that ranking and the 6-dp snap, the trained quantizer (and hence the
     whole search) is bit-reproducible and oracle-checkable.
     """
-    sample_rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy(
-            F.md5(F.concat_ws(":", F.col("vec_id"), F.lit(int(seed)))),
-            F.asc("vec_id"),
-        )
-        .limit(sample_size)
-        .collect()
-    )
-    sample = np.array([r["embedding"] for r in sample_rows], dtype=float)
+    sample = _det_sample(emb, sample_size, seed)
     cents = _train_kmeans(
         sample, n_cells, seed, init=sample[:n_cells], snap=True
     )
@@ -518,15 +509,40 @@ def kmeans_clusters(
     )
 
 
+def _det_sample(
+    emb: DataFrame, sample_size: int, seed: int, vec_col: str = "embedding"
+) -> np.ndarray:
+    """Deterministic training sample: the ``sample_size`` vectors ranked
+    first by ``md5(vec_id || ':' || seed)`` -- a seeded pseudo-random draw
+    that is reproducible across retries, partitionings and engines
+    (replacing an order-dependent ``limit()``), which makes every
+    quantizer trained from it oracle-checkable."""
+    rows = (
+        emb.select("vec_id", vec_col)
+        .orderBy(
+            F.md5(F.concat_ws(":", F.col("vec_id"), F.lit(int(seed)))),
+            F.asc("vec_id"),
+        )
+        .limit(sample_size)
+        .collect()
+    )
+    return np.array([r[vec_col] for r in rows], dtype=float)
+
+
 def _train_pq(sample: np.ndarray, m: int, k: int, seed: int) -> np.ndarray:
     """Per-subspace codebooks, shape (m, k, d/m): independent k-means on
-    each of the m dimension groups (Jegou et al., PAMI 2011)."""
+    each of the m dimension groups (Jegou et al., PAMI 2011).  Init is
+    each subspace's slice of the first ``k`` sample vectors, updates are
+    6-dp snapped -- the deterministic, oracle-checkable mode throughout."""
     d = sample.shape[1]
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m} subspaces")
     sub = d // m
     return np.stack([
-        _train_kmeans(sample[:, j * sub:(j + 1) * sub], k, seed + j)
+        _train_kmeans(
+            sample[:, j * sub:(j + 1) * sub], k, seed + j,
+            init=sample[:k, j * sub:(j + 1) * sub], snap=True,
+        )
         for j in range(m)
     ])
 
@@ -551,10 +567,7 @@ def pq_encode(
     (bounded, standard for PQ builds); encoding is an Arrow-batched
     map-only pass -- for each subspace one (batch, k) distance matrix.
     """
-    sample = np.array(
-        [r[vec_col] for r in emb.select(vec_col).limit(sample_size).collect()],
-        dtype=float,
-    )
+    sample = _det_sample(emb, sample_size, seed, vec_col)
     books = _train_pq(sample, m, k, seed)
     sub = books.shape[2]
 
@@ -701,11 +714,8 @@ def ivfpq_topk(
     x - centroid, FAISS's default) drops in by shifting each subvector
     before encode; plain PQ keeps the oracle-testable structure simple.
     """
-    sample = np.array(
-        [r["embedding"] for r in emb.select("embedding").limit(sample_size).collect()],
-        dtype=float,
-    )
-    cents = _train_kmeans(sample, n_cells, seed)
+    sample = _det_sample(emb, sample_size, seed)
+    cents = _train_kmeans(sample, n_cells, seed, init=sample[:n_cells], snap=True)
     codes_df, books = pq_encode(emb, m=m, k=n_codes, seed=seed)
     sub = books.shape[2]
     index = (

@@ -208,11 +208,181 @@ def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-PQ (ADC) search, ORACLE-checked end to end: codebooks
+    train on the deterministic md5-ranked sample with 6-dp-snapped Lloyd
+    updates, so the DuckDB oracle (``_PQ_TOPK_SQL``) replays the 16
+    per-subspace training recursions, the nibble encoding, the query
+    lookup tables and the summed-lookup ranking."""
     return similarity.pq_topk(_emb(spark, sf_dir), n_queries=8, k=5)
 
 
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVF+PQ composition, ORACLE-checked end to end: the
+    deterministic coarse quantizer routes each query to 4 probe cells and
+    ADC lookup tables score the candidates inside them -- the oracle
+    (``_IVFPQ_TOPK_SQL``) replays both trained quantizers plus the
+    probe/score/rank chain."""
     return similarity.ivfpq_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
+# Shared fragments of the PQ oracles: deterministic md5-ranked sample;
+# 16 per-subspace codebooks (64 codewords x 4 dims) trained by a
+# subspace-keyed Lloyd recursion with the engine's half-up 6-dp snap;
+# encode/lookup use the engine's full ||x||^2 - 2<x,c> + ||c||^2 distance
+# spelling.  The recursion runs over the BOUNDED sample (<= 2048 rows),
+# so oracle cost is constant in corpus size.
+_PQ_COMMON = """
+base AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+samp AS MATERIALIZED (
+  SELECT vec_id, v, row_number() OVER (ORDER BY h, vec_id) AS rk FROM (
+    SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR) || ':7') AS h
+    FROM base ORDER BY h, vec_id LIMIT 2048)
+),
+subs AS MATERIALIZED (
+  SELECT s.rk, jj.j, list_slice(s.v, jj.j * 4 + 1, jj.j * 4 + 4) AS sv
+  FROM samp s, LATERAL (SELECT unnest(range(0, 16)) AS j) jj
+),
+pqinit AS MATERIALIZED (
+  SELECT j, list(sv ORDER BY rk) AS cents FROM subs WHERE rk <= 64 GROUP BY j
+),
+pq(it, j, cents) AS (
+  SELECT 0, j, cents FROM pqinit
+  UNION ALL
+  SELECT l.it + 1, l.j,
+    (SELECT list(coalesce(u.cv, l.cents[ci.i + 1]) ORDER BY ci.i)
+     FROM (SELECT unnest(range(0, 64)) AS i) ci
+     LEFT JOIN (
+       SELECT cell, list(m ORDER BY dim) AS cv FROM (
+         SELECT cell, dim, floor(sum(val) / count(*) * 1000000 + 0.5) / 1000000 AS m
+         FROM (
+           SELECT a.cell, d.i AS dim, a.sv[d.i] AS val
+           FROM (
+             SELECT sv, list_position(dd, list_min(dd)) - 1 AS cell
+             FROM (
+               SELECT sv, list_transform(l.cents,
+                        c -> list_inner_product(sv, sv) - 2 * list_inner_product(sv, c)
+                             + list_inner_product(c, c)) AS dd
+               FROM subs WHERE subs.j = l.j
+             )
+           ) a, LATERAL (SELECT unnest(range(1, 5)) AS i) d
+         ) GROUP BY cell, dim
+       ) GROUP BY cell
+     ) u ON u.cell = ci.i)
+  FROM pq l WHERE l.it < 10
+),
+books AS MATERIALIZED (SELECT j, cents FROM pq WHERE it = 10),
+codes AS MATERIALIZED (
+  SELECT vec_id, j, list_position(dd, list_min(dd)) - 1 AS code
+  FROM (
+    SELECT t.vec_id, t.j,
+           list_transform(t.cents, c ->
+             list_inner_product(t.sv, t.sv) - 2 * list_inner_product(t.sv, c)
+             + list_inner_product(c, c)) AS dd
+    FROM (
+      SELECT b.vec_id, bk.j, bk.cents,
+             list_slice(b.v, bk.j * 4 + 1, bk.j * 4 + 4) AS sv
+      FROM base b CROSS JOIN books bk
+    ) t
+  )
+),
+qtab AS MATERIALIZED (
+  SELECT query_id, j, ci.i - 1 AS code,
+         list_inner_product(sv, sv) - 2 * list_inner_product(sv, cents[ci.i])
+         + list_inner_product(cents[ci.i], cents[ci.i]) AS dist
+  FROM (
+    SELECT q.vec_id AS query_id, bk.j, bk.cents,
+           list_slice(q.v, bk.j * 4 + 1, bk.j * 4 + 4) AS sv
+    FROM base q CROSS JOIN books bk WHERE q.vec_id < 8
+  ) t, LATERAL (SELECT unnest(range(1, 65)) AS i) ci
+)
+"""
+
+_PQ_TOPK_SQL = f"""
+WITH RECURSIVE
+{_PQ_COMMON},
+scored AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, round(sum(t.dist), 6) AS sqdist
+  FROM codes c JOIN qtab t ON t.j = c.j AND t.code = c.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sqdist ASC, neighbor_id ASC) AS rnk FROM scored)
+SELECT query_id, neighbor_id, sqdist, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+# IVF+PQ: the coarse quantizer is the same trained-Lloyd recursion as
+# _IVF_TOPK_SQL (full vectors, 16 cells, 10 rounds); each query probes
+# its 4 nearest cells and only candidates assigned there are ADC-scored.
+_IVFPQ_TOPK_SQL = f"""
+WITH RECURSIVE
+{_PQ_COMMON},
+coarse(it, cents) AS (
+  SELECT 0 AS it, (SELECT list(v ORDER BY rk) FROM samp WHERE rk <= 16) AS cents
+  UNION ALL
+  SELECT l.it + 1,
+    (SELECT list(coalesce(u.cv, l.cents[ci.i + 1]) ORDER BY ci.i)
+     FROM (SELECT unnest(range(0, 16)) AS i) ci
+     LEFT JOIN (
+       SELECT cell, list(m ORDER BY dim) AS cv FROM (
+         SELECT cell, dim, floor(sum(val) / count(*) * 1000000 + 0.5) / 1000000 AS m
+         FROM (
+           SELECT a.cell, d.i AS dim, a.v[d.i] AS val
+           FROM (
+             SELECT vec_id, v, list_position(dd, list_min(dd)) - 1 AS cell
+             FROM (
+               SELECT vec_id, v,
+                      list_transform(l.cents,
+                        c -> list_inner_product(v, v) - 2 * list_inner_product(v, c)
+                             + list_inner_product(c, c)) AS dd
+               FROM samp
+             )
+           ) a, LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) d
+         ) GROUP BY cell, dim
+       ) GROUP BY cell
+     ) u ON u.cell = ci.i)
+  FROM coarse l WHERE l.it < 10
+),
+ccents AS MATERIALIZED (
+  SELECT ci - 1 AS cell, f.cents[ci] AS cv
+  FROM (SELECT cents FROM coarse WHERE it = 10) f,
+       LATERAL (SELECT unnest(range(1, 17)) AS ci) u
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY -2 * list_inner_product(b.v, c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN ccents c
+  ) WHERE rn = 1
+),
+qprobe AS MATERIALIZED (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * list_inner_product(q.v, c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM base q CROSS JOIN ccents c WHERE q.vec_id < 8
+  ) WHERE rn <= 4
+),
+scored AS (
+  SELECT t.query_id, c.vec_id AS neighbor_id, round(sum(t.dist), 6) AS sqdist
+  FROM codes c
+  JOIN assign a ON a.vec_id = c.vec_id
+  JOIN qprobe p ON p.cell = a.cell
+  JOIN qtab t ON t.query_id = p.query_id AND t.j = c.j AND t.code = c.code
+  WHERE c.vec_id <> t.query_id
+  GROUP BY t.query_id, c.vec_id
+),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sqdist ASC, neighbor_id ASC) AS rnk FROM scored)
+SELECT query_id, neighbor_id, sqdist, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3324,4 +3494,6 @@ ORACLE = {
     "streaming_enriched_events": _STREAMING_ENRICHED_SQL,
     "kmeans_embedding_clusters": _KMEANS_SQL,
     "ivf_topk": _IVF_TOPK_SQL,
+    "pq_topk_embeddings": _PQ_TOPK_SQL,
+    "ivfpq_topk_embeddings": _IVFPQ_TOPK_SQL,
 }
