@@ -786,17 +786,41 @@ def heavy_hitter_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 15% of orders.
 
     Sketch contract: NO false negatives (every true heavy hitter is in
-    the candidate set), possible false positives -- the containment
-    property the test asserts.  Scale: single pass, mergeable per-
-    partition state, no shuffle of the data itself.  Rows-only check
-    (candidate sets are implementation-defined).
+    the candidate set), possible false positives.  The query runs the
+    standard TWO-PASS form: the sketch prunes to a tiny candidate set,
+    then an exact count over the candidates alone removes the false
+    positives -- so the output is the EXACT set of >15% priorities with
+    exact counts, and the query is ORACLE-checked (a plain
+    GROUP BY/HAVING in DuckDB).  Scale: pass 1 is single-pass mergeable
+    per-partition state with no data shuffle; pass 2 aggregates only
+    rows semi-joined to the few candidates.
     """
+    orders = _t(spark, sf_dir, "orders")
     cands = (
-        _t(spark, sf_dir, "orders")
-        .stat.freqItems(["o_orderpriority"], support=0.15)
+        orders.stat.freqItems(["o_orderpriority"], support=0.15)
         .select(F.explode("o_orderpriority_freqItems").alias("candidate"))
     )
-    return cands.orderBy("candidate")
+    total = orders.count()
+    return (
+        orders.join(
+            F.broadcast(cands),
+            orders["o_orderpriority"] == cands["candidate"],
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("candidate"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 0.15 * total)
+        .orderBy("candidate")
+    )
+
+
+_HEAVY_HITTER_SQL = """
+SELECT o_orderpriority AS candidate,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1
+HAVING count(*) > 0.15 * (SELECT count(*) FROM orders)
+"""
 
 
 def levenshtein_adjacent_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4043,8 +4067,9 @@ ORACLE = {
     "events_sliding_2h": _EVENTS_SLIDING_SQL,
     "cross_join_nation_region": _CROSS_JOIN_SQL,
     "levenshtein_adjacent_docs": _LEVENSHTEIN_SQL,
-    # heavy_hitter_priorities: intentionally no oracle (sketch candidate
-    # sets are implementation-defined); containment property-tested
+    # heavy_hitter candidate sets alone are implementation-defined; the
+    # exact verification pass makes the two-pass output oracle-checkable
+    "heavy_hitter_priorities": _HEAVY_HITTER_SQL,
     "sessionize_events": _SESSIONIZE_SQL,
     "distinct_users_by_type": _DISTINCT_SQL,
     "part_type_share": _PART_TYPE_SQL,
