@@ -409,6 +409,25 @@ def simhash_candidates(docs: DataFrame, max_hamming: int = 3, seed: int = 42) ->
 # Embedding near-dup
 # ---------------------------------------------------------------------------
 
+def md5_sign_planes(n_rows: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic +-1 projection planes derived from md5: entry (r, d)
+    is +1 iff the top bit of ``md5(seed:r:d)`` is set.  Sign-LSH only
+    needs plane coordinates symmetric about zero, and +-1 entries
+    (Achlioptas 2003's database-friendly random projections) carry two
+    extra properties Gaussians lack: the planes are reproducible on ANY
+    engine with an md5 (making the whole LSH pipeline oracle-checkable),
+    and every product +-v_d is exact in float64, so bucket bits depend
+    only on a sum whose margin (~||v||) dwarfs association noise."""
+    import hashlib
+
+    out = np.empty((n_rows, dim))
+    for r in range(n_rows):
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{r}:{d}".encode()).hexdigest()
+            out[r, d] = 1.0 if int(h[0], 16) >= 8 else -1.0
+    return out
+
+
 def hyperplane_bucket_udf(planes: np.ndarray):
     """Vectorized random-hyperplane LSH signature: one Arrow batch -> one
     numpy matmul.  A pandas UDF rather than per-element expressions because
@@ -525,8 +544,7 @@ def embedding_near_duplicates(
     """
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = first["d"] if first else 0
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables * n_planes, dim))
+    planes = md5_sign_planes(n_tables * n_planes, dim, seed)
     sig = hyperplane_buckets_udf(planes, n_tables)
     sigs = emb.select(
         "vec_id", F.posexplode(sig("embedding")).alias("t", "bucket")

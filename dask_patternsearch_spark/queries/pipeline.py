@@ -69,10 +69,50 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold tuned to the synthetic corpus: its max pairwise cosine is
     # ~0.51, so the conventional 0.9 near-dup cut returns an empty (and
-    # therefore unverifiable) result; 0.35 exercises bucketing + verify
+    # therefore unverifiable) result; 0.35 exercises bucketing + verify.
+    # ORACLE-checked since the md5-sign plane family: the two tables'
+    # buckets, the candidate equi-join and the exact-cosine verify are
+    # all replayed relationally by _EMBEDDING_NEARDUP_SQL.
     return dedup.embedding_near_duplicates(
         _emb(spark, sf_dir), threshold=0.35, n_planes=6
     )
+
+
+# Hyperplane-LSH near-dup replayed relationally: the +-1 planes are
+# md5-derived (top bit of md5('42:row:dim')), table t's bucket packs the
+# signs of rows t*6..t*6+5 bit-weighted by row%6, candidates share a
+# (table, bucket) cell, and the exact cosine (round 6) >= 0.35 verifies.
+_EMBEDDING_NEARDUP_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planes AS MATERIALIZED (
+  SELECT r.r,
+         list(CASE WHEN CAST(('0x' || substr(md5('42:' || r.r || ':' || dd.d), 1, 1))
+                        AS INT) >= 8
+                   THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pl
+  FROM (SELECT unnest(range(0, 12)) AS r) r,
+       (SELECT unnest(range(0, (SELECT max(len(v)) FROM base))) AS d) dd
+  GROUP BY r.r
+),
+sigs AS MATERIALIZED (
+  SELECT b.vec_id, CAST(p.r // 6 AS INT) AS t,
+         CAST(sum(CASE WHEN list_inner_product(b.v, p.pl) > 0
+                       THEN 1 << CAST(p.r % 6 AS INT) ELSE 0 END) AS INT) AS bucket
+  FROM base b CROSS JOIN planes p
+  GROUP BY b.vec_id, p.r // 6
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM sigs x JOIN sigs y
+    ON x.t = y.t AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+FROM cand c JOIN base a ON a.vec_id = c.vec_a
+            JOIN base b ON b.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+"""
 
 
 # ---- similarity search ------------------------------------------------------
@@ -204,7 +244,55 @@ FROM greedy WHERE it = 96
 
 
 def lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH top-k with Hamming-1 multi-probe, ORACLE-checked:
+    md5-sign planes make the bucketing engine-reproducible, so the
+    signature build, probe expansion and cosine re-rank are replayed by
+    ``_LSH_TOPK_SQL``."""
     return similarity.lsh_topk(_emb(spark, sf_dir), n_queries=8, k=5)
+
+
+_LSH_TOPK_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planes AS MATERIALIZED (
+  SELECT r.r,
+         list(CASE WHEN CAST(('0x' || substr(md5('37:' || r.r || ':' || dd.d), 1, 1))
+                        AS INT) >= 8
+                   THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pl
+  FROM (SELECT unnest(range(0, 8)) AS r) r,
+       (SELECT unnest(range(0, (SELECT max(len(v)) FROM base))) AS d) dd
+  GROUP BY r.r
+),
+sigs AS MATERIALIZED (
+  SELECT b.vec_id,
+         CAST(sum(CASE WHEN list_inner_product(b.v, p.pl) > 0
+                       THEN 1 << CAST(p.r AS INT) ELSE 0 END) AS INT) AS bucket
+  FROM base b CROSS JOIN planes p
+  GROUP BY b.vec_id
+),
+probeset AS (
+  SELECT vec_id AS query_id,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, 8),
+                          p -> xor(bucket, 1 << CAST(p AS INT))))) AS bucket
+  FROM sigs WHERE vec_id < 8
+),
+scored AS (
+  SELECT DISTINCT p.query_id, s.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qv.v, b.v), 6) AS cosine_sim
+  FROM probeset p
+  JOIN sigs s ON s.bucket = p.bucket AND s.vec_id <> p.query_id
+  JOIN base qv ON qv.vec_id = p.query_id
+  JOIN base b ON b.vec_id = s.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
 
 
 def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3496,4 +3584,6 @@ ORACLE = {
     "ivf_topk": _IVF_TOPK_SQL,
     "pq_topk_embeddings": _PQ_TOPK_SQL,
     "ivfpq_topk_embeddings": _IVFPQ_TOPK_SQL,
+    "lsh_topk": _LSH_TOPK_SQL,
+    "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
 }
