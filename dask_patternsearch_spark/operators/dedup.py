@@ -7,11 +7,12 @@ Design for 100 TB (the whole point of each operator):
 * MinHash/LSH turns the quadratic all-pairs problem into an equi-join on
   (band, band_hash) buckets -- the only shuffle key is a 12-byte tuple and
   skew is bounded by band-hash uniformity;
-* SimHash candidates use the pigeonhole banding of the 64-bit signature
-  (Hamming <= 3 implies one of 4 16-bit chunks matches exactly), again an
+* SimHash candidates use the pigeonhole banding of the 60-bit signature
+  (Hamming <= 3 implies one of 4 15-bit chunks matches exactly), again an
   equi-join, never a cross join;
-* heavy string hashing (xxhash64) stays JVM-side; Python only reduces
-  fixed-width numeric arrays inside Arrow-batched pandas UDFs.
+* heavy string hashing (md5-prefix longs, engine-portable and therefore
+  oracle-checkable) stays JVM-side; Python only reduces fixed-width
+  numeric arrays inside Arrow-batched pandas UDFs.
 
 The generalized primitive is the reference's memo/dedup probe
 (``/root/reference/dask_patternsearch/search.py:24-28,285-291``): a
@@ -192,6 +193,29 @@ def ngram_jaccard_consecutive(docs: DataFrame, n: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MAX_LONG = (1 << 63) - 1
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _md5_long(col, n_hex: int = 15):
+    """First ``n_hex`` hex digits of md5 as a non-negative BIGINT -- the
+    engine-portable keyed hash (DuckDB spells it
+    ``('0x' || substr(md5(x), 1, n))::BIGINT``).  15 hex = 60 bits keeps
+    the value clear of the sign bit; still JVM-side whole-stage codegen
+    (md5 + conv + cast, no Python worker)."""
+    return F.conv(F.substring(F.md5(col), 1, n_hex), 16, 10).cast("long")
+
+
+def _perm_constants(n_perm: int, seed: int) -> tuple[list[int], list[int]]:
+    """(a_j, b_j) constants of the universal-hash permutation family
+    ``h_j(x) = (a_j * x + b_j) mod (2^31 - 1)``, themselves md5-derived
+    (28-bit, a_j != 0) so any engine with an md5 regenerates them."""
+    import hashlib
+
+    a = [int(hashlib.md5(f"a:{seed}:{j}".encode()).hexdigest()[:7], 16) + 1
+         for j in range(n_perm)]
+    b = [int(hashlib.md5(f"b:{seed}:{j}".encode()).hexdigest()[:7], 16)
+         for j in range(n_perm)]
+    return a, b
 
 
 def minhash_signatures(
@@ -199,20 +223,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures over word n-grams.
 
-    Entirely JVM-side: shingles are hashed once with ``xxhash64``, then the
-    j-th permutation is ``xxhash64(h, seed + j)`` (re-hashing a fixed-width
-    long with a distinct salt is an independent min-wise family) reduced
-    with ``array_min``.  No Python worker, no Arrow transfer — the whole
-    signature stage stays inside whole-stage codegen, which at 100 TB
-    removes the dominant executor⇄Python round trip (measured 5x faster
-    than the ``mapInPandas`` formulation on the sf0.1 corpus).
+    Entirely JVM-side: shingles are hashed once with a 28-bit md5 prefix,
+    then the j-th permutation is the classic universal hash
+    ``(a_j * h + b_j) mod (2^31 - 1)`` (Carter-Wegman; products stay
+    under 2^56, no overflow) reduced with a single fold.  The md5 base
+    hash and md5-derived (a_j, b_j) make the family engine-portable --
+    the whole signature pipeline is replayed exactly by the DuckDB
+    oracle.  No Python worker, no Arrow transfer — the signature stage
+    stays inside whole-stage codegen, which at 100 TB removes the
+    dominant executor⇄Python round trip (measured 5x faster than the
+    ``mapInPandas`` formulation on the sf0.1 corpus).
     """
     docs = ensure_parallelism(docs)
     hashed = docs.select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     ).select(
         "doc_id",
-        F.transform(_shingles(F.col("toks"), n), lambda s: F.xxhash64(s)).alias("hashes"),
+        F.transform(_shingles(F.col("toks"), n), lambda s: _md5_long(s, 7)).alias("hashes"),
     )
     # single-pass fold: one reference to `hashes`, so projection collapse
     # inlines the shingle pipeline exactly once (64 separate array_min
@@ -220,18 +247,28 @@ def minhash_signatures(
     # explode + 64-way min() hash aggregate: the fold wins ~4x on this
     # corpus (no shuffle, no 64-column agg buffer), and it needs no shuffle
     # at any scale since signatures are per-row.
-    salts = F.sequence(F.lit(seed), F.lit(seed + n_perm - 1))
+    av, bv = _perm_constants(n_perm, seed)
+    ab = F.array(*[
+        F.struct(F.lit(av[j]).cast("long").alias("a"),
+                 F.lit(bv[j]).cast("long").alias("b"))
+        for j in range(n_perm)
+    ])
     sig = F.aggregate(
         "hashes",
         F.array_repeat(F.lit(_MAX_LONG), n_perm),
-        lambda acc, h: F.zip_with(acc, salts, lambda m, j: F.least(m, F.xxhash64(h, j))),
+        lambda acc, h: F.zip_with(
+            acc, ab,
+            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(_MERSENNE31)),
+        ),
     )
     return hashed.select("doc_id", sig.alias("sig"))
 
 
 def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
     """(doc_id, band, bucket) rows: each signature sliced into bands, each
-    band hashed to one bucket id (the LSH equi-join key)."""
+    band hashed to one bucket id (the LSH equi-join key).  The bucket is
+    the md5 of the comma-joined band slice -- engine-portable like the
+    base hash."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -239,8 +276,15 @@ def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFram
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda i: F.struct(
                     i.alias("band"),
-                    F.xxhash64(
-                        F.slice("sig", (i * rows_per_band + 1).cast("int"), rows_per_band)
+                    _md5_long(
+                        F.array_join(
+                            F.transform(
+                                F.slice("sig", (i * rows_per_band + 1).cast("int"),
+                                        rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                            ",",
+                        )
                     ).alias("bucket"),
                 ),
             )
@@ -318,26 +362,31 @@ def minhash_lsh_candidates(
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_BITS = 60
+
+
 def simhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
-    """64-bit SimHash over token hashes (sign of per-bit weighted sums).
+    """60-bit SimHash over token hashes (sign of per-bit weighted sums).
 
     Entirely JVM-side: bit i of the signature is set iff more than half the
     token hashes have bit i set (vote ``2*ones - n > 0``), computed with one
     ``aggregate`` per bit over the token-hash array — whole-stage codegen,
-    no Python worker in the path.
+    no Python worker in the path.  Token hashes are 60-bit md5 prefixes
+    (``_md5_long``): engine-portable (the DuckDB oracle replays the votes
+    bit-for-bit) and sign-bit-free, so masks and the signature sum stay in
+    plain positive long arithmetic.
     """
     hashed = ensure_parallelism(docs).select(
-        "doc_id", F.transform(_tokens(F.col("text")), lambda t: F.xxhash64(t)).alias("hashes")
+        "doc_id", F.transform(_tokens(F.col("text")), lambda t: _md5_long(t)).alias("hashes")
     )
-    # bit-mask literals; bit 63 is the long sign bit, hence the negative
     masks = F.array(*[
-        F.lit(1 << i if i < 63 else -(1 << 63)).cast("long") for i in range(64)
+        F.lit(1 << i).cast("long") for i in range(_SIMHASH_BITS)
     ])
     # single fold over the token hashes building all 64 popcounts at once
     # (one reference to `hashes`, so the tokenize+hash pipeline inlines once)
     ones = F.aggregate(
         "hashes",
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), _SIMHASH_BITS),
         lambda acc, h: F.zip_with(
             acc,
             masks,
@@ -361,12 +410,12 @@ def simhash_signatures(docs: DataFrame, seed: int = 42) -> DataFrame:
 def simhash_candidates(docs: DataFrame, max_hamming: int = 3, seed: int = 42) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    Pigeonhole banding: split the 64-bit signature into ``max_hamming + 1``
+    Pigeonhole banding: split the 60-bit signature into ``max_hamming + 1``
     chunks; any pair within the Hamming radius shares at least one exact
     chunk, so candidates come from an equi-join on (chunk_idx, chunk_value).
     """
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
+    chunk_bits = _SIMHASH_BITS // n_chunks
     # both sides of the chunk self-join reuse the materialized signatures
     # (see minhash_lsh_candidates for the localCheckpoint-vs-cache note)
     sigs = simhash_signatures(docs, seed=seed).localCheckpoint(eager=True)

@@ -59,11 +59,109 @@ FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
 
 
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash LSH near-dup candidates, ORACLE-checked end to end
+    since the md5-portable hash family (28-bit md5 base hash,
+    Carter-Wegman universal permutations, md5 band buckets): signatures,
+    banding, the candidate equi-join and the estimator are replayed by
+    ``_MINHASH_SQL``."""
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+_MINHASH_SQL = """
+WITH sh AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   FOR i IN range(1, len(toks) - 1) ])
+              ELSE [] END AS shingles
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+        FROM documents)
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 7)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh)
+),
+perms AS MATERIALIZED (
+  SELECT CAST(j AS INT) AS j,
+         CAST(('0x' || substr(md5('a:42:' || j), 1, 7)) AS BIGINT) + 1 AS a,
+         CAST(('0x' || substr(md5('b:42:' || j), 1, 7)) AS BIGINT) AS b
+  FROM (SELECT unnest(range(0, 64)) AS j)
+),
+mins AS MATERIALIZED (
+  SELECT g.doc_id, p.j, min((p.a * g.h + p.b) % 2147483647) AS v
+  FROM grams g CROSS JOIN perms p GROUP BY g.doc_id, p.j
+),
+sig AS MATERIALIZED (
+  SELECT d.doc_id,
+         list(coalesce(m.v, 9223372036854775807) ORDER BY p.j) AS sig
+  FROM (SELECT doc_id FROM sh) d
+  CROSS JOIN perms p
+  LEFT JOIN mins m ON m.doc_id = d.doc_id AND m.j = p.j
+  GROUP BY d.doc_id
+),
+bands AS MATERIALIZED (
+  SELECT doc_id, CAST(bb.b AS INT) AS band,
+         CAST(('0x' || substr(md5(array_to_string(
+           list_slice(sig, bb.b * 8 + 1, bb.b * 8 + 8), ',')), 1, 15)) AS BIGINT)
+           AS bucket
+  FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0,
+               6) AS est_jaccard
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (pigeonhole banding, Hamming <= 3),
+    ORACLE-checked end to end since the 60-bit md5-prefix token hash:
+    per-bit votes, the packed signature, chunk banding and the Hamming
+    verify are replayed by ``_SIMHASH_SQL``."""
     return dedup.simhash_candidates(_docs(spark, sf_dir))
+
+
+_SIMHASH_SQL = """
+WITH th AS MATERIALIZED (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+),
+votes AS (
+  SELECT doc_id, CAST(b.i AS INT) AS bit,
+         sum(CASE WHEN (h >> CAST(b.i AS INT)) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         count(*) AS n
+  FROM th, LATERAL (SELECT unnest(range(0, 60)) AS i) b
+  GROUP BY doc_id, b.i
+),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN ones * 2 > n
+                       THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, simhash, CAST(c.i AS INT) AS chunk,
+         (simhash >> CAST(c.i * 15 AS INT)) & 32767 AS value
+  FROM sig, LATERAL (SELECT unnest(range(0, 4)) AS i) c
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS hamming
+FROM chunks x JOIN chunks y
+  ON x.chunk = y.chunk AND x.value = y.value AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3586,4 +3684,6 @@ ORACLE = {
     "ivfpq_topk_embeddings": _IVFPQ_TOPK_SQL,
     "lsh_topk": _LSH_TOPK_SQL,
     "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
+    "minhash_near_dups": _MINHASH_SQL,
+    "simhash_near_dups": _SIMHASH_SQL,
 }
