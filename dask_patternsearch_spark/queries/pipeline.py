@@ -67,8 +67,10 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
-_MINHASH_SQL = """
-WITH sh AS MATERIALIZED (
+# shared by _MINHASH_SQL and _STREAMING_NEARDUP_SQL: md5-portable MinHash
+# signatures and (band, bucket) rows over the documents table
+_MINHASH_COMMON = """
+sh AS MATERIALIZED (
   SELECT doc_id,
          CASE WHEN len(toks) >= 3
               THEN list_distinct([ toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
@@ -105,7 +107,11 @@ bands AS MATERIALIZED (
            list_slice(sig, bb.b * 8 + 1, bb.b * 8 + 8), ',')), 1, 15)) AS BIGINT)
            AS bucket
   FROM sig, LATERAL (SELECT unnest(range(0, 8)) AS b) bb
-),
+)
+"""
+
+_MINHASH_SQL = f"""
+WITH {_MINHASH_COMMON},
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
@@ -120,6 +126,21 @@ est AS (
               JOIN sig sb ON sb.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+# The single-batch drain of the incremental filter (the registered query
+# streams ONE parquet file, so every document is in the first batch):
+# keep iff no smaller-doc_id document shares a band bucket.  Multi-batch
+# ledger semantics stay property-tested in tests/test_streaming.py.
+_STREAMING_NEARDUP_SQL = f"""
+WITH {_MINHASH_COMMON}
+SELECT d.doc_id, CAST(0 AS INT) AS batch_id
+FROM (SELECT doc_id FROM sh) d
+WHERE NOT EXISTS (
+  SELECT 1 FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND y.doc_id < x.doc_id
+  WHERE x.doc_id = d.doc_id
+)
 """
 
 
@@ -1176,9 +1197,12 @@ SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
 
 def streaming_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup corpus filtering (streaming MinHash banding vs
-    a persistent kept-docs band ledger).  Rows-only; the keep/drop
-    contract and cross-batch ledger behavior are property-tested in
-    tests/test_streaming.py."""
+    a persistent kept-docs band ledger).  ORACLE-checked: the registered
+    query drains ONE file in one micro-batch, where the keep/drop
+    contract reduces to 'keep iff no smaller-doc_id doc shares a band
+    bucket' -- replayed by ``_STREAMING_NEARDUP_SQL`` over the
+    md5-portable band family.  Cross-batch ledger behavior stays
+    property-tested in tests/test_streaming.py."""
     import tempfile
 
     from ..streaming import dedup as sdedup
@@ -3686,4 +3710,5 @@ ORACLE = {
     "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
     "minhash_near_dups": _MINHASH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
+    "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,
 }
