@@ -247,18 +247,24 @@ def minhash_signatures(
     # explode + 64-way min() hash aggregate: the fold wins ~4x on this
     # corpus (no shuffle, no 64-column agg buffer), and it needs no shuffle
     # at any scale since signatures are per-row.
+    # (a_j, b_j) packed into one long each (a << 28 | b): higher-order
+    # functions run interpreted (CodegenFallback), where a struct-field
+    # access per element costs ~2x a shift/mask unpack -- measured 0.60 s
+    # -> 0.26 s for the signature stage on the sf0.1 corpus
     av, bv = _perm_constants(n_perm, seed)
-    ab = F.array(*[
-        F.struct(F.lit(av[j]).cast("long").alias("a"),
-                 F.lit(bv[j]).cast("long").alias("b"))
-        for j in range(n_perm)
+    packed = F.array(*[
+        F.lit((av[j] << 28) | bv[j]).cast("long") for j in range(n_perm)
     ])
+    mask = F.lit((1 << 28) - 1)
     sig = F.aggregate(
         "hashes",
         F.array_repeat(F.lit(_MAX_LONG), n_perm),
         lambda acc, h: F.zip_with(
-            acc, ab,
-            lambda m, c: F.least(m, (c["a"] * h + c["b"]) % F.lit(_MERSENNE31)),
+            acc, packed,
+            lambda m, c: F.least(
+                m,
+                (F.shiftright(c, 28) * h + c.bitwiseAND(mask)) % F.lit(_MERSENNE31),
+            ),
         ),
     )
     return hashed.select("doc_id", sig.alias("sig"))
