@@ -1780,3 +1780,40 @@ def test_contamination_pairs_exact_lossless_vs_brute_force(spark, docs):
     assert set(got) == set(expected)
     for k, j in expected.items():
         assert abs(got[k] - j) < 1e-12
+
+
+def test_md5_derivations_match_duckdb(spark):
+    """The cross-engine contract every hash-family oracle rests on: the
+    engine's md5-prefix longs, universal-hash permutation constants and
+    +-1 sign planes must equal DuckDB's spelling of the same derivation
+    exactly (these ARE the values the oracles replay)."""
+    import duckdb
+
+    words = ["alpha", "beta gamma", "42", "", "Ünïcode tëst"]
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    for n_hex in (7, 15):
+        got = [r["h"] for r in
+               wdf.select(dedup._md5_long(F.col("w"), n_hex).alias("h")).collect()]
+        want = [duckdb.sql(
+            f"SELECT CAST(('0x' || substr(md5(?), 1, {n_hex})) AS BIGINT)",
+            params=[w]).fetchone()[0] for w in words]
+        assert got == want
+
+    av, bv = dedup._perm_constants(8, 42)
+    for j in range(8):
+        a = duckdb.sql(
+            "SELECT CAST(('0x' || substr(md5('a:42:' || ?), 1, 7)) AS BIGINT) + 1",
+            params=[j]).fetchone()[0]
+        b = duckdb.sql(
+            "SELECT CAST(('0x' || substr(md5('b:42:' || ?), 1, 7)) AS BIGINT)",
+            params=[j]).fetchone()[0]
+        assert (av[j], bv[j]) == (a, b)
+
+    planes = dedup.md5_sign_planes(3, 5, 37)
+    for r in range(3):
+        for d in range(5):
+            want = duckdb.sql(
+                "SELECT CASE WHEN CAST(('0x' || substr(md5('37:' || ? || ':' || ?), 1, 1))"
+                " AS INT) >= 8 THEN 1.0 ELSE -1.0 END",
+                params=[r, d]).fetchone()[0]
+            assert planes[r, d] == want
