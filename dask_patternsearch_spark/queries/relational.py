@@ -2868,6 +2868,94 @@ FROM orders
 """
 
 
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable KMV distinct-count sketch
+    (``operators.sketches``): per event type, the 256 smallest distinct
+    md5-hash values of user_id estimate the distinct-user count as
+    ``(k-1)/h_(k)``.  Unlike the builtin HLL++ (``hll_sketch_users``,
+    implementation-defined state), every value here is a pure function
+    of the data -- ORACLE-checked bit-for-bit, and the sketch state is a
+    relation that merges associatively (property-tested)."""
+    from ..operators.sketches import kmv_estimate, kmv_sketch
+
+    ev = _events(spark, sf_dir)
+    return kmv_estimate(kmv_sketch(ev, "user_id", ["event_type"]))
+
+
+_KMV_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+topk AS (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed
+),
+sk AS (
+  SELECT event_type, count(*) AS n_in_sketch,
+         max(CASE WHEN rn = 256 THEN h END) AS kth
+  FROM topk WHERE rn <= 256 GROUP BY event_type
+)
+SELECT event_type, CAST(n_in_sketch AS INT) AS n_in_sketch,
+       CASE WHEN n_in_sketch < 256 THEN CAST(n_in_sketch AS DOUBLE)
+            ELSE round(255.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0), 2)
+       END AS est_distinct
+FROM sk
+"""
+
+
+def hll_manual_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HyperLogLog (``operators.sketches``): 1024
+    registers per event type from md5-hash bucket/rho, harmonic
+    denominator accumulated as an EXACT integer, linear-counting small-
+    range correction.  The register relation is inspectable, mergeable
+    (max per register) and engine-replayable -- ORACLE-checked, unlike
+    the binary DataSketches state of ``hll_sketch_users``."""
+    from ..operators.sketches import hll_estimate, hll_registers
+
+    ev = _events(spark, sf_dir)
+    return hll_estimate(hll_registers(ev, "user_id", ["event_type"]), ["event_type"])
+
+
+_HLL_MANUAL_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+reg AS (
+  SELECT event_type, CAST(h & 1023 AS INT) AS bucket,
+         max(CASE WHEN (h >> 10) = 0 THEN 51
+                  ELSE 50 - length(ltrim(bin(h >> 10), '0')) + 1 END) AS rho
+  FROM h GROUP BY event_type, bucket
+),
+agg AS (
+  SELECT event_type, count(*) AS n_regs,
+         sum(CAST(1 AS BIGINT) << CAST(51 - rho AS INT)) AS s_used
+  FROM reg GROUP BY event_type
+),
+fin AS (
+  SELECT event_type,
+         CAST(1024 - n_regs AS BIGINT) AS v_empty,
+         CAST(s_used + (1024 - n_regs) * (CAST(1 AS BIGINT) << 51) AS BIGINT)
+           AS denom_int
+  FROM agg
+)
+SELECT event_type, CAST(1024 AS INT) AS m, v_empty, denom_int,
+       round(CASE WHEN raw <= 2560.0 AND v_empty > 0
+                  THEN 1024.0 * ln(1024.0 / CAST(v_empty AS DOUBLE))
+                  ELSE raw END, 1) AS est_distinct
+FROM (
+  SELECT *,
+         0.7213 / (1 + 1.079 / 1024) * 1024 * 1024 * 2251799813685248.0
+           / CAST(denom_int AS DOUBLE) AS raw
+  FROM fin
+)
+"""
+
+
 def hll_sketch_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL): per
     event-type user sketches plus a global row whose sketch is the UNION of
@@ -3928,6 +4016,8 @@ QUERIES = {
     "constraint_checks_orders": constraint_checks_orders,
     "asof_join_cogroup": asof_join_cogroup,
     "hll_sketch_users": hll_sketch_users,
+    "kmv_distinct_users": kmv_distinct_users,
+    "hll_manual_users": hll_manual_users,
     "variant_event_props": variant_event_props,
     "sql_listagg_nations": sql_listagg_nations,
     "sql_lateral_top_orders": sql_lateral_top_orders,
@@ -4022,6 +4112,8 @@ ORACLE = {
     "constraint_checks_orders": _CONSTRAINTS_SQL,
     "asof_join_cogroup": _ASOF_SQL,
     "variant_event_props": _VARIANT_SQL,
+    "kmv_distinct_users": _KMV_SQL,
+    "hll_manual_users": _HLL_MANUAL_SQL,
     "sql_listagg_nations": _LISTAGG_SQL,
     "sql_lateral_top_orders": _LATERAL_SQL,
     "q1_pricing_summary": _Q1_SQL,

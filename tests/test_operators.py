@@ -1817,3 +1817,68 @@ def test_md5_derivations_match_duckdb(spark):
                 " AS INT) >= 8 THEN 1.0 ELSE -1.0 END",
                 params=[r, d]).fetchone()[0]
             assert planes[r, d] == want
+
+
+def test_kmv_sketch_merge_associative_and_accurate(spark):
+    """The KMV sketch state must MERGE: sketching two disjoint halves and
+    unioning must equal sketching the whole (the property that makes a
+    sketch usable per-shard at 100 TB), and the estimate must be within
+    the ~1/sqrt(k) textbook error of the exact distinct count."""
+    from dask_patternsearch_spark.operators import sketches
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    whole = sketches.kmv_sketch(ev, "user_id", ["event_type"])
+    lo = sketches.kmv_sketch(ev.filter("user_id % 2 = 0"), "user_id", ["event_type"])
+    hi = sketches.kmv_sketch(ev.filter("user_id % 2 = 1"), "user_id", ["event_type"])
+    merged = sketches.kmv_merge(lo, hi, ["event_type"])
+    a = {r["event_type"]: r["hashes"] for r in whole.collect()}
+    b = {r["event_type"]: r["hashes"] for r in merged.collect()}
+    assert a == b
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.kmv_estimate(whole).collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(0.25 * n, 3), (t, est[t], n)
+
+
+def test_hll_registers_merge_and_estimate(spark):
+    """Explicit HLL registers merge by per-register max (two halves ->
+    whole), and the corrected estimate is within ~3*1.04/sqrt(m) of the
+    exact distinct count."""
+    from dask_patternsearch_spark.operators import sketches
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    whole = sketches.hll_registers(ev, "user_id", ["event_type"])
+    lo = sketches.hll_registers(ev.filter("user_id % 2 = 0"), "user_id", ["event_type"])
+    hi = sketches.hll_registers(ev.filter("user_id % 2 = 1"), "user_id", ["event_type"])
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    a = sorted(map(tuple, whole.collect()))
+    bm = sorted(map(tuple, merged.collect()))
+    assert a == bm
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in sketches.hll_estimate(whole, ["event_type"]).collect()
+    }
+    for t, n in exact.items():
+        assert abs(est[t] - n) <= max(0.1 * n, 3), (t, est[t], n)
