@@ -16,6 +16,7 @@
   degree-oriented triangle counting (checkpoint-cut fixpoint loops)
 * ``quality``    -- declarative constraints, key-skew report, snapshot diff
 * ``profile``    -- one-pass table profiling
+* ``sketches``   -- deterministic mergeable KMV / explicit-register HLL
 """
 
 from . import (  # noqa: F401
@@ -28,5 +29,6 @@ from . import (  # noqa: F401
     quality,
     sampling,
     similarity,
+    sketches,
     text,
 )
