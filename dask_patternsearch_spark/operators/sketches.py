@@ -64,7 +64,10 @@ def kmv_sketch(
     Two-phase build: distinct (group, hash) dedupes with map-side
     combine, then a spill-safe per-group top-k.  Merging sketches =
     dedupe of the concat, re-top-k (:func:`kmv_merge`, associative)."""
-    hashed = df.select(
+    # NULL keys don't count toward a distinct estimate -- and engines
+    # disagree on NULL sort position (Spark windows: first; DuckDB:
+    # last), so they must never reach the top-k
+    hashed = df.filter(F.col(key_col).isNotNull()).select(
         *group_cols, _md5_long(F.col(key_col).cast("string"), 15).alias("h")
     ).distinct()
     return _k_smallest(hashed, group_cols, k)
@@ -116,7 +119,8 @@ def hll_registers(
         F.lit(w_bits) - F.length(F.conv(w.cast("string"), 10, 2)) + 1
     ).cast("int")
     return (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())  # NULL keys count nowhere
+        .select(
             *group_cols,
             h.bitwiseAND(F.lit(m_mask)).cast("int").alias("bucket"),
             rho.alias("rho"),

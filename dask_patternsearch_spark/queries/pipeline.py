@@ -1870,6 +1870,61 @@ GROUP BY event_type
 """
 
 
+def _relational_kmv_sql() -> str:
+    from . import relational
+
+    return relational._KMV_SQL
+
+
+def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-count sketching: events staged as two
+    time-ordered files and drained one file per micro-batch, each batch's
+    KMV sketch folded into a persistent ledger
+    (``streaming.sketch.kmv_ledger_stream``) -- so the cross-batch MERGE
+    path executes for real.  ORACLE-checked: KMV merge is associative,
+    so the final ledger's estimate equals the batch sketch over the
+    whole table (same ``_KMV_SQL`` oracle as ``kmv_distinct_users``)."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time as timemod
+
+    from ..operators.sketches import kmv_estimate
+    from ..streaming.sketch import kmv_ledger_stream
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    staged = tempfile.mkdtemp(prefix="dps_kmv_in_")
+    base = tempfile.mkdtemp(prefix="dps_kmv_ledger_")
+    try:
+        a = ev.filter("event_id % 2 = 0")
+        b = ev.filter("event_id % 2 = 1")
+        a.coalesce(1).write.mode("append").parquet(staged)
+        a_parts = sorted(globmod.glob(os.path.join(staged, "part-*")))
+        b.coalesce(1).write.mode("append").parquet(staged)
+        b_parts = sorted(
+            set(globmod.glob(os.path.join(staged, "part-*"))) - set(a_parts)
+        )
+        now = timemod.time()
+        for i, pth in enumerate(a_parts + b_parts):
+            os.utime(pth, (now + i, now + i))
+        s2 = _stream_session(spark)
+        stream = (
+            s2.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(staged)
+        )
+        kmv_ledger_stream(stream, f"{base}/ledger", f"{base}/ckpt")
+        rows = kmv_estimate(s2.read.parquet(f"{base}/ledger")).collect()
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "event_type string, n_in_sketch int, est_distinct double"
+    )
+
+
 def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.compression_quality(_docs(spark, sf_dir))
 
@@ -3562,6 +3617,7 @@ QUERIES = {
     "compression_quality": compression_quality,
     "canonicalize_corpus": canonicalize_corpus,
     "streaming_neardup_dedup": streaming_neardup_dedup,
+    "streaming_kmv_users": streaming_kmv_users,
     "unigram_logprob_scores": unigram_logprob_scores,
     "repetition_scores": repetition_scores,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -3711,4 +3767,6 @@ ORACLE = {
     "minhash_near_dups": _MINHASH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,
+    # associative merge => the streamed ledger equals the batch sketch
+    "streaming_kmv_users": _relational_kmv_sql(),
 }

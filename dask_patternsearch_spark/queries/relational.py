@@ -2886,7 +2886,7 @@ _KMV_SQL = """
 WITH hashed AS (
   SELECT DISTINCT event_type,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 topk AS (
   SELECT event_type, h,
@@ -2923,7 +2923,7 @@ _HLL_MANUAL_SQL = """
 WITH h AS (
   SELECT event_type,
          CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-  FROM events
+  FROM events WHERE user_id IS NOT NULL
 ),
 reg AS (
   SELECT event_type, CAST(h & 1023 AS INT) AS bucket,

@@ -564,3 +564,39 @@ def test_streaming_left_outer_join_matches_batch_on_flushed_region(spark):
         if r["purchase_id"] in emitted_pids
     }
     assert got == want
+
+
+def test_streaming_kmv_ledger_matches_batch_sketch(spark, scratch_dir):
+    """The 2-batch streamed KMV ledger must equal the batch sketch of the
+    whole table (associative merge across micro-batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import sketches
+    from dask_patternsearch_spark.streaming.sketch import kmv_ledger_stream
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    indir = os.path.join(scratch_dir, "kmv_in")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(indir)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(indir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(indir)
+    )
+    kmv_ledger_stream(
+        stream,
+        os.path.join(scratch_dir, "kmv_ledger"),
+        os.path.join(scratch_dir, "kmv_ckpt"),
+    )
+    got = {
+        r["event_type"]: r["hashes"]
+        for r in spark.read.parquet(os.path.join(scratch_dir, "kmv_ledger")).collect()
+    }
+    want = {
+        r["event_type"]: r["hashes"]
+        for r in sketches.kmv_sketch(ev, "user_id", ["event_type"]).collect()
+    }
+    assert got == want
