@@ -60,12 +60,18 @@ def neardup_filter_stream(
         bands = _band_buckets(sigs, n_bands, rows_per_band).localCheckpoint(
             eager=True
         )
-        try:
+        # existence check, not try/except: a read of the not-yet-written
+        # ledger would surface as a logged ExecutionListener ERROR even
+        # though caught (noisy and indistinguishable from a real failure)
+        jvm = sp.sparkContext._jvm
+        hconf = sp.sparkContext._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(bands_path)
+        if dst.getFileSystem(hconf).exists(dst):
             ledger = sp.read.parquet(bands_path).select("band", "bucket").distinct()
             dup_vs_ledger = bands.join(
                 ledger, ["band", "bucket"], "left_semi"
             ).select("doc_id")
-        except Exception:  # first batch: no ledger yet
+        else:  # first batch: no ledger yet
             dup_vs_ledger = sp.createDataFrame([], "doc_id long")
         dup_in_batch = (
             bands.alias("x")

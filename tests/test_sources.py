@@ -201,3 +201,39 @@ def test_jsonl_shards_append_does_not_clobber(spark, tmp_path):
     manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
     assert len(manifest["shards"]) == 2
     assert sum(s["n_rows"] for s in manifest["shards"]) == 100
+
+
+def test_jsonl_shard_tokens_survive_clock_regression(spark, tmp_path):
+    """Shard tokens must stay unique and lexically increasing even when
+    the wall clock is BEHIND the newest shard on disk (NTP step back /
+    same-millisecond jobs): the writer bumps past the highest prior
+    token, so the streaming reader's sorted-listing offset contract
+    holds."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.sources.jsonl import JsonlShards
+
+    spark.dataSource.register(JsonlShards)
+    out = str(tmp_path / "corpus_clock")
+    os.makedirs(out)
+    future = 9_000_000_000_000  # year ~2255: ahead of any real clock,
+    # still inside the 13-digit zero-padded token width the lexical
+    # ordering contract is defined over
+    planted = os.path.join(out, f"shard-{future:013d}-deadbeef-00000.jsonl")
+    with open(planted, "w") as fh:
+        fh.write('{"doc_id": -1, "text": "planted"}\n')
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("x").alias("text")
+    )
+    (df.repartition(2).write.format("jsonl_shards").mode("append")
+        .option("path", out).save())
+
+    names = sorted(f for f in os.listdir(out) if f.endswith(".jsonl"))
+    new = [n for n in names if "deadbeef" not in n]
+    assert len(names) == 3 and len(new) == 2
+    # bumped past the planted future token, so new names sort after it
+    assert all(int(n.split("-")[1]) > future for n in new)
+    assert all(n > os.path.basename(planted) for n in new)
