@@ -17,9 +17,12 @@
 * ``quality``    -- declarative constraints, key-skew report, snapshot diff
 * ``profile``    -- one-pass table profiling
 * ``sketches``   -- deterministic mergeable KMV / explicit-register HLL
+* ``bpe``        -- distributed BPE vocabulary induction (corpus reduced to
+  Heaps-law-bounded word-freq state; merge rounds never rescan the corpus)
 """
 
 from . import (  # noqa: F401
+    bpe,
     dedup,
     graph,
     joins,

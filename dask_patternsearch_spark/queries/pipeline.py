@@ -3609,6 +3609,110 @@ LIMIT 50
 """
 
 
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction: one corpus pass reduces to a
+    word-frequency table (Heaps-law bounded), then 8 merge rounds iterate
+    over vocab-sized state with a single-row collect each.  All-integer
+    output, so the DuckDB recursive-CTE oracle replays the exact merge
+    sequence (ties break count DESC, lhs, rhs)."""
+    from ..operators import bpe
+
+    merges, _ = bpe.learn_bpe_merges(_docs(spark, sf_dir), n_merges=8)
+    return merges
+
+
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics under the segmentation the 8 learned merges
+    induce: top-30 tokens by weighted occurrences (ties by token)."""
+    from ..operators import bpe
+
+    _, vocab = bpe.learn_bpe_merges(_docs(spark, sf_dir), n_merges=8)
+    return bpe.encode_token_stats(vocab, k=30)
+
+
+# Recursive BPE replay shared by both oracles: working-table state per round
+# is the segmented vocabulary (kind 'v') plus the merge rule chosen that
+# round (kind 'm'); the greedy left-to-right fold mirrors operators/bpe.py
+# _apply_merge exactly (token-boundary guard via the ' lhs' suffix check).
+_BPE_RECURSION = r"""
+WITH RECURSIVE
+vocab0 AS MATERIALIZED (
+  SELECT w,
+         list_reduce(list_transform(range(1, length(w)+1), i -> substr(w, i, 1)),
+                     (acc, s) -> acc || ' ' || s) AS seqstr,
+         count(*)::BIGINT AS freq
+  FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents
+  )
+  WHERE regexp_matches(w, '^[a-z]+$')
+  GROUP BY w
+),
+bpe(r, kind, w, seqstr, freq, lhs, rhs, cnt) AS (
+  SELECT 0, 'v', w, seqstr, freq, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+  FROM vocab0
+  UNION ALL
+  (
+    WITH cur AS (SELECT * FROM bpe WHERE kind = 'v'),
+    pairs AS (
+      SELECT u.l AS lhs, u.rr AS rhs, sum(cur.freq)::BIGINT AS cnt
+      FROM cur, LATERAL (
+        SELECT syms[i] AS l, syms[i+1] AS rr
+        FROM (SELECT string_split(cur.seqstr, ' ') AS syms),
+             LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+      ) u
+      GROUP BY u.l, u.rr
+    ),
+    best AS (
+      SELECT lhs, rhs, cnt,
+             row_number() OVER (ORDER BY cnt DESC, lhs, rhs) AS rk
+      FROM pairs QUALIFY rk = 1
+    )
+    SELECT * FROM (
+      SELECT cur.r + 1, 'v', cur.w,
+             list_reduce(string_split(cur.seqstr, ' '),
+               (acc, s) -> CASE
+                 WHEN (acc = best.lhs OR acc LIKE '% ' || best.lhs)
+                      AND s = best.rhs
+                 THEN substr(acc, 1, length(acc) - length(best.lhs))
+                      || best.lhs || best.rhs
+                 ELSE acc || ' ' || s END) AS seqstr,
+             cur.freq, best.lhs, best.rhs, best.cnt
+      FROM cur, best
+      UNION ALL
+      SELECT (SELECT max(r) FROM bpe) + 1, 'm', NULL, NULL, NULL, lhs, rhs, cnt
+      FROM best
+    )
+    WHERE (SELECT max(r) FROM bpe) < 8
+  )
+)
+"""
+
+_BPE_MERGES_SQL = (
+    _BPE_RECURSION
+    + """
+SELECT r::BIGINT AS merge_rank, lhs, rhs, lhs || rhs AS merged,
+       cnt AS pair_count
+FROM bpe WHERE kind = 'm' ORDER BY merge_rank
+"""
+)
+
+_BPE_ENCODE_SQL = (
+    _BPE_RECURSION
+    + """
+SELECT token, sum(freq)::BIGINT AS n_occurrences,
+       count(DISTINCT w)::BIGINT AS n_words
+FROM (
+  SELECT w, freq, unnest(string_split(seqstr, ' ')) AS token
+  FROM bpe
+  WHERE kind = 'v' AND r = (SELECT max(r) FROM bpe WHERE kind = 'v')
+)
+GROUP BY token
+ORDER BY n_occurrences DESC, token
+LIMIT 30
+"""
+)
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -3672,6 +3776,8 @@ QUERIES = {
     "bm25_top_docs": bm25_top_docs,
     "kmeans_embedding_clusters": kmeans_embedding_clusters,
     "weighted_sample_docs": weighted_sample_docs,
+    "bpe_learn_merges": bpe_learn_merges,
+    "bpe_encode_tokens": bpe_encode_tokens,
     "zscore_extreme_docs": zscore_extreme_docs,
     "rrf_hybrid_search": rrf_hybrid_search,
     "multimodal_metadata": multimodal_metadata,
@@ -3691,6 +3797,8 @@ ORACLE = {
     "substring_dup_docs": _SUBSTRING_DUP_SQL,
     "bm25_top_docs": _BM25_SQL,
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
+    "bpe_learn_merges": _BPE_MERGES_SQL,
+    "bpe_encode_tokens": _BPE_ENCODE_SQL,
     "zscore_extreme_docs": _ZSCORE_SQL,
     "rrf_hybrid_search": _RRF_SQL,
     "multimodal_metadata": _MULTIMODAL_META_SQL,

@@ -1894,3 +1894,70 @@ def test_minhash_hash_family_knob(spark, docs):
     assert nf > 0 and ns > 0
     with pytest.raises(ValueError):
         dedup.minhash_signatures(docs, hash_family="fnv")
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction
+
+
+def test_bpe_greedy_fold_semantics(spark):
+    """The merge fold is greedy left-to-right non-overlapping: 'aaa' under
+    (a,a) becomes [aa, a] (not [a, aa], not [aa, aa]); token-boundary
+    matching never merges across a symbol whose *suffix* equals lhs."""
+    from dask_patternsearch_spark.operators import bpe
+
+    vocab = spark.createDataFrame(
+        [("aaa", 1), ("banana", 1), ("ab", 1)], ["w", "freq"]
+    )
+    v0 = bpe._initial_vocab(vocab)
+    out = {
+        r["w"]: r["seqstr"]
+        for r in bpe._apply_merge(
+            v0.withColumn("syms", F.split("seqstr", " ")), "a", "a"
+        ).collect()
+    }
+    assert out["aaa"] == "aa a"
+    assert out["banana"] == "b a n a n a"
+    assert out["ab"] == "a b"
+    # second round: merging (n, a) must not touch the 'aa' token
+    v1 = spark.createDataFrame(
+        [("banana", "b a n a n a", 1), ("aaa", "aa a", 1)],
+        ["w", "seqstr", "freq"],
+    )
+    out2 = {
+        r["w"]: r["seqstr"]
+        for r in bpe._apply_merge(
+            v1.withColumn("syms", F.split("seqstr", " ")), "n", "a"
+        ).collect()
+    }
+    assert out2["banana"] == "b a na na"
+    assert out2["aaa"] == "aa a"
+
+
+def test_bpe_learn_merges_determinism_and_conservation(spark, docs):
+    """Merge rules are deterministic (rerun-identical), merged = lhs||rhs,
+    counts positive; the segmentation conserves total weighted characters
+    (merging never creates or destroys text)."""
+    from dask_patternsearch_spark.operators import bpe
+
+    m1, v1 = bpe.learn_bpe_merges(docs, n_merges=4)
+    m2, _ = bpe.learn_bpe_merges(docs, n_merges=4)
+    r1, r2 = m1.collect(), m2.collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]
+    assert len(r1) == 4
+    for row in r1:
+        assert row["merged"] == row["lhs"] + row["rhs"]
+        assert row["pair_count"] > 0
+    chars_in = (
+        bpe.word_frequencies(docs)
+        .select(F.sum(F.length("w") * F.col("freq")).alias("n"))
+        .collect()[0]["n"]
+    )
+    chars_out = (
+        v1.select(
+            (F.length(F.translate("seqstr", " ", "")) * F.col("freq")).alias("c")
+        )
+        .agg(F.sum("c").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert chars_in == chars_out
