@@ -3713,6 +3713,99 @@ LIMIT 30
 )
 
 
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over the corpus in doc_id order,
+    at 10 checkpoints.  Scale shape: docs are statically bucketed by doc_id
+    range (broadcast min/max scalars -- no global sort, no ntile), token and
+    first-appearance counts aggregate per bucket (map-side combine over one
+    corpus pass), and the cumulative sums run over exactly 10 rows.  The
+    per-word reduction (min first bucket) is vocab-sized by Heaps' law."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    bounds = F.broadcast(
+        docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        )
+    )
+    bucket = F.expr(
+        "cast(least(9, ((doc_id - lo) * 10) div (hi - lo + 1)) as long)"
+    )
+    with_bucket = docs.crossJoin(bounds).withColumn("bucket", bucket)
+    words = with_bucket.select(
+        "bucket",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w").rlike("^[a-z]+$"))
+    doc_counts = with_bucket.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tok = words.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    first_seen = words.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    nw = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_words")
+    )
+    win = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_counts.join(F.broadcast(tok), "bucket", "left")
+        .join(F.broadcast(nw), "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_docs").over(win).cast("long").alias("n_docs_cum"),
+            F.sum(F.coalesce("n_tokens", F.lit(0)))
+            .over(win)
+            .cast("long")
+            .alias("n_tokens_cum"),
+            F.sum(F.coalesce("new_words", F.lit(0)))
+            .over(win)
+            .cast("long")
+            .alias("n_distinct_words_cum"),
+            F.coalesce("new_words", F.lit(0)).cast("long").alias("new_words"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_HEAPS_SQL = r"""
+WITH bounds AS (
+  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+),
+words AS (
+  SELECT least(9, ((doc_id - lo) * 10) // (hi - lo + 1))::BIGINT AS bucket, w
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+    FROM documents
+  ), bounds
+  WHERE regexp_matches(w, '^[a-z]+$')
+),
+doc_buckets AS (
+  SELECT least(9, ((doc_id - lo) * 10) // (hi - lo + 1))::BIGINT AS bucket,
+         count(*)::BIGINT AS n_docs
+  FROM documents, bounds GROUP BY 1
+),
+tok AS (
+  SELECT bucket, count(*)::BIGINT AS n_tokens FROM words GROUP BY bucket
+),
+first_seen AS (
+  SELECT w, min(bucket) AS bucket FROM words GROUP BY w
+),
+nw AS (
+  SELECT bucket, count(*)::BIGINT AS new_words FROM first_seen GROUP BY bucket
+)
+SELECT d.bucket,
+       sum(d.n_docs) OVER win::BIGINT AS n_docs_cum,
+       sum(coalesce(t.n_tokens, 0)) OVER win::BIGINT AS n_tokens_cum,
+       sum(coalesce(n.new_words, 0)) OVER win::BIGINT AS n_distinct_words_cum,
+       coalesce(n.new_words, 0)::BIGINT AS new_words
+FROM doc_buckets d
+LEFT JOIN tok t ON d.bucket = t.bucket
+LEFT JOIN nw n ON d.bucket = n.bucket
+WINDOW win AS (ORDER BY d.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY d.bucket
+"""
+
+
 QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
@@ -3778,6 +3871,7 @@ QUERIES = {
     "weighted_sample_docs": weighted_sample_docs,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode_tokens": bpe_encode_tokens,
+    "heaps_vocab_growth": heaps_vocab_growth,
     "zscore_extreme_docs": zscore_extreme_docs,
     "rrf_hybrid_search": rrf_hybrid_search,
     "multimodal_metadata": multimodal_metadata,
@@ -3799,6 +3893,7 @@ ORACLE = {
     "weighted_sample_docs": _WEIGHTED_SAMPLE_SQL,
     "bpe_learn_merges": _BPE_MERGES_SQL,
     "bpe_encode_tokens": _BPE_ENCODE_SQL,
+    "heaps_vocab_growth": _HEAPS_SQL,
     "zscore_extreme_docs": _ZSCORE_SQL,
     "rrf_hybrid_search": _RRF_SQL,
     "multimodal_metadata": _MULTIMODAL_META_SQL,
