@@ -3731,18 +3731,32 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.expr(
         "cast(least(9, ((doc_id - lo) * 10) div (hi - lo + 1)) as long)"
     )
-    with_bucket = docs.crossJoin(bounds).withColumn("bucket", bucket)
-    words = with_bucket.select(
-        "bucket",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
-    ).filter(F.col("w").rlike("^[a-z]+$"))
-    doc_counts = with_bucket.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs")
+    # one full-text corpus pass: reduce to the (bucket, word, count)
+    # relation (vocab-sized x 10), persist it, and derive BOTH series from
+    # the reduction -- without the persist, Catalyst would re-expand the
+    # branch and scan the text column twice
+    bw = (
+        docs.crossJoin(bounds)
+        .withColumn("bucket", bucket)
+        .select(
+            "bucket",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("bucket", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
-    tok = words.groupBy("bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    # second pass reads doc_id only (column-pruned scan)
+    doc_counts = (
+        docs.select("doc_id")
+        .crossJoin(bounds)
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
-    first_seen = words.groupBy("w").agg(F.min("bucket").alias("bucket"))
+    tok = bw.groupBy("bucket").agg(F.sum("c").cast("long").alias("n_tokens"))
+    first_seen = bw.groupBy("w").agg(F.min("bucket").alias("bucket"))
     nw = first_seen.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("new_words")
     )

@@ -518,3 +518,21 @@ def test_jaccard_prefix_join_is_equi_join_jvm_side(spark):
     info = summarize(dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.8))
     assert info["nested_loop_joins"] == 0
     assert info["python_stages"] == 0
+
+
+def test_heaps_vocab_growth_plan_is_bucket_shaped(spark):
+    """The Heaps curve must aggregate per-bucket then window over 10 rows:
+    dims broadcast, no Python stages, and the only sort feeding a window
+    runs over the 10-row bucket relation (never the corpus)."""
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    df = P.QUERIES["heaps_vocab_growth"](spark, SF_DIR)
+    info = summarize(df)
+    assert info["python_stages"] == 0
+    assert info["broadcast_hash_joins"] >= 2
+    # the expensive column is scanned exactly once: the (bucket, word,
+    # count) reduction is cached and both derived series read the cache
+    # (every other scan is doc_id-only)
+    text = plan_text(df)
+    assert text.count("text:string") == 1, "text column scanned more than once"
+    assert "InMemoryTableScan" in text
