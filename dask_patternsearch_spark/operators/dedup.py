@@ -91,7 +91,9 @@ def jaccard_prefix_pairs(
     and both verify probes (re-deriving it per reference is the
     documented Catalyst re-evaluation trap).
     """
-    toks = docs.select("doc_id", _tokens(F.col("text")).alias("toks"))
+    toks = ensure_parallelism(docs).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    )
     sh = (
         toks.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
         # checkpoint the shingle pipeline once: grams is derived twice
@@ -147,9 +149,10 @@ def jaccard_prefix_pairs(
     sb = ordered.select(
         F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jac = inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
+    # |A u B| = |A| + |B| - |A n B| (shingle arrays are per-doc distinct):
+    # one hash-set intersection per candidate instead of intersect PLUS an
+    # array_distinct over the 2x-size concat -- measured ~4x on the verify
+    # stage at sf0.1, which dominates the whole pair-graph build
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -157,7 +160,20 @@ def jaccard_prefix_pairs(
             F.least(F.size("sh_a"), F.size("sh_b"))
             >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
         )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            (F.size("sh_a") + F.size("sh_b")).alias("ns"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("i").cast("double")
+                / F.nullif(F.col("ns") - F.col("i"), F.lit(0)).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -174,15 +190,25 @@ def ngram_jaccard_consecutive(docs: DataFrame, n: int = 3) -> DataFrame:
     )
     a = toks.alias("a")
     b = toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles"))))
     return (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
+            F.size(
+                F.array_intersect(F.col("a.shingles"), F.col("b.shingles"))
+            ).alias("i"),
+            (F.size(F.col("a.shingles")) + F.size(F.col("b.shingles"))).alias(
+                "ns"
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
-                inter.cast("double") / F.nullif(union, F.lit(0)).cast("double"), 6
+                F.col("i").cast("double")
+                / F.nullif(F.col("ns") - F.col("i"), F.lit(0)).cast("double"),
+                6,
             ).alias("jaccard"),
         )
     )
@@ -933,7 +959,9 @@ def contamination_pairs_exact(
     ``doc_id`` to match ``contamination_pairs``'s consumer contract.
     """
     def _grams(df: DataFrame, side: str) -> DataFrame:
-        t = df.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        t = ensure_parallelism(df).select(
+            "doc_id", _tokens(F.col("text")).alias("toks")
+        )
         s = t.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
         return s.select(
             F.lit(side).alias("side"), "doc_id", F.explode("shingles").alias("g")
@@ -986,9 +1014,6 @@ def contamination_pairs_exact(
     sb = bo.select(
         F.col("doc_id").alias("benchmark_doc_id"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
-    jac = inter.cast("double") / F.nullif(union, F.lit(0)).cast("double")
     return (
         cand.join(sa, "doc_id")
         .join(sb, "benchmark_doc_id")
@@ -996,7 +1021,20 @@ def contamination_pairs_exact(
             F.least(F.size("sh_a"), F.size("sh_b"))
             >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
         )
-        .select("doc_id", "benchmark_doc_id", jac.alias("jaccard"))
+        .select(
+            "doc_id",
+            "benchmark_doc_id",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            (F.size("sh_a") + F.size("sh_b")).alias("ns"),
+        )
+        .select(
+            "doc_id",
+            "benchmark_doc_id",
+            (
+                F.col("i").cast("double")
+                / F.nullif(F.col("ns") - F.col("i"), F.lit(0)).cast("double")
+            ).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= threshold)
     )
 
