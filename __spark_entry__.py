@@ -31,7 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every SQL-expressible query; LSH /
-    pattern-search / multimodal entries are intentionally absent (rows-only
-    checks)."""
+    """DuckDB-runnable oracle SQL for every SQL-expressible query
+    (LSH/minhash/quantizer families included, via engine-portable md5
+    hash families).  Intentionally absent (rows-only checks): the 6
+    pattern-search ledgers, the 3 builtin-sketch demos
+    (implementation-defined binary state) and zlib compression_quality."""
     return all_oracles()

@@ -556,7 +556,7 @@ def duplicate_ngram_fraction(
     probe side, so it is localCheckpointed once instead of being computed
     twice (at production scale: write it to parquet and read it back).
     """
-    t = docs.select(
+    t = ensure_parallelism(docs).select(
         "doc_id", _tokens(F.lower(F.trim(F.col("text")))).alias("toks")
     ).filter(F.size("toks") >= n)
     grams = F.array_distinct(

@@ -288,3 +288,30 @@ def test_sssp_copurchase_reaches_fixpoint_at_test_sfs(spark, caplog):
         assert rows, sf
         assert not [r for r in caplog.records if "exhausted" in r.message], sf
         caplog.clear()
+
+
+def test_heaps_curve_invariants(spark):
+    """Final checkpoint must equal corpus totals; cumulative series are
+    non-decreasing; new_words telescopes into the distinct series."""
+    from dask_patternsearch_spark.queries import pipeline as P
+    from pyspark.sql import functions as F
+
+    rows = P.QUERIES["heaps_vocab_growth"](spark, SF_DIR).collect()
+    assert [r["bucket"] for r in rows] == list(range(len(rows)))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w")
+        ).filter(F.col("w").rlike("^[a-z]+$"))
+    )
+    assert rows[-1]["n_docs_cum"] == n_docs
+    assert rows[-1]["n_tokens_cum"] == words.count()
+    assert rows[-1]["n_distinct_words_cum"] == words.distinct().count()
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_docs_cum"] >= prev["n_docs_cum"]
+        assert cur["n_tokens_cum"] >= prev["n_tokens_cum"]
+        assert (
+            cur["n_distinct_words_cum"]
+            == prev["n_distinct_words_cum"] + cur["new_words"]
+        )
