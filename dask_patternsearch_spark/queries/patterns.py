@@ -1,11 +1,21 @@
 """Pattern-search queries: the reference's core capability exposed through
 the engine's query surface.
 
-Not SQL-expressible (iterative minimization; SURVEY.md section 2.3 last
-row), so no ORACLE entries -- the driver records rows-only checks.
-Correctness is instead guaranteed by the convergence property tests in
-``tests/test_search.py`` (the reference's own test strategy,
+The randomized / distributed / pipelined variants are not SQL-expressible
+(iterative minimization with RNG-shuffled fill order; SURVEY.md section
+2.3 last row), so those carry no ORACLE entries -- the driver records
+rows-only checks and correctness comes from the convergence property
+tests in ``tests/test_search.py`` (the reference's own test strategy,
 ``/root/reference/dask_patternsearch/tests/test_search.py:28-124``).
+
+The ``pattern_search_replay_*`` queries close that gap for the serial
+deterministic core: with ``randomize=False`` the serial trace is a pure
+function of (x0, stepsize, stopratio, objective), every coordinate is an
+exact dyadic lattice point and every objective value is exact in float64,
+so the ENTIRE evaluation ledger -- fill order, memoized dedup, greedy
+acceptance, stencil orientation flips, contraction cascade -- is replayed
+move-for-move by a DuckDB recursive CTE (``_replay_sql``) and compared
+bit-for-bit by the driver's value-hash gate.
 """
 
 from __future__ import annotations
@@ -161,6 +171,182 @@ def pattern_search_100d_distributed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _assert_no_negative_zero(results) -> None:
+    """The replay oracle's VARCHAR point keys can't spell IEEE -0.0
+    (DuckDB normalizes the literal to +0.0), and the engine memo keys
+    points by raw float64 BYTES (search.py:82-83), which would keep -0.0
+    and +0.0 distinct.  Neither registered replay trace produces a -0.0
+    coordinate; pin that so a future config change fails loudly instead
+    of silently diverging from its oracle."""
+    for tp in results:
+        assert not any(v == 0.0 and np.signbit(v) for v in tp.point), tp
+
+
+def pattern_search_replay_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic sphere run, ORACLE-checked: ``randomize=False``
+    makes the fill order the stencil's canonical BFS order, so
+    ``_replay_sql`` re-derives the exact evaluation ledger in DuckDB."""
+    best, results = search(_sphere, [10.0, 15.0], [1.0, 1.0], randomize=False)
+    assert abs(best.point).max() < 0.02
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
+def pattern_search_replay_rosenbrock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic 2-D Rosenbrock run, ORACLE-checked (see
+    ``pattern_search_replay_sphere``); exercises the orientation-flip and
+    doubled-step paths on a curved-valley objective."""
+    best, results = search(
+        _rosenbrock, [-1.5, 2.5], [0.5, 0.5], randomize=False
+    )
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
+def _stencil_literal(n_steps: int = 64) -> str:
+    """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
+    ``(idx, o1, o2, extra_halvings)``.
+
+    The stencil stream itself is trusted here (its generation order is
+    locked against the reference's published pattern by
+    ``tests/test_stencil.py``); what the oracle independently replays is
+    the SEARCH DYNAMICS on top of it -- trial-point snapping, byte-keyed
+    dedup, poll/accept/contract decisions, orientation flips and the
+    ledger bookkeeping.  64 steps is 5x the deepest index either
+    registered trace consumes (12); the SQL raises via error() if a
+    round cannot fill from the literal."""
+    from ..stencil import SimplexStencil
+
+    st = SimplexStencil(2, 7)
+    it = st.steps()
+    rows = []
+    for i in range(1, n_steps + 1):
+        s = next(it)
+        rows.append(
+            f"({i},{float(s.offset[0])!r},{float(s.offset[1])!r},"
+            f"{int(s.extra_halvings)})"
+        )
+    return ",".join(rows)
+
+
+def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
+                max_halvings: int = 7) -> str:
+    """DuckDB recursive-CTE replay of the serial ``randomize=False``
+    search loop (search.py:578-724 with round_size=6, min_new_submit=0,
+    no budget/bounds/batching: every poll round ends in accept or
+    contract, so one recursion step == one round).
+
+    Exactness argument: coordinates live on the dyadic lattice
+    ``stepsize / 2**max_halvings``; every product/sum stays well under 53
+    significand bits, so Spark(float64), numpy and DuckDB all compute
+    identical bit patterns, and half-even rounding (numpy's np.round) is
+    spelled explicitly for the grid snap.  ``cost_expr`` must be a
+    polynomial in cx1/cx2 with the same operation tree the engine's
+    objective uses (exact here, so association order is immaterial)."""
+    inv_g = 2.0 ** max_halvings / stepsize
+    g = stepsize / 2.0 ** max_halvings
+    return f"""
+WITH RECURSIVE
+st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
+sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led) AS (
+  SELECT 0, {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE, 0,
+         {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE,
+         1.0::DOUBLE, 1.0::DOUBLE, CAST('inf' AS DOUBLE), FALSE,
+         CAST([] AS VARCHAR[]),
+         CAST([] AS STRUCT(pt VARCHAR, hv INTEGER, par VARCHAR,
+                           acc BOOLEAN, cost DOUBLE)[])
+  UNION ALL
+  SELECT r + 1,
+         CASE WHEN acc_ord IS NOT NULL THEN acc_x1 ELSE p1 END,
+         CASE WHEN acc_ord IS NOT NULL THEN acc_x2 ELSE p2 END,
+         CASE WHEN acc_ord IS NOT NULL THEN acc_hv ELSE h + 1 END,
+         p1, p2,
+         CASE WHEN acc_ord IS NOT NULL AND acc_x1 - pp1 <> 0
+              THEN CASE WHEN acc_x1 - pp1 < 0 THEN -1.0 ELSE 1.0 END::DOUBLE
+              ELSE o1 END,
+         CASE WHEN acc_ord IS NOT NULL AND acc_x2 - pp2 <> 0
+              THEN CASE WHEN acc_x2 - pp2 < 0 THEN -1.0 ELSE 1.0 END::DOUBLE
+              ELSE o2 END,
+         CASE WHEN acc_ord IS NOT NULL THEN acc_cost ELSE inc_cost END,
+         CASE WHEN acc_ord IS NOT NULL THEN acc_hv >= {max_halvings}
+              ELSE h + 1 >= {max_halvings} END,
+         seen || keys,
+         led || rows
+  FROM (
+    SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
+           CASE WHEN count(*) <> 6
+                THEN error('replay: stencil literal exhausted') END AS _guard,
+           list(key ORDER BY ord) AS keys,
+           list(struct_pack(pt := key, hv := CAST(chv AS INTEGER),
+                            par := pkey, acc := (rn = 1 AND imp),
+                            cost := ccost) ORDER BY ord) AS rows,
+           max(CASE WHEN rn = 1 AND imp THEN ord END) AS acc_ord,
+           max(CASE WHEN rn = 1 AND imp THEN cx1 END) AS acc_x1,
+           max(CASE WHEN rn = 1 AND imp THEN cx2 END) AS acc_x2,
+           CAST(max(CASE WHEN rn = 1 AND imp THEN chv END) AS INTEGER)
+             AS acc_hv,
+           max(CASE WHEN rn = 1 AND imp THEN ccost END) AS acc_cost
+    FROM (
+      SELECT *, (ccost < inc_cost) AS imp,
+             row_number() OVER (
+               ORDER BY (ccost < inc_cost) DESC, chv, ccost, ord) AS rn
+      FROM (
+        SELECT *, {cost_expr} AS ccost
+        FROM (
+          SELECT *, row_number() OVER (ORDER BY ord) AS takern
+          FROM (
+            SELECT *, row_number() OVER (PARTITION BY key ORDER BY ord)
+                      AS dup
+            FROM (
+              SELECT q.*,
+                     (q.cx1::VARCHAR || ',' || q.cx2::VARCHAR) AS key,
+                     (q.p1::VARCHAR || ',' || q.p2::VARCHAR) AS pkey
+              FROM (
+                SELECT s.*, t.idx AS ord,
+                       CASE WHEN t.idx = 0 THEN 0 ELSE s.h + t.eh END
+                         AS chv,
+                       CASE WHEN t.idx = 0 THEN s.p1 ELSE
+                         (CASE WHEN v1 - floor(v1) = 0.5
+                               THEN floor(v1) + CASE WHEN
+                                 CAST(floor(v1) AS BIGINT) % 2 = 0
+                                 THEN 0.0 ELSE 1.0 END
+                               ELSE floor(v1 + 0.5) END) * {g!r}::DOUBLE
+                       END AS cx1,
+                       CASE WHEN t.idx = 0 THEN s.p2 ELSE
+                         (CASE WHEN v2 - floor(v2) = 0.5
+                               THEN floor(v2) + CASE WHEN
+                                 CAST(floor(v2) AS BIGINT) % 2 = 0
+                                 THEN 0.0 ELSE 1.0 END
+                               ELSE floor(v2 + 0.5) END) * {g!r}::DOUBLE
+                       END AS cx2
+                FROM (SELECT * FROM sim WHERE NOT fin AND r < 200) s
+                JOIN (SELECT idx, so1, so2, eh FROM st
+                      UNION ALL SELECT 0, NULL, NULL, NULL) t
+                  ON t.idx > 0 OR s.r = 0,
+                LATERAL (SELECT
+                  (s.p1 + t.so1 * (s.o1 * {stepsize!r}::DOUBLE
+                                   / power(2.0, s.h))) * {inv_g!r}::DOUBLE
+                    AS v1,
+                  (s.p2 + t.so2 * (s.o2 * {stepsize!r}::DOUBLE
+                                   / power(2.0, s.h))) * {inv_g!r}::DOUBLE
+                    AS v2) w
+              ) q
+              WHERE q.chv <= {max_halvings}
+            )
+            WHERE NOT list_contains(seen, key)
+          ) WHERE dup = 1
+        ) WHERE takern <= 6
+      )
+    )
+    GROUP BY r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led
+  )
+)
+SELECT e.pt AS point, e.hv AS halvings, e.par AS parent,
+       e.acc AS is_accepted, e.cost AS cost
+FROM (SELECT unnest(led) AS e FROM sim WHERE fin)
+"""
+
+
 QUERIES = {
     "pattern_search_sphere": pattern_search_sphere,
     "pattern_search_100d_distributed": pattern_search_100d_distributed,
@@ -168,6 +354,17 @@ QUERIES = {
     "pattern_search_rosenbrock": pattern_search_rosenbrock,
     "pattern_search_distributed": pattern_search_distributed,
     "pattern_search_pipelined": pattern_search_pipelined,
+    "pattern_search_replay_sphere": pattern_search_replay_sphere,
+    "pattern_search_replay_rosenbrock": pattern_search_replay_rosenbrock,
 }
 
-ORACLE: dict[str, str] = {}
+ORACLE: dict[str, str] = {
+    "pattern_search_replay_sphere": _replay_sql(
+        (10.0, 15.0), 1.0, "cx1 * cx1 + cx2 * cx2"
+    ),
+    "pattern_search_replay_rosenbrock": _replay_sql(
+        (-1.5, 2.5), 0.5,
+        "(1.0::DOUBLE - cx1) * (1.0::DOUBLE - cx1)"
+        " + 100.0::DOUBLE * ((cx2 - cx1 * cx1) * (cx2 - cx1 * cx1))",
+    ),
+}

@@ -1684,7 +1684,16 @@ def approx_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     status.  Rows-only check (the sketch is engine-specific); a dedicated
     test bounds the error against the exact percentiles -- at 100 TB the
     sketch is mergeable map-side and needs O(1/accuracy) memory where exact
-    percentiles would need a full sort."""
+    percentiles would need a full sort.
+
+    An exact oracle is infeasible BY DESIGN, not just inconvenient:
+    measured at sf0.01, the returned element for one group flips between
+    two neighboring ranks as the partition count changes (1/97 partitions
+    vs 4/32) -- the GK summaries' merge order changes g/delta spreads, so
+    any DuckDB replay would pin one partition layout and falsely fail on
+    another.  The mergeable-sketch queries that ARE oracle-checked
+    (kmv_distinct_users, hll_manual_users) use order-independent sketch
+    states instead."""
     orders = _t(spark, sf_dir, "orders")
     pcts = F.approx_percentile(
         "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)

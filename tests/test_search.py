@@ -389,3 +389,58 @@ def test_ledger_checkpoint_and_resume_100d(tmp_path):
     # must strictly improve on the interrupted stage
     assert best2.result < best1.result
     assert best2.result == min(results2.values())
+
+
+def test_deterministic_serial_trace_is_replayable():
+    """Contract behind the pattern_search_replay_* oracles: with
+    randomize=False the serial trace is a pure function of its config --
+    two runs produce identical ledgers (points, halvings, lineage,
+    acceptance flags, costs), every coordinate is a dyadic lattice point
+    (exact in float64 AND in its decimal string spelling), and no
+    coordinate is IEEE -0.0 (the DuckDB replay keys points by their
+    canonical decimal strings, search.py keys them by raw bytes)."""
+    import numpy as np
+
+    from dask_patternsearch_spark.search import search
+
+    def sphere(x):
+        return float((x * x).sum())
+
+    def canon(results):
+        return sorted(
+            (tuple(tp.point.tolist()), tp.halvings,
+             tuple(tp.parent.point.tolist()), tp.is_accepted, cost)
+            for tp, cost in results.items()
+        )
+
+    _, r1 = search(sphere, [10.0, 15.0], [1.0, 1.0], randomize=False)
+    _, r2 = search(sphere, [10.0, 15.0], [1.0, 1.0], randomize=False)
+    assert canon(r1) == canon(r2)
+    for tp in r1:
+        for v in tp.point.tolist():
+            assert v == round(v * 128) / 128  # on the stepsize/2**7 lattice
+            assert not (v == 0.0 and np.signbit(v))
+
+
+def test_replay_oracle_matches_engine_ledger():
+    """The DuckDB recursive-CTE interpreter (_replay_sql) reproduces the
+    engine's serial randomize=False ledger move-for-move -- same rows,
+    same acceptance flags, bit-equal costs.  This is the oracle the
+    driver gate runs; keeping a local copy makes a divergence fail fast
+    in CI rather than only in the per-round correctness report."""
+    import duckdb
+
+    from dask_patternsearch_spark.queries import patterns as P
+    from dask_patternsearch_spark.search import search
+
+    best, results = search(P._sphere, [10.0, 15.0], [1.0, 1.0], randomize=False)
+    eng = sorted(
+        (",".join(str(v) for v in tp.point.tolist()), tp.halvings,
+         ",".join(str(v) for v in tp.parent.point.tolist()),
+         tp.is_accepted, float(cost))
+        for tp, cost in results.items()
+    )
+    out = duckdb.connect().execute(
+        P.ORACLE["pattern_search_replay_sphere"]
+    ).fetchall()
+    assert sorted(map(tuple, out)) == eng
