@@ -203,6 +203,32 @@ def pattern_search_replay_rosenbrock(spark: SparkSession, sf_dir: str) -> DataFr
     return _canon_ledger(results.to_spark(spark))
 
 
+def pattern_search_replay_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic sphere run under a ``max_tasks=40`` budget,
+    ORACLE-checked: exercises the fill-trim (search.py:647-656; the last
+    round takes only 40-36=4 candidates), the budget-triggered finish and
+    the finish-time ledger-min fold (reference op #21)."""
+    best, results = search(
+        _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False, max_tasks=40
+    )
+    assert len(results) == 40
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
+def pattern_search_replay_deferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic sphere run with ``min_new_submit=10``,
+    ORACLE-checked: acceptance defers until >=10 new evaluations per
+    incumbent epoch (reference op #18, search.py:95-98), so epochs span
+    two poll rounds and the carried acceptance candidate crosses round
+    boundaries before being applied."""
+    best, results = search(
+        _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False, min_new_submit=10
+    )
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
 def _stencil_literal(n_steps: int = 64) -> str:
     """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
     ``(idx, o1, o2, extra_halvings)``.
@@ -230,11 +256,22 @@ def _stencil_literal(n_steps: int = 64) -> str:
 
 
 def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
-                max_halvings: int = 7) -> str:
-    """DuckDB recursive-CTE replay of the serial ``randomize=False``
-    search loop (search.py:578-724 with round_size=6, min_new_submit=0,
-    no budget/bounds/batching: every poll round ends in accept or
-    contract, so one recursion step == one round).
+                max_halvings: int = 7, max_tasks: int | None = None,
+                min_new_submit: int = 0) -> str:
+    """DuckDB recursive-CTE interpreter of the serial ``randomize=False``
+    search loop (search.py:578-744 with round_size=6, no
+    bounds/batching/pipelining).
+
+    One recursion step == one poll round.  The carried acceptance
+    candidate (search.py:532-566), the ``min_new_submit`` deferral and
+    the ``max_tasks`` fill trim (search.py:647-656) are all replayed;
+    the scan always restarts at stencil index 0, which is equivalent to
+    the engine's resumed enumerator because every step before the resume
+    point is either over-resolved (still skipped) or already in the
+    byte-keyed memo (still skipped).  Acceptance flags are applied
+    retroactively to the carried point's ledger row, and the engine's
+    finish-time ledger-min fold (search.py:733-741) runs after the
+    recursion.
 
     Exactness argument: coordinates live on the dyadic lattice
     ``stepsize / 2**max_halvings``; every product/sum stays well under 53
@@ -245,105 +282,166 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
     objective uses (exact here, so association order is immaterial)."""
     inv_g = 2.0 ** max_halvings / stepsize
     g = stepsize / 2.0 ** max_halvings
+    mh = max_halvings
+    mns = min_new_submit
+    avail = "6" if max_tasks is None else f"least(6, {max_tasks} - len(seen))"
+    fin_b = "FALSE" if max_tasks is None else f"(nseen >= {max_tasks})"
     return f"""
 WITH RECURSIVE
 st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
-sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led) AS (
+sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
+    added, cbx1, cbx2, cbhv, cbcost) AS (
   SELECT 0, {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE, 0,
          {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE,
          1.0::DOUBLE, 1.0::DOUBLE, CAST('inf' AS DOUBLE), FALSE,
          CAST([] AS VARCHAR[]),
          CAST([] AS STRUCT(pt VARCHAR, hv INTEGER, par VARCHAR,
-                           acc BOOLEAN, cost DOUBLE)[])
+                           acc BOOLEAN, cost DOUBLE)[]),
+         0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
   UNION ALL
   SELECT r + 1,
-         CASE WHEN acc_ord IS NOT NULL THEN acc_x1 ELSE p1 END,
-         CASE WHEN acc_ord IS NOT NULL THEN acc_x2 ELSE p2 END,
-         CASE WHEN acc_ord IS NOT NULL THEN acc_hv ELSE h + 1 END,
-         p1, p2,
-         CASE WHEN acc_ord IS NOT NULL AND acc_x1 - pp1 <> 0
-              THEN CASE WHEN acc_x1 - pp1 < 0 THEN -1.0 ELSE 1.0 END::DOUBLE
+         CASE WHEN do_accept THEN nbx1 ELSE p1 END,
+         CASE WHEN do_accept THEN nbx2 ELSE p2 END,
+         CASE WHEN do_accept THEN nbhv
+              WHEN do_contract THEN h + 1 ELSE h END,
+         CASE WHEN do_accept OR do_contract THEN p1 ELSE pp1 END,
+         CASE WHEN do_accept OR do_contract THEN p2 ELSE pp2 END,
+         CASE WHEN do_accept AND nbx1 - pp1 <> 0
+              THEN CASE WHEN nbx1 - pp1 < 0 THEN -1.0 ELSE 1.0 END::DOUBLE
               ELSE o1 END,
-         CASE WHEN acc_ord IS NOT NULL AND acc_x2 - pp2 <> 0
-              THEN CASE WHEN acc_x2 - pp2 < 0 THEN -1.0 ELSE 1.0 END::DOUBLE
+         CASE WHEN do_accept AND nbx2 - pp2 <> 0
+              THEN CASE WHEN nbx2 - pp2 < 0 THEN -1.0 ELSE 1.0 END::DOUBLE
               ELSE o2 END,
-         CASE WHEN acc_ord IS NOT NULL THEN acc_cost ELSE inc_cost END,
-         CASE WHEN acc_ord IS NOT NULL THEN acc_hv >= {max_halvings}
-              ELSE h + 1 >= {max_halvings} END,
+         CASE WHEN do_accept THEN nbcost ELSE inc_cost END,
+         CASE WHEN do_accept THEN nbhv >= {mh} OR finb
+              WHEN do_contract THEN h + 1 >= {mh} OR finb
+              ELSE finb END,
          seen || keys,
-         led || rows
+         CASE WHEN do_accept THEN list_transform(led || rows,
+                e -> struct_pack(pt := e.pt, hv := e.hv, par := e.par,
+                                 acc := e.acc OR e.pt =
+                                   (nbx1::VARCHAR || ',' || nbx2::VARCHAR),
+                                 cost := e.cost))
+              ELSE led || rows END,
+         CASE WHEN do_accept OR do_contract THEN 0 ELSE nadded END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbx1 END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbx2 END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbhv END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbcost END
   FROM (
-    SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
-           CASE WHEN count(*) <> 6
-                THEN error('replay: stencil literal exhausted') END AS _guard,
-           list(key ORDER BY ord) AS keys,
-           list(struct_pack(pt := key, hv := CAST(chv AS INTEGER),
-                            par := pkey, acc := (rn = 1 AND imp),
-                            cost := ccost) ORDER BY ord) AS rows,
-           max(CASE WHEN rn = 1 AND imp THEN ord END) AS acc_ord,
-           max(CASE WHEN rn = 1 AND imp THEN cx1 END) AS acc_x1,
-           max(CASE WHEN rn = 1 AND imp THEN cx2 END) AS acc_x2,
-           CAST(max(CASE WHEN rn = 1 AND imp THEN chv END) AS INTEGER)
-             AS acc_hv,
-           max(CASE WHEN rn = 1 AND imp THEN ccost END) AS acc_cost
+    SELECT *,
+           (nbhv IS NOT NULL AND (nadded >= {mns} OR finb)) AS do_accept,
+           (nbhv IS NULL OR NOT (nadded >= {mns} OR finb))
+             AND NOT finb AND nadded >= {mns} AS do_contract
     FROM (
-      SELECT *, (ccost < inc_cost) AS imp,
-             row_number() OVER (
-               ORDER BY (ccost < inc_cost) DESC, chv, ccost, ord) AS rn
+      SELECT *,
+             CASE WHEN cndhv IS NULL THEN cbhv
+                  WHEN cbhv IS NULL OR cndhv < cbhv
+                       OR (cndhv = cbhv AND cndcost < cbcost)
+                  THEN cndhv ELSE cbhv END AS nbhv,
+             CASE WHEN cndhv IS NULL THEN cbx1
+                  WHEN cbhv IS NULL OR cndhv < cbhv
+                       OR (cndhv = cbhv AND cndcost < cbcost)
+                  THEN cndx1 ELSE cbx1 END AS nbx1,
+             CASE WHEN cndhv IS NULL THEN cbx2
+                  WHEN cbhv IS NULL OR cndhv < cbhv
+                       OR (cndhv = cbhv AND cndcost < cbcost)
+                  THEN cndx2 ELSE cbx2 END AS nbx2,
+             CASE WHEN cndhv IS NULL THEN cbcost
+                  WHEN cbhv IS NULL OR cndhv < cbhv
+                       OR (cndhv = cbhv AND cndcost < cbcost)
+                  THEN cndcost ELSE cbcost END AS nbcost,
+             added + ncand AS nadded,
+             {fin_b.replace('nseen', 'len(seen) + ncand')} AS finb
       FROM (
-        SELECT *, {cost_expr} AS ccost
+        SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
+               added, cbx1, cbx2, cbhv, cbcost,
+               count(*) AS ncand,
+               CASE WHEN count(*) <> {avail}
+                    THEN error('replay: stencil literal exhausted')
+                    END AS _guard,
+               list(key ORDER BY ord) AS keys,
+               list(struct_pack(pt := key, hv := CAST(chv AS INTEGER),
+                                par := pkey, acc := FALSE,
+                                cost := ccost) ORDER BY ord) AS rows,
+               max(CASE WHEN rn = 1 AND imp THEN cx1 END) AS cndx1,
+               max(CASE WHEN rn = 1 AND imp THEN cx2 END) AS cndx2,
+               CAST(max(CASE WHEN rn = 1 AND imp THEN chv END) AS INTEGER)
+                 AS cndhv,
+               max(CASE WHEN rn = 1 AND imp THEN ccost END) AS cndcost
         FROM (
-          SELECT *, row_number() OVER (ORDER BY ord) AS takern
+          SELECT *, (ccost < inc_cost) AS imp,
+                 row_number() OVER (
+                   ORDER BY (ccost < inc_cost) DESC, chv, ccost, ord) AS rn
           FROM (
-            SELECT *, row_number() OVER (PARTITION BY key ORDER BY ord)
-                      AS dup
+            SELECT *, {cost_expr} AS ccost
             FROM (
-              SELECT q.*,
-                     (q.cx1::VARCHAR || ',' || q.cx2::VARCHAR) AS key,
-                     (q.p1::VARCHAR || ',' || q.p2::VARCHAR) AS pkey
+              SELECT *, row_number() OVER (ORDER BY ord) AS takern
               FROM (
-                SELECT s.*, t.idx AS ord,
-                       CASE WHEN t.idx = 0 THEN 0 ELSE s.h + t.eh END
-                         AS chv,
-                       CASE WHEN t.idx = 0 THEN s.p1 ELSE
-                         (CASE WHEN v1 - floor(v1) = 0.5
-                               THEN floor(v1) + CASE WHEN
-                                 CAST(floor(v1) AS BIGINT) % 2 = 0
-                                 THEN 0.0 ELSE 1.0 END
-                               ELSE floor(v1 + 0.5) END) * {g!r}::DOUBLE
-                       END AS cx1,
-                       CASE WHEN t.idx = 0 THEN s.p2 ELSE
-                         (CASE WHEN v2 - floor(v2) = 0.5
-                               THEN floor(v2) + CASE WHEN
-                                 CAST(floor(v2) AS BIGINT) % 2 = 0
-                                 THEN 0.0 ELSE 1.0 END
-                               ELSE floor(v2 + 0.5) END) * {g!r}::DOUBLE
-                       END AS cx2
-                FROM (SELECT * FROM sim WHERE NOT fin AND r < 200) s
-                JOIN (SELECT idx, so1, so2, eh FROM st
-                      UNION ALL SELECT 0, NULL, NULL, NULL) t
-                  ON t.idx > 0 OR s.r = 0,
-                LATERAL (SELECT
-                  (s.p1 + t.so1 * (s.o1 * {stepsize!r}::DOUBLE
-                                   / power(2.0, s.h))) * {inv_g!r}::DOUBLE
-                    AS v1,
-                  (s.p2 + t.so2 * (s.o2 * {stepsize!r}::DOUBLE
-                                   / power(2.0, s.h))) * {inv_g!r}::DOUBLE
-                    AS v2) w
-              ) q
-              WHERE q.chv <= {max_halvings}
-            )
-            WHERE NOT list_contains(seen, key)
-          ) WHERE dup = 1
-        ) WHERE takern <= 6
+                SELECT *, row_number() OVER (PARTITION BY key ORDER BY ord)
+                          AS dup
+                FROM (
+                  SELECT q.*,
+                         (q.cx1::VARCHAR || ',' || q.cx2::VARCHAR) AS key,
+                         (q.p1::VARCHAR || ',' || q.p2::VARCHAR) AS pkey
+                  FROM (
+                    SELECT s.*, t.idx AS ord,
+                           CASE WHEN t.idx = 0 THEN 0 ELSE s.h + t.eh END
+                             AS chv,
+                           CASE WHEN t.idx = 0 THEN s.p1 ELSE
+                             (CASE WHEN v1 - floor(v1) = 0.5
+                                   THEN floor(v1) + CASE WHEN
+                                     CAST(floor(v1) AS BIGINT) % 2 = 0
+                                     THEN 0.0 ELSE 1.0 END
+                                   ELSE floor(v1 + 0.5) END) * {g!r}::DOUBLE
+                           END AS cx1,
+                           CASE WHEN t.idx = 0 THEN s.p2 ELSE
+                             (CASE WHEN v2 - floor(v2) = 0.5
+                                   THEN floor(v2) + CASE WHEN
+                                     CAST(floor(v2) AS BIGINT) % 2 = 0
+                                     THEN 0.0 ELSE 1.0 END
+                                   ELSE floor(v2 + 0.5) END) * {g!r}::DOUBLE
+                           END AS cx2
+                    FROM (SELECT * FROM sim WHERE NOT fin AND r < 200) s
+                    JOIN (SELECT idx, so1, so2, eh FROM st
+                          UNION ALL SELECT 0, NULL, NULL, NULL) t
+                      ON t.idx > 0 OR s.r = 0,
+                    LATERAL (SELECT
+                      (s.p1 + t.so1 * (s.o1 * {stepsize!r}::DOUBLE
+                                       / power(2.0, s.h))) * {inv_g!r}::DOUBLE
+                        AS v1,
+                      (s.p2 + t.so2 * (s.o2 * {stepsize!r}::DOUBLE
+                                       / power(2.0, s.h))) * {inv_g!r}::DOUBLE
+                        AS v2) w
+                  ) q
+                  WHERE q.chv <= {mh}
+                )
+                WHERE NOT list_contains(seen, key)
+              ) WHERE dup = 1
+            ) WHERE takern <= {avail}
+          )
+        )
+        GROUP BY r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
+                 added, cbx1, cbx2, cbhv, cbcost
       )
     )
-    GROUP BY r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led
   )
+),
+fstate AS (SELECT inc_cost, led FROM sim WHERE fin),
+frows AS (
+  SELECT unnest(led) AS e, unnest(range(1, len(led) + 1)) AS pos, inc_cost
+  FROM fstate
+),
+ffold AS (
+  SELECT e.pt AS mpt FROM frows WHERE e.cost < inc_cost
+  ORDER BY e.cost, pos LIMIT 1
 )
 SELECT e.pt AS point, e.hv AS halvings, e.par AS parent,
-       e.acc AS is_accepted, e.cost AS cost
-FROM (SELECT unnest(led) AS e FROM sim WHERE fin)
+       e.acc OR e.pt = coalesce((SELECT mpt FROM ffold), '')
+         AS is_accepted,
+       e.cost AS cost
+FROM frows
 """
 
 
@@ -356,15 +454,25 @@ QUERIES = {
     "pattern_search_pipelined": pattern_search_pipelined,
     "pattern_search_replay_sphere": pattern_search_replay_sphere,
     "pattern_search_replay_rosenbrock": pattern_search_replay_rosenbrock,
+    "pattern_search_replay_budget": pattern_search_replay_budget,
+    "pattern_search_replay_deferred": pattern_search_replay_deferred,
 }
+
+_SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
 
 ORACLE: dict[str, str] = {
     "pattern_search_replay_sphere": _replay_sql(
-        (10.0, 15.0), 1.0, "cx1 * cx1 + cx2 * cx2"
+        (10.0, 15.0), 1.0, _SPHERE_EXPR
     ),
     "pattern_search_replay_rosenbrock": _replay_sql(
         (-1.5, 2.5), 0.5,
         "(1.0::DOUBLE - cx1) * (1.0::DOUBLE - cx1)"
         " + 100.0::DOUBLE * ((cx2 - cx1 * cx1) * (cx2 - cx1 * cx1))",
+    ),
+    "pattern_search_replay_budget": _replay_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR, max_tasks=40
+    ),
+    "pattern_search_replay_deferred": _replay_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR, min_new_submit=10
     ),
 }
