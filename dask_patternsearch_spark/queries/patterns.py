@@ -229,6 +229,21 @@ def pattern_search_replay_deferred(spark: SparkSession, sf_dir: str) -> DataFram
     return _canon_ledger(results.to_spark(spark))
 
 
+def pattern_search_replay_intdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic sphere run with dimension 0 constrained to
+    integers, ORACLE-checked: exercises the integer-projection rules
+    (reference op #19, search.py:459-463,568-576,601-610) -- clamped unit
+    step, away-from-zero displacement rounding and the resolution-credit
+    rule for pure-contraction steps whose float displacements vanish."""
+    best, results = search(
+        _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
+        integer_dimensions=[0],
+    )
+    assert all(tp.point[0] == int(tp.point[0]) for tp in results)
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
 def _stencil_literal(n_steps: int = 64) -> str:
     """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
     ``(idx, o1, o2, extra_halvings)``.
@@ -257,7 +272,7 @@ def _stencil_literal(n_steps: int = 64) -> str:
 
 def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
                 max_halvings: int = 7, max_tasks: int | None = None,
-                min_new_submit: int = 0) -> str:
+                min_new_submit: int = 0, int_dim0: bool = False) -> str:
     """DuckDB recursive-CTE interpreter of the serial ``randomize=False``
     search loop (search.py:578-744 with round_size=6, no
     bounds/batching/pipelining).
@@ -286,11 +301,43 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
     mns = min_new_submit
     avail = "6" if max_tasks is None else f"least(6, {max_tasks} - len(seen))"
     fin_b = "FALSE" if max_tasks is None else f"(nseen >= {max_tasks})"
+    snap1 = f"""(CASE WHEN v1 - floor(v1) = 0.5
+                               THEN floor(v1) + CASE WHEN
+                                 CAST(floor(v1) AS BIGINT) % 2 = 0
+                                 THEN 0.0 ELSE 1.0 END
+                               ELSE floor(v1 + 0.5) END) * {g!r}::DOUBLE"""
+    if int_dim0:
+        # integer dimension (reference op #19, search.py:459-463,568-576,
+        # 601-610): the dim-0 step is clamped to at least one integer unit,
+        # the displacement rounds away from zero to a whole integer, and a
+        # pure-contraction step whose non-integer displacements are all
+        # zero keeps the incumbent's resolution level.
+        cs1 = (f"(CASE WHEN {stepsize!r}::DOUBLE * s.o1 / power(2.0, s.h) > 0"
+               f" AND {stepsize!r}::DOUBLE * s.o1 / power(2.0, s.h) < 1"
+               f" THEN 1.0::DOUBLE"
+               f" WHEN {stepsize!r}::DOUBLE * s.o1 / power(2.0, s.h) < 0"
+               f" AND {stepsize!r}::DOUBLE * s.o1 / power(2.0, s.h) > -1"
+               f" THEN -1.0::DOUBLE"
+               f" ELSE {stepsize!r}::DOUBLE * s.o1 / power(2.0, s.h) END)")
+        lateral_v1 = (f"CASE WHEN t.so1 * {cs1} < 0"
+                      f" THEN -ceil(-(t.so1 * {cs1}))"
+                      f" ELSE ceil(t.so1 * {cs1}) END AS v1,\n"
+                      f"                      t.so2 * (s.o2 * {stepsize!r}::DOUBLE"
+                      f" / power(2.0, s.h)) AS dx2r")
+        cx1_body = "s.p1 + v1"
+        chv_body = ("CASE WHEN t.eh > 0 AND dx2r = 0 THEN s.h"
+                    " ELSE s.h + t.eh END")
+    else:
+        lateral_v1 = (f"(s.p1 + t.so1 * (s.o1 * {stepsize!r}::DOUBLE"
+                      f" / power(2.0, s.h))) * {inv_g!r}::DOUBLE AS v1,\n"
+                      f"                      0.0 AS dx2r")
+        cx1_body = snap1
+        chv_body = "s.h + t.eh"
     return f"""
 WITH RECURSIVE
 st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
 sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
-    added, cbx1, cbx2, cbhv, cbcost) AS (
+    added, cbx1, cbx2, cbhv, cbcost, cbdup) AS (
   SELECT 0, {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE, 0,
          {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE,
          1.0::DOUBLE, 1.0::DOUBLE, CAST('inf' AS DOUBLE), FALSE,
@@ -298,7 +345,8 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
          CAST([] AS STRUCT(pt VARCHAR, hv INTEGER, par VARCHAR,
                            acc BOOLEAN, cost DOUBLE)[]),
          0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-         CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)
+         CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+         CAST(NULL AS BIGINT)
   UNION ALL
   SELECT r + 1,
          CASE WHEN do_accept THEN nbx1 ELSE p1 END,
@@ -320,15 +368,16 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
          seen || keys,
          CASE WHEN do_accept THEN list_transform(led || rows,
                 e -> struct_pack(pt := e.pt, hv := e.hv, par := e.par,
-                                 acc := e.acc OR e.pt =
-                                   (nbx1::VARCHAR || ',' || nbx2::VARCHAR),
+                                 acc := e.acc OR (nbdup = 1 AND e.pt =
+                                   (nbx1::VARCHAR || ',' || nbx2::VARCHAR)),
                                  cost := e.cost))
               ELSE led || rows END,
          CASE WHEN do_accept OR do_contract THEN 0 ELSE nadded END,
          CASE WHEN do_accept OR do_contract THEN NULL ELSE nbx1 END,
          CASE WHEN do_accept OR do_contract THEN NULL ELSE nbx2 END,
          CASE WHEN do_accept OR do_contract THEN NULL ELSE nbhv END,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbcost END
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbcost END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE nbdup END
   FROM (
     SELECT *,
            (nbhv IS NOT NULL AND (nadded >= {mns} OR finb)) AS do_accept,
@@ -352,24 +401,31 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                   WHEN cbhv IS NULL OR cndhv < cbhv
                        OR (cndhv = cbhv AND cndcost < cbcost)
                   THEN cndcost ELSE cbcost END AS nbcost,
+             CASE WHEN cndhv IS NULL THEN cbdup
+                  WHEN cbhv IS NULL OR cndhv < cbhv
+                       OR (cndhv = cbhv AND cndcost < cbcost)
+                  THEN cnddup ELSE cbdup END AS nbdup,
              added + ncand AS nadded,
-             {fin_b.replace('nseen', 'len(seen) + ncand')} AS finb
+             {fin_b.replace('nseen', 'len(seen) + nuniq')} AS finb
       FROM (
         SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
-               added, cbx1, cbx2, cbhv, cbcost,
+               added, cbx1, cbx2, cbhv, cbcost, cbdup,
                count(*) AS ncand,
                CASE WHEN count(*) <> {avail}
                     THEN error('replay: stencil literal exhausted')
                     END AS _guard,
-               list(key ORDER BY ord) AS keys,
+               count(*) FILTER (WHERE dup = 1) AS nuniq,
+               list(key ORDER BY ord) FILTER (WHERE dup = 1) AS keys,
                list(struct_pack(pt := key, hv := CAST(chv AS INTEGER),
                                 par := pkey, acc := FALSE,
-                                cost := ccost) ORDER BY ord) AS rows,
+                                cost := ccost) ORDER BY ord)
+                 FILTER (WHERE dup = 1) AS rows,
                max(CASE WHEN rn = 1 AND imp THEN cx1 END) AS cndx1,
                max(CASE WHEN rn = 1 AND imp THEN cx2 END) AS cndx2,
                CAST(max(CASE WHEN rn = 1 AND imp THEN chv END) AS INTEGER)
                  AS cndhv,
-               max(CASE WHEN rn = 1 AND imp THEN ccost END) AS cndcost
+               max(CASE WHEN rn = 1 AND imp THEN ccost END) AS cndcost,
+               max(CASE WHEN rn = 1 AND imp THEN dup END) AS cnddup
         FROM (
           SELECT *, (ccost < inc_cost) AS imp,
                  row_number() OVER (
@@ -387,14 +443,10 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                          (q.p1::VARCHAR || ',' || q.p2::VARCHAR) AS pkey
                   FROM (
                     SELECT s.*, t.idx AS ord,
-                           CASE WHEN t.idx = 0 THEN 0 ELSE s.h + t.eh END
+                           CASE WHEN t.idx = 0 THEN 0 ELSE {chv_body} END
                              AS chv,
                            CASE WHEN t.idx = 0 THEN s.p1 ELSE
-                             (CASE WHEN v1 - floor(v1) = 0.5
-                                   THEN floor(v1) + CASE WHEN
-                                     CAST(floor(v1) AS BIGINT) % 2 = 0
-                                     THEN 0.0 ELSE 1.0 END
-                                   ELSE floor(v1 + 0.5) END) * {g!r}::DOUBLE
+                             {cx1_body}
                            END AS cx1,
                            CASE WHEN t.idx = 0 THEN s.p2 ELSE
                              (CASE WHEN v2 - floor(v2) = 0.5
@@ -408,9 +460,7 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                           UNION ALL SELECT 0, NULL, NULL, NULL) t
                       ON t.idx > 0 OR s.r = 0,
                     LATERAL (SELECT
-                      (s.p1 + t.so1 * (s.o1 * {stepsize!r}::DOUBLE
-                                       / power(2.0, s.h))) * {inv_g!r}::DOUBLE
-                        AS v1,
+                      {lateral_v1},
                       (s.p2 + t.so2 * (s.o2 * {stepsize!r}::DOUBLE
                                        / power(2.0, s.h))) * {inv_g!r}::DOUBLE
                         AS v2) w
@@ -418,12 +468,12 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                   WHERE q.chv <= {mh}
                 )
                 WHERE NOT list_contains(seen, key)
-              ) WHERE dup = 1
+              )
             ) WHERE takern <= {avail}
           )
         )
         GROUP BY r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
-                 added, cbx1, cbx2, cbhv, cbcost
+                 added, cbx1, cbx2, cbhv, cbcost, cbdup
       )
     )
   )
@@ -456,6 +506,7 @@ QUERIES = {
     "pattern_search_replay_rosenbrock": pattern_search_replay_rosenbrock,
     "pattern_search_replay_budget": pattern_search_replay_budget,
     "pattern_search_replay_deferred": pattern_search_replay_deferred,
+    "pattern_search_replay_intdim": pattern_search_replay_intdim,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -474,5 +525,8 @@ ORACLE: dict[str, str] = {
     ),
     "pattern_search_replay_deferred": _replay_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR, min_new_submit=10
+    ),
+    "pattern_search_replay_intdim": _replay_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR, int_dim0=True
     ),
 }
