@@ -244,6 +244,22 @@ def pattern_search_replay_intdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _canon_ledger(results.to_spark(spark))
 
 
+def pattern_search_replay_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic sphere run under box constraints,
+    ORACLE-checked: infeasible trial points are never generated
+    (search.py:615-618), so the poll set shrinks at the boundary and the
+    search converges to the best FEASIBLE lattice point."""
+    best, results = search(
+        _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
+        bounds=([9.5, 13.25], [20.0, 20.0]),
+    )
+    assert tuple(best.point) == (9.5, 13.25)  # the feasible corner
+    for tp in results:
+        assert tp.point[0] >= 9.5 and tp.point[1] >= 13.25
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
 def _stencil_literal(n_steps: int = 64) -> str:
     """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
     ``(idx, o1, o2, extra_halvings)``.
@@ -272,7 +288,8 @@ def _stencil_literal(n_steps: int = 64) -> str:
 
 def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
                 max_halvings: int = 7, max_tasks: int | None = None,
-                min_new_submit: int = 0, int_dim0: bool = False) -> str:
+                min_new_submit: int = 0, int_dim0: bool = False,
+                bounds: tuple | None = None) -> str:
     """DuckDB recursive-CTE interpreter of the serial ``randomize=False``
     search loop (search.py:578-744 with round_size=6, no
     bounds/batching/pipelining).
@@ -300,6 +317,9 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
     mh = max_halvings
     mns = min_new_submit
     avail = "6" if max_tasks is None else f"least(6, {max_tasks} - len(seen))"
+    feas = ("TRUE" if bounds is None else
+            f"q.cx1 >= {bounds[0][0]!r} AND q.cx2 >= {bounds[0][1]!r}"
+            f" AND q.cx1 <= {bounds[1][0]!r} AND q.cx2 <= {bounds[1][1]!r}")
     fin_b = "FALSE" if max_tasks is None else f"(nseen >= {max_tasks})"
     snap1 = f"""(CASE WHEN v1 - floor(v1) = 0.5
                                THEN floor(v1) + CASE WHEN
@@ -465,7 +485,7 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                                        / power(2.0, s.h))) * {inv_g!r}::DOUBLE
                         AS v2) w
                   ) q
-                  WHERE q.chv <= {mh}
+                  WHERE q.chv <= {mh} AND ({feas})
                 )
                 WHERE NOT list_contains(seen, key)
               )
@@ -507,6 +527,7 @@ QUERIES = {
     "pattern_search_replay_budget": pattern_search_replay_budget,
     "pattern_search_replay_deferred": pattern_search_replay_deferred,
     "pattern_search_replay_intdim": pattern_search_replay_intdim,
+    "pattern_search_replay_bounded": pattern_search_replay_bounded,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -528,5 +549,9 @@ ORACLE: dict[str, str] = {
     ),
     "pattern_search_replay_intdim": _replay_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR, int_dim0=True
+    ),
+    "pattern_search_replay_bounded": _replay_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR,
+        bounds=((9.5, 13.25), (20.0, 20.0)),
     ),
 }
