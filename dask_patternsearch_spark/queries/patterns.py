@@ -253,6 +253,7 @@ def pattern_search_replay_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
         _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
         bounds=([9.5, 13.25], [20.0, 20.0]),
     )
+    assert len(results) == 54  # locked against the replay oracle
     assert tuple(best.point) == (9.5, 13.25)  # the feasible corner
     for tp in results:
         assert tp.point[0] >= 9.5 and tp.point[1] >= 13.25
@@ -260,7 +261,7 @@ def pattern_search_replay_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     return _canon_ledger(results.to_spark(spark))
 
 
-def _stencil_literal(n_steps: int = 64) -> str:
+def _stencil_literal(n_steps: int = 160) -> str:
     """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
     ``(idx, o1, o2, extra_halvings)``.
 
@@ -269,9 +270,13 @@ def _stencil_literal(n_steps: int = 64) -> str:
     ``tests/test_stencil.py``); what the oracle independently replays is
     the SEARCH DYNAMICS on top of it -- trial-point snapping, byte-keyed
     dedup, poll/accept/contract decisions, orientation flips and the
-    ledger bookkeeping.  64 steps is 5x the deepest index either
-    registered trace consumes (12); the SQL raises via error() if a
-    round cannot fill from the literal."""
+    ledger bookkeeping.  The bounded trace digs deepest: near the box
+    corner almost every step is infeasible or over-resolved, and its
+    final round's 6th slot sits at stencil index 86 (the unbounded
+    traces stop at 12), so 160 keeps ~2x headroom; the live ``ncand``
+    guard raises via error() if a round cannot fill from the literal
+    (an unreferenced guard column would be dead-code-eliminated by
+    DuckDB's column pruner and never fire -- round-5 lesson)."""
     from ..stencil import SimplexStencil
 
     st = SimplexStencil(2, 7)
@@ -299,8 +304,10 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
     the ``max_tasks`` fill trim (search.py:647-656) are all replayed;
     the scan always restarts at stencil index 0, which is equivalent to
     the engine's resumed enumerator because every step before the resume
-    point is either over-resolved (still skipped) or already in the
-    byte-keyed memo (still skipped).  Acceptance flags are applied
+    point is either over-resolved (still skipped), infeasible under the
+    box bounds (still skipped -- feasibility of a fixed trial point is
+    epoch-invariant) or already in the byte-keyed memo (still skipped).
+    Acceptance flags are applied
     retroactively to the carried point's ledger row, and the engine's
     finish-time ledger-min fold (search.py:733-741) runs after the
     recursion.
@@ -430,10 +437,10 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
       FROM (
         SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, seen, led,
                added, cbx1, cbx2, cbhv, cbcost, cbdup,
-               count(*) AS ncand,
                CASE WHEN count(*) <> {avail}
-                    THEN error('replay: stencil literal exhausted')
-                    END AS _guard,
+                    THEN CAST(error('replay: stencil literal exhausted')
+                              AS BIGINT)
+                    ELSE count(*) END AS ncand,
                count(*) FILTER (WHERE dup = 1) AS nuniq,
                list(key ORDER BY ord) FILTER (WHERE dup = 1) AS keys,
                list(struct_pack(pt := key, hv := CAST(chv AS INTEGER),
