@@ -274,8 +274,10 @@ def minhash_signatures(
     if hash_family == "md5":
         base = lambda s: _md5_long(s, 7)
     elif hash_family == "xxhash64":
-        # fold into the same 28-bit domain the permutation family needs
-        base = lambda s: F.abs(F.xxhash64(s)) % F.lit(1 << 28)
+        # fold into the same 28-bit domain the permutation family needs;
+        # mask rather than abs+mod -- abs(Long.MIN_VALUE) stays negative
+        # in JVM long arithmetic, which would leak a negative base hash
+        base = lambda s: F.xxhash64(s).bitwiseAND(F.lit((1 << 28) - 1))
     else:
         raise ValueError(f"unknown hash_family {hash_family!r}")
     hashed = docs.select(

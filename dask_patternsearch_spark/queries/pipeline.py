@@ -3732,9 +3732,12 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(least(9, ((doc_id - lo) * 10) div (hi - lo + 1)) as long)"
     )
     # one full-text corpus pass: reduce to the (bucket, word, count)
-    # relation (vocab-sized x 10), persist it, and derive BOTH series from
-    # the reduction -- without the persist, Catalyst would re-expand the
-    # branch and scan the text column twice
+    # relation (vocab-sized x 10), localCheckpoint it, and derive BOTH
+    # series from the reduction -- without the cut, Catalyst would
+    # re-expand the branch and scan the text column twice.  checkpoint
+    # rather than persist: its blocks are released when the DataFrame is
+    # garbage-collected, so repeated invocations in a long-lived session
+    # don't accumulate pinned cache entries
     bw = (
         docs.crossJoin(bounds)
         .withColumn("bucket", bucket)
@@ -3745,7 +3748,7 @@ def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("bucket", "w")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     # second pass reads doc_id only (column-pruned scan)
     doc_counts = (

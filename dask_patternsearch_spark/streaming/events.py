@@ -270,6 +270,7 @@ def upsert_ledger_stream(
     merge keyed on user_id -- is what carries over.
     """
     from ..operators.merge import upsert
+    from .ledger import recover_swap
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -285,6 +286,7 @@ def upsert_ledger_stream(
         HPath = jvm.org.apache.hadoop.fs.Path
         dst = HPath(base_dir)
         fs = dst.getFileSystem(hconf)
+        recover_swap(fs, dst)
         if fs.exists(dst):
             base = spark.read.parquet(ledger_path)
             merged = upsert(base, latest, keys=["user_id"], order_col="ts_ms")

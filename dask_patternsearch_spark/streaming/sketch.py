@@ -9,8 +9,10 @@ own rows and folds them into the ledger -- O(batch) work per batch,
 bounded ledger size (k longs per group) forever.  This is the
 streaming twin of the mergeability property the batch tests lock, and
 the same tmp-sibling/rename swap discipline as
-``streaming.events.upsert_ledger_stream`` keeps the ledger write
-crash-consistent without a transactional table format.
+``streaming.events.upsert_ledger_stream`` -- plus the batch-start
+``ledger.recover_swap`` heal for a crash landing between the two
+renames -- keeps the ledger write crash-consistent without a
+transactional table format.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ def kmv_ledger_stream(
     """Drain ``events`` (availableNow), folding per-batch KMV sketches of
     ``user_id`` per ``event_type`` into the parquet ledger."""
     from ..operators.sketches import kmv_merge, kmv_sketch
+    from .ledger import recover_swap
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -37,6 +40,7 @@ def kmv_ledger_stream(
         HPath = jvm.org.apache.hadoop.fs.Path
         dst = HPath(base_dir)
         fs = dst.getFileSystem(hconf)
+        recover_swap(fs, dst)
         if fs.exists(dst):
             prior = sp.read.parquet(base_dir)
             merged = kmv_merge(prior, sk, ["event_type"], k)

@@ -566,6 +566,90 @@ def test_streaming_left_outer_join_matches_batch_on_flushed_region(spark):
     assert got == want
 
 
+def test_kmv_ledger_recovers_mid_swap_crash(spark, scratch_dir):
+    """A crash between the two commit renames leaves the ledger stranded in
+    an .old-<batch_id> sibling with dst missing; the next drain must restore
+    it and merge on top, ending bit-equal to the whole-table batch sketch
+    (without recovery the ledger would silently restart from the last
+    batch's rows alone)."""
+    import os
+
+    from dask_patternsearch_spark.operators import sketches
+    from dask_patternsearch_spark.streaming.sketch import kmv_ledger_stream
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    indir = os.path.join(scratch_dir, "kmv_in")
+    ledger = os.path.join(scratch_dir, "kmv_ledger")
+    ckpt = os.path.join(scratch_dir, "kmv_ckpt")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(indir)
+
+    def stream():
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(indir)
+        )
+
+    kmv_ledger_stream(stream(), ledger, ckpt)
+    # simulate the crash window: rename(dst -> old) ran, rename(tmp -> dst)
+    # did not -- dst is gone, the prior ledger sits in the .old sibling
+    os.rename(ledger, ledger + ".old-7")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(indir)
+    kmv_ledger_stream(stream(), ledger, ckpt)
+
+    got = {
+        r["event_type"]: r["hashes"]
+        for r in spark.read.parquet(ledger).collect()
+    }
+    want = {
+        r["event_type"]: r["hashes"]
+        for r in sketches.kmv_sketch(ev, "user_id", ["event_type"]).collect()
+    }
+    assert got == want
+    stranded = [n for n in os.listdir(scratch_dir) if ".old-" in n]
+    assert stranded == []
+
+
+def test_upsert_ledger_recovers_mid_swap_crash(spark, scratch_dir):
+    """Same crash window for the upsert ledger: the restored prior state
+    must survive and the replacement batch merge on top of it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.streaming import events as sev
+    from dask_patternsearch_spark.util import epoch_ms
+    from tests.conftest import SF_DIR
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    indir = os.path.join(scratch_dir, "up_in")
+    ledger = os.path.join(scratch_dir, "up_ledger")
+    ckpt = os.path.join(scratch_dir, "up_ckpt")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(indir)
+
+    def stream():
+        return sev.read_events_stream(spark, indir)
+
+    sev.upsert_ledger_stream(stream(), ledger, ckpt)
+    os.rename(ledger, ledger + ".old-3")
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(indir)
+    sev.upsert_ledger_stream(stream(), ledger, ckpt)
+
+    got = {
+        r["user_id"]: (r["event_id"], r["ts_ms"])
+        for r in spark.read.parquet(ledger).collect()
+    }
+    want = {
+        r["user_id"]: (r["s"]["event_id"], r["s"]["ts_ms"])
+        for r in ev.withColumn("ts_ms", epoch_ms("ts"))
+        .groupBy("user_id")
+        .agg(F.max_by(F.struct("event_id", "ts_ms"), F.col("ts_ms")).alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_kmv_ledger_matches_batch_sketch(spark, scratch_dir):
     """The 2-batch streamed KMV ledger must equal the batch sketch of the
     whole table (associative merge across micro-batches)."""
