@@ -261,6 +261,45 @@ def pattern_search_replay_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     return _canon_ledger(results.to_spark(spark))
 
 
+def pattern_search_replay_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial-deterministic trace evaluated ON THE EXECUTOR PATH,
+    ORACLE-checked: ``randomize=False`` + an explicit ``round_size=6``
+    make the fill order identical to the serial trace, so the
+    ``SparkEvaluator`` run (one single-stage cluster job per poll round,
+    vectorized numpy inside the partitions -- reference ops #5-#7) must
+    produce the exact same evaluation ledger, bit for bit.  This
+    certifies the distributed dispatch/collection path itself against
+    the same recursive-CTE oracle as the serial trace: only evaluation
+    PLACEMENT differs, and the sphere polynomial is float64-exact on
+    the dyadic lattice on both paths."""
+
+    def sphere_vec(xs: np.ndarray) -> np.ndarray:
+        return (np.atleast_2d(xs) ** 2).sum(axis=1)
+
+    best, results = search(
+        sphere_vec, [10.0, 15.0], [1.0, 1.0], randomize=False,
+        spark=spark, vectorize=True, round_size=6,
+    )
+    assert len(results) == 126  # == the serial trace's ledger
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
+def pattern_search_replay_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serial deterministic sphere run with ``batchsize=4``,
+    ORACLE-checked: every round tops up from 6 candidates to the next
+    multiple of 4 (reference ops #6/#24 -- whole-batch evaluation
+    accounting, search.py:632-643), so rounds carry 8 slots and the
+    accept/contract cadence shifts relative to the unbatched trace.
+    The oracle replays it with ``round_fill=8``."""
+    best, results = search(
+        _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False, batchsize=4
+    )
+    assert abs(best.point).max() < 0.02
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
 def _stencil_literal(n_steps: int = 160) -> str:
     """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
     ``(idx, o1, o2, extra_halvings)``.
@@ -294,10 +333,15 @@ def _stencil_literal(n_steps: int = 160) -> str:
 def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
                 max_halvings: int = 7, max_tasks: int | None = None,
                 min_new_submit: int = 0, int_dim0: bool = False,
-                bounds: tuple | None = None) -> str:
+                bounds: tuple | None = None, round_fill: int = 6) -> str:
     """DuckDB recursive-CTE interpreter of the serial ``randomize=False``
-    search loop (search.py:578-744 with round_size=6, no
-    bounds/batching/pipelining).
+    search loop (search.py:578-744, no pipelining).  ``round_fill`` is
+    the constant number of candidate slots per round: 6 for the plain
+    ``round_size=3*dims`` serial loop; for ``batchsize=B`` runs the fill
+    loop always tops the round up to the smallest multiple of B at or
+    above ``round_size`` (the top-up pulls never stop short because the
+    stencil stream is effectively infinite here), so a batched trace
+    replays with ``round_fill=ceil(round_size / B) * B``.
 
     One recursion step == one poll round.  The carried acceptance
     candidate (search.py:532-566), the ``min_new_submit`` deferral and
@@ -323,7 +367,8 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
     g = stepsize / 2.0 ** max_halvings
     mh = max_halvings
     mns = min_new_submit
-    avail = "6" if max_tasks is None else f"least(6, {max_tasks} - len(seen))"
+    avail = (str(round_fill) if max_tasks is None
+             else f"least({round_fill}, {max_tasks} - len(seen))")
     feas = ("TRUE" if bounds is None else
             f"q.cx1 >= {bounds[0][0]!r} AND q.cx2 >= {bounds[0][1]!r}"
             f" AND q.cx1 <= {bounds[1][0]!r} AND q.cx2 <= {bounds[1][1]!r}")
@@ -535,6 +580,8 @@ QUERIES = {
     "pattern_search_replay_deferred": pattern_search_replay_deferred,
     "pattern_search_replay_intdim": pattern_search_replay_intdim,
     "pattern_search_replay_bounded": pattern_search_replay_bounded,
+    "pattern_search_replay_distributed": pattern_search_replay_distributed,
+    "pattern_search_replay_batched": pattern_search_replay_batched,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -560,5 +607,14 @@ ORACLE: dict[str, str] = {
     "pattern_search_replay_bounded": _replay_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR,
         bounds=((9.5, 13.25), (20.0, 20.0)),
+    ),
+    # identical to the serial sphere replay by design: randomize=False +
+    # round_size=6 pin the fill order, so the executor-path ledger must
+    # match the serial trace bit for bit
+    "pattern_search_replay_distributed": _replay_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR
+    ),
+    "pattern_search_replay_batched": _replay_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR, round_fill=8
     ),
 }
