@@ -36,9 +36,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 ORACLE_NAMES = sorted(entry.oracle_sql())
 
 
+def assert_scalar_schema(df, name):
+    """The driver's result canonicalizer hashes typed CELL values and
+    cannot sort array/map/struct cells (the round-4 `err` class): every
+    registered query output must be scalar-only.  Checked here, on the
+    tests that already invoke every registry entry, so a new query with a
+    complex output column fails CI before it ever reaches the driver."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: complex-typed output columns {bad} would crash the "
+        "driver canonicalizer -- stringify or flatten them"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, duck, name):
-    sdf = entry.queries()[name](spark, SF_DIR).toPandas()
+    out = entry.queries()[name](spark, SF_DIR)
+    assert_scalar_schema(out, name)
+    sdf = out.toPandas()
     ddf = duck.sql(entry.oracle_sql()[name]).df()
     assert sorted(sdf.columns) == sorted(ddf.columns)
     assert len(sdf) == len(ddf)
@@ -58,6 +78,7 @@ ROWS_ONLY = sorted(set(entry.queries()) - set(entry.oracle_sql()))
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_queries_run(spark, name):
     df = entry.queries()[name](spark, SF_DIR)
+    assert_scalar_schema(df, name)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
 
