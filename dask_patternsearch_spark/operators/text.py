@@ -429,6 +429,43 @@ def compression_ratios(docs: DataFrame) -> DataFrame:
     )
 
 
+def trigram_redundancy(docs: DataFrame) -> DataFrame:
+    """Per-language distinct-character-trigram redundancy -- the
+    deterministic, engine-portable twin of the zlib compression-ratio
+    signal (``compression_quality``): repetitive/boilerplate text reuses
+    the same trigrams, so ``1 - distinct/total`` rises exactly where the
+    zlib ratio falls.  zlib's byte stream is library-defined and can
+    never be replayed by another engine; this proxy is pure integer
+    counting with ONE final division, so the double is bit-identical
+    across Spark and DuckDB and the query is oracle-checkable.
+
+    Scale: per-doc trigram extraction is a JVM higher-order transform
+    over a sequence (no Python, no shuffle); the only shuffle is the
+    per-language integer rollup with map-side combine.
+    """
+    t = F.col("text")
+    per_doc = ensure_parallelism(docs).filter(F.length(t) >= 3).select(
+        "lang",
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - F.lit(2)),
+                    lambda i: t.substr(i, F.lit(3)),
+                )
+            )
+        ).cast("long").alias("dt"),
+        (F.length(t) - F.lit(2)).cast("long").alias("tt"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dt").cast("long").alias("distinct_trigrams"),
+        F.sum("tt").cast("long").alias("total_trigrams"),
+        (
+            F.lit(1.0) - F.sum("dt").cast("double") / F.sum("tt").cast("double")
+        ).alias("redundancy"),
+    )
+
+
 def compression_quality(docs: DataFrame) -> DataFrame:
     """Per-language compression-ratio profile (n, mean, min, max) --
     the aggregate view used to pick filter thresholds."""

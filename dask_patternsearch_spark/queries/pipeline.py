@@ -1926,7 +1926,38 @@ def streaming_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib redundancy profile (rows-only by design: the compressed byte
+    stream is library-defined, so no cross-engine oracle can exist;
+    ``trigram_redundancy`` is its oracle-checked deterministic twin)."""
     return text.compression_quality(_docs(spark, sf_dir))
+
+
+def trigram_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic redundancy proxy for the zlib signal,
+    ORACLE-checked: per-language 1 - distinct_trigrams/total_trigrams,
+    integer sums with one exact final division (see
+    operators.text.trigram_redundancy)."""
+    return text.trigram_redundancy(_docs(spark, sf_dir))
+
+
+_TRIGRAM_REDUNDANCY_SQL = """
+WITH tri AS (
+  SELECT doc_id, lang, text, length(text) - 2 AS tt,
+         unnest(range(1, length(text) - 1)) AS i
+  FROM documents WHERE length(text) >= 3
+),
+per_doc AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(tt) AS tt,
+         count(DISTINCT substr(text, i::INTEGER, 3)) AS dt
+  FROM tri GROUP BY doc_id
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(dt)::BIGINT AS distinct_trigrams,
+       sum(tt)::BIGINT AS total_trigrams,
+       1.0 - sum(dt)::DOUBLE / sum(tt)::DOUBLE AS redundancy
+FROM per_doc GROUP BY lang
+"""
 
 
 def canonicalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3829,6 +3860,7 @@ QUERIES = {
     "doc_length_histogram": doc_length_histogram,
     "source_mixture_weights": source_mixture_weights,
     "compression_quality": compression_quality,
+    "trigram_redundancy": trigram_redundancy,
     "canonicalize_corpus": canonicalize_corpus,
     "streaming_neardup_dedup": streaming_neardup_dedup,
     "streaming_kmv_users": streaming_kmv_users,
@@ -3904,6 +3936,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "trigram_redundancy": _TRIGRAM_REDUNDANCY_SQL,
     "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
     "substring_dup_docs": _SUBSTRING_DUP_SQL,
     "bm25_top_docs": _BM25_SQL,
