@@ -530,9 +530,10 @@ def test_heaps_vocab_growth_plan_is_bucket_shaped(spark):
     info = summarize(df)
     assert info["python_stages"] == 0
     assert info["broadcast_hash_joins"] >= 2
-    # the expensive column is scanned exactly once: the (bucket, word,
-    # count) reduction is cached and both derived series read the cache
-    # (every other scan is doc_id-only)
+    # the expensive column is scanned exactly once, in the localCheckpoint
+    # materialization of the (bucket, word, count) reduction; the result
+    # plan reads that checkpointed RDD for both derived series and never
+    # touches the text column itself (every remaining scan is doc_id-only)
     text = plan_text(df)
-    assert text.count("text:string") == 1, "text column scanned more than once"
-    assert "InMemoryTableScan" in text
+    assert text.count("text:string") == 0, "text column leaked past the checkpoint"
+    assert "Scan ExistingRDD" in text

@@ -162,6 +162,17 @@ def test_survey_inventory_matches_registry():
     assert not unlisted, f"registered queries absent from SURVEY 2.3: {sorted(unlisted)}"
 
 
+def test_bench_headline_names_resolve():
+    """Every bench.py HEADLINE entry must exist in the registry -- a query
+    rename would otherwise only surface as a KeyError in the end-of-round
+    bench run."""
+    import bench
+
+    registered = set(entry.queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"bench HEADLINE references unknown queries: {missing}"
+
+
 def test_hll_sketch_users_tolerance_and_union_consistency(spark):
     """Per-type estimates within 5% of exact; the union row must estimate
     the global distinct count (merged sketches, not a rescan)."""
