@@ -11,6 +11,7 @@ from .search import (
     SparkEvaluator,
     TrialPoint,
     search,
+    search_multi_start,
 )
 from .stencil import SimplexStencil, Step
 
@@ -18,6 +19,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "search",
+    "search_multi_start",
     "TrialPoint",
     "SearchResults",
     "LocalEvaluator",

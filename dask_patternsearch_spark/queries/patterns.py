@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..search import search
+from ..search import search, search_multi_start
 
 
 def _canon_ledger(df: DataFrame) -> DataFrame:
@@ -298,6 +298,33 @@ def pattern_search_replay_batched(spark: SparkSession, sf_dir: str) -> DataFrame
     assert abs(best.point).max() < 0.02
     _assert_no_negative_zero(results)
     return _canon_ledger(results.to_spark(spark))
+
+
+_MULTISTART_X0S = ([10.0, 15.0], [-8.0, 11.0], [6.0, -9.0])
+
+
+def pattern_search_multistart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portfolio of three deterministic serial sphere starts through
+    ``search_multi_start`` (concurrent driver threads, one independent
+    search per start -- the production answer to pattern search being a
+    LOCAL method), ORACLE-checked: each start's ledger is exactly the
+    serial trace from its x0, so the oracle is the UNION ALL of three
+    replay CTEs tagged by start index.  Negative-coordinate starts
+    exercise the orientation flips on descent directions the
+    (10, 15)-anchored replays never take."""
+    best, runs = search_multi_start(
+        _sphere, _MULTISTART_X0S, [1.0, 1.0], randomize=False
+    )
+    assert abs(best.point).max() < 0.02
+    out = None
+    for i, (_b, results) in enumerate(runs):
+        _assert_no_negative_zero(results)
+        led = _canon_ledger(results.to_spark(spark)).select(
+            F.lit(i).cast("int").alias("start_id"),
+            "point", "halvings", "parent", "is_accepted", "cost",
+        )
+        out = led if out is None else out.unionByName(led)
+    return out
 
 
 def _stencil_literal(n_steps: int = 160) -> str:
@@ -582,6 +609,7 @@ QUERIES = {
     "pattern_search_replay_bounded": pattern_search_replay_bounded,
     "pattern_search_replay_distributed": pattern_search_replay_distributed,
     "pattern_search_replay_batched": pattern_search_replay_batched,
+    "pattern_search_multistart": pattern_search_multistart,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -616,5 +644,13 @@ ORACLE: dict[str, str] = {
     ),
     "pattern_search_replay_batched": _replay_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR, round_fill=8
+    ),
+    # one replay CTE per start, tagged and unioned: a multistart run IS
+    # three independent serial traces
+    "pattern_search_multistart": " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS start_id, * FROM ("
+        + _replay_sql(tuple(x0), 1.0, _SPHERE_EXPR)
+        + ")"
+        for i, x0 in enumerate(_MULTISTART_X0S)
     ),
 }

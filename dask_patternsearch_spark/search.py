@@ -50,6 +50,7 @@ from .stencil import SimplexStencil
 
 __all__ = [
     "search",
+    "search_multi_start",
     "TrialPoint",
     "LocalEvaluator",
     "SparkEvaluator",
@@ -743,3 +744,55 @@ def search(
     incumbent.stop_time = time()
     flush_ledger()
     return incumbent, results
+
+
+def search_multi_start(
+    func,
+    x0s,
+    stepsize,
+    spark=None,
+    *,
+    max_workers: int | None = None,
+    **kwargs,
+):
+    """Independent pattern searches from several starting points; returns
+    ``(global_best, [(best, results), ...])`` in ``x0s`` order.
+
+    Pattern search is a local method: on a multimodal objective the basin
+    it converges into is decided by ``x0``, so production use launches a
+    small portfolio of starts and keeps the global ledger minimum.  The
+    reference has no portfolio driver (its ``search()`` is single-start,
+    reference search.py:48-51); this composes the existing loop without
+    touching its semantics, which keeps every per-start ledger exactly as
+    replayable as a single-start run (the multistart replay oracle is a
+    UNION of per-start replay CTEs).
+
+    Concurrency: starts run on driver threads.  With a Spark evaluator
+    each thread submits its own single-stage jobs and the scheduler
+    interleaves them across executors (same mechanism as
+    ``AsyncSparkEvaluator``), so a straggling start no longer idles the
+    cluster; serial starts still overlap their numpy evaluation (BLAS
+    releases the GIL).  ``max_workers`` caps the thread pool (default:
+    all starts).  Each start gets its own evaluator -- nothing is shared
+    mutable state except the SparkSession, which is thread-safe for job
+    submission.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    x0s = [np.asarray(x, dtype=float) for x in x0s]
+    if not x0s:
+        raise ValueError("x0s must contain at least one starting point")
+    if "evaluator" in kwargs and len(x0s) > 1:
+        raise ValueError(
+            "a shared evaluator cannot be used across concurrent starts; "
+            "pass spark= (or nothing) and let each start build its own"
+        )
+    workers = min(len(x0s), max_workers or len(x0s))
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [
+            pool.submit(search, func, x0, stepsize, spark, **kwargs)
+            for x0 in x0s
+        ]
+        runs = [f.result() for f in futs]
+    global_best = min(runs, key=lambda r: r[0].result)[0]
+    return global_best, runs

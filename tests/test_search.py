@@ -444,3 +444,64 @@ def test_replay_oracle_matches_engine_ledger():
         P.ORACLE["pattern_search_replay_sphere"]
     ).fetchall()
     assert sorted(map(tuple, out)) == eng
+
+
+def test_multi_start_matches_independent_runs():
+    """search_multi_start must return per-start (best, results) equal to
+    independent single-start runs (thread orchestration cannot perturb
+    the deterministic traces), plus the global ledger minimum."""
+    import numpy as np
+
+    from dask_patternsearch_spark.search import search, search_multi_start
+
+    def shifted(x):
+        return float(((x - np.array([3.0, -2.0])) ** 2).sum())
+
+    x0s = [[10.0, 15.0], [-8.0, 11.0], [6.0, -9.0]]
+    best, runs = search_multi_start(shifted, x0s, [1.0, 1.0], randomize=False)
+    assert len(runs) == 3
+
+    def canon(res):
+        return sorted(
+            (tp.point.tobytes(), tp.halvings, float(c)) for tp, c in res.items()
+        )
+
+    all_min = None
+    for x0, (b, res) in zip(x0s, runs):
+        sb, sres = search(shifted, x0, [1.0, 1.0], randomize=False)
+        assert canon(res) == canon(sres)
+        assert b.result == sb.result
+        m = min(res.values())
+        all_min = m if all_min is None else min(all_min, m)
+    assert best.result == all_min
+    assert abs(best.point - np.array([3.0, -2.0])).max() < 0.02
+
+
+def test_multi_start_concurrent_spark_evaluator(spark):
+    """Concurrent starts sharing one SparkSession (each submitting its own
+    single-stage jobs from a driver thread) must reproduce the serial
+    local traces exactly."""
+    import numpy as np
+
+    from dask_patternsearch_spark.search import search, search_multi_start
+
+    def sphere_vec(xs):
+        return (np.atleast_2d(xs) ** 2).sum(axis=1)
+
+    x0s = [[10.0, 15.0], [-8.0, 11.0]]
+    best, runs = search_multi_start(
+        sphere_vec, x0s, [1.0, 1.0], spark=spark, vectorize=True,
+        round_size=6, randomize=False,
+    )
+
+    def canon(res):
+        return sorted(
+            (tp.point.tobytes(), tp.halvings, float(c)) for tp, c in res.items()
+        )
+
+    for x0, (_b, res) in zip(x0s, runs):
+        _sb, sres = search(
+            lambda x: float((x * x).sum()), x0, [1.0, 1.0], randomize=False
+        )
+        assert canon(res) == canon(sres)
+    assert abs(best.point).max() < 0.02
