@@ -128,6 +128,50 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
+
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-calibration report (estimator vs exact Jaccard error
+    histogram over the surfaced candidates), ORACLE-checked: integers
+    only, every float intermediate is the same IEEE expression tree in
+    both engines (see operators.dedup.minhash_estimate_error)."""
+    return dedup.minhash_estimate_error(_docs(spark, sf_dir))
+
+
+_MINHASH_ERR_SQL = f"""
+WITH {_MINHASH_COMMON},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0,
+               6) AS est_jaccard
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+),
+scored AS (
+  SELECT e.est_jaccard,
+         CASE WHEN len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles)) = 0
+              THEN 1.0
+              ELSE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / (len(a.shingles) + len(b.shingles)
+                      - len(list_intersect(a.shingles, b.shingles)))::DOUBLE
+         END AS exact_j
+  FROM est e JOIN sh a ON a.doc_id = e.doc_a
+             JOIN sh b ON b.doc_id = e.doc_b
+  WHERE e.est_jaccard >= 0.5
+)
+SELECT CAST(floor(abs(est_jaccard - exact_j) * 100) AS INTEGER) AS err_bin,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN est_jaccard >= exact_j THEN 1 ELSE 0 END)::BIGINT
+         AS n_overestimates
+FROM scored GROUP BY 1
+"""
+
 # The single-batch drain of the incremental filter (the registered query
 # streams ONE parquet file, so every document is in the first batch):
 # keep iff no smaller-doc_id document shares a band bucket.  Multi-batch
@@ -3868,6 +3912,7 @@ QUERIES = {
     "repetition_scores": repetition_scores,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
+    "minhash_estimate_error": minhash_estimate_error,
     "simhash_near_dups": simhash_near_dups,
     "embedding_near_dups": embedding_near_dups,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -4018,6 +4063,7 @@ ORACLE = {
     "lsh_topk": _LSH_TOPK_SQL,
     "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
     "minhash_near_dups": _MINHASH_SQL,
+    "minhash_estimate_error": _MINHASH_ERR_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,
     # associative merge => the streamed ledger equals the batch sketch
