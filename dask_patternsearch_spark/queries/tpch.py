@@ -277,30 +277,36 @@ def q21_blamed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     # two count_distincts in one aggregate would force an Expand (2x the
     # input through the shuffle); dedup to (order, supplier) grain first,
-    # then plain counts over the much smaller intermediate
+    # then plain counts over the much smaller intermediate.  The R-line
+    # count rides the same aggregate, so the blamed side is derived FROM
+    # per_os (weight = n_r_lines) instead of re-scanning lineitem --
+    # lineitem is read exactly once; per_os is checkpointed because both
+    # the per-order rollup and the blamed filter consume it.
     per_os = li.groupBy(
         F.col("l_orderkey").alias("po_orderkey"), F.col("l_suppkey").alias("po_supp")
     ).agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
-    )
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias(
+            "n_r_lines"
+        )
+    ).localCheckpoint(eager=False)
     per_order = per_os.groupBy("po_orderkey").agg(
         F.count(F.lit(1)).alias("n_supps"),
-        F.sum("has_r").alias("n_ret_supps"),
+        F.sum((F.col("n_r_lines") > 0).cast("int")).alias("n_ret_supps"),
     )
     forders = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     blamed = (
-        li.filter(F.col("l_returnflag") == "R")
-        .join(forders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(per_order, F.col("l_orderkey") == F.col("po_orderkey"))
+        per_os.filter(F.col("n_r_lines") > 0)
+        .join(forders, F.col("po_orderkey") == F.col("o_orderkey"))
+        .join(per_order, "po_orderkey")
         .filter((F.col("n_supps") > 1) & (F.col("n_ret_supps") == 1))
     )
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        blamed.groupBy("l_suppkey")
-        .agg(F.count(F.lit(1)).alias("numwait"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        blamed.groupBy("po_supp")
+        .agg(F.sum("n_r_lines").alias("numwait"))
+        .join(F.broadcast(supplier), F.col("po_supp") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "numwait")
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(10)
