@@ -428,21 +428,28 @@ def minhash_estimate_error(
     before trusting an LSH layer at 100 TB (estimator bias/variance on
     YOUR corpus, not the textbook bound): integers only, so the whole
     report is oracle-checkable bit-for-bit.  Cost: the candidate volume
-    is already band-bounded; the exact verify joins the per-doc distinct
-    shingle arrays onto the (small) candidate set -- at scale this is
-    the same bounded verify join every near-dup pipeline already pays.
+    is already band-bounded, and the corpus is semi-joined down to the
+    candidate doc_ids BEFORE the exact-verify shingle pass -- only
+    candidate documents are re-tokenized, the same bounded verify join
+    every near-dup pipeline already pays (never a second full-corpus
+    text pass).
 
     Error bins are exact: the estimate is a multiple of 1/n_perm
     (exactly representable and unchanged by the 6-dp round), the exact
-    Jaccard is one IEEE division, and ``floor(abs(diff) * 20)`` is the
+    Jaccard is one IEEE division, and ``floor(abs(diff) * 100)`` is the
     same float expression tree on any engine.  Empty-vs-empty shingle
     pairs (signatures all-sentinel, est 1.0) define Jaccard as 1.0.
     """
     cands = minhash_lsh_candidates(
         docs, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
         min_est_jaccard=min_est_jaccard,
+    ).localCheckpoint(eager=False)
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
-    sh = docs.select(
+    sh = docs.join(cand_ids, "doc_id", "left_semi").select(
         "doc_id", _tokens(F.col("text")).alias("toks")
     ).select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))

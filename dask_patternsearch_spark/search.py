@@ -773,25 +773,37 @@ def search_multi_start(
     ``AsyncSparkEvaluator``), so a straggling start no longer idles the
     cluster; serial starts still overlap their numpy evaluation (BLAS
     releases the GIL).  ``max_workers`` caps the thread pool (default:
-    all starts).  Each start gets its own evaluator -- nothing is shared
-    mutable state except the SparkSession, which is thread-safe for job
-    submission.
+    all starts).  Each start gets its own evaluator, and a shared
+    ``ledger_path`` fans out into per-start ``start-<i>`` subdirectories
+    (concurrent starts writing one directory would collide on part-file
+    names) -- nothing is shared mutable state except the SparkSession,
+    which is thread-safe for job submission.
     """
     from concurrent.futures import ThreadPoolExecutor
 
     x0s = [np.asarray(x, dtype=float) for x in x0s]
     if not x0s:
         raise ValueError("x0s must contain at least one starting point")
-    if "evaluator" in kwargs and len(x0s) > 1:
+    if kwargs.get("evaluator") is not None and len(x0s) > 1:
         raise ValueError(
             "a shared evaluator cannot be used across concurrent starts; "
             "pass spark= (or nothing) and let each start build its own"
         )
+    ledger_path = kwargs.pop("ledger_path", None)
+
+    def start_kwargs(i: int) -> dict:
+        if ledger_path is None:
+            return kwargs
+        import os as _os
+
+        return {**kwargs,
+                "ledger_path": _os.path.join(ledger_path, f"start-{i}")}
+
     workers = min(len(x0s), max_workers or len(x0s))
     with ThreadPoolExecutor(max_workers=workers) as pool:
         futs = [
-            pool.submit(search, func, x0, stepsize, spark, **kwargs)
-            for x0 in x0s
+            pool.submit(search, func, x0, stepsize, spark, **start_kwargs(i))
+            for i, x0 in enumerate(x0s)
         ]
         runs = [f.result() for f in futs]
     global_best = min(runs, key=lambda r: r[0].result)[0]

@@ -299,9 +299,13 @@ def upsert_ledger_stream(
         fs.delete(tmp, True)
         merged.write.mode("overwrite").parquet(str(tmp))
         # Metadata-only swap, then drop the superseded snapshot.
-        if fs.exists(dst):
-            fs.rename(dst, old)
-        fs.rename(tmp, dst)
+        # rename returns False on most Hadoop failures instead of raising;
+        # an unchecked failure here would let the stream checkpoint commit
+        # the batch against a stale (or missing) ledger
+        if fs.exists(dst) and not fs.rename(dst, old):
+            raise IOError(f"ledger swap rename failed: {dst} -> {old}")
+        if not fs.rename(tmp, dst):
+            raise IOError(f"ledger swap rename failed: {tmp} -> {dst}")
         fs.delete(old, True)
 
     q = (

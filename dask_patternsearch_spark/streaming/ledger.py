@@ -45,6 +45,13 @@ def recover_swap(fs, dst) -> None:
                 continue
     olds.sort()
     if olds and not fs.exists(dst):
-        fs.rename(olds.pop()[1], dst)
+        # Hadoop FileSystem.rename reports most failures via a False
+        # return, not an exception; a silently failed restore followed by
+        # sibling cleanup would destroy every surviving copy of the prior
+        # ledger.  Raise instead -- the batch retries with the siblings
+        # intact.
+        newest = olds.pop()[1]
+        if not fs.rename(newest, dst):
+            raise IOError(f"ledger recovery rename failed: {newest} -> {dst}")
     for _, p in olds:
         fs.delete(p, True)

@@ -50,9 +50,13 @@ def kmv_ledger_stream(
         old = HPath(f"{base_dir}.old-{batch_id}")
         fs.delete(tmp, True)
         merged.write.mode("overwrite").parquet(str(tmp))
-        if fs.exists(dst):
-            fs.rename(dst, old)
-        fs.rename(tmp, dst)
+        # rename returns False on most Hadoop failures instead of raising;
+        # an unchecked failure here would let the stream checkpoint commit
+        # the batch against a stale (or missing) ledger
+        if fs.exists(dst) and not fs.rename(dst, old):
+            raise IOError(f"ledger swap rename failed: {dst} -> {old}")
+        if not fs.rename(tmp, dst):
+            raise IOError(f"ledger swap rename failed: {tmp} -> {dst}")
         fs.delete(old, True)
 
     q = (

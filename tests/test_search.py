@@ -505,3 +505,44 @@ def test_multi_start_concurrent_spark_evaluator(spark):
         )
         assert canon(res) == canon(sres)
     assert abs(best.point).max() < 0.02
+
+
+def test_multi_start_ledger_paths_fan_out(tmp_path):
+    """A shared ledger_path must fan out into per-start subdirectories
+    (concurrent starts writing one directory would collide on part-file
+    names and corrupt the crash-recovery ledger); each per-start ledger
+    must warm-start its own trace without re-evaluation."""
+    import os
+
+    import numpy as np
+
+    from dask_patternsearch_spark.search import search, search_multi_start
+
+    calls = []
+
+    def sphere(x):
+        calls.append(tuple(x))
+        return float((x * x).sum())
+
+    base = str(tmp_path / "ledgers")
+    x0s = [[10.0, 15.0], [-8.0, 11.0]]
+    _best, runs = search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False,
+        ledger_path=base, ledger_every=1,
+    )
+    subdirs = sorted(os.listdir(base))
+    assert subdirs == ["start-0", "start-1"]
+    # every evaluated point of start 0 is in its own ledger (not polluted
+    # by start 1's rows): a warm start from it may keep exploring, but it
+    # must never re-evaluate a point start 0 already paid for
+    warm_points = {tuple(tp.point.tolist()) for tp in runs[0][1]}
+    assert len(warm_points) == len(runs[0][1])
+    calls.clear()
+    search(
+        sphere, x0s[0], [1.0, 1.0], randomize=False,
+        warm_start=os.path.join(base, "start-0"),
+    )
+    assert calls, "warm-started search should continue exploring"
+    # only the re-seeded x0 may be re-called (engine contract, see
+    # test_warm_start_resumes_without_reevaluation)
+    assert set(calls) & warm_points == {tuple(x0s[0])}

@@ -36,12 +36,12 @@ def run(label: str, cmd: list[str]) -> None:
 
 def main() -> None:
     fast = "--fast" in sys.argv[1:]
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01"
+    )
     if not fast:
         run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"])
-    run(
-        "oracle gate",
-        [sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.01"],
-    )
+    run("oracle gate", [sys.executable, "tools/oracle_check.py", sf_dir])
     print("== preflight GREEN")
 
 
