@@ -8,14 +8,19 @@ rows-only checks and correctness comes from the convergence property
 tests in ``tests/test_search.py`` (the reference's own test strategy,
 ``/root/reference/dask_patternsearch/tests/test_search.py:28-124``).
 
-The ``pattern_search_replay_*`` queries close that gap for the serial
-deterministic core: with ``randomize=False`` the serial trace is a pure
-function of (x0, stepsize, stopratio, objective), every coordinate is an
-exact dyadic lattice point and every objective value is exact in float64,
-so the ENTIRE evaluation ledger -- fill order, memoized dedup, greedy
-acceptance, stencil orientation flips, contraction cascade -- is replayed
-move-for-move by a DuckDB recursive CTE (``_replay_sql``) and compared
-bit-for-bit by the driver's value-hash gate.
+The ``pattern_search_replay_*`` queries close that gap for the
+deterministic configurations: with ``randomize=False`` the trace is a
+pure function of the config, every coordinate is an exact dyadic lattice
+point and every objective value is exact in float64, so the ENTIRE
+evaluation ledger -- fill order, memoized dedup, greedy acceptance,
+stencil orientation flips, contraction cascade -- is replayed
+move-for-move by a DuckDB recursive CTE and compared bit-for-bit by the
+driver's value-hash gate.  ``_replay_sql`` covers the serial loop (and,
+bit-identically, the executor-dispatched and batched variants);
+``_replay_pipelined_sql`` models the ASYNC pipelined loop's one-round
+drain lag, so the speculative-submission mode itself (reference op #8)
+is oracle-certified too.  Only the RNG-shuffled (randomize=True) demos
+above remain rows-only.
 """
 
 from __future__ import annotations
@@ -594,6 +599,252 @@ FROM frows
 """
 
 
+def pattern_search_replay_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ASYNC PIPELINED mode's deterministic trace, ORACLE-checked --
+    the last reference operator (#8, speculative submission) previously
+    covered only by convergence properties.  With ``randomize=False`` and
+    ``pipeline_depth=2`` the loop is a pure function of the config: every
+    iteration fills round k+1 from the CURRENT epoch while round k is
+    still in flight, then drains round k and applies accept/contract one
+    round LATE.  ``_replay_pipelined_sql`` models exactly that lag
+    (pending round in the recursion state, acceptance candidates drawn
+    from the drained round with their own fill-time parents driving the
+    orientation flips), so the ledger -- including the doubled-step
+    accepts with NEGATIVE halvings the lag makes reachable, which the
+    serial trace never takes -- is replayed bit-for-bit."""
+
+    def sphere_vec(xs: np.ndarray) -> np.ndarray:
+        return (np.atleast_2d(xs) ** 2).sum(axis=1)
+
+    best, results = search(
+        sphere_vec, [10.0, 15.0], [1.0, 1.0], randomize=False,
+        spark=spark, vectorize=True, round_size=6, pipeline_depth=2,
+    )
+    assert abs(best.point).max() < 0.02
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
+def _replay_pipelined_sql(x0: tuple, stepsize: float, cost_expr: str,
+                          max_halvings: int = 7) -> str:
+    """DuckDB recursive-CTE interpreter of the ``pipeline_depth=2``
+    ``randomize=False`` loop (search.py:578-744 async path).
+
+    One recursion step == one loop iteration: (1) fill the next round
+    from the CURRENT epoch state (scan-from-zero with the drained+pending
+    keys as the memo -- ``inflight_keys`` dedup included); (2) drain the
+    PENDING round (one-round lag): append its dup=1 rows to the ledger,
+    fold its improving rows into the carried acceptance candidate
+    against the CURRENT incumbent cost; (3) decide.  Because drained
+    rows may have been filled under an OLDER incumbent, the orientation
+    flip uses the reference's two-term form
+    ``(next - next.parent) + (incumbent - incumbent.parent)`` with the
+    candidate's own fill-time parent carried through the state (the
+    serial replay's ``next - pp`` shortcut assumes next.parent ==
+    incumbent and does not survive the lag).  The contraction gate's
+    poll set reduces to: the epoch's first fill (the only fill that can
+    take stencil indices <= 2*dims) has not yet drained; poll trials
+    already in flight from the previous epoch clear within the same
+    iteration because the drain runs before the decision.  On finish the
+    still-pending round drains into the ledger (the engine's post-loop
+    inflight drain) and the ledger-min fold runs as in the serial
+    replay.  Exactness argument identical to ``_replay_sql``."""
+    inv_g = 2.0 ** max_halvings / stepsize
+    g = stepsize / 2.0 ** max_halvings
+    mh = max_halvings
+    snap = lambda v: (f"(CASE WHEN {v} - floor({v}) = 0.5"
+                      f" THEN floor({v}) + CASE WHEN"
+                      f" CAST(floor({v}) AS BIGINT) % 2 = 0"
+                      f" THEN 0.0 ELSE 1.0 END"
+                      f" ELSE floor({v} + 0.5) END) * {g!r}::DOUBLE")
+    return f"""
+WITH RECURSIVE
+st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
+sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led, pend,
+    cbx1, cbx2, cbhv, cbcost, cbpar1, cbpar2) AS (
+  SELECT 0, {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE, 0,
+         {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE,
+         1.0::DOUBLE, 1.0::DOUBLE, CAST('inf' AS DOUBLE), 0, FALSE,
+         CAST([] AS VARCHAR[]),
+         CAST([] AS STRUCT(pt VARCHAR, hv INTEGER, par VARCHAR,
+                           acc BOOLEAN, cost DOUBLE)[]),
+         CAST([] AS STRUCT(x1 DOUBLE, x2 DOUBLE, hv INTEGER, par1 DOUBLE,
+                           par2 DOUBLE, cost DOUBLE, dup BIGINT,
+                           ord INTEGER)[]),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+  UNION ALL
+  SELECT r + 1,
+         CASE WHEN do_accept THEN ncbx1 ELSE p1 END,
+         CASE WHEN do_accept THEN ncbx2 ELSE p2 END,
+         CASE WHEN do_accept THEN ncbhv
+              WHEN do_contract THEN h + 1 ELSE h END,
+         CASE WHEN do_accept THEN ncbpar1
+              WHEN do_contract THEN p1 ELSE pp1 END,
+         CASE WHEN do_accept THEN ncbpar2
+              WHEN do_contract THEN p2 ELSE pp2 END,
+         CASE WHEN do_accept
+                   AND (ncbx1 - ncbpar1) + (p1 - pp1) <> 0
+              THEN CASE WHEN (ncbx1 - ncbpar1) + (p1 - pp1) < 0
+                        THEN -1.0 ELSE 1.0 END::DOUBLE
+              ELSE o1 END,
+         CASE WHEN do_accept
+                   AND (ncbx2 - ncbpar2) + (p2 - pp2) <> 0
+              THEN CASE WHEN (ncbx2 - ncbpar2) + (p2 - pp2) < 0
+                        THEN -1.0 ELSE 1.0 END::DOUBLE
+              ELSE o2 END,
+         CASE WHEN do_accept THEN ncbcost ELSE inc_cost END,
+         CASE WHEN do_accept OR do_contract THEN 0 ELSE age + 1 END,
+         CASE WHEN do_accept THEN ncbhv >= {mh}
+              WHEN do_contract THEN h + 1 >= {mh}
+              ELSE FALSE END,
+         seen || fkeys,
+         CASE WHEN do_accept THEN list_transform(newled,
+                e -> struct_pack(pt := e.pt, hv := e.hv, par := e.par,
+                                 acc := e.acc OR e.pt =
+                                   (ncbx1::VARCHAR || ',' || ncbx2::VARCHAR),
+                                 cost := e.cost))
+              ELSE newled END,
+         frows,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbx1 END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbx2 END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbhv END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbcost END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbpar1 END,
+         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbpar2 END
+  FROM (
+    SELECT *,
+           (ncbcost IS NOT NULL) AS do_accept,
+           (ncbcost IS NULL
+            AND NOT (age = 0 AND fpoll > 0)) AS do_contract
+    FROM (
+      SELECT *,
+             CASE WHEN pb IS NULL THEN cbhv
+                  WHEN cbhv IS NULL OR pb.hv < cbhv
+                       OR (pb.hv = cbhv AND pb.cost < cbcost)
+                  THEN pb.hv ELSE cbhv END AS ncbhv,
+             CASE WHEN pb IS NULL THEN cbx1
+                  WHEN cbhv IS NULL OR pb.hv < cbhv
+                       OR (pb.hv = cbhv AND pb.cost < cbcost)
+                  THEN pb.x1 ELSE cbx1 END AS ncbx1,
+             CASE WHEN pb IS NULL THEN cbx2
+                  WHEN cbhv IS NULL OR pb.hv < cbhv
+                       OR (pb.hv = cbhv AND pb.cost < cbcost)
+                  THEN pb.x2 ELSE cbx2 END AS ncbx2,
+             CASE WHEN pb IS NULL THEN cbcost
+                  WHEN cbhv IS NULL OR pb.hv < cbhv
+                       OR (pb.hv = cbhv AND pb.cost < cbcost)
+                  THEN pb.cost ELSE cbcost END AS ncbcost,
+             CASE WHEN pb IS NULL THEN cbpar1
+                  WHEN cbhv IS NULL OR pb.hv < cbhv
+                       OR (pb.hv = cbhv AND pb.cost < cbcost)
+                  THEN pb.par1 ELSE cbpar1 END AS ncbpar1,
+             CASE WHEN pb IS NULL THEN cbpar2
+                  WHEN cbhv IS NULL OR pb.hv < cbhv
+                       OR (pb.hv = cbhv AND pb.cost < cbcost)
+                  THEN pb.par2 ELSE cbpar2 END AS ncbpar2
+      FROM (
+        SELECT *,
+               list_sort(list_transform(
+                 list_filter(pend, e -> e.cost < inc_cost),
+                 e -> struct_pack(hv := e.hv, cost := e.cost, ord := e.ord,
+                                  x1 := e.x1, x2 := e.x2,
+                                  par1 := e.par1, par2 := e.par2)))[1] AS pb,
+               led || list_transform(
+                 list_filter(pend, e -> e.dup = 1),
+                 e -> struct_pack(
+                   pt := e.x1::VARCHAR || ',' || e.x2::VARCHAR,
+                   hv := e.hv,
+                   par := e.par1::VARCHAR || ',' || e.par2::VARCHAR,
+                   acc := FALSE, cost := e.cost)) AS newled
+        FROM (
+          SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, seen, led,
+                 pend, cbx1, cbx2, cbhv, cbcost, cbpar1, cbpar2,
+                 CASE WHEN count(*) <> 6
+                      THEN CAST(error('replay-pipelined: stencil literal'
+                                      ' exhausted') AS BIGINT)
+                      ELSE count(*) END AS nfill,
+                 count(*) FILTER (WHERE ord BETWEEN 1 AND 4
+                                  AND dup = 1) AS fpoll,
+                 list(key ORDER BY ord) FILTER (WHERE dup = 1) AS fkeys,
+                 list(struct_pack(x1 := cx1, x2 := cx2,
+                                  hv := CAST(chv AS INTEGER),
+                                  par1 := p1, par2 := p2, cost := ccost,
+                                  dup := dup, ord := CAST(ord AS INTEGER))
+                      ORDER BY ord) AS frows
+          FROM (
+            SELECT *, {cost_expr} AS ccost
+            FROM (
+              SELECT *, row_number() OVER (ORDER BY ord) AS takern
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY key ORDER BY ord)
+                          AS dup
+                FROM (
+                  SELECT q.*,
+                         (q.cx1::VARCHAR || ',' || q.cx2::VARCHAR) AS key
+                  FROM (
+                    SELECT s.*, t.idx AS ord,
+                           CASE WHEN t.idx = 0 THEN 0 ELSE s.h + t.eh END
+                             AS chv,
+                           CASE WHEN t.idx = 0 THEN s.p1 ELSE
+                             {snap('v1')}
+                           END AS cx1,
+                           CASE WHEN t.idx = 0 THEN s.p2 ELSE
+                             {snap('v2')}
+                           END AS cx2
+                    FROM (SELECT * FROM sim WHERE NOT fin AND r < 200) s
+                    JOIN (SELECT idx, so1, so2, eh FROM st
+                          UNION ALL SELECT 0, NULL, NULL, NULL) t
+                      ON t.idx > 0 OR s.r = 0,
+                    LATERAL (SELECT
+                      (s.p1 + t.so1 * (s.o1 * {stepsize!r}::DOUBLE
+                                       / power(2.0, s.h))) * {inv_g!r}::DOUBLE
+                        AS v1,
+                      (s.p2 + t.so2 * (s.o2 * {stepsize!r}::DOUBLE
+                                       / power(2.0, s.h))) * {inv_g!r}::DOUBLE
+                        AS v2) w
+                  ) q
+                  WHERE q.chv <= {mh}
+                )
+                WHERE NOT list_contains(seen, key)
+              )
+            ) WHERE takern <= 6
+          )
+          GROUP BY r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, seen, led,
+                   pend, cbx1, cbx2, cbhv, cbcost, cbpar1, cbpar2
+        )
+      )
+    )
+  )
+),
+fstate AS (SELECT inc_cost, led, pend FROM sim WHERE fin),
+ledfin AS (
+  SELECT inc_cost,
+         led || list_transform(
+           list_filter(pend, e -> e.dup = 1),
+           e -> struct_pack(
+             pt := e.x1::VARCHAR || ',' || e.x2::VARCHAR,
+             hv := e.hv,
+             par := e.par1::VARCHAR || ',' || e.par2::VARCHAR,
+             acc := FALSE, cost := e.cost)) AS led
+  FROM fstate
+),
+frows AS (
+  SELECT unnest(led) AS e, unnest(range(1, len(led) + 1)) AS pos, inc_cost
+  FROM ledfin
+),
+ffold AS (
+  SELECT e.pt AS mpt FROM frows WHERE e.cost < inc_cost
+  ORDER BY e.cost, pos LIMIT 1
+)
+SELECT e.pt AS point, e.hv AS halvings, e.par AS parent,
+       e.acc OR e.pt = coalesce((SELECT mpt FROM ffold), '')
+         AS is_accepted,
+       e.cost AS cost
+FROM frows
+"""
+
+
 QUERIES = {
     "pattern_search_sphere": pattern_search_sphere,
     "pattern_search_100d_distributed": pattern_search_100d_distributed,
@@ -610,6 +861,7 @@ QUERIES = {
     "pattern_search_replay_distributed": pattern_search_replay_distributed,
     "pattern_search_replay_batched": pattern_search_replay_batched,
     "pattern_search_multistart": pattern_search_multistart,
+    "pattern_search_replay_pipelined": pattern_search_replay_pipelined,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -647,6 +899,9 @@ ORACLE: dict[str, str] = {
     ),
     # one replay CTE per start, tagged and unioned: a multistart run IS
     # three independent serial traces
+    "pattern_search_replay_pipelined": _replay_pipelined_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR
+    ),
     "pattern_search_multistart": " UNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS start_id, * FROM ("
         + _replay_sql(tuple(x0), 1.0, _SPHERE_EXPR)

@@ -546,3 +546,54 @@ def test_multi_start_ledger_paths_fan_out(tmp_path):
     # only the re-seeded x0 may be re-called (engine contract, see
     # test_warm_start_resumes_without_reevaluation)
     assert set(calls) & warm_points == {tuple(x0s[0])}
+
+
+def test_pipelined_replay_oracle_matches_engine_ledger():
+    """_replay_pipelined_sql reproduces the pipeline_depth=2
+    randomize=False ledger move-for-move -- the one-round drain lag, the
+    stale-parent orientation flips and the doubled-step accepts with
+    negative halvings included.  Runs on a synchronous submit-capable
+    evaluator so the trace (identical to the AsyncSparkEvaluator's, which
+    drains in submission order) is checked without a Spark session."""
+    from concurrent.futures import Future
+
+    import duckdb
+    import numpy as np
+
+    from dask_patternsearch_spark.queries import patterns as P
+    from dask_patternsearch_spark.search import LocalEvaluator, search
+
+    class SyncFutureEvaluator:
+        def __init__(self):
+            self.inner = LocalEvaluator(vectorize=True)
+
+        def submit(self, func, pts, args):
+            f = Future()
+            f.set_result(self.inner.evaluate(func, pts, args))
+            return f
+
+        def evaluate(self, func, pts, args):
+            return self.inner.evaluate(func, pts, args)
+
+    def sphere_vec(xs):
+        return (np.atleast_2d(xs) ** 2).sum(axis=1)
+
+    best, results = search(
+        sphere_vec, [10.0, 15.0], [1.0, 1.0], randomize=False,
+        vectorize=True, round_size=6, pipeline_depth=2,
+        evaluator=SyncFutureEvaluator(),
+    )
+    eng = [
+        (",".join(str(v) for v in tp.point.tolist()), tp.halvings,
+         ",".join(str(v) for v in tp.parent.point.tolist()),
+         tp.is_accepted, float(cost))
+        for tp, cost in results.items()
+    ]
+    out = duckdb.connect().execute(
+        P.ORACLE["pattern_search_replay_pipelined"]
+    ).fetchall()
+    assert [tuple(o) for o in out] == eng
+    # the lag makes doubled steps acceptable: the trace must actually
+    # contain a negative-halvings accepted point (the serial trace never
+    # does), otherwise this test stopped exercising the lag
+    assert any(tp.halvings < 0 and tp.is_accepted for tp in results)
