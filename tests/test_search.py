@@ -597,3 +597,54 @@ def test_pipelined_replay_oracle_matches_engine_ledger():
     # contain a negative-halvings accepted point (the serial trace never
     # does), otherwise this test stopped exercising the lag
     assert any(tp.halvings < 0 and tp.is_accepted for tp in results)
+
+
+def test_pipelined_replay_oracle_rosenbrock_config():
+    """Second objective through the pipelined CTE: the curved valley
+    drives different orientation flips and an early contraction cascade
+    under the one-round lag (66 rows, far short of the optimum -- the
+    same early stop the serial deterministic rosenbrock takes).  Locks
+    _replay_pipelined_sql against a non-sphere cost expression."""
+    from concurrent.futures import Future
+
+    import duckdb
+    import numpy as np
+
+    from dask_patternsearch_spark.queries.patterns import _replay_pipelined_sql
+    from dask_patternsearch_spark.search import LocalEvaluator, search
+
+    class SyncFutureEvaluator:
+        def __init__(self):
+            self.inner = LocalEvaluator(vectorize=True)
+
+        def submit(self, func, pts, args):
+            f = Future()
+            f.set_result(self.inner.evaluate(func, pts, args))
+            return f
+
+        def evaluate(self, func, pts, args):
+            return self.inner.evaluate(func, pts, args)
+
+    def rb_vec(xs):
+        xs = np.atleast_2d(xs)
+        return (1 - xs[:, 0]) ** 2 + 100.0 * (xs[:, 1] - xs[:, 0] ** 2) ** 2
+
+    best, results = search(
+        rb_vec, [-1.5, 2.5], [0.5, 0.5], randomize=False,
+        vectorize=True, round_size=6, pipeline_depth=2,
+        evaluator=SyncFutureEvaluator(),
+    )
+    assert best.result == min(results.values())
+    eng = [
+        (",".join(str(v) for v in tp.point.tolist()), tp.halvings,
+         ",".join(str(v) for v in tp.parent.point.tolist()),
+         tp.is_accepted, float(cost))
+        for tp, cost in results.items()
+    ]
+    sql = _replay_pipelined_sql(
+        (-1.5, 2.5), 0.5,
+        "(1.0::DOUBLE - cx1) * (1.0::DOUBLE - cx1)"
+        " + 100.0::DOUBLE * ((cx2 - cx1 * cx1) * (cx2 - cx1 * cx1))",
+    )
+    out = duckdb.connect().execute(sql).fetchall()
+    assert [tuple(o) for o in out] == eng
