@@ -1624,6 +1624,85 @@ GROUP BY d.lang
 """
 
 
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-side contamination visibility, ORACLE-checked: for every
+    held-out (src0) document that at least one corpus document
+    near-matches (exact 3-gram Jaccard >= 0.8 via the deterministic
+    cross-set prefix join), how many corpus documents hit it and the
+    worst similarity.  The reporting twin of ``decontaminate_corpus`` --
+    the view an eval owner reads to decide which benchmark items are
+    burned, while the decontamination pass decides which corpus docs to
+    drop.  Scale: same bounded prefix-join machinery; the report is one
+    extra hash aggregate on the (tiny) verified pair set."""
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    pairs = dedup.contamination_pairs_exact(corpus, benchmark, threshold=0.8)
+    return pairs.groupBy(
+        F.col("benchmark_doc_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_contaminating"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+# header (toks..cand) mirrors _DECONTAMINATE_SQL: one shared rarest-first
+# ordering over the union of both sets, per-side prefixes, corpus x
+# benchmark candidate equi-join -- then the report aggregates the verified
+# pairs per BENCHMARK doc instead of anti-joining the corpus
+_CONTAMINATION_REPORT_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id, source, lang,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM toks
+),
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
+),
+ordered AS MATERIALIZED (
+  SELECT doc_id, source, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, s.source, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN sh s ON s.doc_id = u.doc_id
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id, source
+),
+pref AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS c_doc, b.doc_id AS b_doc
+  FROM pref a JOIN pref b ON a.g = b.g
+  WHERE a.source <> 'src0' AND b.source = 'src0'
+),
+pairs AS (
+  SELECT c.b_doc,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / nullif(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)), 0) AS j
+  FROM cand c
+  JOIN ordered sa ON sa.doc_id = c.c_doc
+  JOIN ordered sb ON sb.doc_id = c.b_doc
+  WHERE least(len(sa.shingles), len(sb.shingles))
+        >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+)
+SELECT b_doc AS benchmark_doc_id,
+       CAST(count(*) AS BIGINT) AS n_contaminating,
+       max(j) AS max_jaccard
+FROM pairs WHERE j >= 0.8 GROUP BY b_doc
+"""
+
+
 def exact_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram-collision decontamination (``operators.dedup.
     ngram_overlap_contamination``): treat source src0 as the held-out
@@ -3942,6 +4021,7 @@ QUERIES = {
     "near_dup_clusters": near_dup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
     "decontaminate_corpus": decontaminate_corpus,
+    "contamination_report": contamination_report,
     "exact_decontaminate_docs": exact_decontaminate_docs,
     "pack_context_bins": pack_context_bins,
     "quantized_embeddings": quantized_embeddings,
@@ -4033,6 +4113,7 @@ ORACLE = {
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
     "canonicalize_corpus": _CANONICALIZE_SQL,
     "decontaminate_corpus": _DECONTAMINATE_SQL,
+    "contamination_report": _CONTAMINATION_REPORT_SQL,
     "pretrain_pipeline_stats": _PRETRAIN_SQL,
     "near_dup_pagerank": _NEARDUP_PAGERANK_SQL,
     "multimodal_features": _MULTIMODAL_FEATURES_SQL,
