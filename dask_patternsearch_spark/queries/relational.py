@@ -399,30 +399,52 @@ FROM orders
 
 def grouped_map_user_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDF (applyInPandas): per-user inter-event-time
-    statistics computed with numpy on the whole group at once.
+    statistics computed with numpy/pandas on a whole KEY-HASH BUCKET of
+    users at once.
 
     Completes the pandas-API family next to the scalar UDF (cosine),
     grouped-agg UDAF (geomean), mapInPandas (signatures) and
-    applyInPandasWithState (incumbent).  Scale: one shuffle on user_id;
-    each group is one Arrow batch; state is O(group).
+    applyInPandasWithState (incumbent).  Grouping on
+    ``pmod(xxhash64(user_id), 256)`` instead of the raw key turns one
+    Python invocation per user into one per bucket (same win as the
+    bucketed cogroup as-of join: 3.6 s -> 1.8 s warm at sf0.1) while the
+    per-user math stays a vectorized groupby inside the batch.  Scale:
+    one shuffle on the bucket; per-task state is |events|/n_buckets.
+    Gap sums are integer-valued floats well under 2^53, so the mean is
+    exact in any summation order (oracle-stable).
     """
     import numpy as np
 
     ev = _events(spark, sf_dir)
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts_ms", "event_id"])
-        gaps = np.diff(pdf["ts_ms"].to_numpy())
-        return pd.DataFrame({
-            "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [len(pdf)],
-            "mean_gap_ms": [
-                float(np.floor(gaps.mean() * 10 + 0.5) / 10) if len(gaps) else None
-            ],
-            "max_gap_ms": [int(gaps.max()) if len(gaps) else None],
-        })
+        pdf = pdf.sort_values(["user_id", "ts_ms", "event_id"])
+        uid = pdf["user_id"].to_numpy()
+        ts = pdf["ts_ms"].to_numpy().astype(float)
+        gap = np.empty(len(ts), dtype=float)
+        gap[0] = np.nan
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[np.flatnonzero(uid[1:] != uid[:-1]) + 1] = np.nan
+        g = pd.DataFrame({"user_id": uid, "gap": gap}).groupby(
+            "user_id", sort=False
+        )["gap"]
+        res = pd.DataFrame({
+            "n_events": g.size(),
+            "mean_raw": g.mean(),
+            "max_raw": g.max(),
+        }).reset_index()
+        res["mean_gap_ms"] = (
+            np.floor(res["mean_raw"] * 10 + 0.5) / 10
+        ).astype(object).where(res["mean_raw"].notna(), None)
+        res["max_gap_ms"] = res["max_raw"].astype(object).where(
+            res["max_raw"].notna(), None
+        )
+        return res[["user_id", "n_events", "mean_gap_ms", "max_gap_ms"]]
 
-    return ev.select("user_id", "event_id", "ts_ms").groupBy("user_id").applyInPandas(
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(256))
+    return ev.select("user_id", "event_id", "ts_ms").groupBy(
+        bucket.alias("__bucket")
+    ).applyInPandas(
         stats,
         "user_id long, n_events long, mean_gap_ms double, max_gap_ms long",
     )
