@@ -366,7 +366,9 @@ def cogroup_asof_join(
     task count while keeping per-task state at ~|data|/n_buckets instead
     of one whole key group per call.  Ties on identical ``right_ts``
     resolve to the greatest (right_ts, payload-order) row, matching the
-    merge formulation on unique timestamps.
+    merge formulation on unique timestamps.  NULL join keys follow SQL
+    semantics (NULL matches nothing): NULL-key left rows emit NULL
+    payloads, NULL-key right rows are dropped.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -398,25 +400,47 @@ def cogroup_asof_join(
     def join_bucket(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
         if len(l) == 0:
             return pd.DataFrame(columns=out_cols)
+        # SQL NULL-key semantics: NULL never equals NULL, so NULL-key left
+        # rows get NULL payloads and NULL-key right rows can never match.
+        # (merge_asof would otherwise crash on the dtype skew a nullable
+        # key causes -- the NaN-carrying side arrives float64.)
+        lnull = l[keys].isna().any(axis=1)
+        nulls = l[lnull].copy() if lnull.any() else None
+        if nulls is not None:
+            for c in payload_cols:
+                nulls[c] = None
+            l = l[~lnull]
+        r = r.dropna(subset=rkeys)
+        if len(l) == 0:
+            return nulls[out_cols]
         if len(r) == 0:
             for c in payload_cols:
+                l = l.copy()
                 l[c] = None
-            return l[out_cols]
-        # merge_asof needs both frames sorted by the on-key; sorting the
-        # right by payload AFTER ts makes the within-tie LAST row the
-        # greatest payload, which backward-asof then picks
-        l = l.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
-        r = r.sort_values([right_ts] + payload_cols, kind="mergesort").reset_index(drop=True)
-        out = pd.merge_asof(
-            l, r, left_on=left_ts, right_on=right_ts,
-            left_by=keys, right_by=rkeys,
-            direction="backward", allow_exact_matches=True,
-        )
-        for c in payload_cols:
-            # unmatched rows surface as NaN (possibly float-coerced for
-            # integer payloads); restore typed NULLs for Arrow
-            col = out[c]
-            out[c] = col.astype(object).where(col.notna(), None)
+            out = l
+        else:
+            for k, rk in zip(keys, rkeys):
+                if r[rk].dtype != l[k].dtype:
+                    # NaN rows dropped above, so an int key that arrived
+                    # float-coerced casts back losslessly
+                    r = r.assign(**{rk: r[rk].astype(l[k].dtype)})
+            # merge_asof needs both frames sorted by the on-key; sorting
+            # the right by payload AFTER ts makes the within-tie LAST row
+            # the greatest payload, which backward-asof then picks
+            l = l.sort_values(left_ts, kind="mergesort").reset_index(drop=True)
+            r = r.sort_values([right_ts] + payload_cols, kind="mergesort").reset_index(drop=True)
+            out = pd.merge_asof(
+                l, r, left_on=left_ts, right_on=right_ts,
+                left_by=keys, right_by=rkeys,
+                direction="backward", allow_exact_matches=True,
+            )
+            for c in payload_cols:
+                # unmatched rows surface as NaN (possibly float-coerced
+                # for integer payloads); restore typed NULLs for Arrow
+                col = out[c]
+                out[c] = col.astype(object).where(col.notna(), None)
+        if nulls is not None:
+            out = pd.concat([out[out_cols], nulls[out_cols]], ignore_index=True)
         return out[out_cols]
 
     lbucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets))

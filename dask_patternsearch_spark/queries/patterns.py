@@ -633,9 +633,12 @@ def _replay_pipelined_sql(x0: tuple, stepsize: float, cost_expr: str,
     One recursion step == one loop iteration: (1) fill the next round
     from the CURRENT epoch state (scan-from-zero with the drained+pending
     keys as the memo -- ``inflight_keys`` dedup included); (2) drain the
-    PENDING round (one-round lag): append its dup=1 rows to the ledger,
-    fold its improving rows into the carried acceptance candidate
-    against the CURRENT incumbent cost; (3) decide.  Because drained
+    PENDING round (one-round lag): append its dup=1 rows to the ledger
+    and take its best improving row -- min (halvings, cost, fill order)
+    vs the CURRENT incumbent cost -- as the acceptance candidate; with
+    ``min_new_submit=0`` (the only deferral this CTE models) any
+    candidate is applied in the same step, so no carried state survives
+    a round; (3) decide.  Because drained
     rows may have been filled under an OLDER incumbent, the orientation
     flip uses the reference's two-term form
     ``(next - next.parent) + (incumbent - incumbent.parent)`` with the
@@ -660,8 +663,8 @@ def _replay_pipelined_sql(x0: tuple, stepsize: float, cost_expr: str,
     return f"""
 WITH RECURSIVE
 st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
-sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led, pend,
-    cbx1, cbx2, cbhv, cbcost, cbpar1, cbpar2) AS (
+sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led,
+    pend) AS (
   SELECT 0, {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE, 0,
          {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE,
          1.0::DOUBLE, 1.0::DOUBLE, CAST('inf' AS DOUBLE), 0, FALSE,
@@ -670,86 +673,53 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led, pend,
                            acc BOOLEAN, cost DOUBLE)[]),
          CAST([] AS STRUCT(x1 DOUBLE, x2 DOUBLE, hv INTEGER, par1 DOUBLE,
                            par2 DOUBLE, cost DOUBLE, dup BIGINT,
-                           ord INTEGER)[]),
-         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER),
-         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+                           ord INTEGER)[])
   UNION ALL
   SELECT r + 1,
-         CASE WHEN do_accept THEN ncbx1 ELSE p1 END,
-         CASE WHEN do_accept THEN ncbx2 ELSE p2 END,
-         CASE WHEN do_accept THEN ncbhv
+         CASE WHEN do_accept THEN pb.x1 ELSE p1 END,
+         CASE WHEN do_accept THEN pb.x2 ELSE p2 END,
+         CASE WHEN do_accept THEN pb.hv
               WHEN do_contract THEN h + 1 ELSE h END,
-         CASE WHEN do_accept THEN ncbpar1
+         CASE WHEN do_accept THEN pb.par1
               WHEN do_contract THEN p1 ELSE pp1 END,
-         CASE WHEN do_accept THEN ncbpar2
+         CASE WHEN do_accept THEN pb.par2
               WHEN do_contract THEN p2 ELSE pp2 END,
          CASE WHEN do_accept
-                   AND (ncbx1 - ncbpar1) + (p1 - pp1) <> 0
-              THEN CASE WHEN (ncbx1 - ncbpar1) + (p1 - pp1) < 0
+                   AND (pb.x1 - pb.par1) + (p1 - pp1) <> 0
+              THEN CASE WHEN (pb.x1 - pb.par1) + (p1 - pp1) < 0
                         THEN -1.0 ELSE 1.0 END::DOUBLE
               ELSE o1 END,
          CASE WHEN do_accept
-                   AND (ncbx2 - ncbpar2) + (p2 - pp2) <> 0
-              THEN CASE WHEN (ncbx2 - ncbpar2) + (p2 - pp2) < 0
+                   AND (pb.x2 - pb.par2) + (p2 - pp2) <> 0
+              THEN CASE WHEN (pb.x2 - pb.par2) + (p2 - pp2) < 0
                         THEN -1.0 ELSE 1.0 END::DOUBLE
               ELSE o2 END,
-         CASE WHEN do_accept THEN ncbcost ELSE inc_cost END,
+         CASE WHEN do_accept THEN pb.cost ELSE inc_cost END,
          CASE WHEN do_accept OR do_contract THEN 0 ELSE age + 1 END,
-         CASE WHEN do_accept THEN ncbhv >= {mh}
+         CASE WHEN do_accept THEN pb.hv >= {mh}
               WHEN do_contract THEN h + 1 >= {mh}
               ELSE FALSE END,
          seen || fkeys,
          CASE WHEN do_accept THEN list_transform(newled,
                 e -> struct_pack(pt := e.pt, hv := e.hv, par := e.par,
-                                 acc := e.acc OR e.pt =
-                                   (ncbx1::VARCHAR || ',' || ncbx2::VARCHAR),
+                                 acc := e.acc OR (pb.dup = 1 AND e.pt =
+                                   (pb.x1::VARCHAR || ',' || pb.x2::VARCHAR)),
                                  cost := e.cost))
               ELSE newled END,
-         frows,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbx1 END,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbx2 END,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbhv END,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbcost END,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbpar1 END,
-         CASE WHEN do_accept OR do_contract THEN NULL ELSE ncbpar2 END
+         frows
   FROM (
     SELECT *,
-           (ncbcost IS NOT NULL) AS do_accept,
-           (ncbcost IS NULL
+           (pb IS NOT NULL) AS do_accept,
+           (pb IS NULL
             AND NOT (age = 0 AND fpoll > 0)) AS do_contract
     FROM (
       SELECT *,
-             CASE WHEN pb IS NULL THEN cbhv
-                  WHEN cbhv IS NULL OR pb.hv < cbhv
-                       OR (pb.hv = cbhv AND pb.cost < cbcost)
-                  THEN pb.hv ELSE cbhv END AS ncbhv,
-             CASE WHEN pb IS NULL THEN cbx1
-                  WHEN cbhv IS NULL OR pb.hv < cbhv
-                       OR (pb.hv = cbhv AND pb.cost < cbcost)
-                  THEN pb.x1 ELSE cbx1 END AS ncbx1,
-             CASE WHEN pb IS NULL THEN cbx2
-                  WHEN cbhv IS NULL OR pb.hv < cbhv
-                       OR (pb.hv = cbhv AND pb.cost < cbcost)
-                  THEN pb.x2 ELSE cbx2 END AS ncbx2,
-             CASE WHEN pb IS NULL THEN cbcost
-                  WHEN cbhv IS NULL OR pb.hv < cbhv
-                       OR (pb.hv = cbhv AND pb.cost < cbcost)
-                  THEN pb.cost ELSE cbcost END AS ncbcost,
-             CASE WHEN pb IS NULL THEN cbpar1
-                  WHEN cbhv IS NULL OR pb.hv < cbhv
-                       OR (pb.hv = cbhv AND pb.cost < cbcost)
-                  THEN pb.par1 ELSE cbpar1 END AS ncbpar1,
-             CASE WHEN pb IS NULL THEN cbpar2
-                  WHEN cbhv IS NULL OR pb.hv < cbhv
-                       OR (pb.hv = cbhv AND pb.cost < cbcost)
-                  THEN pb.par2 ELSE cbpar2 END AS ncbpar2
-      FROM (
-        SELECT *,
                list_sort(list_transform(
                  list_filter(pend, e -> e.cost < inc_cost),
                  e -> struct_pack(hv := e.hv, cost := e.cost, ord := e.ord,
                                   x1 := e.x1, x2 := e.x2,
-                                  par1 := e.par1, par2 := e.par2)))[1] AS pb,
+                                  par1 := e.par1, par2 := e.par2,
+                                  dup := e.dup)))[1] AS pb,
                led || list_transform(
                  list_filter(pend, e -> e.dup = 1),
                  e -> struct_pack(
@@ -759,7 +729,7 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led, pend,
                    acc := FALSE, cost := e.cost)) AS newled
         FROM (
           SELECT r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, seen, led,
-                 pend, cbx1, cbx2, cbhv, cbcost, cbpar1, cbpar2,
+                 pend,
                  CASE WHEN count(*) <> 6
                       THEN CAST(error('replay-pipelined: stencil literal'
                                       ' exhausted') AS BIGINT)
@@ -811,11 +781,10 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led, pend,
             ) WHERE takern <= 6
           )
           GROUP BY r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, seen, led,
-                   pend, cbx1, cbx2, cbhv, cbcost, cbpar1, cbpar2
+                   pend
         )
       )
     )
-  )
 ),
 fstate AS (SELECT inc_cost, led, pend FROM sim WHERE fin),
 ledfin AS (

@@ -1569,8 +1569,10 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingles (corpus UNION benchmark = the whole table here), per-side
 # prefixes, corpus x benchmark candidate equi-join, exact verify, then
 # the anti-join survivor count per language.
-_DECONTAMINATE_SQL = """
-WITH toks AS MATERIALIZED (
+# shared by _DECONTAMINATE_SQL and _CONTAMINATION_REPORT_SQL: one
+# rarest-first shingle ordering over the union of both sets (corpus +
+# benchmark), per-side prefixes, corpus x benchmark candidate equi-join
+_CROSS_SET_PREFIX_HEADER = """toks AS MATERIALIZED (
   SELECT doc_id, source, lang,
          string_split_regex(trim(lower(text)), '\\s+') AS t
   FROM documents
@@ -1604,7 +1606,10 @@ cand AS MATERIALIZED (
   FROM pref a JOIN pref b ON a.g = b.g
   WHERE a.source <> 'src0' AND b.source = 'src0'
 ),
-dirty AS MATERIALIZED (
+"""
+
+_DECONTAMINATE_SQL = f"""
+WITH {_CROSS_SET_PREFIX_HEADER}dirty AS MATERIALIZED (
   SELECT DISTINCT c_doc AS doc_id FROM (
     SELECT c.c_doc,
            CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -1650,42 +1655,8 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ordering over the union of both sets, per-side prefixes, corpus x
 # benchmark candidate equi-join -- then the report aggregates the verified
 # pairs per BENCHMARK doc instead of anti-joining the corpus
-_CONTAMINATION_REPORT_SQL = """
-WITH toks AS MATERIALIZED (
-  SELECT doc_id, source, lang,
-         string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents
-),
-sh AS MATERIALIZED (
-  SELECT doc_id, source, lang,
-         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
-  FROM toks
-),
-gdf AS MATERIALIZED (
-  SELECT g, count(*) AS df
-  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
-),
-ordered AS MATERIALIZED (
-  SELECT doc_id, source, list(g ORDER BY df, g) AS shingles
-  FROM (SELECT u.doc_id, s.source, u.g, d.df
-        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
-        JOIN sh s ON s.doc_id = u.doc_id
-        JOIN gdf d ON d.g = u.g)
-  GROUP BY doc_id, source
-),
-pref AS MATERIALIZED (
-  SELECT doc_id, source,
-         unnest(shingles[1 : len(shingles)
-                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
-  FROM ordered
-),
-cand AS MATERIALIZED (
-  SELECT DISTINCT a.doc_id AS c_doc, b.doc_id AS b_doc
-  FROM pref a JOIN pref b ON a.g = b.g
-  WHERE a.source <> 'src0' AND b.source = 'src0'
-),
-pairs AS (
+_CONTAMINATION_REPORT_SQL = f"""
+WITH {_CROSS_SET_PREFIX_HEADER}pairs AS (
   SELECT c.b_doc,
          CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
            / nullif(len(sa.shingles) + len(sb.shingles)

@@ -548,6 +548,28 @@ def test_multi_start_ledger_paths_fan_out(tmp_path):
     assert set(calls) & warm_points == {tuple(x0s[0])}
 
 
+class SyncFutureEvaluator:
+    """Submit-capable evaluator with synchronous futures: drives the
+    pipeline_depth code path (drain lag, speculative rounds) without a
+    Spark session; the trace equals the AsyncSparkEvaluator's, which
+    also drains in submission order."""
+
+    def __init__(self):
+        from dask_patternsearch_spark.search import LocalEvaluator
+
+        self.inner = LocalEvaluator(vectorize=True)
+
+    def submit(self, func, pts, args):
+        from concurrent.futures import Future
+
+        f = Future()
+        f.set_result(self.inner.evaluate(func, pts, args))
+        return f
+
+    def evaluate(self, func, pts, args):
+        return self.inner.evaluate(func, pts, args)
+
+
 def test_pipelined_replay_oracle_matches_engine_ledger():
     """_replay_pipelined_sql reproduces the pipeline_depth=2
     randomize=False ledger move-for-move -- the one-round drain lag, the
@@ -562,18 +584,6 @@ def test_pipelined_replay_oracle_matches_engine_ledger():
 
     from dask_patternsearch_spark.queries import patterns as P
     from dask_patternsearch_spark.search import LocalEvaluator, search
-
-    class SyncFutureEvaluator:
-        def __init__(self):
-            self.inner = LocalEvaluator(vectorize=True)
-
-        def submit(self, func, pts, args):
-            f = Future()
-            f.set_result(self.inner.evaluate(func, pts, args))
-            return f
-
-        def evaluate(self, func, pts, args):
-            return self.inner.evaluate(func, pts, args)
 
     def sphere_vec(xs):
         return (np.atleast_2d(xs) ** 2).sum(axis=1)
@@ -612,18 +622,6 @@ def test_pipelined_replay_oracle_rosenbrock_config():
 
     from dask_patternsearch_spark.queries.patterns import _replay_pipelined_sql
     from dask_patternsearch_spark.search import LocalEvaluator, search
-
-    class SyncFutureEvaluator:
-        def __init__(self):
-            self.inner = LocalEvaluator(vectorize=True)
-
-        def submit(self, func, pts, args):
-            f = Future()
-            f.set_result(self.inner.evaluate(func, pts, args))
-            return f
-
-        def evaluate(self, func, pts, args):
-            return self.inner.evaluate(func, pts, args)
 
     def rb_vec(xs):
         xs = np.atleast_2d(xs)
