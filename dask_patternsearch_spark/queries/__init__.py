@@ -36,6 +36,14 @@ def _driver_history() -> tuple[set[str], set[str]]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
+            err = row.get("err")
+            # A crashed run (real traceback in err) is NOT evidence the
+            # query was verified — leaving it in `seen` would park it in
+            # the last tier and the driver's bounded sample would never
+            # revisit it.  "no_oracle" is the rows-only path, which IS a
+            # (weaker) verification row, so it still counts as seen.
+            if err and err != "no_oracle":
+                continue
             seen.add(name)
             if row.get("hash_match") is True:
                 green.add(name)

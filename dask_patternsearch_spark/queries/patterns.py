@@ -62,6 +62,7 @@ def pattern_search_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serial-mode sphere minimization; returns the evaluation ledger."""
     best, results = search(_sphere, [10.0, 15.0], [1.0, 1.0], seed=42)
     assert abs(best.point).max() < 0.02
+    assert best.result == min(results.values())  # reference test_search.py:36
     return _canon_ledger(results.to_spark(spark))
 
 
@@ -70,6 +71,7 @@ def pattern_search_rosenbrock(spark: SparkSession, sf_dir: str) -> DataFrame:
     best, results = search(
         _rosenbrock, np.full(5, 2.0), np.full(5, 0.5), max_tasks=1500, seed=42
     )
+    assert best.result == min(results.values())  # reference test_search.py:36
     return _canon_ledger(results.to_spark(spark))
 
 
@@ -85,6 +87,7 @@ def pattern_search_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         sphere_vec, [10.0, 15.0], [1.0, 1.0],
         spark=spark, vectorize=True, batchsize=16, stopratio=0.05, seed=42,
     )
+    assert best.result == min(results.values())  # reference test_search.py:36
     return _canon_ledger(results.to_spark(spark))
 
 
@@ -103,6 +106,7 @@ def pattern_search_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
         pipeline_depth=2,
     )
     assert abs(best.point).max() < 0.8  # coarse stop: 0.05 stopratio grid
+    assert best.result == min(results.values())  # reference test_search.py:36
     return _canon_ledger(results.to_spark(spark))
 
 
