@@ -29,6 +29,41 @@ from ..util import ensure_parallelism
 
 _TOKENIZE = r"\s+"
 
+# Version tags for the base shingle-hash definitions.  Bumped whenever the
+# computed hash VALUES change (not just performance), so persisted signature
+# tables from an older definition can never silently mix with new ones:
+# xxhash64 is v2 because the 28-bit domain fold changed from abs(h) % 2^28
+# to h & (2^28 - 1) -- different output for every negative base hash.
+HASH_FAMILY_VERSIONS = {"md5": "md5v1", "xxhash64": "xxhash64v2"}
+
+
+def load_signatures(spark, path: str, hash_family: str = "md5") -> DataFrame:
+    """Read back a signature table written via ``persist_signatures``,
+    refusing version drift (the incremental-dedup reuse path).
+
+    Raises if the table has no ``hash_family`` stamp (persisted before
+    versioning -- possibly the incompatible xxhash64 v1 fold) or if the
+    stamp differs from the current definition of ``hash_family``.  On
+    success returns (doc_id, sig) with the stamp column dropped.
+    """
+    want = HASH_FAMILY_VERSIONS[hash_family]
+    sigs = spark.read.parquet(path)
+    if "hash_family" not in sigs.columns:
+        raise ValueError(
+            f"signature table {path!r} has no hash_family stamp: it was "
+            f"persisted before hash-family versioning and may use an "
+            f"incompatible definition (e.g. the xxhash64 v1 abs-fold); "
+            f"rebuild it with persist_signatures"
+        )
+    stamped = [r[0] for r in sigs.select("hash_family").distinct().collect()]
+    if stamped != [want]:
+        raise ValueError(
+            f"signature table {path!r} was built with hash family "
+            f"{stamped} but the current {hash_family!r} definition is "
+            f"{want!r}; mixing them yields wrong band buckets -- rebuild"
+        )
+    return sigs.drop("hash_family")
+
 
 def _tokens(col):
     return F.split(F.trim(F.lower(col)), _TOKENIZE)
@@ -269,6 +304,17 @@ def minhash_signatures(
     md5 family end-to-end on the sf0.1 corpus) for deployments that
     don't need cross-engine verifiability.  Candidate QUALITY is
     equivalent -- only which specific borderline pairs surface differs.
+
+    COMPAT: the xxhash64 family's 28-bit domain fold changed from
+    ``abs(h) % 2^28`` to ``h & (2^28 - 1)`` (the abs form kept
+    ``Long.MIN_VALUE`` negative), which changes the computed value for
+    every negative 64-bit base hash -- ~half of all shingles.  The
+    current definitions are versioned in ``HASH_FAMILY_VERSIONS``
+    (xxhash64 -> ``"xxhash64v2"``); signature tables persisted under
+    the old fold are ``v1`` and must be REBUILT -- mixing them with v2
+    signatures yields wrong band buckets and wrong est_jaccard with no
+    error.  ``persist_signatures`` stamps the version into the table
+    and ``load_signatures`` refuses a mismatched or unstamped table.
     """
     docs = ensure_parallelism(docs)
     if hash_family == "md5":
@@ -380,8 +426,14 @@ def minhash_lsh_candidates(
     # ~2x here: it stores raw RDD blocks and skips the columnar
     # cache-build of the 64-long arrays.
     if persist_signatures is not None:
-        sigs.write.mode("overwrite").parquet(persist_signatures)
-        sigs = docs.sparkSession.read.parquet(persist_signatures)
+        # stamp the hash-family version so a later job reusing this table
+        # (load_signatures) can refuse signatures computed under an older,
+        # value-incompatible definition instead of silently mis-bucketing
+        sigs.withColumn(
+            "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
+        ).write.mode("overwrite").parquet(persist_signatures)
+        sigs = load_signatures(docs.sparkSession, persist_signatures,
+                               hash_family=hash_family)
     else:
         sigs = sigs.localCheckpoint(eager=True)
     bands = _band_buckets(sigs, n_bands, rows_per_band)

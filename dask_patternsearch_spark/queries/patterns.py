@@ -703,7 +703,11 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, age, fin, seen, led,
          CASE WHEN do_accept THEN pb.hv >= {mh}
               WHEN do_contract THEN h + 1 >= {mh}
               ELSE FALSE END,
-         seen || fkeys,
+         -- nfill gate: routing the seen-update through nfill makes the
+         -- stencil-exhaustion error() aggregate data-flow-reachable from
+         -- the output (an unreferenced aggregate is dead code to DuckDB's
+         -- column pruner -- the round-5 lesson; cf. ncand in _replay_sql).
+         seen || CASE WHEN nfill = 6 THEN fkeys END,
          CASE WHEN do_accept THEN list_transform(newled,
                 e -> struct_pack(pt := e.pt, hv := e.hv, par := e.par,
                                  acc := e.acc OR (pb.dup = 1 AND e.pt =

@@ -48,10 +48,31 @@ def test_minhash_persisted_signatures_identical_candidates(spark, docs, tmp_path
         ).collect()
     }
     assert persisted == base
-    # and the signature table actually landed as readable parquet
+    # and the signature table actually landed as readable parquet, stamped
+    # with the hash-family version
     sigs = spark.read.parquet(sig_path)
-    assert sigs.columns == ["doc_id", "sig"]
+    assert set(sigs.columns) == {"doc_id", "sig", "hash_family"}
     assert sigs.count() == docs.count()
+    # the validating loader accepts the matching family and drops the stamp
+    loaded = dedup.load_signatures(spark, sig_path, hash_family="md5")
+    assert set(loaded.columns) == {"doc_id", "sig"}
+
+
+def test_load_signatures_refuses_version_drift(spark, docs, tmp_path):
+    """A persisted signature table must never silently mix with signatures
+    from a different (or older, value-incompatible) hash-family definition."""
+    sig_path = str(tmp_path / "sigs_md5.parquet")
+    dedup.minhash_lsh_candidates(
+        docs, min_est_jaccard=0.3, persist_signatures=sig_path
+    ).collect()
+    # wrong family for this table -> refuse
+    with pytest.raises(ValueError, match="hash family"):
+        dedup.load_signatures(spark, sig_path, hash_family="xxhash64")
+    # unstamped table (persisted before versioning, e.g. xxhash64 v1) -> refuse
+    legacy = str(tmp_path / "sigs_legacy.parquet")
+    spark.read.parquet(sig_path).drop("hash_family").write.parquet(legacy)
+    with pytest.raises(ValueError, match="no hash_family stamp"):
+        dedup.load_signatures(spark, legacy, hash_family="xxhash64")
 
 
 def test_simhash_hamming_guarantee(spark, docs):
