@@ -369,7 +369,9 @@ def _stencil_literal(n_steps: int = 160) -> str:
 def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
                 max_halvings: int = 7, max_tasks: int | None = None,
                 min_new_submit: int = 0, int_dim0: bool = False,
-                bounds: tuple | None = None, round_fill: int = 6) -> str:
+                bounds: tuple | None = None, round_fill: int = 6,
+                sim_name: str = "sim", warm_from: str | None = None,
+                clause_only: bool = False) -> str:
     """DuckDB recursive-CTE interpreter of the serial ``randomize=False``
     search loop (search.py:578-744, no pipelining).  ``round_fill`` is
     the constant number of candidate slots per round: 6 for the plain
@@ -398,7 +400,20 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
     identical bit patterns, and half-even rounding (numpy's np.round) is
     spelled explicitly for the grid snap.  ``cost_expr`` must be a
     polynomial in cx1/cx2 with the same operation tree the engine's
-    objective uses (exact here, so association order is immaterial)."""
+    objective uses (exact here, so association order is immaterial).
+
+    ``sim_name`` / ``warm_from`` / ``clause_only`` exist for the
+    warm-start composition (``_replay_resumed_sql``): ``clause_only``
+    returns just the named recursive clause (the caller supplies the
+    shared ``st`` stencil literal and the final fold); ``warm_from``
+    names a CTE providing ``wkeys`` (seen-key list) and ``wled``
+    (ledger-struct list) that seed the base state, and additionally
+    models the engine's unconditional x0 re-seed on resume
+    (search.py:501,587-589): the ord=0 seed row bypasses the memo
+    filter so it occupies a round-0 slot and competes for acceptance,
+    but adds no ledger row and no seen key -- the warm row (parent
+    NULL, original position) is what the cumulative ledger keeps,
+    matching the dict-overwrite semantics of ``results[tp] = cost``."""
     inv_g = 2.0 ** max_halvings / stepsize
     g = stepsize / 2.0 ** max_halvings
     mh = max_halvings
@@ -441,17 +456,33 @@ def _replay_sql(x0: tuple, stepsize: float, cost_expr: str,
                       f"                      0.0 AS dx2r")
         cx1_body = snap1
         chv_body = "s.h + t.eh"
-    return f"""
-WITH RECURSIVE
-st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
-sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
+    if warm_from is not None:
+        base_seen = f"(SELECT wkeys FROM {warm_from})"
+        base_led = f"(SELECT wled FROM {warm_from})"
+        # the resume re-seed: x0 (ord 0) bypasses the memo filter but
+        # contributes neither a ledger row nor a seen key (see docstring)
+        seen_filter = "NOT list_contains(seen, key) OR ord = 0"
+        dup_cond = "dup = 1 AND NOT list_contains(seen, key)"
+        # if the re-seeded x0 wins round-0 acceptance, the engine flags
+        # the NEW TrialPoint object while the dict keeps the warm key
+        # (acc stays False in the ledger) -- suppress the retro-mark for
+        # an accepted point whose key predates the round
+        accept_mark = ("nbdup = 1 AND NOT list_contains(seen,"
+                       " nbx1::VARCHAR || ',' || nbx2::VARCHAR)")
+    else:
+        base_seen = "CAST([] AS VARCHAR[])"
+        base_led = ("CAST([] AS STRUCT(pt VARCHAR, hv INTEGER, par VARCHAR,\n"
+                    "                           acc BOOLEAN, cost DOUBLE)[])")
+        seen_filter = "NOT list_contains(seen, key)"
+        dup_cond = "dup = 1"
+        accept_mark = "nbdup = 1"
+    clause = f"""{sim_name}(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
     added, cbx1, cbx2, cbhv, cbcost, cbdup) AS (
   SELECT 0, {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE, 0,
          {x0[0]!r}::DOUBLE, {x0[1]!r}::DOUBLE,
          1.0::DOUBLE, 1.0::DOUBLE, CAST('inf' AS DOUBLE), FALSE,
-         CAST([] AS VARCHAR[]),
-         CAST([] AS STRUCT(pt VARCHAR, hv INTEGER, par VARCHAR,
-                           acc BOOLEAN, cost DOUBLE)[]),
+         {base_seen},
+         {base_led},
          0, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
          CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
          CAST(NULL AS BIGINT)
@@ -476,7 +507,7 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
          seen || keys,
          CASE WHEN do_accept THEN list_transform(led || rows,
                 e -> struct_pack(pt := e.pt, hv := e.hv, par := e.par,
-                                 acc := e.acc OR (nbdup = 1 AND e.pt =
+                                 acc := e.acc OR ({accept_mark} AND e.pt =
                                    (nbx1::VARCHAR || ',' || nbx2::VARCHAR)),
                                  cost := e.cost))
               ELSE led || rows END,
@@ -522,12 +553,12 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                     THEN CAST(error('replay: stencil literal exhausted')
                               AS BIGINT)
                     ELSE count(*) END AS ncand,
-               count(*) FILTER (WHERE dup = 1) AS nuniq,
-               list(key ORDER BY ord) FILTER (WHERE dup = 1) AS keys,
+               count(*) FILTER (WHERE {dup_cond}) AS nuniq,
+               list(key ORDER BY ord) FILTER (WHERE {dup_cond}) AS keys,
                list(struct_pack(pt := key, hv := CAST(chv AS INTEGER),
                                 par := pkey, acc := FALSE,
                                 cost := ccost) ORDER BY ord)
-                 FILTER (WHERE dup = 1) AS rows,
+                 FILTER (WHERE {dup_cond}) AS rows,
                max(CASE WHEN rn = 1 AND imp THEN cx1 END) AS cndx1,
                max(CASE WHEN rn = 1 AND imp THEN cx2 END) AS cndx2,
                CAST(max(CASE WHEN rn = 1 AND imp THEN chv END) AS INTEGER)
@@ -563,7 +594,7 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                                      THEN 0.0 ELSE 1.0 END
                                    ELSE floor(v2 + 0.5) END) * {g!r}::DOUBLE
                            END AS cx2
-                    FROM (SELECT * FROM sim WHERE NOT fin AND r < 200) s
+                    FROM (SELECT * FROM {sim_name} WHERE NOT fin AND r < 200) s
                     JOIN (SELECT idx, so1, so2, eh FROM st
                           UNION ALL SELECT 0, NULL, NULL, NULL) t
                       ON t.idx > 0 OR s.r = 0,
@@ -575,7 +606,7 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
                   ) q
                   WHERE q.chv <= {mh} AND ({feas})
                 )
-                WHERE NOT list_contains(seen, key)
+                WHERE {seen_filter}
               )
             ) WHERE takern <= {avail}
           )
@@ -585,8 +616,22 @@ sim(r, p1, p2, h, pp1, pp2, o1, o2, inc_cost, fin, seen, led,
       )
     )
   )
-),
-fstate AS (SELECT inc_cost, led FROM sim WHERE fin),
+)"""
+    if clause_only:
+        return clause
+    return f"""
+WITH RECURSIVE
+st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
+{clause},
+{_replay_fold_sql(sim_name)}
+"""
+
+
+def _replay_fold_sql(sim_name: str = "sim") -> str:
+    """The shared finish-time tail: unnest the final ledger, apply the
+    engine's ledger-min fold (search.py:733-741) and emit the canonical
+    (point, halvings, parent, is_accepted, cost) rows."""
+    return f"""fstate AS (SELECT inc_cost, led FROM {sim_name} WHERE fin),
 frows AS (
   SELECT unnest(led) AS e, unnest(range(1, len(led) + 1)) AS pos, inc_cost
   FROM fstate
@@ -599,8 +644,69 @@ SELECT e.pt AS point, e.hv AS halvings, e.par AS parent,
        e.acc OR e.pt = coalesce((SELECT mpt FROM ffold), '')
          AS is_accepted,
        e.cost AS cost
-FROM frows
+FROM frows"""
+
+
+def _replay_resumed_sql(x0: tuple, stepsize: float, cost_expr: str,
+                        warm_max_tasks: int = 40) -> str:
+    """Crash-recovery (warm-start) trace, interpreted end-to-end in
+    DuckDB: ``sima`` replays phase A (a serial run killed by its
+    ``max_tasks`` budget -- exactly the certified replay_budget
+    dynamics), ``awarm`` converts its final ledger into the warm state a
+    resume loads from the checkpoint parquet (``_iter_warm_start``,
+    search.py:267-288: fresh TrialPoints, parent NULL, acc FALSE,
+    original evaluation order), and ``sim`` replays phase B --
+    ``search(warm_start=...)`` to convergence -- with the warm keys
+    seeding the byte-keyed memo and the x0 re-seed modeled
+    (``warm_from`` in ``_replay_sql``).  The emitted rows are the
+    CUMULATIVE ledger, which is what the resumed engine returns."""
+    clause_a = _replay_sql(x0, stepsize, cost_expr,
+                           max_tasks=warm_max_tasks,
+                           sim_name="sima", clause_only=True)
+    clause_b = _replay_sql(x0, stepsize, cost_expr,
+                           warm_from="awarm", clause_only=True)
+    return f"""
+WITH RECURSIVE
+st(idx, so1, so2, eh) AS (VALUES {_stencil_literal()}),
+{clause_a},
+awarm AS (
+  SELECT seen AS wkeys,
+         list_transform(led, e -> struct_pack(
+           pt := e.pt, hv := e.hv, par := CAST(NULL AS VARCHAR),
+           acc := FALSE, cost := e.cost)) AS wled
+  FROM sima WHERE fin
+),
+{clause_b},
+{_replay_fold_sql("sim")}
 """
+
+
+def pattern_search_replay_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint/resume trace, ORACLE-checked -- certifies the
+    crash-recovery path that guards very-long-running cluster searches:
+    phase A runs the serial deterministic sphere search under a
+    ``max_tasks=40`` budget while checkpointing its ledger to parquet
+    every 2 rounds (``ledger_path`` / ``ledger_every``); phase B resumes
+    from that parquet via ``warm_start=`` and converges.  The cumulative
+    ledger -- warm rows (parent NULL, re-loaded order) plus the resumed
+    run's new evaluations, with the engine's x0 re-seed
+    (search.py:501,587-589) -- must equal ``_replay_resumed_sql``'s
+    DuckDB interpretation bit for bit."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        lp = os.path.join(td, "ledger")
+        search(_sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
+               max_tasks=40, ledger_path=lp, ledger_every=2)
+        best, results = search(
+            _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
+            warm_start=lp,
+        )
+    assert best.result == min(results.values())
+    assert abs(best.point).max() < 0.02
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
 
 
 def pattern_search_replay_pipelined(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +945,7 @@ QUERIES = {
     "pattern_search_replay_batched": pattern_search_replay_batched,
     "pattern_search_multistart": pattern_search_multistart,
     "pattern_search_replay_pipelined": pattern_search_replay_pipelined,
+    "pattern_search_replay_resumed": pattern_search_replay_resumed,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -876,6 +983,9 @@ ORACLE: dict[str, str] = {
     ),
     # one replay CTE per start, tagged and unioned: a multistart run IS
     # three independent serial traces
+    "pattern_search_replay_resumed": _replay_resumed_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR, warm_max_tasks=40
+    ),
     "pattern_search_replay_pipelined": _replay_pipelined_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR
     ),

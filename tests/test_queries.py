@@ -280,8 +280,15 @@ def test_registry_order_prioritizes_unverified_queries():
     green, seen = set(), set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         for name, row in json.load(open(path)).items():
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            # crashed rows are not verification evidence (they must
+            # re-front-load); the rows-only "no_oracle" marker is
+            if err and err != "no_oracle":
+                continue
             seen.add(name)
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if row.get("hash_match") is True:
                 green.add(name)
     qs = list(entry.queries())
     oracles = set(entry.oracle_sql())
