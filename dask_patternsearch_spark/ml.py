@@ -1,0 +1,183 @@
+"""``pyspark.ml``-style facade over :func:`search` -- the Estimator/Model
+packaging the reference's "MLlib optimization routines" framing implies
+(BASELINE.json; reference driver loop ``search.py:48-362``).
+
+MLlib's own optimizers are gradient-based and cannot host a derivative-free
+generating-set search, so the engine remains the driver-loop + DataFrame
+design (SURVEY.md section 7); this module only adapts it to the Estimator
+contract so pipelines that speak ``pyspark.ml`` can call it natively:
+
+* ``PatternSearchMinimizer`` is an :class:`~pyspark.ml.Estimator` whose
+  Params mirror the ``search()`` config.  ``fit(dataset)`` runs the search
+  on the dataset's SparkSession (cluster-side evaluation when
+  ``distributed=True``) and ignores the dataset's ROWS -- the objective is
+  a black-box callable, not a column fit; any DataFrame works, e.g.
+  ``spark.range(1)``.
+* ``PatternSearchModel`` is the fitted :class:`~pyspark.ml.Transformer`:
+  ``bestPoint`` (:class:`~pyspark.ml.linalg.DenseVector`), ``bestCost``,
+  ``ledger()`` (the evaluation ledger with a VectorUDT point column, via
+  ``SearchResults.to_spark``), and ``transform(df)`` scores a VectorUDT
+  ``inputCol`` with the SAME objective (Arrow-batched pandas UDF -- the
+  model evaluates candidate points, it never re-runs the search).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.ml import Estimator, Transformer
+from pyspark.ml.functions import array_to_vector, vector_to_array
+from pyspark.ml.param import Param, Params, TypeConverters
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .search import search
+
+__all__ = ["PatternSearchMinimizer", "PatternSearchModel"]
+
+
+class _SearchParams(Params):
+    """Params shared by the estimator and (for provenance) the model."""
+
+    x0 = Param(Params._dummy(), "x0", "starting point",
+               typeConverter=TypeConverters.toListFloat)
+    stepsize = Param(Params._dummy(), "stepsize", "initial step per dim",
+                     typeConverter=TypeConverters.toListFloat)
+    maxTasks = Param(Params._dummy(), "maxTasks", "evaluation budget",
+                     typeConverter=TypeConverters.toInt)
+    seed = Param(Params._dummy(), "seed", "rng seed for the stencil shuffle",
+                 typeConverter=TypeConverters.toInt)
+    randomize = Param(Params._dummy(), "randomize",
+                      "shuffle stencil chunks (False = deterministic trace)",
+                      typeConverter=TypeConverters.toBoolean)
+    distributed = Param(Params._dummy(), "distributed",
+                        "evaluate rounds as Spark jobs on the dataset's "
+                        "session (False = driver-local evaluation)",
+                        typeConverter=TypeConverters.toBoolean)
+    vectorize = Param(Params._dummy(), "vectorize",
+                      "objective takes an (n, dims) batch",
+                      typeConverter=TypeConverters.toBoolean)
+    batchsize = Param(Params._dummy(), "batchsize",
+                      "points per evaluation batch (0 = unbatched)",
+                      typeConverter=TypeConverters.toInt)
+    inputCol = Param(Params._dummy(), "inputCol",
+                     "VectorUDT column of points for transform()",
+                     typeConverter=TypeConverters.toString)
+    outputCol = Param(Params._dummy(), "outputCol",
+                      "objective-value column added by transform()",
+                      typeConverter=TypeConverters.toString)
+
+
+class PatternSearchMinimizer(Estimator, _SearchParams):
+    """Estimator facade: ``fit()`` minimizes ``func`` via :func:`search`.
+
+    ``func`` is a black-box Python callable (not a Param: Params must be
+    JVM-serializable values; an objective is code).  Extra ``search()``
+    keywords -- bounds, integer_dimensions, warm_start, ledger_path,
+    pipeline_depth, ... -- pass through ``search_kwargs`` untouched, so
+    the facade never lags the engine's feature surface.
+    """
+
+    def __init__(self, func, x0, stepsize, maxTasks=None, seed=None,
+                 randomize=True, distributed=False, vectorize=False,
+                 batchsize=0, inputCol="point", outputCol="cost",
+                 **search_kwargs):
+        super().__init__()
+        self.func = func
+        self.search_kwargs = search_kwargs
+        self._setDefault(maxTasks=-1, seed=-1, randomize=True,
+                         distributed=False, vectorize=False, batchsize=0,
+                         inputCol="point", outputCol="cost")
+        self._set(x0=list(np.asarray(x0, dtype=float)),
+                  stepsize=list(np.asarray(stepsize, dtype=float)),
+                  randomize=randomize, distributed=distributed,
+                  vectorize=vectorize, batchsize=batchsize,
+                  inputCol=inputCol, outputCol=outputCol)
+        if maxTasks is not None:
+            self._set(maxTasks=maxTasks)
+        if seed is not None:
+            self._set(seed=seed)
+
+    def _fit(self, dataset: DataFrame) -> "PatternSearchModel":
+        m = self.getOrDefault
+        max_tasks = m(self.maxTasks)
+        seed = m(self.seed)
+        best, results = search(
+            self.func,
+            np.asarray(m(self.x0)),
+            np.asarray(m(self.stepsize)),
+            max_tasks=None if max_tasks < 0 else max_tasks,
+            seed=None if seed < 0 else seed,
+            randomize=m(self.randomize),
+            spark=dataset.sparkSession if m(self.distributed) else None,
+            vectorize=m(self.vectorize),
+            batchsize=m(self.batchsize) or None,
+            **self.search_kwargs,
+        )
+        model = PatternSearchModel(self.func, best, results,
+                                   dataset.sparkSession)
+        self._copyValues(model)
+        return model
+
+
+class PatternSearchModel(Transformer, _SearchParams):
+    """Fitted minimizer: the incumbent, the ledger, and a scorer."""
+
+    def __init__(self, func=None, best=None, results=None, spark=None):
+        super().__init__()
+        self.func = func
+        self._best = best
+        self._results = results
+        self._spark = spark
+
+    @property
+    def bestPoint(self):
+        from pyspark.ml.linalg import Vectors
+
+        return Vectors.dense(self._best.point)
+
+    @property
+    def bestCost(self) -> float:
+        return float(self._best.result)
+
+    @property
+    def numEvaluations(self) -> int:
+        return len(self._results)
+
+    def ledger(self) -> DataFrame:
+        """The evaluation ledger with VectorUDT point/parent columns
+        (``SearchResults.to_spark`` re-typed for pyspark.ml consumers)."""
+        df = self._results.to_spark(self._spark)
+        return df.select(
+            array_to_vector("point").alias("point"),
+            "halvings",
+            F.when(F.col("parent").isNotNull(),
+                   array_to_vector("parent")).alias("parent"),
+            "is_accepted",
+            "cost",
+        )
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        """Score candidate points: evaluate the fitted objective on the
+        VectorUDT ``inputCol``.  Arrow-batched pandas UDF (one Python
+        round trip per batch, never per row); a vectorized objective gets
+        the whole (n, dims) batch in one call."""
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        func = self.func
+        vec = self.getOrDefault(self.vectorize)
+
+        # no type hints on purpose: `from __future__ import annotations`
+        # stringifies them, which breaks pandas_udf's hint inference
+        def _score(points):
+            xs = np.stack(points.to_numpy())
+            if vec:
+                return pd.Series(np.asarray(func(xs), dtype=float))
+            return pd.Series([float(func(x)) for x in xs])
+
+        score = pandas_udf(_score, T.DoubleType())
+
+        in_col, out_col = (self.getOrDefault(self.inputCol),
+                           self.getOrDefault(self.outputCol))
+        return dataset.withColumn(out_col, score(vector_to_array(in_col)))

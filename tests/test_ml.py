@@ -1,0 +1,85 @@
+"""pyspark.ml Estimator facade (PatternSearchMinimizer / Model)."""
+
+import numpy as np
+import pytest
+from pyspark.ml.linalg import Vectors
+
+from dask_patternsearch_spark.ml import PatternSearchMinimizer
+
+
+def _make_sphere():
+    # local def, not module-level: cloudpickle then serializes it by VALUE,
+    # so executor workers don't need the tests/ dir on their import path
+    def sphere(x):
+        return float((x * x).sum())
+
+    return sphere
+
+
+sphere = _make_sphere()
+
+
+def test_estimator_fit_minimizes_and_exposes_ledger(spark):
+    est = PatternSearchMinimizer(sphere, x0=[10.0, 15.0],
+                                 stepsize=[1.0, 1.0], seed=42)
+    model = est.fit(spark.range(1))
+    # converged incumbent == ledger min (reference test_search.py:36)
+    assert np.abs(np.asarray(model.bestPoint)).max() < 0.02
+    led = model.ledger()
+    assert [f.name for f in led.schema] == [
+        "point", "halvings", "parent", "is_accepted", "cost"]
+    assert led.schema["point"].dataType.typeName() == "vectorudt"
+    rows = led.collect()
+    assert len(rows) == model.numEvaluations
+    assert model.bestCost == min(r["cost"] for r in rows)
+    # params propagate estimator -> model
+    assert model.getOrDefault(model.seed) == 42
+
+
+def test_estimator_deterministic_trace_matches_search(spark):
+    from dask_patternsearch_spark import search
+
+    best, results = search(sphere, [10.0, 15.0], [1.0, 1.0], randomize=False)
+    model = PatternSearchMinimizer(
+        sphere, x0=[10.0, 15.0], stepsize=[1.0, 1.0], randomize=False
+    ).fit(spark.range(1))
+    assert model.numEvaluations == len(results)
+    assert model.bestCost == best.result
+
+
+def test_model_transform_scores_candidate_points(spark):
+    model = PatternSearchMinimizer(
+        sphere, x0=[4.0, 4.0], stepsize=[1.0, 1.0], seed=1, maxTasks=30
+    ).fit(spark.range(1))
+    pts = spark.createDataFrame(
+        [(Vectors.dense([1.0, 2.0]),), (Vectors.dense([0.0, 0.0]),)],
+        ["point"],
+    )
+    got = {tuple(r["point"]): r["cost"] for r in model.transform(pts).collect()}
+    assert got[(1.0, 2.0)] == 5.0
+    assert got[(0.0, 0.0)] == 0.0
+
+
+def test_estimator_distributed_and_vectorized(spark):
+    def sphere_vec(xs):
+        return (np.atleast_2d(xs) ** 2).sum(axis=1)
+
+    model = PatternSearchMinimizer(
+        sphere_vec, x0=[10.0, 15.0], stepsize=[1.0, 1.0], seed=42,
+        distributed=True, vectorize=True, batchsize=16, stopratio=0.05,
+    ).fit(spark.range(1))
+    assert np.abs(np.asarray(model.bestPoint)).max() < 0.8
+    # the vectorized objective also drives transform() in one batch call
+    pts = spark.createDataFrame([(Vectors.dense([3.0, 4.0]),)], ["point"])
+    assert model.transform(pts).collect()[0]["cost"] == 25.0
+
+
+def test_estimator_passes_through_engine_kwargs(spark):
+    model = PatternSearchMinimizer(
+        sphere, x0=[2.0, 2.0], stepsize=[0.5, 0.5], seed=7,
+        bounds=([1.0, 1.0], [3.0, 3.0]),
+    ).fit(spark.range(1))
+    led = model.ledger().collect()
+    for r in led:
+        p = np.asarray(r["point"])
+        assert (p >= 1.0 - 1e-9).all() and (p <= 3.0 + 1e-9).all()
