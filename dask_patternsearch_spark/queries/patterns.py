@@ -648,7 +648,8 @@ FROM frows"""
 
 
 def _replay_resumed_sql(x0: tuple, stepsize: float, cost_expr: str,
-                        warm_max_tasks: int = 40) -> str:
+                        warm_max_tasks: int = 40,
+                        resume_max_tasks: int | None = None) -> str:
     """Crash-recovery (warm-start) trace, interpreted end-to-end in
     DuckDB: ``sima`` replays phase A (a serial run killed by its
     ``max_tasks`` budget -- exactly the certified replay_budget
@@ -659,11 +660,18 @@ def _replay_resumed_sql(x0: tuple, stepsize: float, cost_expr: str,
     ``search(warm_start=...)`` to convergence -- with the warm keys
     seeding the byte-keyed memo and the x0 re-seed modeled
     (``warm_from`` in ``_replay_sql``).  The emitted rows are the
-    CUMULATIVE ledger, which is what the resumed engine returns."""
+    CUMULATIVE ledger, which is what the resumed engine returns.
+
+    ``resume_max_tasks`` gives phase B its own (CUMULATIVE) budget:
+    the engine counts warm rows against ``max_tasks``
+    (``point_budget - len(results)``, search.py:652-656), and the
+    clause's ``len(seen)`` accounting matches because the warm keys
+    seed ``seen`` while the re-seeded x0 adds no new key."""
     clause_a = _replay_sql(x0, stepsize, cost_expr,
                            max_tasks=warm_max_tasks,
                            sim_name="sima", clause_only=True)
     clause_b = _replay_sql(x0, stepsize, cost_expr,
+                           max_tasks=resume_max_tasks,
                            warm_from="awarm", clause_only=True)
     return f"""
 WITH RECURSIVE
@@ -705,6 +713,32 @@ def pattern_search_replay_resumed(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     assert best.result == min(results.values())
     assert abs(best.point).max() < 0.02
+    _assert_no_negative_zero(results)
+    return _canon_ledger(results.to_spark(spark))
+
+
+def pattern_search_replay_resumed_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume under a CUMULATIVE budget, ORACLE-checked: phase A stops at
+    ``max_tasks=40``; phase B resumes with ``max_tasks=52``, so the warm
+    rows count against the budget (search.py:652-656) and the final fill
+    is trimmed to one slot (40 warm -> +5 new [x0 re-seed takes the 6th
+    round-0 slot but is already counted] -> +6 -> +1 = 52).  Certifies
+    the budget accounting a production resume relies on: a crashed 100k-
+    core run resumed with the SAME total budget must stop exactly where
+    the uninterrupted run would have charged it."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        lp = os.path.join(td, "ledger")
+        search(_sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
+               max_tasks=40, ledger_path=lp, ledger_every=2)
+        best, results = search(
+            _sphere, [10.0, 15.0], [1.0, 1.0], randomize=False,
+            warm_start=lp, max_tasks=52,
+        )
+    assert len(results) == 52, len(results)
+    assert best.result == min(results.values())
     _assert_no_negative_zero(results)
     return _canon_ledger(results.to_spark(spark))
 
@@ -946,6 +980,7 @@ QUERIES = {
     "pattern_search_multistart": pattern_search_multistart,
     "pattern_search_replay_pipelined": pattern_search_replay_pipelined,
     "pattern_search_replay_resumed": pattern_search_replay_resumed,
+    "pattern_search_replay_resumed_budget": pattern_search_replay_resumed_budget,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -985,6 +1020,10 @@ ORACLE: dict[str, str] = {
     # three independent serial traces
     "pattern_search_replay_resumed": _replay_resumed_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR, warm_max_tasks=40
+    ),
+    "pattern_search_replay_resumed_budget": _replay_resumed_sql(
+        (10.0, 15.0), 1.0, _SPHERE_EXPR, warm_max_tasks=40,
+        resume_max_tasks=52,
     ),
     "pattern_search_replay_pipelined": _replay_pipelined_sql(
         (10.0, 15.0), 1.0, _SPHERE_EXPR
