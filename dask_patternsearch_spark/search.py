@@ -268,7 +268,14 @@ def _iter_warm_start(src):
     """Normalize a ``search(warm_start=...)`` input to (TrialPoint, cost)
     pairs: a SearchResults/dict, an iterable of (point, halvings, cost)
     tuples, or a parquet ledger path (``SearchResults.to_spark`` schema,
-    read driver-side via pyarrow -- the ledger is driver state)."""
+    read driver-side via pyarrow -- the ledger is driver state).
+
+    Order matters (it seeds the results-dict insertion order, which the
+    finish-time ledger-min fold uses as its tiebreak): pyarrow reads a
+    checkpoint directory in filename-sorted order, and ``flush_ledger``'s
+    zero-padded ``part-<rounds>-<len>`` names make that chronological --
+    the resumed ledger replays in original evaluation order (relied on by
+    the ``pattern_search_replay_resumed*`` oracles)."""
     if isinstance(src, str):
         import pyarrow.parquet as pq
 
