@@ -177,6 +177,11 @@ def jaccard_prefix_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        # bytes-small / CPU-dense: exempt the verify from AQE's size-based
+        # coalescing (see the identical note in contamination_pairs_exact)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_a"
+        )
     )
     sa = ordered.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
@@ -1076,19 +1081,28 @@ def contamination_pairs_exact(
     Returns ``(doc_id, benchmark_doc_id, jaccard)`` -- corpus ids in
     ``doc_id`` to match ``contamination_pairs``'s consumer contract.
     """
-    def _grams(df: DataFrame, side: str) -> DataFrame:
+    def _sh(df: DataFrame, side: str) -> DataFrame:
         t = ensure_parallelism(df).select(
             "doc_id", _tokens(F.col("text")).alias("toks")
         )
-        s = t.select("doc_id", _shingles(F.col("toks"), n).alias("shingles"))
-        return s.select(
-            F.lit(side).alias("side"), "doc_id", F.explode("shingles").alias("g")
+        return t.select(
+            F.lit(side).alias("side"), "doc_id",
+            _shingles(F.col("toks"), n).alias("shingles"),
         )
 
-    grams = (
-        _grams(corpus, "c").unionByName(_grams(benchmark, "b"))
+    # checkpoint BEFORE the explode (exactly like jaccard_prefix_pairs):
+    # explode infers a size(shingles) > 0 filter that predicate pushdown
+    # drags through the ensure_parallelism repartition down to the scan,
+    # re-evaluating the whole tokenize+shingle pipeline (twice: the size
+    # and isnotnull branches) in the narrow pre-exchange stage -- measured
+    # 50 s of CPU on 2 tasks at the 10x probe scale, the dominant cost of
+    # the whole pass.  The checkpoint is a pushdown barrier, so the heavy
+    # projection runs post-exchange at full parallelism.
+    sh_all = (
+        _sh(corpus, "c").unionByName(_sh(benchmark, "b"))
         .localCheckpoint(eager=False)
     )
+    grams = sh_all.select("side", "doc_id", F.explode("shingles").alias("g"))
     gram_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     ordered_all = (
         grams.join(gram_df, "g")
@@ -1127,6 +1141,17 @@ def contamination_pairs_exact(
             F.col("b.doc_id").alias("benchmark_doc_id"),
         )
         .distinct()
+        # pin the verify join's parallelism: the candidate relation is a
+        # few BYTES per pair but hundreds of microseconds of array
+        # intersection per row downstream, so AQE's size-based coalescing
+        # (>= 1 MB per partition) starves the verify stage -- measured
+        # 21 s of CPU on 5 of 32 cores at the 10x probe scale.  A keyed
+        # REPARTITION_BY_NUM is exempt from coalescing, and hashing on
+        # doc_id means the verify join reuses the layout (no extra
+        # exchange on the probe side).
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     )
     sa = co.select(F.col("doc_id"), F.col("shingles").alias("sh_a"))
     sb = bo.select(
