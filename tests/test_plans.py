@@ -537,3 +537,35 @@ def test_heaps_vocab_growth_plan_is_bucket_shaped(spark):
     text = plan_text(df)
     assert text.count("text:string") == 0, "text column leaked past the checkpoint"
     assert "Scan ExistingRDD" in text
+
+
+def test_prefix_join_verify_parallelism_is_pinned(spark):
+    """Round-7 starvation fixes, locked as plan shape.
+
+    (a) The candidate sets of both exact-Jaccard prefix joins carry a
+    REPARTITION_BY_NUM exchange: the verify stage is bytes-small but
+    CPU-dense, and AQE's minPartitionSize coalescing would otherwise run
+    it on a handful of cores (measured 21 s of CPU on 5 of 32 at the 10x
+    probe).  (b) contamination_pairs_exact's tokenize+shingle pipeline
+    must NOT appear below its repartition exchange -- explode's inferred
+    size()>0 filter used to be pushed through it down to the scan,
+    re-running the shingle expressions in the narrow pre-exchange stage.
+    """
+    from dask_patternsearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    for df in [
+        dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.8),
+        dedup.contamination_pairs_exact(docs, bench, n=3, threshold=0.8),
+    ]:
+        txt = plan_text(df)
+        assert "REPARTITION_BY_NUM" in txt, "verify repartition missing"
+        # (b): the localCheckpoint barrier means no parquet scan (and so no
+        # pushed-down shingle recompute) appears in these plans at all --
+        # every input is the checkpointed RDD
+        assert "Scan parquet" not in txt, (
+            "shingle pipeline leaked below the checkpoint barrier"
+        )
