@@ -1,18 +1,18 @@
-"""One-off 10x scale probe for the dedup/ANN story (SCALE.md round 7).
+"""Multi-scale probe for the dedup/ANN story (SCALE.md round 7).
 
-Generates a 10x documents+embeddings set (sf1-equivalent: 50k docs, 20k
-embeddings) with the same distributional shape as the driver's sf0.1
-testdata (vocab sampled FROM sf0.1, same lang weights, src0..src19, the
-same ~0.16% exact-dup and a comparable near-dup rate), then runs
-``minhash_near_dups``, ``decontaminate_corpus`` and
-``ivf_layout_topk_embeddings`` once at sf0.1 and once at 10x, recording
-wall time, total shuffle read/write bytes (Spark REST API stage metric
-deltas) and output rows.  The point is the SCALING SHAPE: the banded
-LSH path promises near-linear candidate volume, and until now the 100 TB
-claims rested on plan shape alone.
+Generates documents+embeddings sets at several multiples of sf0.1's size
+(same distributional shape: vocab sampled FROM sf0.1, same lang weights,
+src0..src19, constant ~1.6% near-dup + 0.16% exact-dup rates, seed 42),
+then runs ``minhash_near_dups``, ``decontaminate_corpus`` and
+``ivf_layout_topk_embeddings`` once per scale, recording wall time, total
+shuffle read/write bytes (Spark REST stage-metric deltas) and output
+rows.  The point is the SCALING CURVE: the banded LSH / prefix-join /
+partition-pruned-IVF paths promise near-linear cost in corpus size (a
+cross join would be quadratic), and a multi-point curve shows the slope,
+not just one ratio.
 
-Usage:  python tools/scaleprobe.py            (writes .scaleprobe/ inside
-the repo; prints a markdown table to paste into SCALE.md)
+Usage:  python tools/scaleprobe.py [scales]     e.g. 1,3,10,30
+(default 1,10; scale 1 = sf0.1 itself, read from /root/testdata)
 """
 
 from __future__ import annotations
@@ -29,34 +29,37 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF01 = "/root/testdata/sf0.1"
-PROBE_DIR = os.path.join(REPO, ".scaleprobe", "sf1")
-DOCS_N = 50_000          # 10x sf0.1's 5,000
-EMB_N = 20_000           # 10x sf0.1's 2,000
+PROBE_ROOT = os.path.join(REPO, ".scaleprobe")
+BASE_DOCS = 5_000          # sf0.1's documents row count
+BASE_EMB = 2_000           # sf0.1's embeddings row count
 EMB_DIM = 64
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_W = [0.41, 0.15, 0.15, 0.15, 0.14]   # sf0.1's observed mix
 
 
-def generate(seed: int = 42) -> None:
+def generate(scale: int, seed: int = 42) -> str:
+    """Write a ``scale``x documents+embeddings dir; returns its path."""
     import duckdb
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(PROBE_DIR, exist_ok=True)
-    rng = np.random.default_rng(seed)
+    out = os.path.join(PROBE_ROOT, f"x{scale}")
+    if os.path.exists(os.path.join(out, "embeddings.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_docs, n_emb = BASE_DOCS * scale, BASE_EMB * scale
+    rng = np.random.default_rng(seed + scale)
     vocab = [r[0] for r in duckdb.sql(
         f"SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) "
         f"FROM '{SF01}/documents.parquet' ORDER BY 1").fetchall()]
 
-    # base docs: word soup, lengths matching sf0.1's 7..96-word range
-    n_words = rng.integers(7, 97, size=DOCS_N)
+    n_words = rng.integers(7, 97, size=n_docs)
     texts = [" ".join(rng.choice(vocab, size=k)) for k in n_words]
-    # near-dups: ~1.6% of docs are a mutated copy of an earlier doc
-    # (5-10% of tokens replaced -- above the 0.8-Jaccard near-dup bar for
-    # most lengths), plus sf0.1's ~0.16% exact-dup rate
-    n_near, n_exact = int(DOCS_N * 0.016), int(DOCS_N * 0.0016)
-    dup_targets = rng.choice(DOCS_N, size=n_near + n_exact, replace=False)
-    dup_sources = rng.integers(0, DOCS_N, size=n_near + n_exact)
+    # constant near-dup/exact-dup RATES across scales, so true-pair volume
+    # grows linearly with the corpus -- the property the probe certifies
+    n_near, n_exact = int(n_docs * 0.016), int(n_docs * 0.0016)
+    dup_targets = rng.choice(n_docs, size=n_near + n_exact, replace=False)
+    dup_sources = rng.integers(0, n_docs, size=n_near + n_exact)
     for i, (tgt, src) in enumerate(zip(dup_targets, dup_sources)):
         toks = texts[src].split()
         if i < n_exact or len(toks) < 12:
@@ -67,31 +70,29 @@ def generate(seed: int = 42) -> None:
             toks[j] = str(rng.choice(vocab))
         texts[tgt] = " ".join(toks)
     docs = pa.table({
-        "doc_id": pa.array(np.arange(DOCS_N), type=pa.int64()),
+        "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
         "text": pa.array(texts, type=pa.string()),
-        "lang": pa.array(rng.choice(LANGS, size=DOCS_N, p=LANG_W)),
-        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, DOCS_N)]),
+        "lang": pa.array(rng.choice(LANGS, size=n_docs, p=LANG_W)),
+        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     })
-    pq.write_table(docs, os.path.join(PROBE_DIR, "documents.parquet"))
+    pq.write_table(docs, os.path.join(out, "documents.parquet"))
 
-    # embeddings: 10 Gaussian clusters like sf0.1's label structure
     centers = rng.normal(0, 1, size=(10, EMB_DIM))
-    labels = rng.integers(0, 10, size=EMB_N)
-    vecs = (centers[labels] + rng.normal(0, 0.35, size=(EMB_N, EMB_DIM))
+    labels = rng.integers(0, 10, size=n_emb)
+    vecs = (centers[labels] + rng.normal(0, 0.35, size=(n_emb, EMB_DIM))
             ).astype(np.float32)
     emb = pa.table({
-        "vec_id": pa.array(np.arange(EMB_N), type=pa.int64()),
+        "vec_id": pa.array(np.arange(n_emb), type=pa.int64()),
         "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
         "label": pa.array(labels, type=pa.int32()),
     })
-    pq.write_table(emb, os.path.join(PROBE_DIR, "embeddings.parquet"))
-    print(f"# generated {DOCS_N} docs / {EMB_N} embeddings -> {PROBE_DIR}",
-          file=sys.stderr)
+    pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    print(f"# generated x{scale}: {n_docs} docs / {n_emb} embeddings", file=sys.stderr)
+    return out
 
 
 def _shuffle_totals(ui: str) -> tuple[int, int]:
-    """Sum shuffle read/write bytes over all stages via the REST API."""
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
     app_id = apps[0]["id"]
     stages = json.load(urllib.request.urlopen(
@@ -101,12 +102,9 @@ def _shuffle_totals(ui: str) -> tuple[int, int]:
 
 
 def main() -> None:
-    if not os.path.exists(os.path.join(PROBE_DIR, "embeddings.parquet")):
-        generate()
+    scales = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,10").split(",")]
+    dirs = {s: (SF01 if s == 1 else generate(s)) for s in scales}
 
-    # the probe needs the Spark UI for stage metrics; everything else
-    # matches get_spark's settings so timings are bench-comparable
-    os.environ["SPARK_GRAFT_PROBE_UI"] = "1"
     from pyspark.sql import SparkSession
 
     from dask_patternsearch_spark.queries import all_queries
@@ -134,36 +132,31 @@ def main() -> None:
     targets = ["minhash_near_dups", "decontaminate_corpus",
                "ivf_layout_topk_embeddings"]
 
-    # warm-up pass (JIT/codegen/Python worker pool) at the small scale
-    for name in targets:
-        qs[name](spark, SF01).count()
+    for name in targets:  # warm-up at the smallest scale
+        qs[name](spark, dirs[scales[0]]).count()
 
-    results: dict[str, dict[str, dict]] = {}
-    for label, sf_dir in [("sf0.1", SF01), ("10x", PROBE_DIR)]:
+    results: dict[str, dict[int, dict]] = {}
+    for s in scales:
         for name in targets:
             r0, w0 = _shuffle_totals(ui)
             t0 = time.perf_counter()
-            rows = qs[name](spark, sf_dir).count()
+            rows = qs[name](spark, dirs[s]).count()
             dt = time.perf_counter() - t0
             r1, w1 = _shuffle_totals(ui)
-            results.setdefault(name, {})[label] = {
+            results.setdefault(name, {})[s] = {
                 "sec": round(dt, 2), "rows": rows,
-                "shuffle_read_mb": round((r1 - r0) / 1e6, 1),
                 "shuffle_write_mb": round((w1 - w0) / 1e6, 1),
             }
-            print(f"# {name}@{label}: {dt:.2f}s rows={rows} "
-                  f"shufR={(r1 - r0)/1e6:.1f}MB shufW={(w1 - w0)/1e6:.1f}MB",
-                  file=sys.stderr)
+            print(f"# {name}@x{s}: {dt:.2f}s rows={rows} "
+                  f"shufW={(w1 - w0)/1e6:.1f}MB", file=sys.stderr)
 
-    print("| query | sf0.1 sec | 10x sec | ratio | sf0.1 rows | 10x rows | "
-          "sf0.1 shufW MB | 10x shufW MB |")
-    print("|---|---|---|---|---|---|---|---|")
+    head = " | ".join(f"x{s}" for s in scales)
+    print(f"| query | metric | {head} |")
+    print("|---|---|" + "---|" * len(scales))
     for name in targets:
-        a, b = results[name]["sf0.1"], results[name]["10x"]
-        ratio = round(b["sec"] / a["sec"], 1) if a["sec"] else float("nan")
-        print(f"| {name} | {a['sec']} | {b['sec']} | {ratio}x | {a['rows']} "
-              f"| {b['rows']} | {a['shuffle_write_mb']} "
-              f"| {b['shuffle_write_mb']} |")
+        for metric in ["sec", "rows", "shuffle_write_mb"]:
+            cells = " | ".join(str(results[name][s][metric]) for s in scales)
+            print(f"| {name} | {metric} | {cells} |")
     print(json.dumps(results))
     spark.stop()
 
