@@ -156,7 +156,7 @@ def jaccard_prefix_pairs(
     pref = ordered.select(
         "doc_id",
         F.size("shingles").alias("n"),
-        F.explode(F.slice("shingles", F.lit(1), plen)).alias("g"),
+        F.posexplode(F.slice("shingles", F.lit(1), plen)).alias("pos", "g"),
     )
     a = pref.alias("a")
     b = pref.alias("b")
@@ -166,12 +166,32 @@ def jaccard_prefix_pairs(
     size_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
         threshold
     ) * F.greatest(F.col("a.n"), F.col("b.n"))
+    # PPJoin positional filter (Xiao et al. WWW'08): J >= t needs overlap
+    # >= t/(1+t) * (|A|+|B|); a prefix match at 0-based positions (pa, pb)
+    # caps the achievable overlap at 1 + min(|A|-pa-1, |B|-pb-1) because
+    # everything BEFORE the matched gram in the shared total order cannot
+    # contribute (both prefixes are sorted by the same order).  Lossless:
+    # the bound is necessary, and the 1e-9 slack absorbs the float
+    # rounding of t/(1+t) so a boundary pair is never over-pruned.  On
+    # frequency-dense corpora (fixed vocabulary; the 30x probe) this is
+    # what keeps candidate volume linear when gram df grows with corpus
+    # size -- matching prefixes deep in both lists can no longer qualify.
+    pos_ok = (
+        F.lit(1.0)
+        + F.least(
+            F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+        ).cast("double")
+        >= F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n") + F.col("b.n")).cast("double")
+        - F.lit(1e-9)
+    )
     cand = (
         a.join(
             b,
             (F.col("a.g") == F.col("b.g"))
             & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & size_ok,
+            & size_ok
+            & pos_ok,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1125,7 +1145,7 @@ def contamination_pairs_exact(
         return ordered.select(
             "doc_id",
             F.size("shingles").alias("n"),
-            F.explode(F.slice("shingles", F.lit(1), plen)).alias("g"),
+            F.posexplode(F.slice("shingles", F.lit(1), plen)).alias("pos", "g"),
         )
 
     co = ordered_all.filter(F.col("side") == "c").drop("side")
@@ -1133,9 +1153,22 @@ def contamination_pairs_exact(
     size_ok = F.least(F.col("a.n"), F.col("b.n")) >= F.lit(
         threshold
     ) * F.greatest(F.col("a.n"), F.col("b.n"))
+    # PPJoin positional filter -- see jaccard_prefix_pairs for the bound
+    # and the losslessness argument (shared total order across BOTH sides
+    # here, which is why the ordering is built over the union)
+    pos_ok = (
+        F.lit(1.0)
+        + F.least(
+            F.col("a.n") - F.col("a.pos") - 1, F.col("b.n") - F.col("b.pos") - 1
+        ).cast("double")
+        >= F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n") + F.col("b.n")).cast("double")
+        - F.lit(1e-9)
+    )
     cand = (
         _prefix(co).alias("a")
-        .join(_prefix(bo).alias("b"), (F.col("a.g") == F.col("b.g")) & size_ok)
+        .join(_prefix(bo).alias("b"),
+              (F.col("a.g") == F.col("b.g")) & size_ok & pos_ok)
         .select(
             F.col("a.doc_id").alias("doc_id"),
             F.col("b.doc_id").alias("benchmark_doc_id"),
