@@ -52,6 +52,15 @@ def generate(scale: int, seed: int = 42) -> str:
     vocab = [r[0] for r in duckdb.sql(
         f"SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) "
         f"FROM '{SF01}/documents.parquet' ORDER BY 1").fetchall()]
+    # Heaps' law: real corpora grow vocabulary ~ N^0.5, so the scaled sets
+    # extend the base vocabulary by sqrt(scale) -- without this the fixed
+    # 50-word vocab makes the corpus pathologically DENSE at large scale
+    # (every gram's df grows linearly, every doc resembles every doc) and
+    # the probe measures that artifact instead of the operators: the
+    # first 100x run produced 11.6 GB of prefix-join shuffle and 4.2x
+    # super-linear MinHash bucket volume purely from vocabulary satiation.
+    n_extra = int(len(vocab) * (scale ** 0.5 - 1))
+    vocab = np.array(vocab + [f"w{i}" for i in range(n_extra)])
 
     n_words = rng.integers(7, 97, size=n_docs)
     texts = [" ".join(rng.choice(vocab, size=k)) for k in n_words]
