@@ -1982,3 +1982,25 @@ def test_bpe_learn_merges_determinism_and_conservation(spark, docs):
         .collect()[0]["n"]
     )
     assert chars_in == chars_out
+
+
+def test_positional_filter_keeps_exact_boundary_pair(spark):
+    """A pair whose Jaccard is EXACTLY the threshold must survive the
+    PPJoin positional filter (round 7): the t/(1+t) overlap bound is
+    computed in floating point, and the sharpest failure mode is a
+    boundary pair pruned by a 1-ulp overestimate.  A-B share 8 of 10
+    distinct trigrams -> J = 0.8 exactly at threshold 0.8."""
+    a_words = [f"t{i}" for i in range(11)]          # 9 trigrams
+    b_words = a_words[:-1] + ["zzz"]                # last trigram differs
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_words))], ["doc_id", "text"]
+    )
+    rows = dedup.jaccard_prefix_pairs(docs, n=3, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in rows] == [(0, 1)]
+    assert abs(rows[0]["jaccard"] - 0.8) < 1e-12
+    got = dedup.contamination_pairs_exact(
+        docs.filter(F.col("doc_id") == 0),
+        docs.filter(F.col("doc_id") == 1),
+        n=3, threshold=0.8,
+    ).collect()
+    assert [(r["doc_id"], r["benchmark_doc_id"]) for r in got] == [(0, 1)]
