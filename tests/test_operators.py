@@ -2004,3 +2004,36 @@ def test_positional_filter_keeps_exact_boundary_pair(spark):
         n=3, threshold=0.8,
     ).collect()
     assert [(r["doc_id"], r["benchmark_doc_id"]) for r in got] == [(0, 1)]
+
+
+def test_prefix_join_lossless_across_thresholds(spark):
+    """Losslessness of prefix + length + positional filtering at MANY
+    thresholds (the three pruning bounds interact differently as t moves:
+    prefix length shrinks with t while the overlap bound t/(1+t) grows).
+    Synthetic word-soup corpus with planted near-dups; brute force is the
+    referee at every threshold."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"v{i}" for i in range(40)]
+    texts = [" ".join(rng.choices(vocab, k=rng.randint(8, 40))) for _ in range(50)]
+    for tgt in range(40, 50):  # planted near-dups of earlier docs
+        toks = texts[tgt - 40].split()
+        for j in rng.sample(range(len(toks)), max(1, len(toks) // 12)):
+            toks[j] = rng.choice(vocab)
+        texts[tgt] = " ".join(toks)
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    toks_expr = dedup._shingles(dedup._tokens(F.col("text")), 3)
+    sh = {r["doc_id"]: set(r["s"])
+          for r in docs.select("doc_id", toks_expr.alias("s")).collect()}
+    ids = sorted(sh)
+    for t in [0.5, 0.6, 0.75, 0.8, 0.9]:
+        got = {(r["doc_a"], r["doc_b"])
+               for r in dedup.jaccard_prefix_pairs(docs, n=3, threshold=t).collect()}
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                u = sh[a] | sh[b]
+                if u and len(sh[a] & sh[b]) / len(u) >= t:
+                    expected.add((a, b))
+        assert got == expected, f"threshold {t}: {got ^ expected}"
