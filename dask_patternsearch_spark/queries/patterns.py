@@ -336,6 +336,42 @@ def pattern_search_multistart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def pattern_search_multistart_resumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crash-recovery of a PORTFOLIO, ORACLE-checked: a three-start
+    multistart run is killed by a per-start ``max_tasks=40`` budget while
+    checkpointing into the fanned ``start-<i>`` layout, then ONE
+    ``search_multi_start(warm_start=<root>)`` call resumes every start
+    from its own subdirectory (search.py fans the warm path exactly like
+    ``ledger_path``).  Each start's cumulative ledger replays via
+    ``_replay_resumed_sql`` from its x0; the oracle is their tagged
+    UNION ALL -- certifying that portfolio recovery composes from N
+    independent single-start recoveries."""
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        lp = os.path.join(td, "ledger")
+        search_multi_start(
+            _sphere, _MULTISTART_X0S, [1.0, 1.0], randomize=False,
+            max_tasks=40, ledger_path=lp, ledger_every=2,
+        )
+        best, runs = search_multi_start(
+            _sphere, _MULTISTART_X0S, [1.0, 1.0], randomize=False,
+            warm_start=lp,
+        )
+    assert abs(best.point).max() < 0.02
+    out = None
+    for i, (b, results) in enumerate(runs):
+        assert b.result == min(results.values())
+        _assert_no_negative_zero(results)
+        led = _canon_ledger(results.to_spark(spark)).select(
+            F.lit(i).cast("int").alias("start_id"),
+            "point", "halvings", "parent", "is_accepted", "cost",
+        )
+        out = led if out is None else out.unionByName(led)
+    return out
+
+
 def _stencil_literal(n_steps: int = 160) -> str:
     """First ``n_steps`` dims=2 stencil steps as a SQL VALUES literal
     ``(idx, o1, o2, extra_halvings)``.
@@ -981,6 +1017,7 @@ QUERIES = {
     "pattern_search_replay_pipelined": pattern_search_replay_pipelined,
     "pattern_search_replay_resumed": pattern_search_replay_resumed,
     "pattern_search_replay_resumed_budget": pattern_search_replay_resumed_budget,
+    "pattern_search_multistart_resumed": pattern_search_multistart_resumed,
 }
 
 _SPHERE_EXPR = "cx1 * cx1 + cx2 * cx2"
@@ -1031,6 +1068,13 @@ ORACLE: dict[str, str] = {
     "pattern_search_multistart": " UNION ALL ".join(
         f"SELECT CAST({i} AS INTEGER) AS start_id, * FROM ("
         + _replay_sql(tuple(x0), 1.0, _SPHERE_EXPR)
+        + ")"
+        for i, x0 in enumerate(_MULTISTART_X0S)
+    ),
+    # portfolio crash recovery = N independent single-start recoveries
+    "pattern_search_multistart_resumed": " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS start_id, * FROM ("
+        + _replay_resumed_sql(tuple(x0), 1.0, _SPHERE_EXPR, warm_max_tasks=40)
         + ")"
         for i, x0 in enumerate(_MULTISTART_X0S)
     ),

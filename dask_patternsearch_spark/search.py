@@ -797,14 +797,31 @@ def search_multi_start(
             "pass spark= (or nothing) and let each start build its own"
         )
     ledger_path = kwargs.pop("ledger_path", None)
+    warm_start = kwargs.pop("warm_start", None)
+    # crash-recovery round trip: a warm_start that IS this driver's own
+    # fanned checkpoint layout (start-<i> subdirectories) resumes each
+    # start from ITS OWN ledger; a start that crashed before its first
+    # flush simply has no subdir and restarts cold.  Any other warm_start
+    # (dict, iterable, flat parquet path) is a SHARED memo passed to every
+    # start unchanged -- useful for seeding a portfolio with a prior
+    # single run's evaluations.
+    import os as _os
+
+    fanned_warm = (
+        isinstance(warm_start, str)
+        and _os.path.isdir(_os.path.join(warm_start, "start-0"))
+    )
 
     def start_kwargs(i: int) -> dict:
-        if ledger_path is None:
-            return kwargs
-        import os as _os
-
-        return {**kwargs,
-                "ledger_path": _os.path.join(ledger_path, f"start-{i}")}
+        kw = kwargs
+        if ledger_path is not None:
+            kw = {**kw, "ledger_path": _os.path.join(ledger_path, f"start-{i}")}
+        if fanned_warm:
+            sub = _os.path.join(warm_start, f"start-{i}")
+            kw = {**kw, "warm_start": sub if _os.path.isdir(sub) else None}
+        elif warm_start is not None:
+            kw = {**kw, "warm_start": warm_start}
+        return kw
 
     workers = min(len(x0s), max_workers or len(x0s))
     with ThreadPoolExecutor(max_workers=workers) as pool:

@@ -548,6 +548,52 @@ def test_multi_start_ledger_paths_fan_out(tmp_path):
     assert set(calls) & warm_points == {tuple(x0s[0])}
 
 
+def test_multi_start_warm_start_fans_out(tmp_path):
+    """ONE search_multi_start(warm_start=<root>) call must resume a
+    crashed portfolio from its own fanned checkpoint layout: each start
+    warms from its OWN start-<i> subdirectory (never a sibling's), and a
+    non-fanned warm_start is a shared memo passed to every start."""
+    import os
+
+    from dask_patternsearch_spark.search import search_multi_start
+
+    calls = []
+
+    def sphere(x):
+        calls.append(tuple(x))
+        return float((x * x).sum())
+
+    base = str(tmp_path / "ledgers")
+    x0s = [[10.0, 15.0], [-8.0, 11.0]]
+    _b, runs_a = search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False,
+        max_tasks=30, ledger_path=base, ledger_every=1,
+    )
+    warm = [{tuple(tp.point.tolist()) for tp in r[1]} for r in runs_a]
+    calls.clear()
+    best, runs_b = search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False, warm_start=base,
+    )
+    # per start: every phase-A point survives with its cost, and only the
+    # re-seeded x0 was re-called from the warm set
+    for i, (bi, res) in enumerate(runs_b):
+        for tp, cost in runs_a[i][1].items():
+            assert res[tp] == cost
+        assert bi.result == min(res.values())
+    recalled = set(calls) & (warm[0] | warm[1])
+    assert recalled == {tuple(x0s[0]), tuple(x0s[1])}
+    assert abs(best.point).max() < 0.02
+    # shared-memo path: a FLAT parquet ledger (no start-<i> layout) seeds
+    # every start; none of its points is re-evaluated by any start
+    flat = os.path.join(base, "start-0")
+    calls.clear()
+    search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False, warm_start=flat,
+        max_tasks=40,
+    )
+    assert set(calls) & (warm[0] - {tuple(x0s[0]), tuple(x0s[1])}) == set()
+
+
 class SyncFutureEvaluator:
     """Submit-capable evaluator with synchronous futures: drives the
     pipeline_depth code path (drain lag, speculative rounds) without a
