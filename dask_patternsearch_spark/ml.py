@@ -171,6 +171,8 @@ class PatternSearchModel(Transformer, _SearchParams):
         # no type hints on purpose: `from __future__ import annotations`
         # stringifies them, which breaks pandas_udf's hint inference
         def _score(points):
+            if len(points) == 0:  # np.stack raises on an empty Arrow batch
+                return pd.Series([], dtype=float)
             xs = np.stack(points.to_numpy())
             if vec:
                 return pd.Series(np.asarray(func(xs), dtype=float))

@@ -56,6 +56,11 @@ def load_signatures(spark, path: str, hash_family: str = "md5") -> DataFrame:
             f"rebuild it with persist_signatures"
         )
     stamped = [r[0] for r in sigs.select("hash_family").distinct().collect()]
+    if not stamped:
+        raise ValueError(
+            f"signature table {path!r} is empty (zero rows): nothing to "
+            f"reuse -- rebuild it with persist_signatures"
+        )
     if stamped != [want]:
         raise ValueError(
             f"signature table {path!r} was built with hash family "

@@ -805,11 +805,15 @@ def search_multi_start(
     # (dict, iterable, flat parquet path) is a SHARED memo passed to every
     # start unchanged -- useful for seeding a portfolio with a prior
     # single run's evaluations.
+    import glob as _glob
     import os as _os
 
-    fanned_warm = (
-        isinstance(warm_start, str)
-        and _os.path.isdir(_os.path.join(warm_start, "start-0"))
+    # detect the fanned layout by ANY start-<i> subdir, not just start-0:
+    # if start 0 crashed before its first ledger flush while others did
+    # checkpoint, keying on start-0 alone would misclassify the root as a
+    # shared memo and seed every start with the union of sibling ledgers
+    fanned_warm = isinstance(warm_start, str) and bool(
+        _glob.glob(_os.path.join(warm_start, "start-*"))
     )
 
     def start_kwargs(i: int) -> dict:

@@ -83,3 +83,25 @@ def test_estimator_passes_through_engine_kwargs(spark):
     for r in led:
         p = np.asarray(r["point"])
         assert (p >= 1.0 - 1e-9).all() and (p <= 3.0 + 1e-9).all()
+
+
+def test_model_transform_survives_empty_partitions(spark):
+    """Empty Arrow batches must not crash the scoring UDF (np.stack raises
+    'need at least one array to stack' on a zero-length batch)."""
+    model = PatternSearchMinimizer(
+        sphere, x0=[2.0, 2.0], stepsize=[1.0, 1.0], seed=1, maxTasks=20
+    ).fit(spark.range(1))
+    # a fully empty input and a mostly-empty repartition both go through
+    from pyspark.ml.linalg import VectorUDT
+    from pyspark.sql import types as T
+
+    empty = spark.createDataFrame(
+        [], T.StructType([T.StructField("point", VectorUDT())])
+    )
+    assert model.transform(empty).collect() == []
+    pts = spark.createDataFrame(
+        [(Vectors.dense([1.0, 2.0]),), (Vectors.dense([0.0, 0.0]),)],
+        ["point"],
+    ).repartition(8)
+    got = {tuple(r["point"]): r["cost"] for r in model.transform(pts).collect()}
+    assert got == {(1.0, 2.0): 5.0, (0.0, 0.0): 0.0}

@@ -2037,3 +2037,14 @@ def test_prefix_join_lossless_across_thresholds(spark):
                 if u and len(sh[a] & sh[b]) / len(u) >= t:
                     expected.add((a, b))
         assert got == expected, f"threshold {t}: {got ^ expected}"
+
+
+def test_load_signatures_rejects_empty_table(spark, tmp_path):
+    """A zero-row signature table must raise a clear 'empty' error, not the
+    misleading version-mismatch message ('built with hash family []')."""
+    p = str(tmp_path / "sigs_empty.parquet")
+    spark.createDataFrame(
+        [], "doc_id string, sig array<bigint>, hash_family string"
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="empty"):
+        dedup.load_signatures(spark, p, hash_family="md5")

@@ -692,3 +692,46 @@ def test_pipelined_replay_oracle_rosenbrock_config():
     )
     out = duckdb.connect().execute(sql).fetchall()
     assert [tuple(o) for o in out] == eng
+
+
+def test_multi_start_fanned_warm_detected_without_start0(tmp_path):
+    """Crash recovery when start 0 died BEFORE its first ledger flush: the
+    fanned layout must be detected from ANY start-<i> subdir (glob), not
+    just start-0.  Keying on start-0 alone misclassifies the root as a
+    shared flat memo, so pyarrow recursively unions every sibling ledger
+    into every start -- breaking per-start determinism.  Here: start-0
+    restarts cold (re-evaluates its own deterministic trajectory) while
+    start-1 still warms from its own subdir only."""
+    import os
+    import shutil
+
+    from dask_patternsearch_spark.search import search_multi_start
+
+    calls = []
+
+    def sphere(x):
+        calls.append(tuple(x))
+        return float((x * x).sum())
+
+    base = str(tmp_path / "ledgers")
+    x0s = [[10.0, 15.0], [-8.0, 11.0]]
+    _b, runs_a = search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False,
+        max_tasks=30, ledger_path=base, ledger_every=1,
+    )
+    warm = [{tuple(tp.point.tolist()) for tp in r[1]} for r in runs_a]
+    shutil.rmtree(os.path.join(base, "start-0"))
+    calls.clear()
+    _best, runs_b = search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False, warm_start=base,
+    )
+    seen = set(calls)
+    # start-0 restarted cold: deterministic, so its whole phase-A
+    # trajectory is re-evaluated (NOT seeded from start-1's ledger)
+    assert warm[0] <= seen
+    # start-1 resumed warm: nothing from its ledger re-called except the
+    # re-seeded x0 (engine contract)
+    assert seen & (warm[1] - warm[0]) == {tuple(x0s[1])}
+    # and start-1's results still contain every phase-A evaluation
+    for tp, cost in runs_a[1][1].items():
+        assert runs_b[1][1][tp] == cost
