@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+
 from .search import search
 
 __all__ = ["PatternSearchMinimizer", "PatternSearchModel"]
@@ -68,7 +70,8 @@ class _SearchParams(Params):
                       typeConverter=TypeConverters.toString)
 
 
-class PatternSearchMinimizer(Estimator, _SearchParams):
+class PatternSearchMinimizer(Estimator, _SearchParams,
+                             DefaultParamsWritable, DefaultParamsReadable):
     """Estimator facade: ``fit()`` minimizes ``func`` via :func:`search`.
 
     ``func`` is a black-box Python callable (not a Param: Params must be
@@ -76,21 +79,36 @@ class PatternSearchMinimizer(Estimator, _SearchParams):
     keywords -- bounds, integer_dimensions, warm_start, ledger_path,
     pipeline_depth, ... -- pass through ``search_kwargs`` untouched, so
     the facade never lags the engine's feature surface.
+
+    **Persistence contract** (``save()``/``load()`` via
+    ``DefaultParamsWritable``): only the declared Params round-trip --
+    x0, stepsize, budget, seed, execution flags, column names.  The
+    objective is CODE and is deliberately not serialized (pickling
+    arbitrary closures to disk is neither portable nor safe to reload);
+    a loaded estimator must be given its objective again with
+    :meth:`setObjective` before ``fit()``, which raises a descriptive
+    error otherwise.  ``search_kwargs`` are likewise not persisted (they
+    may hold non-serializable values such as warm-start dicts or
+    evaluator objects) -- re-supply them via :meth:`setSearchKwargs`.
     """
 
-    def __init__(self, func, x0, stepsize, maxTasks=None, seed=None,
-                 randomize=True, distributed=False, vectorize=False,
-                 batchsize=0, inputCol="point", outputCol="cost",
-                 **search_kwargs):
+    def __init__(self, func=None, x0=None, stepsize=None, maxTasks=None,
+                 seed=None, randomize=True, distributed=False,
+                 vectorize=False, batchsize=0, inputCol="point",
+                 outputCol="cost", **search_kwargs):
         super().__init__()
         self.func = func
         self.search_kwargs = search_kwargs
         self._setDefault(maxTasks=-1, seed=-1, randomize=True,
                          distributed=False, vectorize=False, batchsize=0,
                          inputCol="point", outputCol="cost")
-        self._set(x0=list(np.asarray(x0, dtype=float)),
-                  stepsize=list(np.asarray(stepsize, dtype=float)),
-                  randomize=randomize, distributed=distributed,
+        # x0/stepsize optional so DefaultParamsReader can instantiate the
+        # class bare before restoring the persisted Params
+        if x0 is not None:
+            self._set(x0=list(np.asarray(x0, dtype=float)))
+        if stepsize is not None:
+            self._set(stepsize=list(np.asarray(stepsize, dtype=float)))
+        self._set(randomize=randomize, distributed=distributed,
                   vectorize=vectorize, batchsize=batchsize,
                   inputCol=inputCol, outputCol=outputCol)
         if maxTasks is not None:
@@ -98,7 +116,23 @@ class PatternSearchMinimizer(Estimator, _SearchParams):
         if seed is not None:
             self._set(seed=seed)
 
+    def setObjective(self, func) -> "PatternSearchMinimizer":
+        """Re-attach the objective callable (required after ``load()``)."""
+        self.func = func
+        return self
+
+    def setSearchKwargs(self, **search_kwargs) -> "PatternSearchMinimizer":
+        """Re-attach pass-through ``search()`` keywords after ``load()``."""
+        self.search_kwargs = search_kwargs
+        return self
+
     def _fit(self, dataset: DataFrame) -> "PatternSearchModel":
+        if self.func is None:
+            raise ValueError(
+                "objective not set: save()/load() persists only the Params "
+                "(the objective is code and is never serialized); call "
+                "setObjective(func) on the loaded estimator before fit()"
+            )
         m = self.getOrDefault
         max_tasks = m(self.maxTasks)
         seed = m(self.seed)

@@ -493,6 +493,114 @@ def minhash_lsh_candidates(
     )
 
 
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    signatures_path: str,
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+    hash_family: str = "md5",
+    append: bool = True,
+) -> DataFrame:
+    """Near-dup candidates for NEWLY INGESTED documents against an
+    already-signed corpus -- the 100 TB/day ingestion path.
+
+    Only the new documents' text is touched: the existing corpus
+    participates through its persisted signature table (written by
+    ``persist_signatures=`` / a prior call here with ``append=True``),
+    version-checked via :func:`load_signatures`.  Candidate pairs are
+    exactly the pairs of the full-corpus :func:`minhash_lsh_candidates`
+    that involve at least one new document (signatures are per-doc and
+    band buckets are deterministic, so the restriction is lossless --
+    asserted end-to-end by tools/scaleprobe.py --incremental and
+    tests/test_operators.py).
+
+    Scale shape: signature CPU is proportional to the NEW batch; the old
+    corpus is never re-shingled and never shuffled -- its bands are
+    derived from the persisted signature scan and reduced to the new
+    batch's (band, bucket) keys with a BROADCAST semi-join before any
+    wide operation, so shuffle volume tracks the new batch + its bucket
+    collisions, not corpus size.  The broadcast is the new batch's
+    distinct bucket set (~``n_bands`` x batch rows x 24 B); size the
+    ingest batch so that stays well under executor memory (a 10M-doc
+    batch broadcasts ~2 GB -- split larger backfills into multiple
+    calls).
+
+    ``append=True`` (default) stamps and appends the new signatures to
+    ``signatures_path`` so the NEXT increment sees this batch as part of
+    the corpus.  New ``doc_id``s must not collide with persisted ones
+    (ledger invariant, same as the exact-dedup ledgers).
+    """
+    spark = new_docs.sparkSession
+    rows_per_band = n_perm // n_bands
+    old_sigs = load_signatures(spark, signatures_path,
+                               hash_family=hash_family)
+    new_sigs = minhash_signatures(new_docs, n=n, n_perm=n_perm, seed=seed,
+                                  hash_family=hash_family)
+    if append:
+        new_sigs.withColumn(
+            "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
+        ).write.mode("append").parquet(signatures_path)
+        # read the batch back from the durable table (same fault-tolerance
+        # rationale as persist_signatures) -- restricted to the new ids
+        new_ids = new_docs.select("doc_id")
+        new_sigs = load_signatures(spark, signatures_path,
+                                   hash_family=hash_family).join(
+            F.broadcast(new_ids), "doc_id")
+        old_sigs = load_signatures(spark, signatures_path,
+                                   hash_family=hash_family).join(
+            F.broadcast(new_ids), "doc_id", "left_anti")
+    else:
+        new_sigs = new_sigs.localCheckpoint(eager=True)
+
+    new_bands = _band_buckets(new_sigs, n_bands, rows_per_band)
+    new_bands = new_bands.localCheckpoint(eager=True)
+    # reduce the old corpus to rows that can possibly collide with the new
+    # batch BEFORE anything wide: broadcast the new bucket keys
+    new_buckets = new_bands.select("band", "bucket").distinct()
+    old_hit = _band_buckets(old_sigs, n_bands, rows_per_band).join(
+        F.broadcast(new_buckets), ["band", "bucket"])
+    all_bands = new_bands.unionByName(old_hit)
+    pairs = (
+        new_bands.alias("x")
+        .join(
+            all_bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") != F.col("y.doc_id")),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # annotate with est_jaccard: candidate ids are batch-bounded, so
+    # pre-filter the signature union to them (broadcast again) -- the
+    # heavy full-corpus signature table never enters a shuffle
+    cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
+                .union(pairs.select("doc_b")).distinct())
+    sigs_cand = old_sigs.unionByName(new_sigs).join(
+        F.broadcast(cand_ids), "doc_id")
+    sa = sigs_cand.select(F.col("doc_id").alias("doc_a"),
+                          F.col("sig").alias("sig_a"))
+    sb = sigs_cand.select(F.col("doc_id").alias("doc_b"),
+                          F.col("sig").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / F.lit(float(n_perm))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+    )
+
+
 def minhash_estimate_error(
     docs: DataFrame,
     n: int = 3,

@@ -129,6 +129,57 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ingestion replay of the incremental near-dup path:
+    documents with ``doc_id % 5 == 4`` are the freshly ingested batch,
+    the rest are the pre-signed corpus.  Phase 1 persists the corpus
+    signatures (stamped, parquet); phase 2 runs
+    ``incremental_minhash_candidates`` for the new batch -- only the new
+    docs' text is shingled, the corpus participates via its signature
+    table.  The oracle is the FULL-corpus DuckDB minhash replay
+    restricted to pairs involving a new doc, which certifies the
+    restriction is lossless end to end."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    root = tempfile.mkdtemp(prefix="dps_incr_sigs_")
+    path = f"{root}/sigs.parquet"
+    try:
+        dedup.minhash_signatures(old).withColumn(
+            "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+        ).write.mode("overwrite").parquet(path)
+        out = dedup.incremental_minhash_candidates(new, path)
+        # the returned plan must not depend on the temp table after this
+        # function returns (the driver collects later): materialize now
+        out = out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_INCR_MINHASH_SQL = f"""
+WITH {_MINHASH_COMMON},
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         round(list_sum(list_transform(range(1, 65),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0,
+               6) AS est_jaccard
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est
+WHERE est_jaccard >= 0.5 AND (doc_a % 5 = 4 OR doc_b % 5 = 4)
+"""
+
+
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-calibration report (estimator vs exact Jaccard error
     histogram over the surfaced candidates), ORACLE-checked: integers
@@ -3963,6 +4014,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "minhash_estimate_error": minhash_estimate_error,
+    "incremental_minhash_dedup": incremental_minhash_dedup,
     "simhash_near_dups": simhash_near_dups,
     "embedding_near_dups": embedding_near_dups,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -4116,6 +4168,9 @@ ORACLE = {
     "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
     "minhash_near_dups": _MINHASH_SQL,
     "minhash_estimate_error": _MINHASH_ERR_SQL,
+    # full-corpus replay restricted to pairs with a new-batch doc: the
+    # incremental path must be a lossless restriction of the batch path
+    "incremental_minhash_dedup": _INCR_MINHASH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,
     # associative merge => the streamed ledger equals the batch sketch

@@ -105,3 +105,27 @@ def test_model_transform_survives_empty_partitions(spark):
     ).repartition(8)
     got = {tuple(r["point"]): r["cost"] for r in model.transform(pts).collect()}
     assert got == {(1.0, 2.0): 5.0, (0.0, 0.0): 0.0}
+
+
+def test_estimator_save_load_roundtrip(spark, tmp_path):
+    """DefaultParamsWritable persistence: every declared Param survives a
+    save()/load() round trip; the objective (code) deliberately does not,
+    and a loaded estimator demands setObjective() before fit()."""
+    est = PatternSearchMinimizer(
+        sphere, x0=[10.0, 15.0], stepsize=[1.0, 1.0], seed=42,
+        maxTasks=25, randomize=False, batchsize=4,
+    )
+    p = str(tmp_path / "est")
+    est.save(p)
+    loaded = PatternSearchMinimizer.load(p)
+    for param in est.params:
+        assert (loaded.getOrDefault(loaded.getParam(param.name))
+                == est.getOrDefault(param)), param.name
+    with pytest.raises(ValueError, match="setObjective"):
+        loaded.fit(spark.range(1))
+    # re-supplied objective reproduces the original fit exactly
+    m1 = est.fit(spark.range(1))
+    m2 = loaded.setObjective(sphere).fit(spark.range(1))
+    assert m2.numEvaluations == m1.numEvaluations
+    assert m2.bestCost == m1.bestCost
+    assert list(m2.bestPoint) == list(m1.bestPoint)

@@ -2048,3 +2048,32 @@ def test_load_signatures_rejects_empty_table(spark, tmp_path):
     ).write.parquet(p)
     with pytest.raises(ValueError, match="empty"):
         dedup.load_signatures(spark, p, hash_family="md5")
+
+
+def test_incremental_minhash_matches_full_compute(spark, docs, tmp_path):
+    """incremental_minhash_candidates(new, persisted_old) must equal the
+    full-corpus batch compute restricted to pairs involving a new doc --
+    the losslessness contract of the ingestion path -- and must append
+    the new signatures so the NEXT increment sees them."""
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_signatures(old).withColumn(
+        "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+    ).write.parquet(sig_path)
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.incremental_minhash_candidates(new, sig_path).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full = {
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+        if r["doc_a"] in new_ids or r["doc_b"] in new_ids
+    }
+    assert got == full
+    assert got, "fixture corpus should surface at least one new-doc pair"
+    # append=True: the table now holds signatures for the WHOLE corpus
+    sigs = dedup.load_signatures(spark, sig_path, hash_family="md5")
+    assert sigs.count() == docs.count()

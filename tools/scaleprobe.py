@@ -85,7 +85,15 @@ def generate(scale: int, seed: int = 42) -> str:
         "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
         "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
     })
-    pq.write_table(docs, os.path.join(out, "documents.parquet"))
+    # MANY row groups, not pyarrow's 1M-row default: Spark parallelizes a
+    # parquet scan by file splits, and a row group is indivisible -- a
+    # single-row-group file serializes the whole scan (and everything
+    # Catalyst collapses into the scan stage) onto ONE task regardless of
+    # cluster width.  Found at x300: the 1M-row first group put 177 s of
+    # signature CPU on one straggler.  Real 100 TB layouts are thousands
+    # of files x ~128 MB row groups; 25k-row groups model that here.
+    pq.write_table(docs, os.path.join(out, "documents.parquet"),
+                   row_group_size=25_000)
 
     centers = rng.normal(0, 1, size=(10, EMB_DIM))
     labels = rng.integers(0, 10, size=n_emb)
@@ -96,7 +104,8 @@ def generate(scale: int, seed: int = 42) -> str:
         "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
         "label": pa.array(labels, type=pa.int32()),
     })
-    pq.write_table(emb, os.path.join(out, "embeddings.parquet"))
+    pq.write_table(emb, os.path.join(out, "embeddings.parquet"),
+                   row_group_size=10_000)
     print(f"# generated x{scale}: {n_docs} docs / {n_emb} embeddings", file=sys.stderr)
     return out
 
