@@ -179,5 +179,165 @@ def main() -> None:
     spark.stop()
 
 
-if __name__ == "__main__":
+def generate_events(scale: int, seed: int = 7) -> str:
+    """Events table at ``scale``x sf0.1 (100k rows, 1.5k users, 30 days):
+    users scale with the corpus, per-user event counts stay constant, so
+    session count -- the session-window operator's state -- grows
+    linearly.  Same row-group discipline as ``generate``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(PROBE_ROOT, f"ev_x{scale}")
+    if os.path.exists(os.path.join(out, "events.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_ev, n_users = 100_000 * scale, 1_500 * scale
+    rng = np.random.default_rng(seed + scale)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + (rng.uniform(0, 30 * 86400, size=n_ev) * 1e6).astype("int64")
+    order = np.argsort(ts)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n_ev), type=pa.int64()),
+        "ts": pa.array(ts[order], type=pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, size=n_ev), type=pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["view", "click", "purchase", "search", "scroll"], size=n_ev)),
+        "value": pa.array(np.round(rng.uniform(0, 100, size=n_ev), 6)),
+        "props": pa.array(['{"k": %d}' % k for k in rng.integers(0, 100, n_ev)]),
+    })
+    pq.write_table(tab, os.path.join(out, "events.parquet"),
+                   row_group_size=50_000)
+    print(f"# generated ev_x{scale}: {n_ev} events / {n_users} users",
+          file=sys.stderr)
+    return out
+
+
+def _probe_session(spark, ui, qs) -> None:
+    """Window-heavy state scaling: session_window_batch at x1 / x3 / x10.
+    State = live sessions; with constant per-user rates it must grow
+    linearly, and the wall with it (one shuffle on the grouping)."""
+    print("| query | metric | x1 | x3 | x10 |")
+    print("|---|---|---|---|---|")
+    cells: dict[str, list] = {"sec": [], "rows": [], "shufW MB": []}
+    for s in (1, 3, 10):
+        d = SF01 if s == 1 else generate_events(s)
+        qs["session_window_batch"](spark, d).count()     # warm
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        rows = qs["session_window_batch"](spark, d).count()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        cells["sec"].append(round(dt, 2))
+        cells["rows"].append(rows)
+        cells["shufW MB"].append(round((w1 - w0) / 1e6, 1))
+    for m, vs in cells.items():
+        print(f"| session_window_batch | {m} | " +
+              " | ".join(str(v) for v in vs) + " |")
+
+
+def _probe_iterative(spark, ui, qs) -> None:
+    """Iterative-graph scaling: near_dup_pagerank (8 damped iterations
+    over the prefix-join near-dup graph) at x1 / x3 / x10 -- wall,
+    total shuffle, and shuffle per iteration."""
+    print("| query | metric | x1 | x3 | x10 |")
+    print("|---|---|---|---|---|")
+    cells: dict[str, list] = {"sec": [], "rows": [], "shufW MB": [],
+                              "shufW/iter MB": []}
+    for s in (1, 3, 10):
+        d = SF01 if s == 1 else generate(s)
+        qs["near_dup_pagerank"](spark, d).count()        # warm
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        rows = qs["near_dup_pagerank"](spark, d).count()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        cells["sec"].append(round(dt, 2))
+        cells["rows"].append(rows)
+        cells["shufW MB"].append(round((w1 - w0) / 1e6, 1))
+        cells["shufW/iter MB"].append(round((w1 - w0) / 8 / 1e6, 2))
+    for m, vs in cells.items():
+        print(f"| near_dup_pagerank | {m} | " +
+              " | ".join(str(v) for v in vs) + " |")
+
+
+def _probe_incremental(spark, ui) -> None:
+    """Incremental-dedup production shape: a FIXED 15k-doc ingest batch
+    against persisted signature tables of growing corpora (x10 / x30 /
+    x100).  Cost must track the batch, not the corpus; band parity vs a
+    fresh full compute is asserted at every point."""
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    batch = (spark.read.parquet(os.path.join(generate(3), "documents.parquet"))
+             .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+             .localCheckpoint(eager=True))
+    print("| corpus | metric | value |")
+    print("|---|---|---|")
+    for s in (10, 30, 100):
+        corpus = spark.read.parquet(
+            os.path.join(generate(s), "documents.parquet"))
+        sig_path = os.path.join(PROBE_ROOT, f"sigs_x{s}.parquet")
+        t0 = time.perf_counter()
+        dedup.minhash_signatures(corpus).withColumn(
+            "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+        ).write.mode("overwrite").parquet(sig_path)
+        sign_dt = time.perf_counter() - t0
+        # measured run (append=False keeps the table reusable across runs)
+        inc = dedup.incremental_minhash_candidates(batch, sig_path,
+                                                   append=False)
+        inc.count()                                       # warm
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        got = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+               for r in dedup.incremental_minhash_candidates(
+                   batch, sig_path, append=False).collect()}
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        # parity: fresh full compute restricted to batch pairs
+        full = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+                for r in dedup.minhash_lsh_candidates(
+                    corpus.unionByName(batch)).collect()
+                if r["doc_a"] >= 10_000_000 or r["doc_b"] >= 10_000_000}
+        assert got == full, (
+            f"x{s}: incremental != full restriction "
+            f"({len(got - full)} extra, {len(full - got)} missing)")
+        print(f"| x{s} ({5000*s} docs) | sign corpus once | {sign_dt:.1f}s |")
+        print(f"| x{s} ({5000*s} docs) | incremental 15k batch | "
+              f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / "
+              f"{len(got)} pairs / parity OK |")
+
+
+if __name__ == "__main__" and sys.argv[1:2] not in (
+        ["--incremental"], ["--iterative"], ["--window"]):
     main()
+elif __name__ == "__main__":
+    # extra modes share main()'s session posture but run one probe each
+    from pyspark.sql import SparkSession
+
+    from dask_patternsearch_spark.queries import all_queries
+
+    _spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scaleprobe-extra")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.default.parallelism", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.cleaner.periodicGC.interval", "60s")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4090")
+        .getOrCreate()
+    )
+    _spark.sparkContext.setLogLevel("ERROR")
+    _ui = _spark.sparkContext.uiWebUrl
+    mode = sys.argv[1]
+    if mode == "--incremental":
+        _probe_incremental(_spark, _ui)
+    elif mode == "--iterative":
+        _probe_iterative(_spark, _ui, all_queries())
+    else:
+        _probe_session(_spark, _ui, all_queries())
+    _spark.stop()
