@@ -860,6 +860,56 @@ def write_ivf_layout(
     return cents
 
 
+def append_ivf_layout(new_emb: DataFrame, path: str) -> int:
+    """Ingest NEW embeddings into an existing :func:`write_ivf_layout`
+    index without rebuilding it -- the ANN half of the incremental
+    ingestion story (see ``dedup.incremental_minhash_candidates`` for
+    the text half).
+
+    The persisted centroid table defines the index geometry permanently:
+    new vectors are Voronoi-assigned to the EXISTING centroids (one
+    Arrow-batched pass over the batch only) and appended into their cell
+    directories.  Every later probe sees them through the same partition
+    pruning with zero index maintenance; appending is byte-for-byte
+    equivalent to having built the layout from the union corpus with
+    the same centroids (asserted by tests + the oracle-checked
+    ``incremental_ivf_topk_embeddings`` query).
+
+    Cost is proportional to the batch: assignment CPU + one partitioned
+    append; the existing corpus is neither read nor moved.  Cell BALANCE
+    is the one thing that can drift under a shifting embedding
+    distribution -- monitor per-cell row counts and re-train/re-write
+    when the hottest cell's share breaks the probe budget (that rebuild
+    is the periodic compaction job, not a per-ingest cost).
+
+    Returns the number of vectors appended.
+    """
+    cents = np.array(
+        sorted(
+            (r["cell"], r["centroid"])
+            for r in new_emb.sparkSession.read.parquet(
+                path.rstrip("/") + "/_centroids.parquet"
+            ).collect()
+        ),
+        dtype=object,
+    )
+    cent_m = np.stack([np.asarray(c, dtype=float) for _, c in cents])
+
+    @F.pandas_udf("int")
+    def cell_of(embs):
+        import pandas as pd
+
+        if embs.empty:
+            return pd.Series([], dtype="int32")
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        d = -2.0 * (M @ cent_m.T) + (cent_m**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    batch = new_emb.withColumn("cell", cell_of("embedding")).repartition("cell")
+    batch.write.mode("append").partitionBy("cell").parquet(path)
+    return new_emb.count()
+
+
 def ivf_layout_topk(
     spark,
     path: str,

@@ -3551,6 +3551,95 @@ SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
 """
 
 
+def incremental_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ingestion replay of the incremental ANN path: vectors
+    with ``vec_id % 5 == 4`` are the freshly ingested batch.  Phase 1
+    builds the disk IVF layout from the existing corpus (centroids
+    seeded from its first 16 vectors); phase 2 ``append_ivf_layout``s
+    the batch (assignment against the PERSISTED centroids, partitioned
+    append, corpus untouched); the probe then runs over the merged
+    layout.  Oracle: the one-shot relational IVF spelling over the FULL
+    table with the same centroids -- append must be indistinguishable
+    from build-from-union."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.similarity import (append_ivf_layout, ivf_layout_topk,
+                                        write_ivf_layout)
+
+    emb = _emb(spark, sf_dir)
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    # first 16 OLD vectors seed the cells (ids 0..19 minus 4, 9, 14)
+    cent_rows = sorted(
+        old.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.stack([np.asarray(r["embedding"], dtype=float) for r in cent_rows])
+    path = tempfile.mkdtemp(prefix="dps_ivf_incr_")
+    try:
+        write_ivf_layout(old, path, centroids=cents)
+        append_ivf_layout(new, path)
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+        rows = ivf_layout_topk(spark, path, queries, k=5, n_probe=3).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "query_id long, neighbor_id long, cosine_sim double"
+    )
+
+
+# the one-shot IVF spelling with the incremental query's centroid seed
+# set (first 16 OLD vectors, cell ids renumbered densely in vec_id
+# order exactly as np.stack/write_ivf_layout enumerate them)
+_IVF_INCR_SQL = """
+WITH seeds AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv,
+         row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell
+  FROM embeddings WHERE vec_id < 20 AND vec_id % 5 <> 4
+),
+cents AS MATERIALIZED (SELECT cell, cv FROM seeds),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY -2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+qprobe AS MATERIALIZED (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY -2 * list_inner_product(CAST(q.embedding AS DOUBLE[]), c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.qv, CAST(e.embedding AS DOUBLE[])), 6)
+           AS cosine_sim
+  FROM qprobe p
+  JOIN assign a ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id AND e.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
+"""
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media-container metadata extraction, verified end to end:
     spec-valid PNG/WAV/MP4 payloads are synthesized per document (their
@@ -4073,6 +4162,7 @@ QUERIES = {
     "rrf_hybrid_search": rrf_hybrid_search,
     "multimodal_metadata": multimodal_metadata,
     "ivf_layout_topk_embeddings": ivf_layout_topk_embeddings,
+    "incremental_ivf_topk_embeddings": incremental_ivf_topk_embeddings,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
     "inverted_postings": inverted_postings,
     "chunk_docs": chunk_docs,
@@ -4134,6 +4224,8 @@ ORACLE = {
     "packed_training_sequences": _PACKED_SQL,
     "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
+    # append-to-layout must equal build-from-union with the same seeds
+    "incremental_ivf_topk_embeddings": _IVF_INCR_SQL,
     "canonicalize_corpus": _CANONICALIZE_SQL,
     "decontaminate_corpus": _DECONTAMINATE_SQL,
     "contamination_report": _CONTAMINATION_REPORT_SQL,

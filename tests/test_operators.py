@@ -2077,3 +2077,41 @@ def test_incremental_minhash_matches_full_compute(spark, docs, tmp_path):
     # append=True: the table now holds signatures for the WHOLE corpus
     sigs = dedup.load_signatures(spark, sig_path, hash_family="md5")
     assert sigs.count() == docs.count()
+
+
+def test_append_ivf_layout_equals_union_build(spark, emb, tmp_path):
+    """Appending a batch into an existing IVF layout (assignment against
+    the PERSISTED centroids) must be indistinguishable from building the
+    layout from the union corpus with the same centroids: identical
+    per-cell membership and identical probe results."""
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = np.stack([
+        np.asarray(r["embedding"], dtype=float)
+        for r in sorted(old.filter(F.col("vec_id") < 20)
+                        .select("vec_id", "embedding").collect(),
+                        key=lambda r: r["vec_id"])
+    ])
+    p_inc = str(tmp_path / "ivf_inc")
+    p_full = str(tmp_path / "ivf_full")
+    similarity.write_ivf_layout(old, p_inc, centroids=cents)
+    n = similarity.append_ivf_layout(new, p_inc)
+    assert n == new.count()
+    similarity.write_ivf_layout(emb, p_full, centroids=cents)
+    member = lambda p: {
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(p).select("vec_id", "cell").collect()
+    }
+    assert member(p_inc) == member(p_full)
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    res = lambda p: {
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+        for r in similarity.ivf_layout_topk(spark, p, queries, k=5,
+                                            n_probe=3).collect()
+    }
+    r_inc = res(p_inc)
+    assert r_inc == res(p_full)
+    # appended vectors are actually reachable through the probe
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    assert any(nb in new_ids for _, nb, _s in r_inc)
