@@ -31,7 +31,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from pyspark.ml.util import DefaultParamsReadable, DefaultParamsWritable
+from pyspark.ml.util import (DefaultParamsReadable, DefaultParamsReader,
+                             DefaultParamsWritable, DefaultParamsWriter,
+                             MLReadable, MLReader, MLWritable, MLWriter)
 
 from .search import search
 
@@ -154,8 +156,81 @@ class PatternSearchMinimizer(Estimator, _SearchParams,
         return model
 
 
-class PatternSearchModel(Transformer, _SearchParams):
-    """Fitted minimizer: the incumbent, the ledger, and a scorer."""
+class _ModelWriter(MLWriter):
+    """Params + summary metadata + the evaluation ledger as parquet."""
+
+    def __init__(self, instance):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        import os
+
+        m = self.instance
+        DefaultParamsWriter.saveMetadata(
+            m, path, self.sc,
+            extraMetadata={
+                "bestPoint": [float(x) for x in m._best.point],
+                "bestHalvings": int(m._best.halvings),
+                "bestCost": m.bestCost,
+                "rounds": int(getattr(m._results, "rounds", 0)),
+            },
+        )
+        m._results.to_spark(m._spark).write.mode("overwrite").parquet(
+            os.path.join(path, "ledger"))
+
+
+class _ModelReader(MLReader):
+    def __init__(self, cls):
+        super().__init__()
+        self._cls = cls
+
+    def load(self, path: str) -> "PatternSearchModel":
+        import os
+
+        from .search import SearchResults, TrialPoint
+
+        metadata = DefaultParamsReader.loadMetadata(path, self.sc)
+        spark = self.sparkSession
+        results = SearchResults()
+        by_key: dict[bytes, TrialPoint] = {}
+        rows = spark.read.parquet(os.path.join(path, "ledger")).collect()
+        for r in rows:
+            tp = TrialPoint(np.asarray(r["point"], dtype=float),
+                            int(r["halvings"]))
+            tp.is_accepted = bool(r["is_accepted"])
+            tp.result = r["cost"]
+            by_key[tp.point.tobytes()] = tp
+            results[tp] = r["cost"]
+        for r, tp in zip(rows, list(results)):
+            if r["parent"] is not None:
+                tp.parent = by_key.get(
+                    np.asarray(r["parent"], dtype=float).tobytes())
+        results.rounds = int(metadata["rounds"])
+        best = by_key.get(
+            np.asarray(metadata["bestPoint"], dtype=float).tobytes())
+        if best is None:  # ledger truncation tolerance: rebuild the record
+            best = TrialPoint(np.asarray(metadata["bestPoint"], dtype=float),
+                              int(metadata["bestHalvings"]))
+            best.result = float(metadata["bestCost"])
+        model = self._cls(None, best, results, spark)
+        DefaultParamsReader.getAndSetParams(model, metadata)
+        return model
+
+
+class PatternSearchModel(Transformer, _SearchParams, MLWritable, MLReadable):
+    """Fitted minimizer: the incumbent, the ledger, and a scorer.
+
+    **Persistence contract**: ``save()`` writes the Params, the incumbent
+    summary, and the full evaluation ledger (parquet, ``to_spark``
+    schema, parent lineage included); ``load()`` restores all of it --
+    ``bestPoint``/``bestCost``/``numEvaluations``/``ledger()`` work
+    immediately.  The objective is code and is not serialized:
+    ``transform()`` on a loaded model raises until
+    :meth:`setObjective` re-attaches it (same contract as the
+    estimator).  Ledger row order after a reload is parquet scan order,
+    not evaluation order -- use ``ledger_path`` checkpoints on
+    ``search()`` itself where chronological replay matters."""
 
     def __init__(self, func=None, best=None, results=None, spark=None):
         super().__init__()
@@ -163,6 +238,19 @@ class PatternSearchModel(Transformer, _SearchParams):
         self._best = best
         self._results = results
         self._spark = spark
+
+    def setObjective(self, func) -> "PatternSearchModel":
+        """Re-attach the objective callable (required after ``load()``
+        before ``transform()``)."""
+        self.func = func
+        return self
+
+    def write(self) -> MLWriter:
+        return _ModelWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ModelReader(cls)
 
     @property
     def bestPoint(self):
@@ -199,6 +287,12 @@ class PatternSearchModel(Transformer, _SearchParams):
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
+        if self.func is None:
+            raise ValueError(
+                "objective not set: a loaded PatternSearchModel persists "
+                "the ledger and Params but never the objective (it is "
+                "code); call setObjective(func) before transform()"
+            )
         func = self.func
         vec = self.getOrDefault(self.vectorize)
 

@@ -129,3 +129,36 @@ def test_estimator_save_load_roundtrip(spark, tmp_path):
     assert m2.numEvaluations == m1.numEvaluations
     assert m2.bestCost == m1.bestCost
     assert list(m2.bestPoint) == list(m1.bestPoint)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    """Model persistence: incumbent, ledger (with lineage) and Params all
+    survive save()/load(); transform() demands setObjective() first and
+    then scores identically to the original model."""
+    model = PatternSearchMinimizer(
+        sphere, x0=[6.0, 7.0], stepsize=[1.0, 1.0], seed=3, maxTasks=40,
+        outputCol="score",
+    ).fit(spark.range(1))
+    p = str(tmp_path / "model")
+    model.save(p)
+    from dask_patternsearch_spark.ml import PatternSearchModel
+
+    loaded = PatternSearchModel.load(p)
+    assert list(loaded.bestPoint) == list(model.bestPoint)
+    assert loaded.bestCost == model.bestCost
+    assert loaded.numEvaluations == model.numEvaluations
+    assert loaded.getOrDefault(loaded.outputCol) == "score"
+    led_a = {(tuple(r["point"]), r["halvings"],
+              None if r["parent"] is None else tuple(r["parent"]),
+              r["is_accepted"], r["cost"])
+             for r in model.ledger().collect()}
+    led_b = {(tuple(r["point"]), r["halvings"],
+              None if r["parent"] is None else tuple(r["parent"]),
+              r["is_accepted"], r["cost"])
+             for r in loaded.ledger().collect()}
+    assert led_a == led_b
+    pts = spark.createDataFrame([(Vectors.dense([2.0, 2.0]),)], ["point"])
+    with pytest.raises(ValueError, match="setObjective"):
+        loaded.transform(pts).collect()
+    got = loaded.setObjective(sphere).transform(pts).collect()[0]["score"]
+    assert got == 8.0
