@@ -308,8 +308,58 @@ def _probe_incremental(spark, ui) -> None:
               f"{len(got)} pairs / parity OK |")
 
 
+def _probe_incremental_ann(spark, ui) -> None:
+    """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
+    into persisted IVF layouts built from x10/x30/x100 embedding corpora.
+    Append cost must track the batch; probe parity vs a one-shot
+    build-from-union layout is asserted at every point."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators.similarity import (
+        append_ivf_layout, ivf_layout_topk, write_ivf_layout)
+
+    batch = (spark.read.parquet(os.path.join(generate(3), "embeddings.parquet"))
+             .withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000))
+             .localCheckpoint(eager=True))
+    print("| corpus | metric | value |")
+    print("|---|---|---|")
+    for s in (10, 30, 100):
+        emb = spark.read.parquet(
+            os.path.join(generate(s), "embeddings.parquet"))
+        base = os.path.join(PROBE_ROOT, f"ivf_x{s}")
+        full = os.path.join(PROBE_ROOT, f"ivf_full_x{s}")
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+        t0 = time.perf_counter()
+        cents = write_ivf_layout(emb, base, n_cells=16, seed=7)
+        build_dt = time.perf_counter() - t0
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        n = append_ivf_layout(batch, base)
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        # parity: one-shot layout from the union with the SAME centroids
+        write_ivf_layout(emb.unionByName(batch), full, centroids=cents)
+        queries = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        res = lambda p: {
+            (r["query_id"], r["neighbor_id"], r["cosine_sim"])
+            for r in ivf_layout_topk(spark, p, queries, k=5,
+                                     n_probe=3).collect()}
+        assert res(base) == res(full), f"x{s}: append != build-from-union"
+        print(f"| x{s} ({2000*s} vecs) | build layout once | {build_dt:.1f}s |")
+        print(f"| x{s} ({2000*s} vecs) | append 6k batch | "
+              f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / {n} vecs / "
+              f"probe parity OK |")
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(full, ignore_errors=True)
+
+
 if __name__ == "__main__" and sys.argv[1:2] not in (
-        ["--incremental"], ["--iterative"], ["--window"]):
+        ["--incremental"], ["--incremental-ann"], ["--iterative"],
+        ["--window"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -336,6 +386,8 @@ elif __name__ == "__main__":
     mode = sys.argv[1]
     if mode == "--incremental":
         _probe_incremental(_spark, _ui)
+    elif mode == "--incremental-ann":
+        _probe_incremental_ann(_spark, _ui)
     elif mode == "--iterative":
         _probe_iterative(_spark, _ui, all_queries())
     else:
