@@ -135,6 +135,14 @@ class PatternSearchMinimizer(Estimator, _SearchParams,
                 "(the objective is code and is never serialized); call "
                 "setObjective(func) on the loaded estimator before fit()"
             )
+        # x0/stepsize are optional only so DefaultParamsReader can
+        # construct the class bare -- a user-built estimator must have
+        # them, and a bare getOrDefault would raise an opaque Param error
+        if not (self.isDefined(self.x0) and self.isDefined(self.stepsize)):
+            raise ValueError(
+                "x0 and stepsize are required: pass them at construction, "
+                "or load() a persisted estimator (which restores them)"
+            )
         m = self.getOrDefault
         max_tasks = m(self.maxTasks)
         seed = m(self.seed)
@@ -214,6 +222,7 @@ class _ModelReader(MLReader):
                               int(metadata["bestHalvings"]))
             best.result = float(metadata["bestCost"])
         model = self._cls(None, best, results, spark)
+        model._resetUid(metadata["uid"])
         DefaultParamsReader.getAndSetParams(model, metadata)
         return model
 

@@ -478,6 +478,17 @@ def minhash_lsh_candidates(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+    return _annotate_est_jaccard(pairs, sigs, n_perm, min_est_jaccard)
+
+
+def _annotate_est_jaccard(
+    pairs: DataFrame, sigs: DataFrame, n_perm: int, min_est_jaccard: float
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for candidate ``pairs``, estimated as
+    the matching-position fraction of the two signatures.  Shared by the
+    batch and incremental candidate paths so the estimator expression
+    (and its 6-dp rounding, which the DuckDB oracles replay exactly)
+    can never drift between them."""
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
@@ -530,30 +541,42 @@ def incremental_minhash_candidates(
 
     ``append=True`` (default) stamps and appends the new signatures to
     ``signatures_path`` so the NEXT increment sees this batch as part of
-    the corpus.  New ``doc_id``s must not collide with persisted ones
-    (ledger invariant, same as the exact-dedup ledgers).
+    the corpus.  The append is RETRY-IDEMPOTENT: ids already present in
+    the table are filtered out before writing, so re-running a crashed
+    ingest call never duplicates signature rows (a duplicated row would
+    multiply every later join against the table).  New ``doc_id``s must
+    not collide with OTHER documents' persisted ids (ledger invariant,
+    same as the exact-dedup ledgers).
     """
     spark = new_docs.sparkSession
     rows_per_band = n_perm // n_bands
-    old_sigs = load_signatures(spark, signatures_path,
+    # batch ids are small by contract -- pin them once for the three
+    # broadcast joins below
+    new_ids = new_docs.select("doc_id").localCheckpoint(eager=True)
+    # validate the persisted table's hash-family stamp ONCE up front
+    # (refusing drift BEFORE anything is appended under the wrong family)
+    sigs_all = load_signatures(spark, signatures_path,
                                hash_family=hash_family)
-    new_sigs = minhash_signatures(new_docs, n=n, n_perm=n_perm, seed=seed,
-                                  hash_family=hash_family)
     if append:
-        new_sigs.withColumn(
+        # retry idempotence: only sign+append ids not already persisted
+        already = sigs_all.join(F.broadcast(new_ids), "doc_id").select("doc_id")
+        to_sign = new_docs.join(F.broadcast(already), "doc_id", "left_anti")
+        minhash_signatures(to_sign, n=n, n_perm=n_perm, seed=seed,
+                           hash_family=hash_family).withColumn(
             "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
         ).write.mode("append").parquet(signatures_path)
-        # read the batch back from the durable table (same fault-tolerance
-        # rationale as persist_signatures) -- restricted to the new ids
-        new_ids = new_docs.select("doc_id")
-        new_sigs = load_signatures(spark, signatures_path,
-                                   hash_family=hash_family).join(
-            F.broadcast(new_ids), "doc_id")
-        old_sigs = load_signatures(spark, signatures_path,
-                                   hash_family=hash_family).join(
-            F.broadcast(new_ids), "doc_id", "left_anti")
+        # read everything back from the durable table (same
+        # fault-tolerance rationale as persist_signatures); one re-load,
+        # split into batch/corpus by the broadcast id set
+        sigs_all = load_signatures(spark, signatures_path,
+                                   hash_family=hash_family)
+        new_sigs = sigs_all.join(F.broadcast(new_ids), "doc_id")
+        old_sigs = sigs_all.join(F.broadcast(new_ids), "doc_id", "left_anti")
     else:
-        new_sigs = new_sigs.localCheckpoint(eager=True)
+        new_sigs = minhash_signatures(
+            new_docs, n=n, n_perm=n_perm, seed=seed, hash_family=hash_family
+        ).localCheckpoint(eager=True)
+        old_sigs = sigs_all
 
     new_bands = _band_buckets(new_sigs, n_bands, rows_per_band)
     new_bands = new_bands.localCheckpoint(eager=True)
@@ -576,6 +599,10 @@ def incremental_minhash_candidates(
             F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
         )
         .distinct()
+        # materialize: pairs feeds BOTH the cand_ids broadcast below and
+        # the final annotation join -- without this the corpus band
+        # derivation (old_hit) would execute twice per action
+        .localCheckpoint(eager=True)
     )
     # annotate with est_jaccard: candidate ids are batch-bounded, so
     # pre-filter the signature union to them (broadcast again) -- the
@@ -584,21 +611,7 @@ def incremental_minhash_candidates(
                 .union(pairs.select("doc_b")).distinct())
     sigs_cand = old_sigs.unionByName(new_sigs).join(
         F.broadcast(cand_ids), "doc_id")
-    sa = sigs_cand.select(F.col("doc_id").alias("doc_a"),
-                          F.col("sig").alias("sig_a"))
-    sb = sigs_cand.select(F.col("doc_id").alias("doc_b"),
-                          F.col("sig").alias("sig_b"))
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ).cast("double") / F.lit(float(n_perm))
-    return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(est, 6).alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= min_est_jaccard)
-    )
+    return _annotate_est_jaccard(pairs, sigs_cand, n_perm, min_est_jaccard)
 
 
 def minhash_estimate_error(

@@ -797,6 +797,38 @@ def ivfpq_topk(
     )
 
 
+def _load_centroids(spark, path: str) -> np.ndarray:
+    """Read a layout's ``_centroids.parquet`` back as the (n_cells, dim)
+    matrix in cell order -- the single definition of the persisted
+    centroid schema shared by the probe and append paths."""
+    cents = sorted(
+        (r["cell"], r["centroid"])
+        for r in spark.read.parquet(
+            path.rstrip("/") + "/_centroids.parquet"
+        ).collect()
+    )
+    return np.stack([np.asarray(c, dtype=float) for _, c in cents])
+
+
+def _cell_assigner(cent_m: np.ndarray):
+    """Arrow-batched nearest-centroid assignment UDF over ``cent_m`` --
+    the single definition of the distance form and argmin tie-break
+    (first-lowest-cell), shared by the build and append paths so they
+    can never drift (append == build-from-union depends on it)."""
+
+    @F.pandas_udf("int")
+    def cell_of(embs):
+        import pandas as pd
+
+        if embs.empty:
+            return pd.Series([], dtype="int32")
+        M = np.stack(embs.to_numpy()).astype(np.float64)
+        d = -2.0 * (M @ cent_m.T) + (cent_m**2).sum(axis=1)[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return cell_of
+
+
 def write_ivf_layout(
     emb: DataFrame,
     path: str,
@@ -832,18 +864,8 @@ def write_ivf_layout(
         )
         cents = _train_kmeans(sample, n_cells, seed)
 
-    @F.pandas_udf("int")
-    def cell_of(embs):
-        import pandas as pd
-
-        if embs.empty:
-            return pd.Series([], dtype="int32")
-        M = np.stack(embs.to_numpy()).astype(np.float64)
-        d = -2.0 * (M @ cents.T) + (cents**2).sum(axis=1)[None, :]
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
     (
-        emb.withColumn("cell", cell_of("embedding"))
+        emb.withColumn("cell", _cell_assigner(cents)("embedding"))
         # co-locate each cell before the partitioned write: one writer per
         # cell -> one file per cell directory, not tasks x cells shards
         # (ANN probes open whole cells, so fewer bigger files win)
@@ -884,30 +906,17 @@ def append_ivf_layout(new_emb: DataFrame, path: str) -> int:
 
     Returns the number of vectors appended.
     """
-    cents = np.array(
-        sorted(
-            (r["cell"], r["centroid"])
-            for r in new_emb.sparkSession.read.parquet(
-                path.rstrip("/") + "/_centroids.parquet"
-            ).collect()
-        ),
-        dtype=object,
+    cent_m = _load_centroids(new_emb.sparkSession, path)
+    # pin the assigned batch BEFORE the write: the count below must
+    # report the rows actually written, never a re-execution of a
+    # possibly non-deterministic source plan after the append
+    batch = (
+        new_emb.withColumn("cell", _cell_assigner(cent_m)("embedding"))
+        .repartition("cell")
+        .localCheckpoint(eager=True)
     )
-    cent_m = np.stack([np.asarray(c, dtype=float) for _, c in cents])
-
-    @F.pandas_udf("int")
-    def cell_of(embs):
-        import pandas as pd
-
-        if embs.empty:
-            return pd.Series([], dtype="int32")
-        M = np.stack(embs.to_numpy()).astype(np.float64)
-        d = -2.0 * (M @ cent_m.T) + (cent_m**2).sum(axis=1)[None, :]
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-    batch = new_emb.withColumn("cell", cell_of("embedding")).repartition("cell")
     batch.write.mode("append").partitionBy("cell").parquet(path)
-    return new_emb.count()
+    return batch.count()
 
 
 def ivf_layout_topk(
@@ -925,18 +934,7 @@ def ivf_layout_topk(
     Exact cosine re-ranks within the candidates; ``queries`` is
     (query_id, qv) and is broadcast to the scan.
     """
-    cents = np.array(
-        sorted(
-            (
-                (r["cell"], r["centroid"])
-                for r in spark.read.parquet(
-                    path.rstrip("/") + "/_centroids.parquet"
-                ).collect()
-            )
-        ),
-        dtype=object,
-    )
-    cent_m = np.stack([np.asarray(c, dtype=float) for _, c in cents])
+    cent_m = _load_centroids(spark, path)
     q_rows = queries.collect()
     qm = np.stack([np.asarray(r["qv"], dtype=float) for r in q_rows])
     d = -2.0 * (qm @ cent_m.T) + (cent_m**2).sum(axis=1)[None, :]

@@ -805,16 +805,25 @@ def search_multi_start(
     # (dict, iterable, flat parquet path) is a SHARED memo passed to every
     # start unchanged -- useful for seeding a portfolio with a prior
     # single run's evaluations.
-    import glob as _glob
     import os as _os
 
-    # detect the fanned layout by ANY start-<i> subdir, not just start-0:
-    # if start 0 crashed before its first ledger flush while others did
-    # checkpoint, keying on start-0 alone would misclassify the root as a
-    # shared memo and seed every start with the union of sibling ledgers
-    fanned_warm = isinstance(warm_start, str) and bool(
-        _glob.glob(_os.path.join(warm_start, "start-*"))
-    )
+    # detect the fanned layout by ANY start-<i> SUBDIRECTORY, not just
+    # start-0: if start 0 crashed before its first ledger flush while
+    # others did checkpoint, keying on start-0 alone would misclassify
+    # the root as a shared memo and seed every start with the union of
+    # sibling ledgers.  scandir, not glob: glob would both mis-handle
+    # metacharacters in the path ('[..]' ranges) and false-positive on
+    # plain FILES named start-* inside a flat memo directory.
+    def _has_start_subdir(root: str) -> bool:
+        try:
+            with _os.scandir(root) as it:
+                return any(
+                    e.name.startswith("start-") and e.is_dir() for e in it
+                )
+        except (NotADirectoryError, FileNotFoundError):
+            return False
+
+    fanned_warm = isinstance(warm_start, str) and _has_start_subdir(warm_start)
 
     def start_kwargs(i: int) -> dict:
         kw = kwargs

@@ -2115,3 +2115,24 @@ def test_append_ivf_layout_equals_union_build(spark, emb, tmp_path):
     # appended vectors are actually reachable through the probe
     new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
     assert any(nb in new_ids for _, nb, _s in r_inc)
+
+
+def test_incremental_minhash_append_is_retry_idempotent(spark, docs, tmp_path):
+    """Re-running a crashed ingest call must not duplicate signature rows
+    in the durable table (a duplicated row would multiply every later
+    join), and the candidate output must be unchanged."""
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_signatures(old).withColumn(
+        "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+    ).write.parquet(sig_path)
+    first = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in
+             dedup.incremental_minhash_candidates(new, sig_path).collect()}
+    # retry: the batch is already persisted; the table must not grow
+    n_after_first = dedup.load_signatures(spark, sig_path).count()
+    retried = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in
+               dedup.incremental_minhash_candidates(new, sig_path).collect()}
+    assert retried == first
+    assert dedup.load_signatures(spark, sig_path).count() == n_after_first
+    assert n_after_first == docs.count()

@@ -735,3 +735,42 @@ def test_multi_start_fanned_warm_detected_without_start0(tmp_path):
     # and start-1's results still contain every phase-A evaluation
     for tp, cost in runs_a[1][1].items():
         assert runs_b[1][1][tp] == cost
+
+
+def test_multi_start_flat_memo_with_stray_start_file(tmp_path):
+    """A flat shared-memo directory containing a stray FILE named
+    start-* must still be treated as a shared memo (fanned detection
+    keys on start-<i> DIRECTORIES only)."""
+    import os
+
+    from dask_patternsearch_spark.search import search_multi_start
+
+    calls = []
+
+    def sphere(x):
+        calls.append(tuple(x))
+        return float((x * x).sum())
+
+    base = str(tmp_path / "ledgers")
+    x0s = [[10.0, 15.0], [-8.0, 11.0]]
+    _b, runs_a = search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False,
+        max_tasks=30, ledger_path=base, ledger_every=1,
+    )
+    warm = [{tuple(tp.point.tolist()) for tp in r[1]} for r in runs_a]
+    flat = os.path.join(base, "start-0")
+    # a stray ledger part FILE whose name begins with start- : the old
+    # glob-based detection would misread the flat dir as a fanned layout
+    # and silently discard the memo (warm_start=None for every start)
+    import shutil
+
+    part = next(f for f in sorted(os.listdir(flat)) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(flat, part), os.path.join(flat, "start-stray.parquet"))
+    calls.clear()
+    search_multi_start(
+        sphere, x0s, [1.0, 1.0], randomize=False, warm_start=flat,
+        max_tasks=40,
+    )
+    # shared-memo semantics preserved: no start re-evaluates the memo's
+    # points beyond the re-seeded x0s
+    assert set(calls) & (warm[0] - {tuple(x0s[0]), tuple(x0s[1])}) == set()

@@ -119,17 +119,15 @@ def _shuffle_totals(ui: str) -> tuple[int, int]:
             sum(s.get("shuffleWriteBytes", 0) for s in stages))
 
 
-def main() -> None:
-    scales = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,10").split(",")]
-    dirs = {s: (SF01 if s == 1 else generate(s)) for s in scales}
-
+def _build_session(app_name: str):
+    """One session posture for EVERY probe mode (headline curve and the
+    extra modes alike), so all SCALE.md numbers are measured under the
+    same shuffle/AQE configuration."""
     from pyspark.sql import SparkSession
-
-    from dask_patternsearch_spark.queries import all_queries
 
     spark = (
         SparkSession.builder.master("local[32]")
-        .appName("scaleprobe")
+        .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.default.parallelism", "32")
         .config("spark.sql.adaptive.enabled", "true")
@@ -145,6 +143,18 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    scales = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "1,10").split(",")]
+    dirs = {s: (SF01 if s == 1 else generate(s)) for s in scales}
+
+    from pyspark.sql import SparkSession
+
+    from dask_patternsearch_spark.queries import all_queries
+
+    spark = _build_session("scaleprobe")
     ui = spark.sparkContext.uiWebUrl
     qs = all_queries()
     targets = ["minhash_near_dups", "decontaminate_corpus",
@@ -367,21 +377,7 @@ elif __name__ == "__main__":
 
     from dask_patternsearch_spark.queries import all_queries
 
-    _spark = (
-        SparkSession.builder.master("local[32]")
-        .appName("scaleprobe-extra")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.default.parallelism", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", "8g")
-        .config("spark.cleaner.periodicGC.interval", "60s")
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4090")
-        .getOrCreate()
-    )
-    _spark.sparkContext.setLogLevel("ERROR")
+    _spark = _build_session("scaleprobe-extra")
     _ui = _spark.sparkContext.uiWebUrl
     mode = sys.argv[1]
     if mode == "--incremental":
