@@ -2136,3 +2136,33 @@ def test_incremental_minhash_append_is_retry_idempotent(spark, docs, tmp_path):
     assert retried == first
     assert dedup.load_signatures(spark, sig_path).count() == n_after_first
     assert n_after_first == docs.count()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_minhash_parity_random_corpora(spark, tmp_path, seed):
+    """Randomized corpora sweep of the losslessness contract: for any
+    corpus/batch split, the incremental path equals the full batch
+    compute restricted to pairs involving a batch doc.  Small vocab +
+    planted copies force real band collisions at every seed."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(12)])
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 20))))
+             for _ in range(60)]
+    for i in range(0, 60, 7):          # planted exact/near copies
+        texts[(i + 1) % 60] = texts[i]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") % 3 != 2)
+    new = docs.filter(F.col("doc_id") % 3 == 2)
+    sig_path = str(tmp_path / f"sigs_{seed}.parquet")
+    dedup.minhash_signatures(old).withColumn(
+        "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+    ).write.parquet(sig_path)
+    got = {(r["doc_a"], r["doc_b"], r["est_jaccard"]) for r in
+           dedup.incremental_minhash_candidates(new, sig_path).collect()}
+    new_ids = set(range(2, 60, 3))
+    full = {(r["doc_a"], r["doc_b"], r["est_jaccard"])
+            for r in dedup.minhash_lsh_candidates(docs).collect()
+            if r["doc_a"] in new_ids or r["doc_b"] in new_ids}
+    assert got == full
+    assert full, f"seed {seed}: expected planted collisions to surface"
