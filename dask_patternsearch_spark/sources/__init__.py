@@ -7,6 +7,7 @@ readers/writers that keep the scale-relevant options in one place.
 """
 
 from .io import (  # noqa: F401
+    audit_scan_parallelism,
     compact_files,
     overwrite_partitions,
     read_table,

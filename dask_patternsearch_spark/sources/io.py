@@ -321,3 +321,65 @@ def compact_files(
         "bytes_after": bytes_after,
         "target_file_bytes": target_file_bytes,
     }
+
+
+def audit_scan_parallelism(
+    spark: SparkSession,
+    path: str,
+    max_partition_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Per-file parquet ROW-GROUP layout audit: the pre-flight check for
+    the single-row-group trap (SCALE.md round 8).
+
+    Spark parallelizes a parquet scan by byte-range file splits, but a
+    row group is indivisible -- the split containing a group's midpoint
+    decodes ALL of it.  A file written with pyarrow's 1M-row default (or
+    any one-big-group layout) therefore serializes its whole scan stage
+    -- and everything Catalyst fuses into it (filters, projections,
+    partial aggregates) -- onto ONE task per group, regardless of
+    cluster width; measured on this repo's probe corpora as a 31-of-32-
+    cores-idle straggler, and as a 7-19% whole-query tax on the bench's
+    copurchase family.
+
+    Returns one row per data file: ``(file, bytes, rows, n_row_groups,
+    max_group_rows, splits, scan_task_bound, starved)`` where ``splits``
+    is the byte-range split count at ``max_partition_bytes``,
+    ``scan_task_bound = min(splits, n_row_groups)`` is the hard ceiling
+    on scan parallelism for that file, and ``starved`` flags files whose
+    bound is below their split count (row groups, not bytes, are the
+    limit).  Metadata-only: reads parquet footers driver-side, never row
+    data.
+    """
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    p = path.rstrip("/")
+    files = []
+    if os.path.isdir(p):
+        for root, _dirs, names in os.walk(p):
+            files.extend(
+                os.path.join(root, f) for f in names
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+    else:
+        files = [p]
+    rows = []
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
+        group_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+        size = os.path.getsize(f)
+        splits = max(1, math.ceil(size / max_partition_bytes))
+        bound = min(splits, max(1, md.num_row_groups))
+        rows.append((
+            f, size, md.num_rows, md.num_row_groups,
+            max(group_rows) if group_rows else 0, splits, bound,
+            bound < splits or (md.num_row_groups == 1 and md.num_rows > 0),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "file string, bytes long, rows long, n_row_groups int, "
+        "max_group_rows long, splits int, scan_task_bound int, "
+        "starved boolean",
+    )

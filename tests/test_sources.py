@@ -237,3 +237,30 @@ def test_jsonl_shard_tokens_survive_clock_regression(spark, tmp_path):
     # bumped past the planted future token, so new names sort after it
     assert all(int(n.split("-")[1]) > future for n in new)
     assert all(n > os.path.basename(planted) for n in new)
+
+
+def test_audit_scan_parallelism_flags_single_row_group(spark, tmp_path):
+    """The layout auditor must flag a one-big-group file (whose scan
+    serializes onto one task) and pass a many-group file of the same
+    rows, with scan_task_bound = min(splits, n_row_groups)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dask_patternsearch_spark.sources import audit_scan_parallelism
+
+    tab = pa.table({"x": list(range(100_000))})
+    bad = str(tmp_path / "bad.parquet")
+    good = str(tmp_path / "good.parquet")
+    pq.write_table(tab, bad)                          # one 100k-row group
+    pq.write_table(tab, good, row_group_size=10_000)  # ten groups
+    out = {r["file"]: r for r in
+           audit_scan_parallelism(spark, str(tmp_path)).collect()}
+    assert out[bad]["n_row_groups"] == 1 and out[bad]["starved"]
+    assert out[bad]["scan_task_bound"] == 1
+    assert out[good]["n_row_groups"] == 10 and not out[good]["starved"]
+    assert out[good]["rows"] == out[bad]["rows"] == 100_000
+    # the driver testdata itself demonstrates the trap (read-only, so the
+    # audit is how a user would discover it)
+    li = audit_scan_parallelism(
+        spark, "/root/testdata/sf0.1/lineitem.parquet").collect()[0]
+    assert li["starved"] and li["n_row_groups"] == 1
