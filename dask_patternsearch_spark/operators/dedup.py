@@ -1019,6 +1019,68 @@ def connected_components(
     return labels.select("node", "label")
 
 
+def incremental_cluster_assign(
+    new_edges: DataFrame,
+    persisted_labels: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Maintain duplicate-cluster labels under a NEW batch of candidate
+    edges without re-clustering the corpus -- the decision half of the
+    incremental ingestion story (candidates:
+    :func:`incremental_minhash_candidates`; decisions: this).
+
+    ``persisted_labels`` is a prior :func:`connected_components` output
+    ``(node, label)`` with label = min member id.  The update runs CC on
+    a REDUCED graph only: the new edges, plus one star edge
+    ``member -> label`` for every member of a cluster the batch touches
+    (connectivity inside an old cluster is fully represented by its
+    label star, so old pair edges are never needed again).  Clusters the
+    batch does not touch keep their persisted labels verbatim.
+
+    MERGE-AWARE and exact: a new edge bridging two old clusters relabels
+    BOTH to the merged min id, because every member of every touched
+    cluster is in the reduced graph via its star edge -- the result
+    equals a full re-cluster over (old edges ∪ new edges) node for node
+    (property-tested with random graphs + planted merges; the registered
+    query is oracle-checked against the full-recompute DuckDB CC).
+
+    Scale: the reduced graph is ∝ new edges + touched-cluster
+    memberships -- never the corpus.  The touched-node and touched-label
+    sets are batch-bounded, so they reach the persisted label table as
+    broadcast joins (scan, no corpus shuffle); the CC fixpoint runs on
+    the reduced graph only.  Label STABILITY: min-id labels mean an
+    untouched cluster's id never changes, and a merge takes the smaller
+    of the merged ids -- downstream tables keyed on cluster_id only see
+    churn where a merge actually happened.
+    """
+    e = new_edges.select(
+        F.col(a_col).cast("long").alias("doc_a"),
+        F.col(b_col).cast("long").alias("doc_b"),
+    )
+    touched_nodes = (
+        e.select(F.col("doc_a").alias("node"))
+        .union(e.select("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched_labels = (
+        persisted_labels.join(F.broadcast(touched_nodes), "node")
+        .select("label")
+        .distinct()
+    )
+    # every member of every touched cluster, connected via its label star
+    touched_members = persisted_labels.join(F.broadcast(touched_labels), "label")
+    label_edges = touched_members.select(
+        F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
+    )
+    updated = connected_components(e.unionByName(label_edges))
+    untouched = persisted_labels.join(
+        F.broadcast(touched_labels), "label", "left_anti"
+    )
+    return untouched.unionByName(updated)
+
+
 def connected_components_star(
     pairs: DataFrame,
     a_col: str = "doc_a",

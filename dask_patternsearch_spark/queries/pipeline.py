@@ -1454,6 +1454,58 @@ FROM labels l JOIN sizes s USING (label)
 """
 
 
+def incremental_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ingestion replay of CLUSTER MAINTENANCE: documents with
+    ``doc_id % 5 == 4`` are the freshly ingested batch.  Phase 1
+    clusters the existing corpus (exact prefix-join pairs -> connected
+    components) and persists the labels; phase 2 generates ONLY the
+    batch's edges (new-new via ``jaccard_prefix_pairs`` on the batch,
+    new-old via the cross-set ``contamination_pairs_exact`` -- both
+    lossless at the threshold, so together they are exactly the full
+    graph's edges touching a new doc) and runs
+    ``incremental_cluster_assign`` against the persisted labels.  The
+    oracle is the FULL-corpus recompute (the same recursive-CTE CC as
+    ``near_dup_clusters``), certifying that incremental maintenance --
+    including merges of pre-existing clusters bridged by a new doc --
+    equals a from-scratch re-cluster node for node."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 4)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 4)
+    root = tempfile.mkdtemp(prefix="dps_incr_labels_")
+    try:
+        dedup.connected_components(
+            dedup.jaccard_prefix_pairs(old_docs, n=3, threshold=0.8)
+        ).write.parquet(f"{root}/labels.parquet")
+        old_labels = spark.read.parquet(f"{root}/labels.parquet")
+        new_new = dedup.jaccard_prefix_pairs(
+            new_docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+        new_old = dedup.contamination_pairs_exact(
+            new_docs, old_docs, n=3, threshold=0.8
+        ).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("benchmark_doc_id").alias("doc_b"),
+        )
+        comp = dedup.incremental_cluster_assign(
+            new_new.unionByName(new_old), old_labels)
+        sizes = comp.groupBy("label").agg(
+            F.count(F.lit(1)).alias("cluster_size"))
+        out = (
+            comp.join(sizes, "label")
+            .select(
+                F.col("node").alias("doc_id"),
+                F.col("label").alias("cluster_id"),
+                "cluster_size",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def upsert_reactivated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins upsert (``operators.merge.upsert``): customers with a
     2001+ order get their segment overwritten to REACTIVATED; result
@@ -4131,6 +4183,7 @@ QUERIES = {
     "streaming_left_interval_join": streaming_left_interval_join,
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
+    "incremental_neardup_clusters": incremental_neardup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
     "decontaminate_corpus": decontaminate_corpus,
     "contamination_report": contamination_report,
@@ -4223,6 +4276,8 @@ ORACLE = {
     "embedding_norm_stats": _NORM_STATS_SQL,
     "packed_training_sequences": _PACKED_SQL,
     "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
+    # incremental maintenance must equal the from-scratch re-cluster
+    "incremental_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
     # append-to-layout must equal build-from-union with the same seeds
     "incremental_ivf_topk_embeddings": _IVF_INCR_SQL,

@@ -2166,3 +2166,35 @@ def test_incremental_minhash_parity_random_corpora(spark, tmp_path, seed):
             if r["doc_a"] in new_ids or r["doc_b"] in new_ids}
     assert got == full
     assert full, f"seed {seed}: expected planted collisions to surface"
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_incremental_cluster_assign_equals_full_recluster(spark, seed):
+    """For any random edge set split into old/new, maintaining the old
+    CC labels with the new edges must equal a from-scratch CC over the
+    union -- node for node, label for label (min-id labels)."""
+    rng = np.random.default_rng(seed)
+    raw = {(int(min(a, b)), int(max(a, b)))
+           for a, b in rng.integers(0, 80, size=(120, 2)) if a != b}
+    edges = sorted(raw)
+    cut = len(edges) // 2
+    old_e, new_e = edges[:cut], edges[cut:]
+    df = lambda es: spark.createDataFrame(es, "doc_a long, doc_b long")
+    old_labels = dedup.connected_components(df(old_e))
+    got = {(r["node"], r["label"]) for r in
+           dedup.incremental_cluster_assign(df(new_e), old_labels).collect()}
+    want = {(r["node"], r["label"]) for r in
+            dedup.connected_components(df(edges)).collect()}
+    assert got == want
+
+
+def test_incremental_cluster_assign_merges_old_clusters(spark):
+    """A new edge bridging two pre-existing clusters must relabel BOTH
+    to the merged min id; untouched clusters keep their labels."""
+    df = lambda es: spark.createDataFrame(es, "doc_a long, doc_b long")
+    old_labels = dedup.connected_components(
+        df([(1, 2), (2, 3), (10, 11), (11, 12), (50, 51)]))
+    got = {(r["node"], r["label"]) for r in
+           dedup.incremental_cluster_assign(df([(3, 10)]), old_labels).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (12, 1),
+                   (50, 50), (51, 50)}
