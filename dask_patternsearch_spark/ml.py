@@ -184,8 +184,11 @@ class _ModelWriter(MLWriter):
                 "rounds": int(getattr(m._results, "rounds", 0)),
             },
         )
-        m._results.to_spark(m._spark).write.mode("overwrite").parquet(
-            os.path.join(path, "ledger"))
+        # cost_kind sidecar makes the round trip lossless for non-finite
+        # costs (to_spark maps inf/nan -> NULL in the cost column; the
+        # reader restores the exact value from the kind)
+        m._results.to_spark(m._spark, cost_kind=True).write.mode(
+            "overwrite").parquet(os.path.join(path, "ledger"))
 
 
 class _ModelReader(MLReader):
@@ -202,14 +205,23 @@ class _ModelReader(MLReader):
         spark = self.sparkSession
         results = SearchResults()
         by_key: dict[bytes, TrialPoint] = {}
-        rows = spark.read.parquet(os.path.join(path, "ledger")).collect()
+        ledger = spark.read.parquet(os.path.join(path, "ledger"))
+        has_kind = "cost_kind" in ledger.columns
+        _restore = {"inf": float("inf"), "-inf": float("-inf"),
+                    "nan": float("nan")}
+        rows = ledger.collect()
         for r in rows:
             tp = TrialPoint(np.asarray(r["point"], dtype=float),
                             int(r["halvings"]))
             tp.is_accepted = bool(r["is_accepted"])
-            tp.result = r["cost"]
+            cost = r["cost"]
+            if has_kind and r["cost_kind"] in _restore:
+                # lossless non-finite round trip: to_spark wrote NULL,
+                # the sidecar kind carries the original inf/nan marker
+                cost = _restore[r["cost_kind"]]
+            tp.result = cost
             by_key[tp.point.tobytes()] = tp
-            results[tp] = r["cost"]
+            results[tp] = cost
         for r, tp in zip(rows, list(results)):
             if r["parent"] is not None:
                 tp.parent = by_key.get(
@@ -239,7 +251,10 @@ class PatternSearchModel(Transformer, _SearchParams, MLWritable, MLReadable):
     :meth:`setObjective` re-attaches it (same contract as the
     estimator).  Ledger row order after a reload is parquet scan order,
     not evaluation order -- use ``ledger_path`` checkpoints on
-    ``search()`` itself where chronological replay matters."""
+    ``search()`` itself where chronological replay matters.  Non-finite
+    costs (inf/nan: failed evaluations) round-trip exactly: the ledger's
+    ``cost`` column stores NULL (parquet-portable) and a ``cost_kind``
+    sidecar column carries the original marker, restored on load."""
 
     def __init__(self, func=None, best=None, results=None, spark=None):
         super().__init__()

@@ -576,7 +576,12 @@ def incremental_minhash_candidates(
         new_sigs = minhash_signatures(
             new_docs, n=n, n_perm=n_perm, seed=seed, hash_family=hash_family
         ).localCheckpoint(eager=True)
-        old_sigs = sigs_all
+        # id-overlap protection: if the batch ids were ALREADY persisted
+        # (e.g. a retry after a prior append=True run), keeping their
+        # rows in old_sigs would give each batch doc two signature rows
+        # and duplicate every annotated candidate -- drop them, matching
+        # the append branch's batch/corpus split
+        old_sigs = sigs_all.join(F.broadcast(new_ids), "doc_id", "left_anti")
 
     new_bands = _band_buckets(new_sigs, n_bands, rows_per_band)
     new_bands = new_bands.localCheckpoint(eager=True)

@@ -904,7 +904,18 @@ def append_ivf_layout(new_emb: DataFrame, path: str) -> int:
     when the hottest cell's share breaks the probe budget (that rebuild
     is the periodic compaction job, not a per-ingest cost).
 
-    Returns the number of vectors appended.
+    The append is RETRY-IDEMPOTENT, mirroring
+    ``dedup.incremental_minhash_candidates``: vec_ids already present in
+    the layout are dropped before writing, so re-running a crashed
+    ingest call never duplicates vectors (a duplicated row would surface
+    as a duplicate neighbor in every later probe and break the
+    append == build-from-union contract).  The presence check is
+    batch-bounded: the existing scan is restricted to the batch's
+    assigned cells (a PARTITION filter -- only those cell directories
+    are listed) and semi-joined down to the broadcast batch-id set
+    before the anti-join, so the corpus never enters a shuffle.
+
+    Returns the number of vectors appended (0 for a fully-retried batch).
     """
     cent_m = _load_centroids(new_emb.sparkSession, path)
     # pin the assigned batch BEFORE the write: the count below must
@@ -915,8 +926,25 @@ def append_ivf_layout(new_emb: DataFrame, path: str) -> int:
         .repartition("cell")
         .localCheckpoint(eager=True)
     )
-    batch.write.mode("append").partitionBy("cell").parquet(path)
-    return batch.count()
+    spark = new_emb.sparkSession
+    batch_cells = sorted(
+        r["cell"] for r in batch.select("cell").distinct().collect()
+    )
+    batch_ids = batch.select("vec_id")
+    already = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(batch_cells))
+        .select("vec_id")
+        .join(F.broadcast(batch_ids), "vec_id", "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    to_write = batch.join(F.broadcast(already), "vec_id", "left_anti")
+    if already.count() > 0:
+        # partial-retry case is rare -- re-pin so the returned count
+        # cannot re-execute the anti-join after the append
+        to_write = to_write.localCheckpoint(eager=True)
+    to_write.write.mode("append").partitionBy("cell").parquet(path)
+    return to_write.count()
 
 
 def ivf_layout_topk(

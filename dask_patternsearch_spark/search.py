@@ -97,17 +97,39 @@ class SearchResults(dict):
 
     rounds: int = 0
 
-    def to_spark(self, spark):
-        """Export the ledger as a DataFrame (SURVEY.md section 1.1 schema)."""
+    def to_spark(self, spark, cost_kind: bool = False):
+        """Export the ledger as a DataFrame (SURVEY.md section 1.1 schema).
+
+        Non-finite costs (inf/-inf/nan: failed or rejected evaluations)
+        map to NULL in the ``cost`` column -- parquet-portable and what
+        every downstream relational consumer wants.  Pass
+        ``cost_kind=True`` to append a sidecar string column recording
+        the original kind (``finite``/``inf``/``-inf``/``nan``/``none``)
+        so a reader can restore the exact Python value; the ml model
+        persistence uses this to make save/load a lossless round trip.
+        """
         from pyspark.sql import types as T
 
-        schema = T.StructType([
+        fields = [
             T.StructField("point", T.ArrayType(T.DoubleType(), False), False),
             T.StructField("halvings", T.IntegerType(), False),
             T.StructField("parent", T.ArrayType(T.DoubleType(), False), True),
             T.StructField("is_accepted", T.BooleanType(), False),
             T.StructField("cost", T.DoubleType(), True),
-        ])
+        ]
+        if cost_kind:
+            fields.append(T.StructField("cost_kind", T.StringType(), False))
+
+        def _kind(cost):
+            if cost is None:
+                return "none"
+            c = float(cost)
+            if np.isnan(c):
+                return "nan"
+            if np.isinf(c):
+                return "inf" if c > 0 else "-inf"
+            return "finite"
+
         rows = [
             (
                 p.point.tolist(),
@@ -116,9 +138,10 @@ class SearchResults(dict):
                 bool(p.is_accepted),
                 None if cost is None or not np.isfinite(cost) else float(cost),
             )
+            + ((_kind(cost),) if cost_kind else ())
             for p, cost in self.items()
         ]
-        return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows, T.StructType(fields))
 
 
 class LocalEvaluator:

@@ -327,6 +327,7 @@ def audit_scan_parallelism(
     spark: SparkSession,
     path: str,
     max_partition_bytes: int = 128 * 1024 * 1024,
+    single_group_rows_threshold: int = 100_000,
 ) -> DataFrame:
     """Per-file parquet ROW-GROUP layout audit: the pre-flight check for
     the single-row-group trap (SCALE.md round 8).
@@ -345,37 +346,56 @@ def audit_scan_parallelism(
     max_group_rows, splits, scan_task_bound, starved)`` where ``splits``
     is the byte-range split count at ``max_partition_bytes``,
     ``scan_task_bound = min(splits, n_row_groups)`` is the hard ceiling
-    on scan parallelism for that file, and ``starved`` flags files whose
-    bound is below their split count (row groups, not bytes, are the
-    limit).  Metadata-only: reads parquet footers driver-side, never row
-    data.
+    on scan parallelism for that file, and ``starved`` flags files where
+    row groups -- not bytes -- are the limit: either the bound is below
+    the split count, or the file is a single row group holding more than
+    ``single_group_rows_threshold`` rows (the one-big-group layout that
+    serializes fused per-row work onto one task even when the file fits
+    a single split; a small single-group file is fine -- one task is
+    already optimal there).  Metadata-only: reads parquet footers
+    driver-side, never row data.  File listing goes through
+    ``pyarrow.fs``, so ``file://``/``s3://``-style URIs work wherever
+    the pyarrow build carries that filesystem.
     """
     import math
-    import os
 
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
     p = path.rstrip("/")
-    files = []
-    if os.path.isdir(p):
-        for root, _dirs, names in os.walk(p):
-            files.extend(
-                os.path.join(root, f) for f in names
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            )
+    try:
+        # handles bare local paths and file://, s3://, ... URIs alike
+        fs, fs_path = pafs.FileSystem.from_uri(p)
+    except ValueError:  # pyarrow's ArrowInvalid subclasses ValueError
+        fs, fs_path = pafs.LocalFileSystem(), p
+    info = fs.get_file_info(fs_path)
+    if info.type == pafs.FileType.Directory:
+        listing = fs.get_file_info(pafs.FileSelector(fs_path, recursive=True))
+        files = {
+            fi.path: fi.size
+            for fi in listing
+            if fi.is_file
+            and fi.base_name.endswith(".parquet")
+            and not fi.base_name.startswith(("_", "."))
+        }
     else:
-        files = [p]
+        files = {fs_path: info.size}
     rows = []
     for f in sorted(files):
-        md = pq.ParquetFile(f).metadata
+        with fs.open_input_file(f) as fh:
+            md = pq.ParquetFile(fh).metadata
         group_rows = [md.row_group(i).num_rows for i in range(md.num_row_groups)]
-        size = os.path.getsize(f)
+        size = files[f]
         splits = max(1, math.ceil(size / max_partition_bytes))
         bound = min(splits, max(1, md.num_row_groups))
         rows.append((
             f, size, md.num_rows, md.num_row_groups,
             max(group_rows) if group_rows else 0, splits, bound,
-            bound < splits or (md.num_row_groups == 1 and md.num_rows > 0),
+            bound < splits
+            or (
+                md.num_row_groups == 1
+                and md.num_rows > single_group_rows_threshold
+            ),
         ))
     return spark.createDataFrame(
         rows,

@@ -162,3 +162,49 @@ def test_model_save_load_roundtrip(spark, tmp_path):
         loaded.transform(pts).collect()
     got = loaded.setObjective(sphere).transform(pts).collect()[0]["score"]
     assert got == 8.0
+
+
+def _make_walled_sphere():
+    def walled(x):
+        # inf wall on one side: failed/rejected evaluations with a
+        # non-finite cost (the reference treats inf as "reject")
+        if x[0] > 7.0:
+            return float("inf")
+        return float((x * x).sum())
+
+    return walled
+
+
+def test_model_save_load_restores_nonfinite_costs(spark, tmp_path):
+    """Non-finite costs must survive the ledger round trip exactly: the
+    parquet cost column stores NULL (portable) but the cost_kind sidecar
+    restores float('inf') on load, so a reloaded model's in-memory ledger
+    is identical to the saved one -- failed evaluations keep their inf
+    marker instead of degrading to None."""
+    import math
+
+    from dask_patternsearch_spark.ml import PatternSearchModel
+
+    model = PatternSearchMinimizer(
+        _make_walled_sphere(), x0=[6.0, 0.0], stepsize=[2.0, 2.0], seed=1,
+        maxTasks=30,
+    ).fit(spark.range(1))
+    def _costs(results):
+        # string-normalized multiset: nan/inf compare unlike floats
+        return sorted(repr(c) for c in results.values())
+
+    saved_costs = _costs(model._results)
+    assert "inf" in saved_costs, "fixture must hit the inf wall"
+    p = str(tmp_path / "model_inf")
+    model.save(p)
+    loaded = PatternSearchModel.load(p)
+    loaded_costs = _costs(loaded._results)
+    assert loaded_costs == saved_costs
+    # the TrialPoint.result markers round-trip too (not just dict values)
+    inf_pts_a = {p.point.tobytes() for p, c in model._results.items()
+                 if c is not None and math.isinf(c)}
+    inf_pts_b = {p.point.tobytes() for p, c in loaded._results.items()
+                 if c is not None and math.isinf(c)}
+    assert inf_pts_a == inf_pts_b
+    # the public ledger() schema is unchanged: NULL cost, no sidecar
+    assert "cost_kind" not in loaded.ledger().columns

@@ -2198,3 +2198,73 @@ def test_incremental_cluster_assign_merges_old_clusters(spark):
            dedup.incremental_cluster_assign(df([(3, 10)]), old_labels).collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (12, 1),
                    (50, 50), (51, 50)}
+
+
+def test_append_ivf_layout_is_retry_idempotent(spark, emb, tmp_path):
+    """Re-running a crashed ANN ingest call must not duplicate vectors in
+    the cell directories (a duplicated row would surface as a duplicate
+    neighbor in every later probe and break append == build-from-union).
+    Mirrors the minhash ingestion path's retry contract."""
+    old = emb.filter(F.col("vec_id") % 5 != 4)
+    new = emb.filter(F.col("vec_id") % 5 == 4)
+    cents = np.stack([
+        np.asarray(r["embedding"], dtype=float)
+        for r in sorted(old.filter(F.col("vec_id") < 20)
+                        .select("vec_id", "embedding").collect(),
+                        key=lambda r: r["vec_id"])
+    ])
+    p = str(tmp_path / "ivf_retry")
+    similarity.write_ivf_layout(old, p, centroids=cents)
+    n_first = similarity.append_ivf_layout(new, p)
+    assert n_first == new.count()
+    snapshot = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(p).select("vec_id", "cell").collect()
+    )
+    # full retry: everything already present -> nothing appended
+    assert similarity.append_ivf_layout(new, p) == 0
+    after = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(p).select("vec_id", "cell").collect()
+    )
+    assert after == snapshot
+    assert len(after) == len(set(after)), "no duplicated vectors"
+    # partial retry (crash after some rows landed): only the missing
+    # vectors are appended, never the already-present ones again
+    p2 = str(tmp_path / "ivf_partial")
+    similarity.write_ivf_layout(old, p2, centroids=cents)
+    half = new.filter(F.col("vec_id") % 2 == 0)
+    similarity.append_ivf_layout(half, p2)
+    n_rest = similarity.append_ivf_layout(new, p2)
+    assert n_rest == new.count() - half.count()
+    got = sorted(
+        (r["vec_id"], r["cell"])
+        for r in spark.read.parquet(p2).select("vec_id", "cell").collect()
+    )
+    assert got == snapshot
+
+
+def test_incremental_minhash_no_append_protects_id_overlap(spark, docs,
+                                                           tmp_path):
+    """append=False with batch ids ALREADY persisted (retry after a prior
+    append=True run) must not double-count the batch's signatures: each
+    doc contributes exactly one signature row, so the candidate output
+    carries no duplicated rows and equals the append run's output."""
+    old = docs.filter(F.col("doc_id") % 5 != 4)
+    new = docs.filter(F.col("doc_id") % 5 == 4)
+    sig_path = str(tmp_path / "sigs_overlap.parquet")
+    dedup.minhash_signatures(old).withColumn(
+        "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+    ).write.parquet(sig_path)
+    # first call persists the batch signatures
+    appended = dedup.incremental_minhash_candidates(new, sig_path,
+                                                    append=True)
+    expect = sorted((r["doc_a"], r["doc_b"], r["est_jaccard"])
+                    for r in appended.collect())
+    assert expect, "fixture corpus should surface at least one pair"
+    # retry with append=False: batch ids now overlap the persisted table
+    retried = dedup.incremental_minhash_candidates(new, sig_path,
+                                                   append=False)
+    got = sorted((r["doc_a"], r["doc_b"], r["est_jaccard"])
+                 for r in retried.collect())
+    assert got == expect  # sorted lists: equality also proves no dups

@@ -242,25 +242,40 @@ def test_jsonl_shard_tokens_survive_clock_regression(spark, tmp_path):
 def test_audit_scan_parallelism_flags_single_row_group(spark, tmp_path):
     """The layout auditor must flag a one-big-group file (whose scan
     serializes onto one task) and pass a many-group file of the same
-    rows, with scan_task_bound = min(splits, n_row_groups)."""
+    rows, with scan_task_bound = min(splits, n_row_groups).  A SMALL
+    single-group file must NOT flag: one task is already optimal there,
+    so reporting it as a parallelism problem would be noise."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import pytest
 
     from dask_patternsearch_spark.sources import audit_scan_parallelism
 
-    tab = pa.table({"x": list(range(100_000))})
+    tab = pa.table({"x": list(range(200_000))})
     bad = str(tmp_path / "bad.parquet")
     good = str(tmp_path / "good.parquet")
-    pq.write_table(tab, bad)                          # one 100k-row group
-    pq.write_table(tab, good, row_group_size=10_000)  # ten groups
+    tiny = str(tmp_path / "tiny.parquet")
+    pq.write_table(tab, bad)                          # one 200k-row group
+    pq.write_table(tab, good, row_group_size=10_000)  # twenty groups
+    pq.write_table(pa.table({"x": list(range(500))}), tiny)  # small, 1 group
     out = {r["file"]: r for r in
            audit_scan_parallelism(spark, str(tmp_path)).collect()}
     assert out[bad]["n_row_groups"] == 1 and out[bad]["starved"]
     assert out[bad]["scan_task_bound"] == 1
-    assert out[good]["n_row_groups"] == 10 and not out[good]["starved"]
-    assert out[good]["rows"] == out[bad]["rows"] == 100_000
+    assert out[good]["n_row_groups"] == 20 and not out[good]["starved"]
+    assert out[good]["rows"] == out[bad]["rows"] == 200_000
+    assert out[tiny]["n_row_groups"] == 1 and not out[tiny]["starved"]
+    # file:// URI routing through pyarrow.fs resolves to the same audit
+    uri = {r["file"]: r for r in
+           audit_scan_parallelism(spark, "file://" + str(tmp_path)).collect()}
+    assert len(uri) == 3 and any(r["starved"] for r in uri.values())
     # the driver testdata itself demonstrates the trap (read-only, so the
-    # audit is how a user would discover it)
-    li = audit_scan_parallelism(
-        spark, "/root/testdata/sf0.1/lineitem.parquet").collect()[0]
+    # audit is how a user would discover it); skip on checkouts without
+    # the fixture tree
+    li_path = "/root/testdata/sf0.1/lineitem.parquet"
+    if not os.path.exists(li_path):
+        pytest.skip("driver testdata fixture not present")
+    li = audit_scan_parallelism(spark, li_path).collect()[0]
     assert li["starved"] and li["n_row_groups"] == 1
