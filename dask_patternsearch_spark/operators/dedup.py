@@ -1483,6 +1483,189 @@ def canonicalize_near_dups(
     )
 
 
+def cluster_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Per-cluster KEEPER table -- the persisted state of the
+    canonicalization endgame: one row per duplicate cluster (singletons
+    included, as their own cluster) carrying the canonical pick and the
+    facts needed to maintain it incrementally.
+
+    Returns ``(cluster, kept_doc_id, kept_quality, cluster_size)`` where
+    ``kept_doc_id`` is the argmax-quality member (ties: lowest doc_id)
+    and ``kept_quality`` its quality.  Because argmax decomposes over a
+    partition of the members, a keeper row is a lossless summary for
+    later merges: max_by over {old keeper} ∪ {new members} equals max_by
+    over the full merged membership -- the invariant
+    :func:`incremental_canonicalize` relies on (the same
+    never-re-evaluate idea as the reference's point memo,
+    ``/root/reference/dask_patternsearch/search.py:285-291``).
+
+    Scale: one CC over the pair graph plus ONE max_by hash aggregate
+    over (cluster); no window sort, no per-cluster collect.
+    """
+    labels = connected_components(pairs)
+    labeled = docs.join(
+        labels.select(F.col("node").alias("doc_id"), "label"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster"),
+        F.col(quality_col).cast("long").alias("quality"),
+    )
+    return labeled.groupBy("cluster").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("quality")),
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("k"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    ).select(
+        "cluster",
+        F.col("k.doc_id").alias("kept_doc_id"),
+        F.col("k.quality").alias("kept_quality"),
+        "cluster_size",
+    )
+
+
+def incremental_canonicalize(
+    new_docs: DataFrame,
+    new_edges: DataFrame,
+    persisted_labels: DataFrame,
+    persisted_keepers: DataFrame,
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Maintain the per-cluster KEEPER table under a freshly ingested
+    batch without re-reading the corpus -- the endgame leg of the
+    incremental ingestion story (candidates:
+    :func:`incremental_minhash_candidates`; decisions:
+    :func:`incremental_cluster_assign`; keepers: this).  A daily 100 TB
+    ingest re-picks keepers only for clusters the batch actually
+    touches; every other keeper row carries over verbatim.
+
+    Inputs: ``new_docs`` the batch (``doc_id`` + ``quality_col``; ids
+    must be NEW -- same ledger invariant as the signature table),
+    ``new_edges`` the batch's candidate edges (new-new and new-old; any
+    ``(doc_a, doc_b)`` source), ``persisted_labels`` a prior
+    :func:`connected_components` output over the old corpus, and
+    ``persisted_keepers`` a prior :func:`cluster_keepers` /
+    ``incremental_canonicalize`` output over the SAME state.
+
+    Exactness: the update runs CC on a CONTRACTED graph -- each old
+    endpoint replaced by its persisted cluster label (its cluster's min
+    member id), so a component's new label = min over (old labels, new
+    ids) = min over the merged membership, exactly as a full recompute
+    would assign.  Keeper re-pick per touched cluster is a max_by over
+    {old keeper rows of the merged-in clusters} ∪ {new batch members}
+    -- lossless because argmax decomposes (see :func:`cluster_keepers`);
+    merged sizes are the sum of old sizes plus new members.  The result
+    equals ``cluster_keepers(old_docs ∪ new_docs, old_pairs ∪
+    new_edges)`` row for row (property-tested with random splits and
+    planted keeper-changing merges; the registered
+    ``incremental_canonicalize`` query is oracle-checked against the
+    full-pipeline recursive recompute).
+
+    Scale: the contracted graph is ∝ new edges ONLY -- smaller than even
+    :func:`incremental_cluster_assign`'s reduced graph (no member
+    star-edges; keeper rows summarize members).  Endpoint and remap sets
+    are batch-bounded, so the big persisted tables are only touched by
+    broadcast joins (scan, never a corpus shuffle).
+
+    Returns the updated keeper table, ``(cluster, kept_doc_id,
+    kept_quality, cluster_size)`` -- same schema as
+    :func:`cluster_keepers`, covering old ∪ batch.
+    """
+    e = new_edges.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    )
+    endpoints = (
+        e.select(F.col("doc_a").alias("node"))
+        .union(e.select("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # batch-bounded label lookup: old endpoints resolve to their cluster
+    # label, new/singleton endpoints to themselves
+    ep_map = (
+        endpoints.join(
+            persisted_labels.join(F.broadcast(endpoints), "node"),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("label", "node").alias("cl"))
+        .localCheckpoint(eager=True)
+    )
+    contracted = (
+        e.join(ep_map.withColumnRenamed("node", "doc_a"), "doc_a")
+        .withColumnRenamed("cl", "ca")
+        .join(
+            ep_map.withColumnRenamed("node", "doc_b").withColumnRenamed("cl", "cb"),
+            "doc_b",
+        )
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+    )
+    # remap: (old cluster id | batch doc id) -> merged new label; includes
+    # self-loop components, so "touched" is exactly remap's node set
+    remap = connected_components(contracted).localCheckpoint(eager=True)
+    # contenders for every touched cluster: carried old keepers ...
+    old_carry = persisted_keepers.join(
+        F.broadcast(remap.withColumnRenamed("node", "cluster")), "cluster"
+    ).select(
+        F.col("label").alias("new_cluster"),
+        F.col("kept_doc_id").alias("cand_doc"),
+        F.col("kept_quality").alias("cand_quality"),
+        F.col("cluster_size").alias("n_members"),
+    )
+    # ... plus the batch docs themselves (edge-less batch docs become
+    # their own singleton clusters)
+    new_members = (
+        new_docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(quality_col).cast("long").alias("quality"),
+        )
+        .join(
+            F.broadcast(remap.withColumnRenamed("node", "doc_id")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            F.coalesce("label", "doc_id").alias("new_cluster"),
+            F.col("doc_id").alias("cand_doc"),
+            F.col("quality").alias("cand_quality"),
+            F.lit(1).cast("long").alias("n_members"),
+        )
+    )
+    repicked = (
+        old_carry.unionByName(new_members)
+        .groupBy(F.col("new_cluster").alias("cluster"))
+        .agg(
+            F.max_by(
+                F.struct(F.col("cand_doc"), F.col("cand_quality")),
+                F.struct(
+                    F.col("cand_quality"),
+                    (-F.col("cand_doc")).alias("neg_id"),
+                ),
+            ).alias("k"),
+            F.sum("n_members").cast("long").alias("cluster_size"),
+        )
+        .select(
+            "cluster",
+            F.col("k.cand_doc").alias("kept_doc_id"),
+            F.col("k.cand_quality").alias("kept_quality"),
+            "cluster_size",
+        )
+    )
+    untouched = persisted_keepers.join(
+        F.broadcast(remap.withColumnRenamed("node", "cluster")),
+        "cluster",
+        "left_anti",
+    )
+    return untouched.unionByName(repicked)
+
+
 def sparse_cosine_pairs(
     docs: DataFrame,
     max_df_frac: float = 0.06,

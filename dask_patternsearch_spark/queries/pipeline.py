@@ -1506,6 +1506,157 @@ def incremental_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def incremental_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase ingestion replay of the canonicalization ENDGAME:
+    documents with ``doc_id % 5 == 4`` are the freshly ingested batch.
+    Phase 1 canonicalizes the existing corpus (exact prefix-join pairs
+    -> CC labels -> per-cluster keeper table) and persists labels +
+    keepers; phase 2 generates only the batch's edges (new-new
+    ``jaccard_prefix_pairs`` + new-old ``contamination_pairs_exact`` --
+    lossless at the threshold, so together exactly the full graph's
+    edges touching a new doc) and runs
+    ``dedup.incremental_canonicalize``: keepers are re-picked ONLY for
+    touched clusters (via carried keeper rows -- the corpus is never
+    re-read), untouched keepers carry over verbatim.  The oracle is the
+    FULL-pipeline recompute (the ``canonicalize_corpus`` recursive CTE
+    aggregated to keeper rows), certifying the incremental endgame --
+    including merges that change a cluster's keeper -- equals a
+    from-scratch canonicalization row for row."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    old_docs = docs.filter(F.col("doc_id") % 5 != 4)
+    new_docs = docs.filter(F.col("doc_id") % 5 == 4)
+    root = tempfile.mkdtemp(prefix="dps_incr_keepers_")
+    try:
+        # pin once: the pair derivation feeds BOTH the labels write and
+        # the keeper build (which runs its own CC over the same pairs)
+        old_pairs = dedup.jaccard_prefix_pairs(
+            old_docs, n=3, threshold=0.8
+        ).select("doc_a", "doc_b").localCheckpoint(eager=True)
+        dedup.connected_components(old_pairs).write.parquet(
+            f"{root}/labels.parquet")
+        dedup.cluster_keepers(old_docs, old_pairs).write.parquet(
+            f"{root}/keepers.parquet")
+        old_labels = spark.read.parquet(f"{root}/labels.parquet")
+        old_keepers = spark.read.parquet(f"{root}/keepers.parquet")
+        new_new = dedup.jaccard_prefix_pairs(
+            new_docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+        new_old = dedup.contamination_pairs_exact(
+            new_docs, old_docs, n=3, threshold=0.8
+        ).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("benchmark_doc_id").alias("doc_b"),
+        )
+        out = (
+            dedup.incremental_canonicalize(
+                new_docs,
+                new_new.unionByName(new_old),
+                old_labels,
+                old_keepers,
+            )
+            .select(
+                F.col("cluster").alias("cluster_id"),
+                "kept_doc_id",
+                "kept_quality",
+                "cluster_size",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# The _CANONICALIZE_SQL recursive pipeline (same pair stage + CC), with
+# the keeper-table endgame: one row per cluster, argmax-quality member
+# (ties: lowest doc_id) and the cluster size.
+_INCR_CANONICALIZE_SQL = """
+WITH RECURSIVE
+toks AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        FOR i IN range(1, greatest(len(t) - 1, 1))]) AS shingles
+  FROM toks
+),
+gdf AS MATERIALIZED (
+  SELECT g, count(*) AS df
+  FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) GROUP BY g
+),
+ordered AS MATERIALIZED (
+  SELECT doc_id, list(g ORDER BY df, g) AS shingles
+  FROM (SELECT u.doc_id, u.g, d.df
+        FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) u
+        JOIN gdf d ON d.g = u.g)
+  GROUP BY doc_id
+),
+pref AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(shingles[1 : len(shingles)
+                             - CAST(ceil(0.8 * len(shingles)) AS BIGINT) + 1]) AS g
+  FROM ordered
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.g = b.g AND b.doc_id > a.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT doc_a, doc_b FROM (
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / nullif(len(list_distinct(sa.shingles || sb.shingles)), 0) AS j
+    FROM cand c
+    JOIN ordered sa ON sa.doc_id = c.doc_a
+    JOIN ordered sb ON sb.doc_id = c.doc_b
+    WHERE least(len(sa.shingles), len(sb.shingles))
+          >= 0.8 * greatest(len(sa.shingles), len(sb.shingles))
+  ) WHERE j >= 0.8
+),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+bis AS MATERIALIZED (
+  SELECT src, dst FROM bi
+  UNION ALL
+  SELECT DISTINCT src, src FROM bi
+),
+cc(node, label, it) AS (
+    SELECT DISTINCT src, src, 0 FROM bi
+  UNION ALL
+    SELECT s.src, min(l.label), min(l.it) + 1
+    FROM cc l JOIN bis s ON s.dst = l.node
+    WHERE l.it < 24
+    GROUP BY s.src
+),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(l.label, d.doc_id) AS cluster,
+         CAST(d.n_chars AS BIGINT) AS quality
+  FROM documents d
+  LEFT JOIN (SELECT node, label FROM cc WHERE it = 24) l ON l.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster, quality,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM labeled
+)
+SELECT CAST(cluster AS BIGINT)      AS cluster_id,
+       CAST(doc_id AS BIGINT)      AS kept_doc_id,
+       CAST(quality AS BIGINT)     AS kept_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 def upsert_reactivated_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins upsert (``operators.merge.upsert``): customers with a
     2001+ order get their segment overwritten to REACTIVATED; result
@@ -4183,6 +4334,7 @@ QUERIES = {
     "streaming_left_interval_join": streaming_left_interval_join,
     "stratified_sample_docs": stratified_sample_docs,
     "near_dup_clusters": near_dup_clusters,
+    "incremental_canonicalize": incremental_canonicalize,
     "incremental_neardup_clusters": incremental_neardup_clusters,
     "near_dup_clusters_star": near_dup_clusters_star,
     "decontaminate_corpus": decontaminate_corpus,
@@ -4277,6 +4429,7 @@ ORACLE = {
     "packed_training_sequences": _PACKED_SQL,
     "near_dup_clusters": _NEARDUP_CLUSTERS_SQL,
     # incremental maintenance must equal the from-scratch re-cluster
+    "incremental_canonicalize": _INCR_CANONICALIZE_SQL,
     "incremental_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
     # append-to-layout must equal build-from-union with the same seeds

@@ -2268,3 +2268,94 @@ def test_incremental_minhash_no_append_protects_id_overlap(spark, docs,
     got = sorted((r["doc_a"], r["doc_b"], r["est_jaccard"])
                  for r in retried.collect())
     assert got == expect  # sorted lists: equality also proves no dups
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_canonicalize_equals_full_recompute(spark, tmp_path,
+                                                        seed):
+    """For any corpus/batch split, maintaining the keeper table
+    incrementally (contracted-graph CC + carried keeper rows) must equal
+    the from-scratch ``cluster_keepers`` over the union corpus row for
+    row -- including merged sizes and re-picked keepers.  Small vocab +
+    planted copies force real merges at every seed."""
+    rng = np.random.default_rng(seed)
+    vocab = np.array([f"w{i}" for i in range(10)])
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(6, 18))))
+             for _ in range(60)]
+    for i in range(0, 60, 6):          # planted exact copies
+        texts[(i + 2) % 60] = texts[i]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long")
+    old_docs = docs.filter(F.col("doc_id") % 3 != 2)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 2)
+    all_pairs = dedup.jaccard_prefix_pairs(
+        docs, n=3, threshold=0.8).select("doc_a", "doc_b")
+    all_pairs = all_pairs.localCheckpoint(eager=True)
+    new_ids = {r["doc_id"] for r in new_docs.select("doc_id").collect()}
+    old_pairs = all_pairs.filter(
+        ~F.col("doc_a").isin(new_ids) & ~F.col("doc_b").isin(new_ids))
+    batch_edges = all_pairs.filter(
+        F.col("doc_a").isin(new_ids) | F.col("doc_b").isin(new_ids))
+    labels = dedup.connected_components(old_pairs)
+    keepers = dedup.cluster_keepers(old_docs, old_pairs)
+    got = sorted(
+        (r["cluster"], r["kept_doc_id"], r["kept_quality"],
+         r["cluster_size"])
+        for r in dedup.incremental_canonicalize(
+            new_docs, batch_edges, labels, keepers).collect()
+    )
+    want = sorted(
+        (r["cluster"], r["kept_doc_id"], r["kept_quality"],
+         r["cluster_size"])
+        for r in dedup.cluster_keepers(docs, all_pairs).collect()
+    )
+    assert got == want
+    assert any(sz > 1 for *_x, sz in want), "fixture must form clusters"
+
+
+def test_incremental_canonicalize_merge_changes_keeper(spark):
+    """A new doc bridging two old clusters must re-pick the merged
+    cluster's keeper from the CARRIED keeper rows (the old corpus is
+    never re-read): the losing cluster's keeper is demoted, the merged
+    label is the min member id, sizes add, and untouched clusters carry
+    over verbatim."""
+    docs = spark.createDataFrame(
+        [  # cluster A = {1, 2} keeper 2 (q 50); B = {10, 11} keeper 10
+           # (q 90); untouched C = {30, 31} keeper 30; singleton 40
+            (1, 40), (2, 50), (10, 90), (11, 20),
+            (30, 70), (31, 60), (40, 10),
+        ],
+        "doc_id long, n_chars long")
+    old_edges = spark.createDataFrame(
+        [(1, 2), (10, 11), (30, 31)], "doc_a long, doc_b long")
+    labels = dedup.connected_components(old_edges)
+    keepers = dedup.cluster_keepers(docs, old_edges)
+    assert {(r["cluster"], r["kept_doc_id"]) for r in keepers.collect()} == {
+        (1, 2), (10, 10), (30, 30), (40, 40)}
+    # batch: doc 100 (q 5) bridges A and B via members 2 and 11
+    new_docs = spark.createDataFrame([(100, 5)], "doc_id long, n_chars long")
+    new_edges = spark.createDataFrame(
+        [(100, 2), (100, 11)], "doc_a long, doc_b long")
+    got = {
+        r["cluster"]: (r["kept_doc_id"], r["kept_quality"],
+                       r["cluster_size"])
+        for r in dedup.incremental_canonicalize(
+            new_docs, new_edges, labels, keepers).collect()
+    }
+    assert got == {
+        1: (10, 90, 5),    # merged A+B+new: label min=1, keeper = B's 10
+        30: (30, 70, 2),   # untouched, verbatim
+        40: (40, 10, 1),   # untouched singleton, verbatim
+    }
+    # edge-less batch doc becomes its own singleton keeper
+    lone = spark.createDataFrame([(200, 33)], "doc_id long, n_chars long")
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    got2 = {
+        r["cluster"]: (r["kept_doc_id"], r["kept_quality"],
+                       r["cluster_size"])
+        for r in dedup.incremental_canonicalize(
+            lone, empty, labels, keepers).collect()
+    }
+    assert got2[200] == (200, 33, 1)
+    assert got2[1] == (2, 50, 2) and got2[10] == (10, 90, 2)
