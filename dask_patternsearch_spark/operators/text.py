@@ -706,8 +706,19 @@ def write_training_shards(docs: DataFrame, path: str, n_shards: int = 16) -> Non
 
     Scale: one shuffle (repartition on the shard value), then each task
     sorts and streams its shard; directory partitioning keeps shard
-    selection a file-listing operation for the consumer.
+    selection a file-listing operation for the consumer.  Shard files
+    are written with the split-friendly row-group bounds and the layout
+    is audited post-write (``sources.audit_scan_parallelism``,
+    metadata-only) -- a training-shard layout that can only be decoded
+    one-task-per-shard would silently serialize every epoch's read, so
+    a starved layout raises a warning naming the offending files.
     """
+    from ..sources.io import (
+        DEFAULT_MAX_GROUP_BYTES,
+        DEFAULT_MAX_GROUP_ROWS,
+        audit_scan_parallelism,
+    )
+
     h = F.md5(F.col("doc_id").cast("string"))
     shard = F.conv(F.substring(h, 1, 1), 16, 10).cast("int")
     if n_shards != 16:
@@ -718,9 +729,25 @@ def write_training_shards(docs: DataFrame, path: str, n_shards: int = 16) -> Non
         .repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "h")
         .write.mode("overwrite")
+        .option("parquet.block.size", DEFAULT_MAX_GROUP_BYTES)
+        .option("parquet.block.row.count.limit", DEFAULT_MAX_GROUP_ROWS)
         .partitionBy("shard")
         .parquet(path)
     )
+    starved = [
+        r["file"]
+        for r in audit_scan_parallelism(docs.sparkSession, path).collect()
+        if r["starved"]
+    ]
+    if starved:
+        import warnings
+
+        warnings.warn(
+            "write_training_shards produced a scan-starved layout "
+            f"({len(starved)} file(s), e.g. {starved[0]}); later reads "
+            "will serialize per file -- check the row-group bounds",
+            stacklevel=2,
+        )
 
 
 def materialize_packs(

@@ -18,6 +18,32 @@ from pyspark.sql import types as T
 
 FORMATS = ("parquet", "csv", "json", "orc")
 
+# Split-friendly parquet row-group bounds (SCALE.md round 8/9): a row
+# group is indivisible to Spark's split scheduler, so a one-big-group
+# file serializes its whole fused scan stage onto ONE task (measured as
+# a 7-19% whole-query tax on the bench's copurchase family, and a 177 s
+# straggler at probe x300).  Spark's parquet writer only flushes a group
+# at parquet.block.size (128 MB) of UNCOMPRESSED buffer, so any smaller
+# output lands as a single group by default -- these bounds make every
+# written file carry enough groups that byte-range splits can actually
+# parallelize the decode.  Both are per-write parquet-mr options,
+# verified honored in tests/test_sources.py footer tests.
+DEFAULT_MAX_GROUP_BYTES = 16 * 1024 * 1024
+DEFAULT_MAX_GROUP_ROWS = 100_000
+
+
+def _row_group_options(writer, fmt: str, max_group_rows: int | None,
+                       max_group_bytes: int | None):
+    """Apply the row-group bounds to a DataFrameWriter (parquet only)."""
+    if fmt != "parquet":
+        return writer
+    if max_group_bytes:
+        writer = writer.option("parquet.block.size", int(max_group_bytes))
+    if max_group_rows:
+        writer = writer.option("parquet.block.row.count.limit",
+                               int(max_group_rows))
+    return writer
+
 
 def read_table(
     spark: SparkSession,
@@ -48,13 +74,23 @@ def write_table(
     mode: str = "overwrite",
     partition_by: list[str] | None = None,
     coalesce_output: int | None = None,
+    max_group_rows: int | None = DEFAULT_MAX_GROUP_ROWS,
+    max_group_bytes: int | None = DEFAULT_MAX_GROUP_BYTES,
     **options,
 ) -> None:
+    """Write a table; parquet outputs are ROW-GROUP-SAFE by default:
+    every file carries a group per ``max_group_bytes`` of (uncompressed)
+    data and at most ``max_group_rows`` rows per group, so later scans
+    can be split-parallelized instead of serializing onto one task per
+    file (the single-row-group trap ``audit_scan_parallelism`` detects;
+    these bounds prevent it at the source).  Pass ``None`` for either to
+    fall back to the parquet-mr defaults."""
     if fmt not in FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; expected one of {FORMATS}")
     if coalesce_output:
         df = df.coalesce(coalesce_output)
     writer = df.write.mode(mode).options(**options)
+    writer = _row_group_options(writer, fmt, max_group_rows, max_group_bytes)
     if fmt == "csv":
         writer = writer.option("header", "true")
     if partition_by:
@@ -110,12 +146,12 @@ def write_clustered(
     count; pick ~target_size 128-512 MiB per file at scale.
     """
     sort_cols = sort_within or range_cols
-    (
+    writer = _row_group_options(
         df.repartitionByRange(n_files, *range_cols)
         .sortWithinPartitions(*sort_cols)
-        .write.mode(mode)
-        .parquet(path)
-    )
+        .write.mode(mode),
+        "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES)
+    writer.parquet(path)
 
 
 def _zvalue(cols: list[str], bits: int = 21):
@@ -177,13 +213,13 @@ def write_zordered(
         rank_cols.append(rc)
     z = "__dps_zval"
     ranked = ranked.withColumn(z, _zvalue(rank_cols, bits))
-    (
+    writer = _row_group_options(
         ranked.repartitionByRange(n_files, F.col(z))
         .sortWithinPartitions(z)
         .drop(z, *rank_cols)
-        .write.mode(mode)
-        .parquet(path)
-    )
+        .write.mode(mode),
+        "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES)
+    writer.parquet(path)
 
 
 def write_table_observed(
@@ -248,6 +284,8 @@ def compact_files(
     path: str,
     target_file_bytes: int = 512 * 1024 * 1024,
     fmt: str = "parquet",
+    max_group_rows: int | None = DEFAULT_MAX_GROUP_ROWS,
+    max_group_bytes: int | None = DEFAULT_MAX_GROUP_BYTES,
 ) -> dict:
     """Small-file compaction: rewrite a table directory so each output
     file is ~``target_file_bytes`` -- the standing maintenance job of any
@@ -303,7 +341,13 @@ def compact_files(
         if os.path.exists(leftover):
             shutil.rmtree(leftover)
     df = getattr(spark.read, fmt)(path)
-    getattr(df.repartition(n_out).write.mode("overwrite"), fmt)(tmp)
+    # compaction makes files BIGGER -- exactly when row-group bounds
+    # matter most (a 512 MB single-group file would undo the compaction
+    # win by serializing every later scan)
+    writer = _row_group_options(
+        df.repartition(n_out).write.mode("overwrite"), fmt,
+        max_group_rows, max_group_bytes)
+    getattr(writer, fmt)(tmp)
     os.rename(path, old)
     try:
         os.rename(tmp, path)

@@ -279,3 +279,93 @@ def test_audit_scan_parallelism_flags_single_row_group(spark, tmp_path):
         pytest.skip("driver testdata fixture not present")
     li = audit_scan_parallelism(spark, li_path).collect()[0]
     assert li["starved"] and li["n_row_groups"] == 1
+
+
+def test_write_table_is_row_group_safe_by_default(spark, tmp_path):
+    """Every parquet file written by write_table must satisfy the
+    split-friendly footer contract: n_row_groups >= ceil(bytes / 128MB)
+    (trivially, group bytes <= 128MB) AND no group holds more than
+    DEFAULT_MAX_GROUP_ROWS rows -- Spark's writer default would put all
+    600k rows in ONE group (the trap measured as a 7-19% whole-query tax
+    on the copurchase bench family), so the bounds must be applied."""
+    import math
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dask_patternsearch_spark.sources.io import (
+        DEFAULT_MAX_GROUP_ROWS,
+        write_table,
+    )
+
+    df = spark.range(600_000).selectExpr("id", "id * 2 as v")
+    out = str(tmp_path / "safe")
+    write_table(df.coalesce(1), out)
+    files = [os.path.join(out, f) for f in os.listdir(out)
+             if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        size = os.path.getsize(f)
+        assert md.num_row_groups >= math.ceil(size / (128 * 1024 * 1024))
+        assert md.num_row_groups > 1, "600k rows must never be one group"
+        for i in range(md.num_row_groups):
+            assert md.row_group(i).num_rows <= DEFAULT_MAX_GROUP_ROWS
+    # opt-out restores the writer default (one group for this size)
+    out2 = str(tmp_path / "unsafe")
+    write_table(df.coalesce(1), out2, max_group_rows=None,
+                max_group_bytes=None)
+    f2 = [os.path.join(out2, f) for f in os.listdir(out2)
+          if f.endswith(".parquet")][0]
+    assert pq.ParquetFile(f2).metadata.num_row_groups == 1
+
+
+def test_compact_files_preserves_row_group_safety(spark, tmp_path):
+    """Compaction makes files bigger -- exactly when the single-row-group
+    trap bites hardest -- so the compacted rewrite must carry the same
+    footer contract, and the post-compaction layout must pass the audit."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dask_patternsearch_spark.sources.io import (
+        DEFAULT_MAX_GROUP_ROWS,
+        audit_scan_parallelism,
+        compact_files,
+    )
+
+    out = str(tmp_path / "frag")
+    spark.range(400_000).selectExpr("id", "id % 7 as k").repartition(
+        32).write.parquet(out)
+    manifest = compact_files(spark, out, target_file_bytes=1 << 40)
+    assert manifest["files_after"] < manifest["files_before"]
+    files = [os.path.join(out, f) for f in os.listdir(out)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert all(md.row_group(i).num_rows <= DEFAULT_MAX_GROUP_ROWS
+                   for i in range(md.num_row_groups))
+    audit = audit_scan_parallelism(spark, out).collect()
+    assert audit and not any(r["starved"] for r in audit)
+
+
+def test_write_training_shards_layout_passes_audit(spark, tmp_path):
+    """The training-shard writer must produce a layout the scan auditor
+    passes (bounded row groups inside every shard directory)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators.text import write_training_shards
+    from dask_patternsearch_spark.sources.io import audit_scan_parallelism
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the audit warning must NOT fire
+        write_training_shards(docs, out)
+    audit = audit_scan_parallelism(spark, out).collect()
+    assert audit and not any(r["starved"] for r in audit)
