@@ -89,6 +89,21 @@ HEADLINE = [
 ]
 
 
+def _ambient_probe(spark, runs: int = 3) -> float:
+    """Fixed-cost ambient-load probe: a pure whole-stage-codegen range
+    aggregation (no shuffle, no IO, no Python) whose cost is a constant
+    of the MACHINE, not of this repo's code.  Its movement between
+    rounds -- and across the probe points within one run -- measures
+    ambient CPU contention directly, so a uniform headline drift can be
+    attributed (ambient vs code) from the bench artifact alone."""
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        spark.range(256_000_000).selectExpr("sum(id * 2) as s").collect()
+        ts.append(time.perf_counter() - t0)
+    return round(statistics.median(ts), 3)
+
+
 def main() -> None:
     from dask_patternsearch_spark.queries import all_queries
     from dask_patternsearch_spark.session import get_spark
@@ -96,6 +111,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    ambient: dict = {"loadavg_start": [round(x, 2) for x in os.getloadavg()]}
 
     # warm-up: touch every table so file listing/footer reads don't bill
     # the first query
@@ -122,7 +138,9 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
         for name in HEADLINE:
             qs[name](spark, SF_DIR).count()
+    ambient["probe_start_sec"] = _ambient_probe(spark)
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for qi, name in enumerate(HEADLINE):
         if qi % 10 == 0:
             # outside the timed region: same session-garbage hygiene as the
@@ -136,8 +154,10 @@ def main() -> None:
             n = fn(spark, SF_DIR).count()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(sorted(samples)[len(samples) // 2], 3)
+        spread[name] = [round(min(samples), 3), round(max(samples), 3)]
         print(f"# {name}: {timings[name]}s median of "
               f"{[round(s, 2) for s in samples]} ({n} rows)", file=sys.stderr)
+    ambient["probe_mid_sec"] = _ambient_probe(spark)
 
     # full-registry sweep: every registered query, median of
     # SPARK_GRAFT_BENCH_SWEEP_RUNS full passes (default 3) -- the
@@ -218,6 +238,8 @@ def main() -> None:
     convergence["sphere_100d_distributed_rounds"] = results.rounds
     convergence["sphere_100d_distributed_tasks"] = len(results)
 
+    ambient["probe_end_sec"] = _ambient_probe(spark)
+    ambient["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
@@ -229,6 +251,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # ambient-attribution telemetry (BASELINE.md "two bench series"):
+        # spread = per-headline-query [min, max] of the timed runs;
+        # ambient.probe_*_sec = a fixed-cost codegen-only probe timed at
+        # start/mid/end -- code changes cannot move it, ambient load does,
+        # so "ambient vs code" is decidable from this record alone
+        "spread": spread,
+        "ambient": ambient,
         "tasks_to_converge": convergence,
         "sf": sf_val,
     }

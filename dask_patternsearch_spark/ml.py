@@ -64,6 +64,10 @@ class _SearchParams(Params):
     batchsize = Param(Params._dummy(), "batchsize",
                       "points per evaluation batch (0 = unbatched)",
                       typeConverter=TypeConverters.toInt)
+    stopratio = Param(Params._dummy(), "stopratio",
+                      "terminate when the step shrinks to this fraction "
+                      "of the initial stepsize",
+                      typeConverter=TypeConverters.toFloat)
     inputCol = Param(Params._dummy(), "inputCol",
                      "VectorUDT column of points for transform()",
                      typeConverter=TypeConverters.toString)
@@ -96,14 +100,14 @@ class PatternSearchMinimizer(Estimator, _SearchParams,
 
     def __init__(self, func=None, x0=None, stepsize=None, maxTasks=None,
                  seed=None, randomize=True, distributed=False,
-                 vectorize=False, batchsize=0, inputCol="point",
-                 outputCol="cost", **search_kwargs):
+                 vectorize=False, batchsize=0, stopratio=0.01,
+                 inputCol="point", outputCol="cost", **search_kwargs):
         super().__init__()
         self.func = func
         self.search_kwargs = search_kwargs
         self._setDefault(maxTasks=-1, seed=-1, randomize=True,
                          distributed=False, vectorize=False, batchsize=0,
-                         inputCol="point", outputCol="cost")
+                         stopratio=0.01, inputCol="point", outputCol="cost")
         # x0/stepsize optional so DefaultParamsReader can instantiate the
         # class bare before restoring the persisted Params
         if x0 is not None:
@@ -112,7 +116,8 @@ class PatternSearchMinimizer(Estimator, _SearchParams,
             self._set(stepsize=list(np.asarray(stepsize, dtype=float)))
         self._set(randomize=randomize, distributed=distributed,
                   vectorize=vectorize, batchsize=batchsize,
-                  inputCol=inputCol, outputCol=outputCol)
+                  stopratio=stopratio, inputCol=inputCol,
+                  outputCol=outputCol)
         if maxTasks is not None:
             self._set(maxTasks=maxTasks)
         if seed is not None:
@@ -146,6 +151,10 @@ class PatternSearchMinimizer(Estimator, _SearchParams,
         m = self.getOrDefault
         max_tasks = m(self.maxTasks)
         seed = m(self.seed)
+        # explicit search_kwargs win over the Param (back-compat with
+        # callers that passed stopratio through kwargs before it was one)
+        kw = dict(self.search_kwargs)
+        kw.setdefault("stopratio", m(self.stopratio))
         best, results = search(
             self.func,
             np.asarray(m(self.x0)),
@@ -156,7 +165,7 @@ class PatternSearchMinimizer(Estimator, _SearchParams,
             spark=dataset.sparkSession if m(self.distributed) else None,
             vectorize=m(self.vectorize),
             batchsize=m(self.batchsize) or None,
-            **self.search_kwargs,
+            **kw,
         )
         model = PatternSearchModel(self.func, best, results,
                                    dataset.sparkSession)

@@ -419,6 +419,109 @@ def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFram
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def audit_band_skew(
+    signatures: DataFrame,
+    n_bands: int = 8,
+    n_perm: int = 64,
+    top_n: int = 10,
+    min_hot_size: int = 3,
+) -> DataFrame:
+    """Pre-flight LSH banding audit: per-band bucket-size histogram and
+    candidate-pair mass report over a signature table -- the check a
+    production rollout runs BEFORE paying the band self-join, so banding
+    densification (a vocabulary-satiated corpus, a bad hash family, a
+    miscalibrated band width) is caught as a metadata-sized report
+    instead of a blown-up shuffle.  This is the first-class version of
+    the ad-hoc histogram that resolved the x100 MinHash shuffle
+    datapoint (SCALE.md round 8): bucket sizes directly predict join
+    cost, because a size-k bucket contributes k·(k-1)/2 candidate pairs.
+
+    Returns one row per band: ``(band, n_docs, n_buckets, max_bucket,
+    pair_mass, n_hot_buckets, hot_pair_mass, hot_mass_share,
+    top_buckets)`` where ``pair_mass = Σ k·(k-1)/2`` over the band's
+    buckets (the exact candidate volume the band will emit),
+    ``hot_*`` restricts to buckets of size >= ``min_hot_size``, and
+    ``top_buckets`` lists the ``top_n`` hottest buckets as
+    ``(size, bucket)`` structs, largest first.  A healthy near-dup
+    corpus shows max_bucket in the single digits and hot_mass_share
+    near the true-duplicate rate; densification shows up as a few
+    buckets carrying most of the pair mass.
+
+    Scale: bucket sizing is one map-side-combinable hash aggregate over
+    (band, bucket); the per-band summary is a second tiny aggregate.
+    The hot-bucket ranking only ever sorts buckets that passed the
+    ``min_hot_size`` filter (on a healthy corpus: a vanishing fraction),
+    so no task ever sorts a band's full bucket list -- the audit stays
+    cheap even when the corpus is not.
+    """
+    from pyspark.sql import Window
+
+    rows_per_band = n_perm // n_bands
+    sizes = (
+        _band_buckets(signatures, n_bands, rows_per_band)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)  # feeds both aggregates below once
+    )
+    mass = (F.col("k") * (F.col("k") - 1) / 2).cast("long")
+    hot = F.col("k") >= min_hot_size
+    summary = sizes.groupBy("band").agg(
+        F.sum("k").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("k").cast("long").alias("max_bucket"),
+        F.sum(mass).cast("long").alias("pair_mass"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("long").alias("n_hot_buckets"),
+        F.sum(F.when(hot, mass).otherwise(0)).cast("long").alias("hot_pair_mass"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("band").orderBy(F.desc("k"), F.asc("bucket"))
+    )
+    top = (
+        sizes.filter(hot)
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= top_n)
+        .groupBy("band")
+        .agg(
+            # size DESC, bucket ASC (same tie order the rank used): sort
+            # ascending on (-size, bucket), then flip the size back
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("k")).alias("neg_size"), F.col("bucket")
+                        )
+                    )
+                ),
+                lambda s: F.struct(
+                    (-s["neg_size"]).alias("size"),
+                    s["bucket"].alias("bucket"),
+                ),
+            ).alias("top_buckets")
+        )
+    )
+    return (
+        summary.join(top, "band", "left")
+        .select(
+            "band",
+            "n_docs",
+            "n_buckets",
+            "max_bucket",
+            "pair_mass",
+            "n_hot_buckets",
+            "hot_pair_mass",
+            F.when(
+                F.col("pair_mass") > 0,
+                F.col("hot_pair_mass").cast("double") / F.col("pair_mass"),
+            ).alias("hot_mass_share"),
+            F.coalesce(
+                "top_buckets",
+                F.array().cast("array<struct<size:long,bucket:long>>"),
+            ).alias("top_buckets"),
+        )
+        .orderBy("band")
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     n: int = 3,

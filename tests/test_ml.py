@@ -208,3 +208,76 @@ def test_model_save_load_restores_nonfinite_costs(spark, tmp_path):
     assert inf_pts_a == inf_pts_b
     # the public ledger() schema is unchanged: NULL cost, no sidecar
     assert "cost_kind" not in loaded.ledger().columns
+
+
+def test_minimizer_composes_with_pipeline_and_param_grid(spark, tmp_path):
+    """The facade must compose with the REAL MLlib machinery, not just
+    standalone fit/transform: (a) as a pyspark.ml.Pipeline stage --
+    fit yields a PipelineModel whose transform scores points; the
+    pipeline persists and, objective re-supplied post-load (the
+    documented contract), refits identically; (b) under a
+    ParamGridBuilder sweep over stepsize/stopratio via Estimator.fit's
+    multi-paramMap form -- each grid cell's model reflects its own
+    params (tighter stopratio => deeper contraction => at least as many
+    evaluations, never fewer)."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    from dask_patternsearch_spark.ml import PatternSearchModel
+
+    est = PatternSearchMinimizer(
+        sphere, x0=[5.0, 4.0], stepsize=[1.0, 1.0], seed=7, maxTasks=60,
+        randomize=False, outputCol="score",
+    )
+    pts = spark.createDataFrame(
+        [(Vectors.dense([1.0, 2.0]),), (Vectors.dense([0.0, 3.0]),)],
+        ["point"])
+
+    # (a) Pipeline stage
+    pipe = Pipeline(stages=[est])
+    pm = pipe.fit(spark.range(1))
+    stage = pm.stages[0]
+    assert isinstance(stage, PatternSearchModel)
+    got = {tuple(r["point"]): r["score"]
+           for r in pm.transform(pts).collect()}
+    assert got == {(1.0, 2.0): 5.0, (0.0, 3.0): 9.0}
+    # pipeline persistence: Params round-trip, objective re-supplied
+    p = str(tmp_path / "pipe")
+    pipe.save(p)
+    loaded = Pipeline.load(p)
+    lest = loaded.getStages()[0]
+    assert isinstance(lest, PatternSearchMinimizer)
+    assert lest.getOrDefault(lest.stopratio) == est.getOrDefault(
+        est.stopratio)
+    pm2 = Pipeline(stages=[lest.setObjective(sphere)]).fit(spark.range(1))
+    assert list(pm2.stages[0].bestPoint) == list(stage.bestPoint)
+    assert pm2.stages[0].numEvaluations == stage.numEvaluations
+    # fitted PipelineModel persistence round-trips the model stage too
+    mp = str(tmp_path / "pipe_model")
+    pm.save(mp)
+    pm3 = PipelineModel.load(mp)
+    assert list(pm3.stages[0].bestPoint) == list(stage.bestPoint)
+    got3 = {tuple(r["point"]): r["score"]
+            for r in pm3.stages[0].setObjective(sphere)
+            .transform(pts).collect()}
+    assert got3 == got
+
+    # (b) ParamGridBuilder sweep: fit(dataset, params=list-of-maps)
+    grid = (ParamGridBuilder()
+            .addGrid(est.stepsize, [[1.0, 1.0], [2.0, 2.0]])
+            .addGrid(est.stopratio, [0.5, 0.01])
+            .build())
+    assert len(grid) == 4
+    models = est.fit(spark.range(1), params=grid)
+    assert len(models) == 4
+    by_cell = {}
+    for pmap, model in zip(grid, models):
+        key = (tuple(pmap[est.stepsize]), pmap[est.stopratio])
+        by_cell[key] = model
+        assert model.getOrDefault(model.stopratio) == pmap[est.stopratio]
+        assert model.bestCost <= sphere(np.asarray([5.0, 4.0]))
+    for step in ((1.0, 1.0), (2.0, 2.0)):
+        deep = by_cell[(step, 0.01)]
+        shallow = by_cell[(step, 0.5)]
+        assert deep.numEvaluations >= shallow.numEvaluations
+        assert deep.bestCost <= shallow.bestCost

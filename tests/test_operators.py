@@ -2359,3 +2359,68 @@ def test_incremental_canonicalize_merge_changes_keeper(spark):
     }
     assert got2[200] == (200, 33, 1)
     assert got2[1] == (2, 50, 2) and got2[10] == (10, 90, 2)
+
+
+def test_audit_band_skew_matches_manual_histogram(spark, docs):
+    """The audit's per-band numbers must equal a hand-computed histogram
+    of the band buckets: doc counts, bucket counts, max bucket, exact
+    pair mass (sum k*(k-1)/2 -- the candidate volume the band join would
+    emit), hot-bucket restriction, and the top-bucket ordering."""
+    from collections import Counter
+
+    sigs = dedup.minhash_signatures(docs)
+    got = {r["band"]: r for r in dedup.audit_band_skew(
+        sigs, n_bands=8, n_perm=64, top_n=3, min_hot_size=2).collect()}
+    bb = dedup._band_buckets(sigs, 8, 8).collect()
+    by_band: dict[int, Counter] = {}
+    for r in bb:
+        by_band.setdefault(r["band"], Counter())[r["bucket"]] += 1
+    assert set(got) == set(by_band)
+    for band, cnt in by_band.items():
+        row = got[band]
+        assert row["n_docs"] == sum(cnt.values())
+        assert row["n_buckets"] == len(cnt)
+        assert row["max_bucket"] == max(cnt.values())
+        mass = sum(k * (k - 1) // 2 for k in cnt.values())
+        assert row["pair_mass"] == mass
+        hot = {b: k for b, k in cnt.items() if k >= 2}
+        assert row["n_hot_buckets"] == len(hot)
+        hot_mass = sum(k * (k - 1) // 2 for k in hot.values())
+        assert row["hot_pair_mass"] == hot_mass
+        if mass:
+            assert row["hot_mass_share"] == hot_mass / mass
+        want_top = sorted(((k, b) for b, k in hot.items()),
+                          key=lambda t: (-t[0], t[1]))[:3]
+        assert [(t["size"], t["bucket"]) for t in row["top_buckets"]] == [
+            (k, b) for k, b in want_top]
+
+
+def test_audit_band_skew_flags_densification(spark):
+    """The audit must FIRE on a vocabulary-satiated corpus (every doc
+    resembles every doc -> a few buckets carry most of the pair mass)
+    and stay quiet on a diverse one -- the pre-rollout densification
+    check from SCALE.md round 8, as an operator."""
+    rng = np.random.default_rng(5)
+    tiny = np.array(["a", "b", "c"])            # satiated: 3-word vocab
+    # 6 templates x 80 docs: the shingle sets collapse onto a handful of
+    # distinct signatures, so band buckets pile up -- the densification
+    # signature (every doc resembles every doc)
+    templates = [" ".join(rng.choice(tiny, size=12)) for _ in range(6)]
+    dense = spark.createDataFrame(
+        [(i, templates[int(rng.integers(0, 6))]) for i in range(80)],
+        "doc_id long, text string")
+    wide = np.array([f"tok{i}" for i in range(5000)])  # diverse vocab
+    sparse = spark.createDataFrame(
+        [(i, " ".join(rng.choice(wide, size=12, replace=False)))
+         for i in range(80)],
+        "doc_id long, text string")
+    a_dense = dedup.audit_band_skew(dedup.minhash_signatures(dense)).collect()
+    a_sparse = dedup.audit_band_skew(
+        dedup.minhash_signatures(sparse)).collect()
+    assert max(r["max_bucket"] for r in a_dense) >= 10
+    assert all(r["hot_mass_share"] >= 0.9 for r in a_dense
+               if r["pair_mass"] > 0)
+    assert sum(r["pair_mass"] for r in a_dense) > 50 * sum(
+        r["pair_mass"] for r in a_sparse)
+    # diverse corpus: buckets stay near-singleton
+    assert max(r["max_bucket"] for r in a_sparse) <= 3

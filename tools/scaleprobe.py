@@ -110,6 +110,120 @@ def generate(scale: int, seed: int = 42) -> str:
     return out
 
 
+def generate_fixed_vocab(scale: int, seed: int = 42) -> str:
+    """The ADVERSARIAL corpus: same generator as :func:`generate` but
+    WITHOUT the Heaps-law vocabulary extension -- the satiated shape that
+    made the first x100 run super-linear (SCALE.md round 7/8).  Kept as a
+    negative-control fixture: ``audit_band_skew`` must fire on this and
+    stay quiet on the Heaps corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(PROBE_ROOT, f"x{scale}_fixedvocab")
+    if os.path.exists(os.path.join(out, "documents.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_docs = BASE_DOCS * scale
+    rng = np.random.default_rng(seed + scale)
+    vocab = np.array([r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT unnest(string_split_regex(trim(lower(text)), '\\s+')) "
+        f"FROM '{SF01}/documents.parquet' ORDER BY 1").fetchall()])
+    n_words = rng.integers(7, 97, size=n_docs)
+    texts = [" ".join(rng.choice(vocab, size=k)) for k in n_words]
+    n_near, n_exact = int(n_docs * 0.016), int(n_docs * 0.0016)
+    dup_targets = rng.choice(n_docs, size=n_near + n_exact, replace=False)
+    dup_sources = rng.integers(0, n_docs, size=n_near + n_exact)
+    for i, (tgt, src) in enumerate(zip(dup_targets, dup_sources)):
+        toks = texts[src].split()
+        if i < n_exact or len(toks) < 12:
+            texts[tgt] = texts[src]
+            continue
+        n_mut = max(1, int(len(toks) * rng.uniform(0.05, 0.10)))
+        for j in rng.choice(len(toks), size=n_mut, replace=False):
+            toks[j] = str(rng.choice(vocab))
+        texts[tgt] = " ".join(toks)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n_docs), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+        "lang": pa.array(rng.choice(LANGS, size=n_docs, p=LANG_W)),
+        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
+        "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+    })
+    pq.write_table(docs, os.path.join(out, "documents.parquet"),
+                   row_group_size=25_000)
+    print(f"# generated x{scale} fixed-vocab: {n_docs} docs", file=sys.stderr)
+    return out
+
+
+def generate_boilerplate(scale: int, seed: int = 42,
+                         dup_frac: float = 0.10, n_templates: int = 20) -> str:
+    """The corpus shape that actually densifies BANDING: ``dup_frac`` of
+    the documents are verbatim copies of ``n_templates`` boilerplate
+    texts (crawl reality: error pages, headers, licence blocks).  Exact
+    copies share every band bucket, so each template forms a bucket of
+    ~dup_frac*n_docs/n_templates in ALL bands -- quadratic pair mass the
+    band join would pay.  (The fixed-vocab corpus, by contrast, satiates
+    the PREFIX join's gram-df, not banding: random fixed-vocab docs
+    almost never agree on 8 consecutive minhash slots -- measured x100
+    max bucket 3, same as Heaps.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(PROBE_ROOT, f"x{scale}_boilerplate")
+    if os.path.exists(os.path.join(out, "documents.parquet")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    base = generate(scale, seed=seed)          # start from the Heaps corpus
+    tab = pq.read_table(os.path.join(base, "documents.parquet"))
+    texts = tab.column("text").to_pylist()
+    n_docs = len(texts)
+    rng = np.random.default_rng(seed + scale + 1)
+    templates = [texts[i] for i in
+                 rng.choice(n_docs, size=n_templates, replace=False)]
+    hits = rng.choice(n_docs, size=int(n_docs * dup_frac), replace=False)
+    for i in hits:
+        texts[i] = templates[int(rng.integers(0, n_templates))]
+    tab = tab.set_column(tab.schema.get_field_index("text"), "text",
+                         pa.array(texts, type=pa.string()))
+    tab = tab.set_column(
+        tab.schema.get_field_index("n_chars"), "n_chars",
+        pa.array([len(t) for t in texts], type=pa.int64()))
+    pq.write_table(tab, os.path.join(out, "documents.parquet"),
+                   row_group_size=25_000)
+    print(f"# generated x{scale} boilerplate: {n_docs} docs, "
+          f"{len(hits)} template copies", file=sys.stderr)
+    return out
+
+
+def _probe_bandskew(spark, ui, scale: int = 100) -> None:
+    """Banding-densification pre-flight: ``dedup.audit_band_skew`` on the
+    Heaps corpus (healthy -- must stay quiet), the fixed-vocab corpus
+    (prefix-join-adversarial -- banding still quiet: the negative result
+    worth recording), and the boilerplate corpus (banding-adversarial --
+    must fire).  The audit is the metadata-sized check a rollout runs
+    BEFORE paying the band join."""
+    from dask_patternsearch_spark.operators import dedup
+
+    print(f"| corpus (x{scale}) | sec | max_bucket | pair_mass "
+          "| hot_mass_share | top bucket sizes (band 0) |")
+    print("|---|---|---|---|---|---|")
+    for name, d in (("heaps", generate(scale)),
+                    ("fixed-vocab", generate_fixed_vocab(scale)),
+                    ("boilerplate", generate_boilerplate(scale))):
+        docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+        t0 = time.perf_counter()
+        rows = dedup.audit_band_skew(dedup.minhash_signatures(docs)).collect()
+        dt = time.perf_counter() - t0
+        max_bucket = max(r["max_bucket"] for r in rows)
+        pair_mass = sum(r["pair_mass"] for r in rows)
+        hot_mass = sum(r["hot_pair_mass"] for r in rows)
+        share = round(hot_mass / pair_mass, 4) if pair_mass else 0.0
+        top0 = [t["size"] for t in rows[0]["top_buckets"]]
+        print(f"| {name} | {dt:.1f} | {max_bucket} | {pair_mass} "
+              f"| {share} | {top0} |")
+
+
 def _shuffle_totals(ui: str) -> tuple[int, int]:
     apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
     app_id = apps[0]["id"]
@@ -245,15 +359,17 @@ def _probe_session(spark, ui, qs) -> None:
               " | ".join(str(v) for v in vs) + " |")
 
 
-def _probe_iterative(spark, ui, qs) -> None:
+def _probe_iterative(spark, ui, qs, scales=(1, 3, 10)) -> None:
     """Iterative-graph scaling: near_dup_pagerank (8 damped iterations
-    over the prefix-join near-dup graph) at x1 / x3 / x10 -- wall,
-    total shuffle, and shuffle per iteration."""
-    print("| query | metric | x1 | x3 | x10 |")
-    print("|---|---|---|---|---|")
+    over the prefix-join near-dup graph) across ``scales`` -- wall,
+    total shuffle, and shuffle per iteration.  Rounds are fixed (8), so
+    shuffle/iter ∝ edges is the claim under test at every decade."""
+    head = " | ".join(f"x{s}" for s in scales)
+    print(f"| query | metric | {head} |")
+    print("|---|---|" + "---|" * len(scales))
     cells: dict[str, list] = {"sec": [], "rows": [], "shufW MB": [],
                               "shufW/iter MB": []}
-    for s in (1, 3, 10):
+    for s in scales:
         d = SF01 if s == 1 else generate(s)
         qs["near_dup_pagerank"](spark, d).count()        # warm
         r0, w0 = _shuffle_totals(ui)
@@ -369,7 +485,7 @@ def _probe_incremental_ann(spark, ui) -> None:
 
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
-        ["--window"]):
+        ["--window"], ["--bandskew"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -385,7 +501,13 @@ elif __name__ == "__main__":
     elif mode == "--incremental-ann":
         _probe_incremental_ann(_spark, _ui)
     elif mode == "--iterative":
-        _probe_iterative(_spark, _ui, all_queries())
+        _scales = tuple(int(x) for x in sys.argv[2].split(",")) \
+            if len(sys.argv) > 2 else (1, 3, 10)
+        _probe_iterative(_spark, _ui, all_queries(), scales=_scales)
+    elif mode == "--bandskew":
+        _probe_bandskew(
+            _spark, _ui,
+            scale=int(sys.argv[2]) if len(sys.argv) > 2 else 100)
     else:
         _probe_session(_spark, _ui, all_queries())
     _spark.stop()
