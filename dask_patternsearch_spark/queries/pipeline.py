@@ -129,6 +129,47 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-densification pre-flight (``dedup.audit_band_skew``) over
+    the documents corpus, ORACLE-checked end to end: the md5-portable
+    signature/banding pipeline is replayed in DuckDB and the per-band
+    bucket histogram -- bucket count, max bucket, exact candidate-pair
+    mass Σ k·(k-1)/2, hot-bucket count/mass/share -- must match
+    bit-for-bit (integers + one exact final division).  The
+    ``top_buckets`` detail column is dropped here only because the
+    comparison harness hashes scalar cells; the aggregate columns pin
+    the same histogram."""
+    sigs = dedup.minhash_signatures(_docs(spark, sf_dir))
+    return dedup.audit_band_skew(sigs).drop("top_buckets").withColumn(
+        "hot_mass_share", F.round("hot_mass_share", 6))
+
+
+_BAND_SKEW_SQL = f"""
+WITH {_MINHASH_COMMON},
+sizes AS (
+  SELECT band, bucket, count(*) AS k FROM bands GROUP BY band, bucket
+),
+summary AS (
+  SELECT band,
+         CAST(sum(k) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         CAST(max(k) AS BIGINT) AS max_bucket,
+         CAST(sum(k * (k - 1) // 2) AS BIGINT) AS pair_mass,
+         CAST(sum(CASE WHEN k >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hot_buckets,
+         CAST(sum(CASE WHEN k >= 3 THEN k * (k - 1) // 2 ELSE 0 END)
+              AS BIGINT) AS hot_pair_mass
+  FROM sizes GROUP BY band
+)
+SELECT band, n_docs, n_buckets, max_bucket, pair_mass, n_hot_buckets,
+       hot_pair_mass,
+       round(CASE WHEN pair_mass > 0
+                  THEN CAST(hot_pair_mass AS DOUBLE) / pair_mass END,
+             6) AS hot_mass_share
+FROM summary
+"""
+
+
 def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase ingestion replay of the incremental near-dup path:
     documents with ``doc_id % 5 == 4`` are the freshly ingested batch,
@@ -4306,6 +4347,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
     "minhash_estimate_error": minhash_estimate_error,
+    "band_skew_report": band_skew_report,
     "incremental_minhash_dedup": incremental_minhash_dedup,
     "simhash_near_dups": simhash_near_dups,
     "embedding_near_dups": embedding_near_dups,
@@ -4470,6 +4512,7 @@ ORACLE = {
     "minhash_estimate_error": _MINHASH_ERR_SQL,
     # full-corpus replay restricted to pairs with a new-batch doc: the
     # incremental path must be a lossless restriction of the batch path
+    "band_skew_report": _BAND_SKEW_SQL,
     "incremental_minhash_dedup": _INCR_MINHASH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,
