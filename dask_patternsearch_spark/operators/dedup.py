@@ -1166,6 +1166,22 @@ def incremental_cluster_assign(
         F.col(a_col).cast("long").alias("doc_a"),
         F.col(b_col).cast("long").alias("doc_b"),
     )
+    updated, touched_labels = _incremental_cc_updated(e, persisted_labels)
+    untouched = persisted_labels.join(
+        F.broadcast(touched_labels), "label", "left_anti"
+    )
+    return untouched.unionByName(updated)
+
+
+def _incremental_cc_updated(
+    e: DataFrame, persisted_labels: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core of :func:`incremental_cluster_assign` /
+    :func:`ingest_batch`: CC over the reduced graph (new edges + label
+    stars of touched clusters).  Returns ``(updated, touched_labels)``
+    where ``updated`` holds (node, label) for every node of every
+    touched cluster plus the batch nodes appearing in edges -- exactly
+    the label rows a delta-maintained state table needs to append."""
     touched_nodes = (
         e.select(F.col("doc_a").alias("node"))
         .union(e.select("doc_b"))
@@ -1183,10 +1199,7 @@ def incremental_cluster_assign(
         F.col("node").alias("doc_a"), F.col("label").alias("doc_b")
     )
     updated = connected_components(e.unionByName(label_edges))
-    untouched = persisted_labels.join(
-        F.broadcast(touched_labels), "label", "left_anti"
-    )
-    return untouched.unionByName(updated)
+    return updated, touched_labels
 
 
 def connected_components_star(
@@ -1680,6 +1693,26 @@ def incremental_canonicalize(
     kept_quality, cluster_size)`` -- same schema as
     :func:`cluster_keepers`, covering old ∪ batch.
     """
+    remap = _contracted_remap(new_edges, persisted_labels)
+    repicked = _repick_keepers(new_docs, remap, persisted_keepers, quality_col)
+    untouched = persisted_keepers.join(
+        F.broadcast(remap.withColumnRenamed("node", "cluster")),
+        "cluster",
+        "left_anti",
+    )
+    return untouched.unionByName(repicked)
+
+
+def _contracted_remap(
+    new_edges: DataFrame, persisted_labels: DataFrame
+) -> DataFrame:
+    """Contracted-graph cluster remap (shared by
+    :func:`incremental_canonicalize` / :func:`ingest_batch`): each old
+    edge endpoint replaced by its persisted cluster label, CC over the
+    contracted edges.  Returns (node, label) where node ranges over
+    touched old cluster ids and batch doc ids appearing in edges, and
+    label is the merged cluster's new id (min member id, exactly as a
+    full recompute would assign)."""
     e = new_edges.select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -1712,7 +1745,17 @@ def incremental_canonicalize(
     )
     # remap: (old cluster id | batch doc id) -> merged new label; includes
     # self-loop components, so "touched" is exactly remap's node set
-    remap = connected_components(contracted).localCheckpoint(eager=True)
+    return connected_components(contracted).localCheckpoint(eager=True)
+
+
+def _repick_keepers(
+    new_docs: DataFrame,
+    remap: DataFrame,
+    persisted_keepers: DataFrame,
+    quality_col: str,
+) -> DataFrame:
+    """Keeper re-pick for every cluster the remap touches (shared by
+    :func:`incremental_canonicalize` / :func:`ingest_batch`)."""
     # contenders for every touched cluster: carried old keepers ...
     old_carry = persisted_keepers.join(
         F.broadcast(remap.withColumnRenamed("node", "cluster")), "cluster"
@@ -1761,12 +1804,200 @@ def incremental_canonicalize(
             "cluster_size",
         )
     )
-    untouched = persisted_keepers.join(
-        F.broadcast(remap.withColumnRenamed("node", "cluster")),
-        "cluster",
-        "left_anti",
+    return repicked
+
+
+def _batch_stamp(new_docs: DataFrame):
+    """Content-derived batch stamp: md5 over O(1) id-multiset aggregates
+    (count, crc-sum, min, max).  Deterministic for a given batch, so a
+    crashed-then-retried ingest call recomputes the SAME stamp and is
+    recognized as already applied.  Not cryptographic -- the ledger
+    invariant (distinct batches differ in their id multiset) is what
+    makes it sufficient."""
+    row = new_docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.crc32(F.col("doc_id").cast("string"))).alias("s"),
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+    ).collect()[0]
+    import hashlib
+
+    return hashlib.md5(
+        f"{row['n']}:{row['s']}:{row['lo']}:{row['hi']}".encode()
+    ).hexdigest()
+
+
+def _delta_dirs(state_dir: str) -> tuple[str, str, str]:
+    s = state_dir.rstrip("/")
+    return (f"{s}/signatures.parquet", f"{s}/labels_delta.parquet",
+            f"{s}/keepers_delta.parquet")
+
+
+def init_dedup_state(
+    docs: DataFrame,
+    state_dir: str,
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+    hash_family: str = "md5",
+    quality_col: str = "n_chars",
+) -> None:
+    """Bootstrap the persistent dedup state :func:`ingest_batch`
+    maintains: the stamped MinHash signature table, plus LABEL and
+    KEEPER tables stored as DELTA logs (every row carries
+    ``batch_seq``/``batch_stamp``; readers resolve latest-wins via
+    :func:`load_cluster_state`).  One full-corpus pass -- the only one
+    the lifetime of the state ever pays; every later batch goes through
+    :func:`ingest_batch`."""
+    sig_path, lab_path, keep_path = _delta_dirs(state_dir)
+    stamp = _batch_stamp(docs)
+    cands = minhash_lsh_candidates(
+        docs, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
+        min_est_jaccard=min_est_jaccard, hash_family=hash_family,
+        persist_signatures=sig_path,
+    ).localCheckpoint(eager=True)
+    labels = connected_components(cands)
+    keepers = cluster_keepers(docs, cands, quality_col=quality_col)
+    tag = lambda df: df.withColumn(
+        "batch_seq", F.lit(0).cast("long")
+    ).withColumn("batch_stamp", F.lit(stamp))
+    tag(labels).write.mode("errorifexists").parquet(lab_path)
+    tag(
+        keepers.withColumn("alive", F.lit(True))
+    ).write.mode("errorifexists").parquet(keep_path)
+
+
+def load_cluster_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Resolve the delta logs to current views: ``(labels, keepers)``.
+
+    Labels: latest batch wins per node (one max_by hash aggregate --
+    nodes never disappear, they only change label).  Keepers: latest
+    batch wins per cluster, then tombstones (``alive = false``, written
+    when a merge absorbs a cluster) are dropped.  Duplicate rows from a
+    retried append collapse in the same aggregate (a retry reuses its
+    batch_seq/stamp, so duplicates are exact).  Read cost grows with the
+    number of deltas until compaction (``sources.io.compact_files`` on a
+    re-resolved snapshot) -- the standard LSM posture."""
+    sig_path, lab_path, keep_path = _delta_dirs(state_dir)
+    lab = spark.read.parquet(lab_path)
+    labels = (
+        lab.groupBy("node")
+        .agg(F.max_by("label", "batch_seq").alias("label"))
     )
-    return untouched.unionByName(repicked)
+    keep = spark.read.parquet(keep_path)
+    keepers = (
+        keep.groupBy("cluster")
+        .agg(
+            F.max_by(
+                F.struct("kept_doc_id", "kept_quality", "cluster_size",
+                         "alive"),
+                "batch_seq",
+            ).alias("k")
+        )
+        .filter(F.col("k.alive"))
+        .select(
+            "cluster",
+            F.col("k.kept_doc_id").alias("kept_doc_id"),
+            F.col("k.kept_quality").alias("kept_quality"),
+            F.col("k.cluster_size").alias("cluster_size"),
+        )
+    )
+    return labels, keepers
+
+
+def ingest_batch(
+    new_docs: DataFrame,
+    state_dir: str,
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+    hash_family: str = "md5",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """The 100 TB/day ingestion loop in ONE call: run all three
+    incremental legs against the persisted state and append the deltas
+    -- candidates (:func:`incremental_minhash_candidates`: batch-only
+    shingling, signature append), decisions (label-star CC via
+    :func:`_incremental_cc_updated`: label rows for touched clusters
+    only), and keepers (:func:`_repick_keepers` + tombstones for merged-
+    away clusters).  Returns the batch's annotated candidate pairs.
+
+    State is LSM-shaped: label/keeper updates APPEND delta rows tagged
+    ``(batch_seq, batch_stamp)`` instead of rewriting the corpus-sized
+    tables (an untouched cluster's rows are never written again --
+    per-batch write volume is ∝ the batch and its touched clusters);
+    :func:`load_cluster_state` resolves latest-wins, and periodic
+    compaction of a resolved snapshot bounds read amplification.  A
+    cluster absorbed by a merge gets a TOMBSTONE row (``alive = false``)
+    so it disappears from the resolved keeper view.
+
+    RETRY-IDEMPOTENT end to end: the signature append already filters
+    already-present ids, and the label/keeper appends are guarded by the
+    content-derived ``batch_stamp`` -- re-running a crashed call finds
+    its stamp in the delta log and skips the state writes (the
+    candidates are still recomputed and returned).  Sequential batches
+    compose exactly: after any number of calls the resolved state equals
+    the from-scratch build over the union corpus (property-tested; the
+    registered ``incremental_ingest_keepers`` query is oracle-checked
+    against the full recursive recompute)."""
+    spark = new_docs.sparkSession
+    sig_path, lab_path, keep_path = _delta_dirs(state_dir)
+    stamp = _batch_stamp(new_docs)
+    prior = spark.read.parquet(keep_path).select(
+        "batch_seq", "batch_stamp").distinct().collect()
+    seen = {r["batch_stamp"] for r in prior}
+    already_applied = stamp in seen
+    cands = incremental_minhash_candidates(
+        new_docs, sig_path, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
+        min_est_jaccard=min_est_jaccard, hash_family=hash_family,
+        append=not already_applied,
+    ).localCheckpoint(eager=True)
+    if already_applied:
+        return cands
+    seq = max(r["batch_seq"] for r in prior) + 1
+    labels, keepers = load_cluster_state(spark, state_dir)
+    edges = cands.select("doc_a", "doc_b")
+    tag = lambda df: df.withColumn(
+        "batch_seq", F.lit(seq).cast("long")
+    ).withColumn("batch_stamp", F.lit(stamp))
+    # decisions: label rows for every member of every touched cluster
+    updated, _touched = _incremental_cc_updated(
+        edges.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+        ),
+        labels,
+    )
+    tag(updated).write.mode("append").parquet(lab_path)
+    # keepers: re-picked rows for touched clusters + singleton batch
+    # docs, tombstones for clusters a merge absorbed
+    remap = _contracted_remap(edges, labels)
+    repicked = _repick_keepers(new_docs, remap, keepers, quality_col)
+    # tombstone only clusters that EXIST in the keeper state (a batch doc
+    # absorbed into a cluster also has node != label in the remap, but it
+    # never had a keeper row -- writing junk tombstones for those would
+    # add ∝-batch rows to the log for nothing)
+    absorbed = remap.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("cluster"))
+    tombstones = (
+        keepers.join(F.broadcast(absorbed), "cluster", "left_semi")
+        .select(
+            "cluster",
+            F.lit(None).cast("long").alias("kept_doc_id"),
+            F.lit(None).cast("long").alias("kept_quality"),
+            F.lit(0).cast("long").alias("cluster_size"),
+        )
+    )
+    delta = (
+        repicked.withColumn("alive", F.lit(True))
+        .unionByName(tombstones.withColumn("alive", F.lit(False)))
+    )
+    tag(delta).write.mode("append").parquet(keep_path)
+    return cands
 
 
 def sparse_cosine_pairs(

@@ -129,6 +129,102 @@ SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
 """
 
 
+def incremental_ingest_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE whole incremental ingestion story, orchestrated and
+    oracle-checked end to end: ``dedup.init_dedup_state`` bootstraps the
+    LSM-shaped state (stamped signatures + label/keeper delta logs) over
+    the corpus (``doc_id % 5 < 3``), then TWO sequential
+    ``dedup.ingest_batch`` calls land the remaining docs in separate
+    batches (``% 5 == 3``, then ``% 5 == 4``) -- each call: batch-only
+    shingling, signature append, label-delta append for touched clusters,
+    keeper re-pick + tombstones for merged-away clusters.  The returned
+    resolved keeper view must equal a from-scratch minhash -> CC ->
+    keep-best build over the FULL corpus (the recursive DuckDB oracle),
+    certifying composition across batch boundaries, merge tombstones and
+    latest-wins resolution in one hash-checked result."""
+    import shutil
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dps_ingest_state_")
+    try:
+        dedup.init_dedup_state(
+            docs.filter(F.col("doc_id") % 5 < 3), f"{root}/state")
+        dedup.ingest_batch(
+            docs.filter(F.col("doc_id") % 5 == 3), f"{root}/state")
+        dedup.ingest_batch(
+            docs.filter(F.col("doc_id") % 5 == 4), f"{root}/state")
+        _labels, keepers = dedup.load_cluster_state(spark, f"{root}/state")
+        out = keepers.select(
+            F.col("cluster").alias("cluster_id"),
+            "kept_doc_id",
+            "kept_quality",
+            "cluster_size",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# Full-corpus recompute of the ingest endgame: the md5-portable minhash
+# pipeline (shared CTEs), banded candidates, est >= 0.5 pairs, recursive
+# min-label CC, then one keeper row per cluster (singletons included).
+_INGEST_KEEPERS_SQL = f"""
+WITH RECURSIVE
+{_MINHASH_COMMON},
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+),
+pairs AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a
+              JOIN sig sb ON sb.doc_id = c.doc_b
+  WHERE list_sum(list_transform(range(1, 65),
+          i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 64.0
+        >= 0.5
+),
+bi AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+bis AS MATERIALIZED (
+  SELECT src, dst FROM bi
+  UNION ALL
+  SELECT DISTINCT src, src FROM bi
+),
+cc(node, label, it) AS (
+    SELECT DISTINCT src, src, 0 FROM bi
+  UNION ALL
+    SELECT s.src, min(l.label), min(l.it) + 1
+    FROM cc l JOIN bis s ON s.dst = l.node
+    WHERE l.it < 24
+    GROUP BY s.src
+),
+labeled AS (
+  SELECT d.doc_id,
+         coalesce(l.label, d.doc_id) AS cluster,
+         CAST(d.n_chars AS BIGINT) AS quality
+  FROM documents d
+  LEFT JOIN (SELECT node, label FROM cc WHERE it = 24) l ON l.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster, quality,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY quality DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS cluster_size
+  FROM labeled
+)
+SELECT CAST(cluster AS BIGINT)      AS cluster_id,
+       CAST(doc_id AS BIGINT)      AS kept_doc_id,
+       CAST(quality AS BIGINT)     AS kept_quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
 def band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-densification pre-flight (``dedup.audit_band_skew``) over
     the documents corpus, ORACLE-checked end to end: the md5-portable
@@ -4348,6 +4444,7 @@ QUERIES = {
     "minhash_near_dups": minhash_near_dups,
     "minhash_estimate_error": minhash_estimate_error,
     "band_skew_report": band_skew_report,
+    "incremental_ingest_keepers": incremental_ingest_keepers,
     "incremental_minhash_dedup": incremental_minhash_dedup,
     "simhash_near_dups": simhash_near_dups,
     "embedding_near_dups": embedding_near_dups,
@@ -4513,6 +4610,7 @@ ORACLE = {
     # full-corpus replay restricted to pairs with a new-batch doc: the
     # incremental path must be a lossless restriction of the batch path
     "band_skew_report": _BAND_SKEW_SQL,
+    "incremental_ingest_keepers": _INGEST_KEEPERS_SQL,
     "incremental_minhash_dedup": _INCR_MINHASH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
     "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,

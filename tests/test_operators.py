@@ -2424,3 +2424,107 @@ def test_audit_band_skew_flags_densification(spark):
         r["pair_mass"] for r in a_sparse)
     # diverse corpus: buckets stay near-singleton
     assert max(r["max_bucket"] for r in a_sparse) <= 3
+
+
+def test_ingest_batch_sequential_equals_full_rebuild(spark, docs, tmp_path):
+    """Two sequential ingest_batch calls over an LSM-shaped state must
+    leave the RESOLVED labels and keepers identical to a from-scratch
+    build over the union corpus -- the composition contract of the whole
+    incremental ingestion story (candidates -> decisions -> keepers) in
+    one call, including merges across batch boundaries."""
+    state = str(tmp_path / "state")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    b1 = docs.filter(F.col("doc_id") % 5 == 3)
+    b2 = docs.filter(F.col("doc_id") % 5 == 4)
+    dedup.init_dedup_state(corpus, state)
+    c1 = dedup.ingest_batch(b1, state)
+    assert c1.count() >= 0
+    c2 = dedup.ingest_batch(b2, state)
+    labels, keepers = dedup.load_cluster_state(spark, state)
+    full_pairs = dedup.minhash_lsh_candidates(docs).localCheckpoint(
+        eager=True)
+    want_labels = sorted(
+        (r["node"], r["label"])
+        for r in dedup.connected_components(full_pairs).collect())
+    got_labels = sorted((r["node"], r["label"]) for r in labels.collect())
+    assert got_labels == want_labels
+    want_keepers = sorted(
+        (r["cluster"], r["kept_doc_id"], r["kept_quality"],
+         r["cluster_size"])
+        for r in dedup.cluster_keepers(docs, full_pairs).collect())
+    got_keepers = sorted(
+        (r["cluster"], r["kept_doc_id"], r["kept_quality"],
+         r["cluster_size"])
+        for r in keepers.collect())
+    assert got_keepers == want_keepers
+    # the batch's candidates are exactly the full-corpus pairs touching it
+    b2_ids = {r["doc_id"] for r in b2.select("doc_id").collect()}
+    want_c2 = sorted(
+        (r["doc_a"], r["doc_b"], r["est_jaccard"])
+        for r in full_pairs.collect()
+        if r["doc_a"] in b2_ids or r["doc_b"] in b2_ids)
+    got_c2 = sorted((r["doc_a"], r["doc_b"], r["est_jaccard"])
+                    for r in c2.collect())
+    assert got_c2 == want_c2
+
+    # RETRY: re-running the last call must be a no-op on state (the
+    # content stamp is recognized) and still return the candidates
+    n_lab = spark.read.parquet(f"{state}/labels_delta.parquet").count()
+    n_keep = spark.read.parquet(f"{state}/keepers_delta.parquet").count()
+    c2r = dedup.ingest_batch(b2, state)
+    assert sorted((r["doc_a"], r["doc_b"], r["est_jaccard"])
+                  for r in c2r.collect()) == want_c2
+    assert spark.read.parquet(
+        f"{state}/labels_delta.parquet").count() == n_lab
+    assert spark.read.parquet(
+        f"{state}/keepers_delta.parquet").count() == n_keep
+    got2 = dedup.load_cluster_state(spark, state)
+    assert sorted((r["node"], r["label"])
+                  for r in got2[0].collect()) == want_labels
+
+
+def test_ingest_batch_merge_writes_tombstone(spark, tmp_path):
+    """A batch doc bridging two old clusters must tombstone the absorbed
+    cluster id in the keeper delta log: the resolved view shows ONE
+    merged cluster (summed size, re-picked keeper) and the absorbed id
+    is gone -- while untouched clusters' rows are never rewritten.
+    Fixture is pinned: seed-42 md5 minhash with 1-row bands makes the
+    bridge's band collisions with BOTH old clusters deterministic."""
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        10: "one two three four five six seven eight nine ten",
+        11: "one two three four five six seven eight nine eleven",
+        30: "lorem ipsum dolor sit amet consectetur adipiscing",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars long")
+    cfg = dict(n_bands=64, min_est_jaccard=0.1)
+    state = str(tmp_path / "state_merge")
+    dedup.init_dedup_state(docs, state, **cfg)
+    _, keepers0 = dedup.load_cluster_state(spark, state)
+    assert {r["cluster"]: r["cluster_size"] for r in keepers0.collect()} \
+        == {1: 2, 10: 2, 30: 1}
+    # bridge doc: half cluster-1 tokens, half cluster-10 tokens
+    br = "alpha beta gamma delta epsilon six seven eight nine ten"
+    bridge = spark.createDataFrame(
+        [(100, br, len(br))], "doc_id long, text string, n_chars long")
+    cands = dedup.ingest_batch(bridge, state, **cfg)
+    assert {(r["doc_a"], r["doc_b"]) for r in cands.collect()} == {
+        (1, 100), (2, 100), (10, 100), (11, 100)}
+    labels, keepers = dedup.load_cluster_state(spark, state)
+    got = {r["cluster"]: (r["kept_doc_id"], r["cluster_size"])
+           for r in keepers.collect()}
+    assert set(got) == {1, 30}, "cluster 10 must be absorbed into 1"
+    assert got[1][1] == 5  # 1, 2, 10, 11, 100
+    tomb = spark.read.parquet(
+        f"{state}/keepers_delta.parquet").filter(~F.col("alive"))
+    assert {r["cluster"] for r in tomb.collect()} == {10}
+    lab = {r["node"]: r["label"] for r in labels.collect()}
+    assert lab[10] == 1 and lab[11] == 1 and lab[100] == 1
+    # untouched singleton's delta rows: exactly the genesis row
+    keep_rows = spark.read.parquet(
+        f"{state}/keepers_delta.parquet").filter(F.col("cluster") == 30)
+    assert keep_rows.count() == 1
+    assert got[30] == (30, 1)

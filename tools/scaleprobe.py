@@ -434,6 +434,49 @@ def _probe_incremental(spark, ui) -> None:
               f"{len(got)} pairs / parity OK |")
 
 
+def _probe_ingest(spark, ui) -> None:
+    """End-to-end ingest-loop production shape: ``init_dedup_state`` once
+    per corpus scale (x10 / x30 / x100), then a FIXED 15k-doc
+    ``ingest_batch`` call (all three legs + delta appends).  Claims under
+    test: per-call shuffle tracks the batch, not the corpus, and the
+    delta logs grow by ∝ batch + touched clusters, never a corpus
+    rewrite."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    batch = (spark.read.parquet(os.path.join(generate(3), "documents.parquet"))
+             .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+             .localCheckpoint(eager=True))
+    n_batch = batch.count()
+    print("| corpus | metric | value |")
+    print("|---|---|---|")
+    for s in (10, 30, 100):
+        corpus = spark.read.parquet(
+            os.path.join(generate(s), "documents.parquet"))
+        state = os.path.join(PROBE_ROOT, f"ingest_state_x{s}")
+        shutil.rmtree(state, ignore_errors=True)
+        t0 = time.perf_counter()
+        dedup.init_dedup_state(corpus, state)
+        init_dt = time.perf_counter() - t0
+        lab0 = spark.read.parquet(f"{state}/labels_delta.parquet").count()
+        keep0 = spark.read.parquet(f"{state}/keepers_delta.parquet").count()
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        n_cands = dedup.ingest_batch(batch, state).count()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        lab1 = spark.read.parquet(f"{state}/labels_delta.parquet").count()
+        keep1 = spark.read.parquet(f"{state}/keepers_delta.parquet").count()
+        print(f"| x{s} ({5000*s} docs) | init state once | {init_dt:.1f}s |")
+        print(f"| x{s} ({5000*s} docs) | ingest {n_batch} batch | "
+              f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / {n_cands} cands / "
+              f"+{lab1-lab0} label rows / +{keep1-keep0} keeper rows |")
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -485,7 +528,7 @@ def _probe_incremental_ann(spark, ui) -> None:
 
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
-        ["--window"], ["--bandskew"]):
+        ["--window"], ["--bandskew"], ["--ingest"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -508,6 +551,8 @@ elif __name__ == "__main__":
         _probe_bandskew(
             _spark, _ui,
             scale=int(sys.argv[2]) if len(sys.argv) > 2 else 100)
+    elif mode == "--ingest":
+        _probe_ingest(_spark, _ui)
     else:
         _probe_session(_spark, _ui, all_queries())
     _spark.stop()
