@@ -569,3 +569,43 @@ def test_prefix_join_verify_parallelism_is_pinned(spark):
         assert "Scan parquet" not in txt, (
             "shingle pipeline leaked below the checkpoint barrier"
         )
+
+
+def test_band_skew_audit_partial_aggregates_no_python(spark):
+    """The banding audit must be priceable at corpus scale: bucket sizing
+    is a map-side-combinable hash aggregate (partial agg before the
+    exchange), the whole report stays JVM-side, and the only sort is the
+    hot-bucket ranking window (restricted to the hot filter), never a
+    full bucket-list sort."""
+    from dask_patternsearch_spark.operators import dedup
+    from dask_patternsearch_spark.queries import pipeline as P
+
+    df = P.QUERIES["band_skew_report"](spark, SF_DIR)
+    info = summarize(df)
+    assert info["python_stages"] == 0
+    assert info["partial_aggregates"] >= 1
+
+
+def test_ingest_batch_state_joins_stay_broadcast(spark, tmp_path):
+    """The ingest loop's claim is 'the corpus never enters a shuffle':
+    every join of a batch-derived set against the persisted state must
+    be a broadcast hash join (scan + broadcast, no corpus exchange on
+    the state side).  Checked on the keeper re-pick plan -- the leg that
+    touches both persisted tables."""
+    from pyspark.sql import functions as F2
+
+    from dask_patternsearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    state = str(tmp_path / "plan_state")
+    dedup.init_dedup_state(docs.filter(F2.col("doc_id") % 5 != 4), state)
+    labels, keepers = dedup.load_cluster_state(spark, state)
+    batch = docs.filter(F2.col("doc_id") % 5 == 4)
+    edges = dedup.incremental_minhash_candidates(
+        batch, state + "/signatures.parquet", append=False
+    ).select("doc_a", "doc_b")
+    remap = dedup._contracted_remap(edges, labels)
+    repicked = dedup._repick_keepers(batch, remap, keepers, "n_chars")
+    info = summarize(repicked)
+    assert info["broadcast_hash_joins"] >= 2  # keeper carry + member remap
+    assert info["sort_merge_joins"] == 0
