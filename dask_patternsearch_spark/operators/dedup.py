@@ -1833,6 +1833,28 @@ def _delta_dirs(state_dir: str) -> tuple[str, str, str]:
             f"{s}/keepers_delta.parquet")
 
 
+def _applied_stamps(spark, state_dir: str) -> set:
+    """Every batch stamp this state has applied: the live delta log's
+    stamps plus the sidecar ledger ``_applied_stamps.json`` that
+    :func:`compact_dedup_state` maintains (compaction collapses the log
+    to one generation, but retry protection for pre-compaction batches
+    must survive it)."""
+    import json
+    import os
+
+    _sig, _lab, keep_path = _delta_dirs(state_dir)
+    seen = {
+        r["batch_stamp"]
+        for r in spark.read.parquet(keep_path)
+        .select("batch_stamp").distinct().collect()
+    }
+    sidecar = os.path.join(state_dir.rstrip("/"), "_applied_stamps.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            seen.update(json.load(fh))
+    return seen
+
+
 def init_dedup_state(
     docs: DataFrame,
     state_dir: str,
@@ -1948,9 +1970,8 @@ def ingest_batch(
     sig_path, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = _batch_stamp(new_docs)
     prior = spark.read.parquet(keep_path).select(
-        "batch_seq", "batch_stamp").distinct().collect()
-    seen = {r["batch_stamp"] for r in prior}
-    already_applied = stamp in seen
+        "batch_seq").distinct().collect()
+    already_applied = stamp in _applied_stamps(spark, state_dir)
     cands = incremental_minhash_candidates(
         new_docs, sig_path, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
         min_est_jaccard=min_est_jaccard, hash_family=hash_family,
@@ -1998,6 +2019,72 @@ def ingest_batch(
     )
     tag(delta).write.mode("append").parquet(keep_path)
     return cands
+
+
+def compact_dedup_state(spark, state_dir: str) -> dict:
+    """Collapse the label/keeper DELTA logs to a resolved snapshot -- the
+    periodic maintenance job that bounds :func:`load_cluster_state`'s
+    read amplification after many :func:`ingest_batch` calls (the LSM
+    compaction leg; the signature table needs no compaction -- it is
+    append-only with no superseded rows).
+
+    The resolved views are rewritten as a single batch-0 generation
+    whose ``batch_stamp`` is a fresh compaction marker; tombstoned
+    clusters vanish physically.  Resolution semantics are unchanged:
+    ``load_cluster_state`` before == after (asserted in tests), and
+    RETRY PROTECTION survives: the pre-compaction batch stamps are
+    merged into the ``_applied_stamps.json`` sidecar first, so a
+    pre-compaction batch retried afterwards is still recognized as
+    applied (re-applying it would double-count its docs in cluster
+    sizes).  Safety: each log is rewritten through a sibling temp dir
+    and swapped in by directory renames (same two-phase discipline and
+    maintenance-window caveat as ``sources.io.compact_files``); row
+    groups stay split-friendly via the default writer bounds.
+
+    Returns ``{"labels_rows_before": ..., "labels_rows_after": ...,
+    "keepers_rows_before": ..., "keepers_rows_after": ...}``.
+    """
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.io import write_table
+
+    _sig, lab_path, keep_path = _delta_dirs(state_dir)
+    # persist the applied-stamp set BEFORE touching the logs: if the
+    # compaction dies mid-swap, retry protection must already be durable
+    sidecar = os.path.join(state_dir.rstrip("/"), "_applied_stamps.json")
+    stamps = sorted(_applied_stamps(spark, state_dir))
+    tmp_sidecar = sidecar + ".tmp"
+    with open(tmp_sidecar, "w") as fh:
+        json.dump(stamps, fh)
+    os.replace(tmp_sidecar, sidecar)
+    labels, keepers = load_cluster_state(spark, state_dir)
+    stamp = "compact-" + uuid.uuid4().hex
+    stats = {}
+    for path, df, key in (
+        (lab_path, labels, "labels"),
+        (keep_path, keepers.withColumn("alive", F.lit(True)), "keepers"),
+    ):
+        stats[f"{key}_rows_before"] = spark.read.parquet(path).count()
+        tagged = df.withColumn("batch_seq", F.lit(0).cast("long")).withColumn(
+            "batch_stamp", F.lit(stamp)
+        )
+        tmp, old = path + "__compact_tmp", path + "__compact_old"
+        for leftover in (tmp, old):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        write_table(tagged, tmp)
+        os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except BaseException:
+            os.rename(old, path)
+            raise
+        shutil.rmtree(old)
+        stats[f"{key}_rows_after"] = spark.read.parquet(path).count()
+    return stats
 
 
 def sparse_cosine_pairs(

@@ -2528,3 +2528,43 @@ def test_ingest_batch_merge_writes_tombstone(spark, tmp_path):
         f"{state}/keepers_delta.parquet").filter(F.col("cluster") == 30)
     assert keep_rows.count() == 1
     assert got[30] == (30, 1)
+
+
+def test_compact_dedup_state_preserves_resolution_and_retry(spark, docs,
+                                                            tmp_path):
+    """LSM compaction: collapsing the delta logs to a resolved snapshot
+    must (a) leave load_cluster_state identical, (b) physically shrink
+    the logs (tombstones and superseded generations vanish), (c) keep
+    retry protection for PRE-compaction batches via the stamp sidecar
+    (re-applying one would double-count its docs in cluster sizes), and
+    (d) compose: a post-compaction ingest still equals the full rebuild."""
+    state = str(tmp_path / "state_c")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    b1 = docs.filter(F.col("doc_id") % 5 == 3)
+    b2 = docs.filter(F.col("doc_id") % 5 == 4)
+    dedup.init_dedup_state(corpus, state)
+    dedup.ingest_batch(b1, state)
+    before = {
+        "labels": sorted((r["node"], r["label"]) for r in
+                         dedup.load_cluster_state(spark, state)[0].collect()),
+        "keepers": sorted(tuple(r) for r in
+                          dedup.load_cluster_state(spark, state)[1].collect()),
+    }
+    stats = dedup.compact_dedup_state(spark, state)
+    assert stats["keepers_rows_after"] < stats["keepers_rows_before"]
+    labels_c, keepers_c = dedup.load_cluster_state(spark, state)
+    assert sorted((r["node"], r["label"])
+                  for r in labels_c.collect()) == before["labels"]
+    assert sorted(tuple(r) for r in keepers_c.collect()) == before["keepers"]
+    # (c) retrying the PRE-compaction batch is still a no-op on state
+    n_keep = spark.read.parquet(f"{state}/keepers_delta.parquet").count()
+    dedup.ingest_batch(b1, state)
+    assert spark.read.parquet(
+        f"{state}/keepers_delta.parquet").count() == n_keep
+    # (d) the next real batch composes to the full rebuild
+    dedup.ingest_batch(b2, state)
+    _, keepers = dedup.load_cluster_state(spark, state)
+    full_pairs = dedup.minhash_lsh_candidates(docs)
+    want = sorted(tuple(r) for r in
+                  dedup.cluster_keepers(docs, full_pairs).collect())
+    assert sorted(tuple(r) for r in keepers.collect()) == want
