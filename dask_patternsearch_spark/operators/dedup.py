@@ -1891,25 +1891,16 @@ def init_dedup_state(
     ).write.mode("errorifexists").parquet(keep_path)
 
 
-def load_cluster_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Resolve the delta logs to current views: ``(labels, keepers)``.
+def _resolve_labels(lab: DataFrame) -> DataFrame:
+    """Latest batch wins per node (nodes never disappear, they only
+    change label)."""
+    return lab.groupBy("node").agg(
+        F.max_by("label", "batch_seq").alias("label"))
 
-    Labels: latest batch wins per node (one max_by hash aggregate --
-    nodes never disappear, they only change label).  Keepers: latest
-    batch wins per cluster, then tombstones (``alive = false``, written
-    when a merge absorbs a cluster) are dropped.  Duplicate rows from a
-    retried append collapse in the same aggregate (a retry reuses its
-    batch_seq/stamp, so duplicates are exact).  Read cost grows with the
-    number of deltas until compaction (``sources.io.compact_files`` on a
-    re-resolved snapshot) -- the standard LSM posture."""
-    sig_path, lab_path, keep_path = _delta_dirs(state_dir)
-    lab = spark.read.parquet(lab_path)
-    labels = (
-        lab.groupBy("node")
-        .agg(F.max_by("label", "batch_seq").alias("label"))
-    )
-    keep = spark.read.parquet(keep_path)
-    keepers = (
+
+def _resolve_keepers(keep: DataFrame) -> DataFrame:
+    """Latest batch wins per cluster; tombstones (alive = false) drop."""
+    return (
         keep.groupBy("cluster")
         .agg(
             F.max_by(
@@ -1926,7 +1917,24 @@ def load_cluster_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
             F.col("k.cluster_size").alias("cluster_size"),
         )
     )
-    return labels, keepers
+
+
+def load_cluster_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Resolve the delta logs to current views: ``(labels, keepers)``.
+
+    Labels: latest batch wins per node (one max_by hash aggregate --
+    nodes never disappear, they only change label).  Keepers: latest
+    batch wins per cluster, then tombstones (``alive = false``, written
+    when a merge absorbs a cluster) are dropped.  Duplicate rows from a
+    retried append collapse in the same aggregate (a retry reuses its
+    batch_seq/stamp, so duplicates are exact).  Read cost grows with the
+    number of deltas until compaction (:func:`compact_dedup_state`) --
+    the standard LSM posture."""
+    sig_path, lab_path, keep_path = _delta_dirs(state_dir)
+    return (
+        _resolve_labels(spark.read.parquet(lab_path)),
+        _resolve_keepers(spark.read.parquet(keep_path)),
+    )
 
 
 def ingest_batch(
@@ -1957,20 +1965,34 @@ def ingest_batch(
     cluster absorbed by a merge gets a TOMBSTONE row (``alive = false``)
     so it disappears from the resolved keeper view.
 
-    RETRY-IDEMPOTENT end to end: the signature append already filters
-    already-present ids, and the label/keeper appends are guarded by the
-    content-derived ``batch_stamp`` -- re-running a crashed call finds
-    its stamp in the delta log and skips the state writes (the
-    candidates are still recomputed and returned).  Sequential batches
-    compose exactly: after any number of calls the resolved state equals
-    the from-scratch build over the union corpus (property-tested; the
+    RETRY-IDEMPOTENT end to end, with a COMMIT PROTOCOL for the two
+    delta appends: the signature append already filters already-present
+    ids; the label delta is appended first and the keeper delta LAST --
+    the keeper append is the commit point (its stamps, plus the
+    compaction sidecar, define "applied").  A retry therefore sees one
+    of three states: committed (stamp in the keeper log -> all state
+    writes skipped, candidates recomputed and returned), untouched
+    (fresh apply), or PARTIAL (label rows landed, keepers did not --
+    the crash window between the appends).  The partial case is
+    repaired exactly: the pre-batch label view is reconstructed by
+    filtering the orphaned stamp out of the log (delta rows carry their
+    stamp precisely for this), the keeper delta is recomputed against
+    that view, and the label append is skipped (the orphan rows are
+    deterministic and already correct).  Batch sequence numbers are
+    drawn above the max of BOTH logs, so an unrelated never-retried
+    orphan can never collide with a later batch's generation.
+    Sequential batches compose exactly: after any number of calls the
+    resolved state equals the from-scratch build over the union corpus
+    (property-tested, including a forced partial-crash replay; the
     registered ``incremental_ingest_keepers`` query is oracle-checked
     against the full recursive recompute)."""
     spark = new_docs.sparkSession
     sig_path, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = _batch_stamp(new_docs)
-    prior = spark.read.parquet(keep_path).select(
-        "batch_seq").distinct().collect()
+    lab_gen = spark.read.parquet(lab_path).select(
+        "batch_seq", "batch_stamp").distinct().collect()
+    keep_gen = spark.read.parquet(keep_path).select(
+        "batch_seq", "batch_stamp").distinct().collect()
     already_applied = stamp in _applied_stamps(spark, state_dir)
     cands = incremental_minhash_candidates(
         new_docs, sig_path, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
@@ -1979,21 +2001,29 @@ def ingest_batch(
     ).localCheckpoint(eager=True)
     if already_applied:
         return cands
-    seq = max(r["batch_seq"] for r in prior) + 1
-    labels, keepers = load_cluster_state(spark, state_dir)
+    partial = stamp in {r["batch_stamp"] for r in lab_gen}
+    seq = max(r["batch_seq"] for r in lab_gen + keep_gen) + 1
+    lab_log = spark.read.parquet(lab_path)
+    if partial:
+        # crash window repair: resolve labels WITHOUT the orphaned rows,
+        # so the keeper delta is computed against the pre-batch state
+        lab_log = lab_log.filter(F.col("batch_stamp") != stamp)
+    labels = _resolve_labels(lab_log)
+    keepers = _resolve_keepers(spark.read.parquet(keep_path))
     edges = cands.select("doc_a", "doc_b")
     tag = lambda df: df.withColumn(
         "batch_seq", F.lit(seq).cast("long")
     ).withColumn("batch_stamp", F.lit(stamp))
-    # decisions: label rows for every member of every touched cluster
-    updated, _touched = _incremental_cc_updated(
-        edges.select(
-            F.col("doc_a").cast("long").alias("doc_a"),
-            F.col("doc_b").cast("long").alias("doc_b"),
-        ),
-        labels,
-    )
-    tag(updated).write.mode("append").parquet(lab_path)
+    if not partial:
+        # decisions: label rows for every member of every touched cluster
+        updated, _touched = _incremental_cc_updated(
+            edges.select(
+                F.col("doc_a").cast("long").alias("doc_a"),
+                F.col("doc_b").cast("long").alias("doc_b"),
+            ),
+            labels,
+        )
+        tag(updated).write.mode("append").parquet(lab_path)
     # keepers: re-picked rows for touched clusters + singleton batch
     # docs, tombstones for clusters a merge absorbed
     remap = _contracted_remap(edges, labels)

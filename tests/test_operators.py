@@ -2568,3 +2568,67 @@ def test_compact_dedup_state_preserves_resolution_and_retry(spark, docs,
     want = sorted(tuple(r) for r in
                   dedup.cluster_keepers(docs, full_pairs).collect())
     assert sorted(tuple(r) for r in keepers.collect()) == want
+
+
+def test_ingest_batch_repairs_partial_crash(spark, tmp_path):
+    """The crash window between the two delta appends (label rows landed,
+    keeper rows did not) must be repaired exactly on retry: the keeper
+    delta is recomputed against the PRE-batch label view (orphaned stamp
+    filtered out), so the merged keeper still carries every member and
+    the absorbed cluster still gets its tombstone.  Without the repair,
+    the retry's remap would degenerate against the already-updated
+    labels and silently lose the absorbed cluster's members."""
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        10: "one two three four five six seven eight nine ten",
+        11: "one two three four five six seven eight nine eleven",
+        30: "lorem ipsum dolor sit amet consectetur adipiscing",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in texts.items()],
+        "doc_id long, text string, n_chars long")
+    cfg = dict(n_bands=64, min_est_jaccard=0.1)
+    state = str(tmp_path / "state_crash")
+    dedup.init_dedup_state(docs, state, **cfg)
+    br = "alpha beta gamma delta epsilon six seven eight nine ten"
+    bridge = spark.createDataFrame(
+        [(100, br, len(br))], "doc_id long, text string, n_chars long")
+
+    # stage the PARTIAL state by replaying ingest_batch up to the crash
+    # point: signature append + label-delta append, NO keeper append
+    sig_path = f"{state}/signatures.parquet"
+    lab_path = f"{state}/labels_delta.parquet"
+    keep_path = f"{state}/keepers_delta.parquet"
+    stamp = dedup._batch_stamp(bridge)
+    cands = dedup.incremental_minhash_candidates(
+        bridge, sig_path, n_bands=64, min_est_jaccard=0.1, append=True)
+    labels0, _ = dedup.load_cluster_state(spark, state)
+    updated, _t = dedup._incremental_cc_updated(
+        cands.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b")), labels0)
+    (updated.withColumn("batch_seq", F.lit(1).cast("long"))
+     .withColumn("batch_stamp", F.lit(stamp))
+     .write.mode("append").parquet(lab_path))
+    n_keep = spark.read.parquet(keep_path).count()
+
+    # retry: must detect the partial apply and repair
+    dedup.ingest_batch(bridge, state, **cfg)
+    labels, keepers = dedup.load_cluster_state(spark, state)
+    got = {r["cluster"]: (r["kept_doc_id"], r["cluster_size"])
+           for r in keepers.collect()}
+    assert set(got) == {1, 30}, "absorbed cluster 10 must be tombstoned"
+    assert got[1][1] == 5, "merged keeper must carry ALL five members"
+    tomb = spark.read.parquet(keep_path).filter(~F.col("alive"))
+    assert {r["cluster"] for r in tomb.collect()} == {10}
+    # the orphan label rows were NOT duplicated (label append skipped)
+    lab_stamp_rows = spark.read.parquet(lab_path).filter(
+        F.col("batch_stamp") == stamp)
+    assert lab_stamp_rows.count() == updated.count()
+    # keeper generation landed above the orphan's seq
+    assert spark.read.parquet(keep_path).filter(
+        F.col("batch_stamp") == stamp).agg(
+        F.max("batch_seq")).collect()[0][0] >= 2
+    lab = {r["node"]: r["label"] for r in labels.collect()}
+    assert lab[10] == 1 and lab[11] == 1 and lab[100] == 1
