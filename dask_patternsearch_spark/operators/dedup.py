@@ -1601,8 +1601,9 @@ def canonicalize_near_dups(
 
 def cluster_keepers(
     docs: DataFrame,
-    pairs: DataFrame,
+    pairs: DataFrame | None = None,
     quality_col: str = "n_chars",
+    labels: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster KEEPER table -- the persisted state of the
     canonicalization endgame: one row per duplicate cluster (singletons
@@ -1620,9 +1621,13 @@ def cluster_keepers(
     ``/root/reference/dask_patternsearch/search.py:285-291``).
 
     Scale: one CC over the pair graph plus ONE max_by hash aggregate
-    over (cluster); no window sort, no per-cluster collect.
+    over (cluster); no window sort, no per-cluster collect.  Pass
+    ``labels=`` (a prior :func:`connected_components` output over the
+    same pairs) to skip the CC fixpoint entirely -- the state bootstrap
+    path computes labels once and derives keepers from them.
     """
-    labels = connected_components(pairs)
+    if labels is None:
+        labels = connected_components(pairs)
     labeled = docs.join(
         labels.select(F.col("node").alias("doc_id"), "label"),
         "doc_id",
@@ -1880,8 +1885,10 @@ def init_dedup_state(
         min_est_jaccard=min_est_jaccard, hash_family=hash_family,
         persist_signatures=sig_path,
     ).localCheckpoint(eager=True)
-    labels = connected_components(cands)
-    keepers = cluster_keepers(docs, cands, quality_col=quality_col)
+    # compute the CC fixpoint ONCE and derive keepers from it (pin: both
+    # writes below consume it)
+    labels = connected_components(cands).localCheckpoint(eager=True)
+    keepers = cluster_keepers(docs, quality_col=quality_col, labels=labels)
     tag = lambda df: df.withColumn(
         "batch_seq", F.lit(0).cast("long")
     ).withColumn("batch_stamp", F.lit(stamp))
@@ -2008,8 +2015,13 @@ def ingest_batch(
         # crash window repair: resolve labels WITHOUT the orphaned rows,
         # so the keeper delta is computed against the pre-batch state
         lab_log = lab_log.filter(F.col("batch_stamp") != stamp)
-    labels = _resolve_labels(lab_log)
-    keepers = _resolve_keepers(spark.read.parquet(keep_path))
+    # pin the resolved views: each is referenced by several joins below,
+    # and without this the log scan + max_by aggregate re-runs per
+    # reference (the views are ∝ corpus but flat -- the same
+    # materialization a production job would pay once per batch)
+    labels = _resolve_labels(lab_log).localCheckpoint(eager=False)
+    keepers = _resolve_keepers(
+        spark.read.parquet(keep_path)).localCheckpoint(eager=False)
     edges = cands.select("doc_a", "doc_b")
     tag = lambda df: df.withColumn(
         "batch_seq", F.lit(seq).cast("long")

@@ -1674,9 +1674,12 @@ def incremental_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("doc_a", "doc_b").localCheckpoint(eager=True)
         dedup.connected_components(old_pairs).write.parquet(
             f"{root}/labels.parquet")
-        dedup.cluster_keepers(old_docs, old_pairs).write.parquet(
-            f"{root}/keepers.parquet")
         old_labels = spark.read.parquet(f"{root}/labels.parquet")
+        # derive keepers from the persisted labels: one CC fixpoint for
+        # phase 1, not two
+        dedup.cluster_keepers(
+            old_docs, labels=old_labels).write.parquet(
+            f"{root}/keepers.parquet")
         old_keepers = spark.read.parquet(f"{root}/keepers.parquet")
         new_new = dedup.jaccard_prefix_pairs(
             new_docs, n=3, threshold=0.8).select("doc_a", "doc_b")
