@@ -864,13 +864,18 @@ def write_ivf_layout(
         )
         cents = _train_kmeans(sample, n_cells, seed)
 
+    from ..sources.io import DEFAULT_MAX_GROUP_BYTES, DEFAULT_MAX_GROUP_ROWS
+
     (
         emb.withColumn("cell", _cell_assigner(cents)("embedding"))
         # co-locate each cell before the partitioned write: one writer per
         # cell -> one file per cell directory, not tasks x cells shards
-        # (ANN probes open whole cells, so fewer bigger files win)
+        # (ANN probes open whole cells, so fewer bigger files win -- but
+        # bounded row groups keep each file's DECODE splittable)
         .repartition("cell")
         .write.mode("overwrite")
+        .option("parquet.block.size", DEFAULT_MAX_GROUP_BYTES)
+        .option("parquet.block.row.count.limit", DEFAULT_MAX_GROUP_ROWS)
         .partitionBy("cell")
         .parquet(path)
     )
@@ -943,7 +948,15 @@ def append_ivf_layout(new_emb: DataFrame, path: str) -> int:
         # partial-retry case is rare -- re-pin so the returned count
         # cannot re-execute the anti-join after the append
         to_write = to_write.localCheckpoint(eager=True)
-    to_write.write.mode("append").partitionBy("cell").parquet(path)
+    from ..sources.io import DEFAULT_MAX_GROUP_BYTES, DEFAULT_MAX_GROUP_ROWS
+
+    (
+        to_write.write.mode("append")
+        .option("parquet.block.size", DEFAULT_MAX_GROUP_BYTES)
+        .option("parquet.block.row.count.limit", DEFAULT_MAX_GROUP_ROWS)
+        .partitionBy("cell")
+        .parquet(path)
+    )
     return to_write.count()
 
 
@@ -988,3 +1001,105 @@ def ivf_layout_topk(
         .distinct()
     )
     return _rank_topk(scored, k)
+
+
+def audit_ivf_balance(spark, path: str) -> DataFrame:
+    """Pre-flight IVF layout audit: per-cell row/file/byte counts from
+    parquet FOOTERS (metadata-only, no vector data read) -- the
+    compaction trigger for the incremental ANN path.  Appends
+    (:func:`append_ivf_layout`) assign new vectors to FROZEN centroids,
+    so a drifting embedding distribution concentrates rows into a few
+    cells; a hot cell breaks the probe-cost contract (a probe reads
+    ~n_probe/n_cells of the data only while cells are balanced).
+
+    Returns one row per cell: ``(cell, n_rows, n_files, bytes, share,
+    skew)`` where ``share`` is the cell's fraction of all rows and
+    ``skew = share * n_cells`` (1.0 = perfectly balanced; the hottest
+    cell's skew is the factor by which a probe of that cell exceeds its
+    balanced-layout budget).  When max skew grows past the probe
+    budget's tolerance, run :func:`rebuild_ivf_layout`.
+    """
+    import pyarrow.fs as pafs
+    import pyarrow.parquet as pq
+
+    p = path.rstrip("/")
+    try:
+        fs, fs_path = pafs.FileSystem.from_uri(p)
+    except ValueError:
+        fs, fs_path = pafs.LocalFileSystem(), p
+    listing = fs.get_file_info(pafs.FileSelector(fs_path, recursive=True))
+    per_cell: dict[int, list] = {}
+    for fi in listing:
+        if not (fi.is_file and fi.base_name.endswith(".parquet")
+                and not fi.base_name.startswith(("_", "."))):
+            continue
+        rel = fi.path[len(fs_path):]
+        cell = None
+        for part in rel.split("/"):
+            if part.startswith("cell="):
+                cell = int(part[5:])
+                break
+        if cell is None:
+            continue
+        with fs.open_input_file(fi.path) as fh:
+            n_rows = pq.ParquetFile(fh).metadata.num_rows
+        agg = per_cell.setdefault(cell, [0, 0, 0])
+        agg[0] += n_rows
+        agg[1] += 1
+        agg[2] += fi.size
+    total = sum(v[0] for v in per_cell.values()) or 1
+    n_cells = len(per_cell) or 1
+    rows = [
+        (cell, v[0], v[1], v[2], v[0] / total, v[0] / total * n_cells)
+        for cell, v in sorted(per_cell.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cell int, n_rows long, n_files int, bytes long, "
+        "share double, skew double",
+    )
+
+
+def rebuild_ivf_layout(
+    spark,
+    path: str,
+    n_cells: int = 16,
+    seed: int = 7,
+    sample_size: int = 2048,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Periodic IVF compaction/rebalance: re-train the centroids on the
+    CURRENT vector distribution (which appends have drifted away from
+    the frozen build-time centroids) and rewrite the layout in place --
+    the maintenance job :func:`audit_ivf_balance` triggers, costing one
+    assignment pass + one partitioned write exactly like the original
+    build, never per-ingest.
+
+    The rewrite is two-phase (sibling temp dir + directory renames, same
+    discipline and maintenance-window caveat as
+    ``sources.io.compact_files``), so readers never observe a
+    half-rewritten layout and the original survives a mid-job failure.
+    The vector set is preserved exactly (same rows, new cell
+    assignment); probes pick up the new geometry through the rewritten
+    ``_centroids.parquet`` with zero code changes.  Returns the new
+    centroid matrix.
+    """
+    import os
+    import shutil
+
+    p = path.rstrip("/")
+    vecs = spark.read.parquet(p).drop("cell").localCheckpoint(eager=True)
+    tmp, old = p + "__rebuild_tmp", p + "__rebuild_old"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            shutil.rmtree(leftover)
+    cents = write_ivf_layout(vecs, tmp, n_cells=n_cells, seed=seed,
+                             sample_size=sample_size, centroids=centroids)
+    os.rename(p, old)
+    try:
+        os.rename(tmp, p)
+    except BaseException:
+        os.rename(old, p)
+        raise
+    shutil.rmtree(old)
+    return cents

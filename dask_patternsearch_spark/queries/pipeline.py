@@ -3894,6 +3894,70 @@ SELECT query_id, neighbor_id, cosine_sim FROM ranked WHERE rn <= 5
 """
 
 
+def ivf_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN compaction-trigger audit, ORACLE-checked: the embeddings table
+    is written as the seeded-centroid IVF layout (same deterministic
+    Voronoi geometry as ``ivf_layout_topk_embeddings``), then
+    ``similarity.audit_ivf_balance`` reads the per-cell row counts from
+    parquet FOOTERS only.  DuckDB replays the assignment relationally
+    and must agree on every cell's count, share and skew -- certifying
+    that the metadata-only audit reports exactly the distribution the
+    data holds.  The file/byte columns are layout-dependent (writer
+    parallelism) and are projected away here."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from ..operators.similarity import audit_ivf_balance, write_ivf_layout
+
+    emb = _emb(spark, sf_dir)
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < 16).select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = np.stack([np.asarray(r["embedding"], dtype=float) for r in cent_rows])
+    path = tempfile.mkdtemp(prefix="dps_ivf_balance_")
+    try:
+        write_ivf_layout(emb, path, centroids=cents)
+        rows = audit_ivf_balance(spark, path).select(
+            "cell",
+            "n_rows",
+            F.round("share", 6).alias("share"),
+            F.round("skew", 6).alias("skew"),
+        ).collect()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "cell int, n_rows long, share double, skew double"
+    )
+
+
+_IVF_BALANCE_SQL = """
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 16
+),
+assign AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY -2 * list_inner_product(CAST(e.embedding AS DOUBLE[]), c.cv)
+                      + list_inner_product(c.cv, c.cv) ASC, c.cell ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+counts AS (SELECT cell, count(*) AS n_rows FROM assign GROUP BY cell),
+tot AS (SELECT sum(n_rows) AS t, count(*) AS nc FROM counts)
+SELECT CAST(c.cell AS INTEGER) AS cell,
+       CAST(c.n_rows AS BIGINT) AS n_rows,
+       round(CAST(c.n_rows AS DOUBLE) / t.t, 6) AS share,
+       round(CAST(c.n_rows AS DOUBLE) / t.t * t.nc, 6) AS skew
+FROM counts c, tot t
+"""
+
+
 def incremental_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase ingestion replay of the incremental ANN path: vectors
     with ``vec_id % 5 == 4`` are the freshly ingested batch.  Phase 1
@@ -4508,6 +4572,7 @@ QUERIES = {
     "zscore_extreme_docs": zscore_extreme_docs,
     "rrf_hybrid_search": rrf_hybrid_search,
     "multimodal_metadata": multimodal_metadata,
+    "ivf_balance_report": ivf_balance_report,
     "ivf_layout_topk_embeddings": ivf_layout_topk_embeddings,
     "incremental_ivf_topk_embeddings": incremental_ivf_topk_embeddings,
     "ccnet_perplexity_buckets": ccnet_perplexity_buckets,
@@ -4573,6 +4638,7 @@ ORACLE = {
     # incremental maintenance must equal the from-scratch re-cluster
     "incremental_canonicalize": _INCR_CANONICALIZE_SQL,
     "incremental_neardup_clusters": _NEARDUP_CLUSTERS_SQL,
+    "ivf_balance_report": _IVF_BALANCE_SQL,
     "ivf_layout_topk_embeddings": _IVF_LAYOUT_SQL,
     # append-to-layout must equal build-from-union with the same seeds
     "incremental_ivf_topk_embeddings": _IVF_INCR_SQL,

@@ -2632,3 +2632,49 @@ def test_ingest_batch_repairs_partial_crash(spark, tmp_path):
         F.max("batch_seq")).collect()[0][0] >= 2
     lab = {r["node"]: r["label"] for r in labels.collect()}
     assert lab[10] == 1 and lab[11] == 1 and lab[100] == 1
+
+
+def test_audit_ivf_balance_detects_drift_and_rebuild_fixes(spark, tmp_path):
+    """The ANN compaction trigger + the compaction job: appends against
+    FROZEN centroids concentrate a drifted distribution into one cell
+    (audit shows the hot-cell skew); rebuild_ivf_layout re-trains on the
+    current distribution and rewrites in place -- vec set preserved
+    exactly, skew collapsed, probes work against the new geometry."""
+    import os
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>")
+    p = str(tmp_path / "ivf_drift")
+    similarity.write_ivf_layout(emb, p, n_cells=8, sample_size=120)
+    a0 = similarity.audit_ivf_balance(spark, p).collect()
+    assert sum(r["n_rows"] for r in a0) == 120
+    # drifted batch: 200 vectors in a tight far-away blob -> one cell
+    drift = rng.standard_normal((200, 8)) * 0.05 + 25.0
+    newv = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in v]) for i, v in enumerate(drift)],
+        "vec_id long, embedding array<double>")
+    similarity.append_ivf_layout(newv, p)
+    a1 = similarity.audit_ivf_balance(spark, p).collect()
+    hot = max(a1, key=lambda r: r["skew"])
+    assert hot["n_rows"] >= 200          # the whole blob in one cell
+    assert hot["skew"] > 3.0             # audit fires
+    before_ids = {r["vec_id"] for r in
+                  spark.read.parquet(p).select("vec_id").collect()}
+    similarity.rebuild_ivf_layout(spark, p, n_cells=8, sample_size=320)
+    a2 = similarity.audit_ivf_balance(spark, p).collect()
+    assert max(r["skew"] for r in a2) < hot["skew"]
+    after_ids = {r["vec_id"] for r in
+                 spark.read.parquet(p).select("vec_id").collect()}
+    assert after_ids == before_ids       # rewrite preserves the vector set
+    assert not os.path.exists(p + "__rebuild_tmp")
+    assert not os.path.exists(p + "__rebuild_old")
+    # probes pick up the new geometry: a drifted query finds drifted
+    # neighbors through the rewritten centroid table
+    q = spark.createDataFrame(
+        [(1000, [25.0] * 8)], "query_id long, qv array<double>")
+    res = similarity.ivf_layout_topk(spark, p, q, k=5, n_probe=2).collect()
+    assert len(res) == 5
+    assert all(r["neighbor_id"] >= 1000 for r in res)
