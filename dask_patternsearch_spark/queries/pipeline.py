@@ -225,6 +225,63 @@ FROM ranked WHERE rn = 1
 """
 
 
+def streaming_ingest_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingestion loop as a STREAM, hash-checked against the SAME
+    full-recompute oracle as the batch path: ``init_dedup_state`` over
+    the corpus (``doc_id % 5 < 3``), then the remaining documents arrive
+    as a file-source stream (two files, ``maxFilesPerTrigger=1`` -> two
+    micro-batches) drained through
+    ``streaming.dedup.ingest_keepers_stream`` (foreachBatch ->
+    ``ingest_batch``).  Because sequential ingest calls compose to the
+    from-scratch build regardless of batch boundaries, the resolved
+    keeper view after the drain equals the batch path's -- micro-batch
+    split and all -- so the streaming leg gets a full value-hash oracle,
+    not a rows-only check.  Restart idempotence (re-drain over the same
+    files is a state no-op) is property-tested in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    import time as timemod
+
+    from ..streaming import dedup as sdedup
+
+    docs = _docs(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="dps_stream_ingest_")
+    try:
+        state = f"{root}/state"
+        dedup.init_dedup_state(docs.filter(F.col("doc_id") % 5 < 3), state)
+        staged = f"{root}/staged"
+        docs.filter(F.col("doc_id") % 5 == 3).coalesce(1).write.parquet(staged)
+        a_parts = sorted(
+            f for f in os.listdir(staged) if f.startswith("part-"))
+        docs.filter(F.col("doc_id") % 5 == 4).coalesce(1).write.mode(
+            "append").parquet(staged)
+        b_parts = sorted(
+            set(f for f in os.listdir(staged) if f.startswith("part-"))
+            - set(a_parts))
+        now = timemod.time()
+        for i, name in enumerate(a_parts + b_parts):
+            os.utime(os.path.join(staged, name), (now + i, now + i))
+        s2 = _stream_session(spark)
+        stream = sdedup.read_docs_stream(s2, staged, max_files_per_trigger=1)
+        sdedup.ingest_keepers_stream(stream, state, f"{root}/ckpt")
+        _labels, keepers = dedup.load_cluster_state(s2, state)
+        rows = keepers.select(
+            F.col("cluster").alias("cluster_id"),
+            "kept_doc_id",
+            "kept_quality",
+            "cluster_size",
+        ).collect()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "cluster_id long, kept_doc_id long, kept_quality long, "
+        "cluster_size long",
+    )
+
+
 def band_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banding-densification pre-flight (``dedup.audit_band_skew``) over
     the documents corpus, ORACLE-checked end to end: the md5-portable
@@ -4503,6 +4560,7 @@ QUERIES = {
     "compression_quality": compression_quality,
     "trigram_redundancy": trigram_redundancy,
     "canonicalize_corpus": canonicalize_corpus,
+    "streaming_ingest_keepers": streaming_ingest_keepers,
     "streaming_neardup_dedup": streaming_neardup_dedup,
     "streaming_kmv_users": streaming_kmv_users,
     "unigram_logprob_scores": unigram_logprob_scores,
@@ -4682,6 +4740,7 @@ ORACLE = {
     "incremental_ingest_keepers": _INGEST_KEEPERS_SQL,
     "incremental_minhash_dedup": _INCR_MINHASH_SQL,
     "simhash_near_dups": _SIMHASH_SQL,
+    "streaming_ingest_keepers": _INGEST_KEEPERS_SQL,
     "streaming_neardup_dedup": _STREAMING_NEARDUP_SQL,
     # associative merge => the streamed ledger equals the batch sketch
     "streaming_kmv_users": _relational_kmv_sql(),

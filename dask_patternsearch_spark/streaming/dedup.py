@@ -122,3 +122,47 @@ def read_docs_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(docs_dir)
+
+
+def ingest_keepers_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    checkpoint_path: str,
+    **ingest_kwargs,
+) -> None:
+    """Continuous corpus ingestion as a STREAM: every micro-batch of
+    documents runs the full incremental loop
+    (``operators.dedup.ingest_batch``: batch-only shingling + signature
+    append, label-delta append for touched clusters, keeper re-pick +
+    merge tombstones) against the persistent state directory -- the
+    foreachBatch posture a production 100 TB/day feed uses, with the
+    micro-batch as the ingest unit.
+
+    EXACTLY-ONCE composition for free: ``ingest_batch``'s content-derived
+    batch stamps make a REPLAYED micro-batch (restart after a sink-side
+    failure, a rewound checkpoint, even a fresh checkpoint over the same
+    files) a state no-op, so the stream needs no transactional sink --
+    the idempotence lives in the state protocol, not the checkpoint.
+    And because sequential ``ingest_batch`` calls compose to the
+    from-scratch build regardless of how documents are SPLIT into
+    batches, the drained stream's resolved state is independent of
+    micro-batch boundaries -- which is what makes the registered
+    ``streaming_ingest_keepers`` query hash-checkable against the same
+    full-recompute oracle as the batch path.
+
+    Drains to completion (availableNow trigger).
+    """
+    from ..operators import dedup as bdedup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bdedup.ingest_batch(batch_df, state_dir, **ingest_kwargs)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -684,3 +684,56 @@ def test_streaming_kmv_ledger_matches_batch_sketch(spark, scratch_dir):
         for r in sketches.kmv_sketch(ev, "user_id", ["event_type"]).collect()
     }
     assert got == want
+
+
+def test_streaming_ingest_restart_is_state_noop(spark, scratch_dir):
+    """Replaying the ingest stream over the SAME files -- even with a
+    FRESH checkpoint, the case a checkpoint loss forces -- must not
+    change the state: exactly-once composition lives in ingest_batch's
+    content-derived stamps, not in the streaming checkpoint.  And the
+    drained stream's resolved state equals the batch path's (micro-batch
+    boundaries don't matter)."""
+    import time as timemod
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    state = os.path.join(scratch_dir, "ing_state")
+    bdedup.init_dedup_state(docs.filter(F.col("doc_id") % 5 < 3), state)
+    staged = os.path.join(scratch_dir, "ing_staged")
+    docs.filter(F.col("doc_id") % 5 == 3).coalesce(1).write.parquet(staged)
+    a = sorted(f for f in os.listdir(staged) if f.startswith("part-"))
+    docs.filter(F.col("doc_id") % 5 == 4).coalesce(1).write.mode(
+        "append").parquet(staged)
+    b = sorted(set(f for f in os.listdir(staged) if f.startswith("part-"))
+               - set(a))
+    now = timemod.time()
+    for i, name in enumerate(a + b):
+        os.utime(os.path.join(staged, name), (now + i, now + i))
+
+    stream = sdedup.read_docs_stream(spark, staged, max_files_per_trigger=1)
+    sdedup.ingest_keepers_stream(
+        stream, state, os.path.join(scratch_dir, "ing_ckpt1"))
+    keepers_once = sorted(
+        tuple(r) for r in bdedup.load_cluster_state(spark, state)[1].collect())
+    n_keep = spark.read.parquet(f"{state}/keepers_delta.parquet").count()
+    n_sig = spark.read.parquet(f"{state}/signatures.parquet").count()
+
+    # batch-boundary independence: equals the one-call batch path
+    full_pairs = bdedup.minhash_lsh_candidates(docs)
+    want = sorted(
+        tuple(r)
+        for r in bdedup.cluster_keepers(docs, full_pairs).collect())
+    assert keepers_once == want
+
+    # full re-drain with a FRESH checkpoint over the same files
+    stream2 = sdedup.read_docs_stream(spark, staged, max_files_per_trigger=1)
+    sdedup.ingest_keepers_stream(
+        stream2, state, os.path.join(scratch_dir, "ing_ckpt2"))
+    assert sorted(
+        tuple(r) for r in bdedup.load_cluster_state(spark, state)[1].collect()
+    ) == keepers_once
+    assert spark.read.parquet(
+        f"{state}/keepers_delta.parquet").count() == n_keep
+    assert spark.read.parquet(f"{state}/signatures.parquet").count() == n_sig
