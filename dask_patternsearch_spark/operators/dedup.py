@@ -1962,6 +1962,11 @@ def ingest_batch(
     :func:`_incremental_cc_updated`: label rows for touched clusters
     only), and keepers (:func:`_repick_keepers` + tombstones for merged-
     away clusters).  Returns the batch's annotated candidate pairs.
+    Reference analogs: the memo ledger never re-evaluates a known point
+    (``/root/reference/dask_patternsearch/search.py:285-291``) and the
+    results dict is the durable state the loop resumes from
+    (``search.py:48-63``) -- here generalized to a multi-table LSM state
+    with an explicit commit protocol.
 
     State is LSM-shaped: label/keeper updates APPEND delta rows tagged
     ``(batch_seq, batch_stamp)`` instead of rewriting the corpus-sized

@@ -2678,3 +2678,37 @@ def test_audit_ivf_balance_detects_drift_and_rebuild_fixes(spark, tmp_path):
     res = similarity.ivf_layout_topk(spark, p, q, k=5, n_probe=2).collect()
     assert len(res) == 5
     assert all(r["neighbor_id"] >= 1000 for r in res)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ingest_batch_random_split_composition(spark, tmp_path, seed):
+    """Randomized-corpora sweep of the orchestrator's composition
+    contract: for ANY corpus/batch/batch split, init + sequential
+    ingest_batch calls leave the resolved labels AND keepers equal to the
+    from-scratch build over the union -- small vocab + planted copies
+    force real band collisions (and cross-batch merges) at every seed."""
+    rng = np.random.default_rng(100 + seed)
+    vocab = np.array([f"w{i}" for i in range(10)])
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(6, 16))))
+             for _ in range(54)]
+    for i in range(0, 54, 5):          # planted exact copies
+        texts[(i + 3) % 54] = texts[i]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, n_chars long")
+    part = (F.crc32(F.col("doc_id").cast("string")) + F.lit(seed)) % 3
+    state = str(tmp_path / f"state_{seed}")
+    dedup.init_dedup_state(docs.filter(part == 0), state)
+    dedup.ingest_batch(docs.filter(part == 1), state)
+    dedup.ingest_batch(docs.filter(part == 2), state)
+    labels, keepers = dedup.load_cluster_state(spark, state)
+    full_pairs = dedup.minhash_lsh_candidates(docs).localCheckpoint(
+        eager=True)
+    assert sorted((r["node"], r["label"]) for r in labels.collect()) == \
+        sorted((r["node"], r["label"]) for r in
+               dedup.connected_components(full_pairs).collect())
+    got = sorted(tuple(r) for r in keepers.collect())
+    want = sorted(tuple(r) for r in
+                  dedup.cluster_keepers(docs, full_pairs).collect())
+    assert got == want
+    assert any(t[3] > 1 for t in want), "fixture must form clusters"
