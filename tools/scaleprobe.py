@@ -477,6 +477,66 @@ def _probe_ingest(spark, ui) -> None:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _probe_compaction(spark, ui, scale: int = 30, n_batches: int = 6) -> None:
+    """LSM read-amplification curve: after each of ``n_batches``
+    sequential 3k-doc ingests, time a full state resolution
+    (``load_cluster_state`` + count of both views) and record the delta
+    logs' row counts; then ``compact_dedup_state`` and measure again.
+    Claim under test: resolution cost grows with the number of delta
+    generations and compaction resets it (tombstones vanish, one
+    generation remains) with resolution-identical views."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    d = generate(scale)
+    docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
+    state = os.path.join(PROBE_ROOT, f"compact_state_x{scale}")
+    shutil.rmtree(state, ignore_errors=True)
+    dedup.init_dedup_state(docs.filter(F.col("doc_id") % 2 == 0), state)
+
+    def resolve_time() -> tuple[float, int, int]:
+        t0 = time.perf_counter()
+        labels, keepers = dedup.load_cluster_state(spark, state)
+        nl, nk = labels.count(), keepers.count()
+        return time.perf_counter() - t0, nl, nk
+
+    print("| point | resolve sec | label-log rows | keeper-log rows "
+          "| resolved labels | resolved keepers |")
+    print("|---|---|---|---|---|---|")
+
+    def log_sizes() -> tuple[int, int]:
+        return (spark.read.parquet(f"{state}/labels_delta.parquet").count(),
+                spark.read.parquet(f"{state}/keepers_delta.parquet").count())
+
+    dt, nl, nk = resolve_time()
+    ll, kl = log_sizes()
+    print(f"| after init | {dt:.2f} | {ll} | {kl} | {nl} | {nk} |")
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    for b in range(n_batches):
+        batch = odd.filter(
+            (F.col("doc_id") / 2).cast("long") % n_batches == b)
+        dedup.ingest_batch(batch, state)
+        dt, nl, nk = resolve_time()
+        ll, kl = log_sizes()
+        print(f"| after batch {b + 1} | {dt:.2f} | {ll} | {kl} | {nl} | {nk} |")
+    pre_labels, pre_keepers = dedup.load_cluster_state(spark, state)
+    pre = (sorted(tuple(r) for r in pre_labels.collect()),
+           sorted(tuple(r) for r in pre_keepers.collect()))
+    stats = dedup.compact_dedup_state(spark, state)
+    dt, nl, nk = resolve_time()
+    ll, kl = log_sizes()
+    print(f"| after compaction | {dt:.2f} | {ll} | {kl} | {nl} | {nk} |")
+    post_labels, post_keepers = dedup.load_cluster_state(spark, state)
+    assert (sorted(tuple(r) for r in post_labels.collect()),
+            sorted(tuple(r) for r in post_keepers.collect())) == pre, \
+        "compaction changed resolution"
+    print(f"# compaction stats: {stats}", file=sys.stderr)
+    shutil.rmtree(state, ignore_errors=True)
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -528,7 +588,7 @@ def _probe_incremental_ann(spark, ui) -> None:
 
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
-        ["--window"], ["--bandskew"], ["--ingest"]):
+        ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -553,6 +613,8 @@ elif __name__ == "__main__":
             scale=int(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif mode == "--ingest":
         _probe_ingest(_spark, _ui)
+    elif mode == "--compaction":
+        _probe_compaction(_spark, _ui)
     else:
         _probe_session(_spark, _ui, all_queries())
     _spark.stop()
