@@ -246,37 +246,35 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+    # The stdout line must stay COMPACT: the driver tail-captures stdout
+    # and an inline spread+ambient dict doubled the line past its capture
+    # window in round 9 ("parsed": null -- same failure class as the
+    # round-2 inline sweep dict).  Headline medians only go to stdout; all
+    # attribution telemetry (per-query [min,max] spread, the fixed-cost
+    # ambient probes, loadavg) lives in BENCH_sweep.json alongside the
+    # per-entry sweep detail.
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        # ambient-attribution telemetry (BASELINE.md "two bench series"):
-        # spread = per-headline-query [min, max] of the timed runs;
-        # ambient.probe_*_sec = a fixed-cost codegen-only probe timed at
-        # start/mid/end -- code changes cannot move it, ambient load does,
-        # so "ambient vs code" is decidable from this record alone
-        "spread": spread,
-        "ambient": ambient,
         "tasks_to_converge": convergence,
         "sf": sf_val,
     }
     if sweep:
         payload["sweep_queries"] = len(sweep)
         payload["sweep_seconds"] = round(sum(sweep.values()), 3)
-        # per-query sweep detail goes to a side file, NOT the stdout JSON
-        # line: the driver tail-captures stdout and a 172-entry inline dict
-        # overflowed its window in round 2 ("parsed": null), losing the
-        # headline number entirely.  The final stdout line stays compact.
-        sweep_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json")
-        with open(sweep_path, "w") as fh:
-            json.dump({"sf": sf_val,
-                       "runs": int(os.environ.get(
-                           "SPARK_GRAFT_BENCH_SWEEP_RUNS", "3")),
-                       "sweep": sweep,
-                       "spread": sweep_spread}, fh, indent=1)
-        print(f"# full sweep detail -> {sweep_path}", file=sys.stderr)
+    sweep_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json")
+    with open(sweep_path, "w") as fh:
+        json.dump({"sf": sf_val,
+                   "runs": int(os.environ.get(
+                       "SPARK_GRAFT_BENCH_SWEEP_RUNS", "3")),
+                   "headline_spread": spread,
+                   "ambient": ambient,
+                   "sweep": sweep,
+                   "spread": sweep_spread}, fh, indent=1)
+    print(f"# telemetry + sweep detail -> {sweep_path}", file=sys.stderr)
     print(json.dumps(payload))
     spark.stop()
 

@@ -1813,22 +1813,29 @@ def _repick_keepers(
 
 
 def _batch_stamp(new_docs: DataFrame):
-    """Content-derived batch stamp: md5 over O(1) id-multiset aggregates
-    (count, crc-sum, min, max).  Deterministic for a given batch, so a
+    """Content-derived batch stamp: md5 over an ORDER-INDEPENDENT hash of
+    the id multiset -- count, the two 64-bit halves of md5(doc_id) summed
+    as decimal(38,0), min, max.  Deterministic for a given batch, so a
     crashed-then-retried ingest call recomputes the SAME stamp and is
-    recognized as already applied.  Not cryptographic -- the ledger
-    invariant (distinct batches differ in their id multiset) is what
-    makes it sufficient."""
+    recognized as already applied.  Distinct id multisets collide only if
+    their full-width md5 digest sums collide (a crc32 sum, the previous
+    stamp, was additive-collision-prone -- two different batches could
+    alias and one would be silently skipped as already-applied)."""
+    half = lambda lo: F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), lo, 16), 16, 10
+    ).cast("decimal(38,0)")
     row = new_docs.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.crc32(F.col("doc_id").cast("string"))).alias("s"),
+        F.sum(half(1)).alias("s_hi"),
+        F.sum(half(17)).alias("s_lo"),
         F.min("doc_id").alias("lo"),
         F.max("doc_id").alias("hi"),
     ).collect()[0]
     import hashlib
 
     return hashlib.md5(
-        f"{row['n']}:{row['s']}:{row['lo']}:{row['hi']}".encode()
+        f"{row['n']}:{row['s_hi']}:{row['s_lo']}:{row['lo']}:{row['hi']}"
+        .encode()
     ).hexdigest()
 
 
@@ -1838,26 +1845,55 @@ def _delta_dirs(state_dir: str) -> tuple[str, str, str]:
             f"{s}/keepers_delta.parquet")
 
 
+def _stamp_ledger_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir.rstrip("/"), "_applied_stamps.json")
+
+
 def _applied_stamps(spark, state_dir: str) -> set:
-    """Every batch stamp this state has applied: the live delta log's
-    stamps plus the sidecar ledger ``_applied_stamps.json`` that
-    :func:`compact_dedup_state` maintains (compaction collapses the log
-    to one generation, but retry protection for pre-compaction batches
-    must survive it)."""
+    """Every batch stamp this state has COMMITTED, read from the sidecar
+    ledger ``_applied_stamps.json``.  The ledger -- not presence in a
+    delta log -- is the commit point: a Spark parquet append is not
+    atomic (a crash during job commit can land a subset of part files
+    carrying the stamp), so log presence would misclassify a partially-
+    landed batch as applied and its missing rows would never be
+    repaired.  The ledger is updated with a single ``os.replace`` --
+    atomic on POSIX -- AFTER both delta appends succeed.  Legacy state
+    dirs written before the ledger existed fall back to the old
+    keeper-log-presence rule."""
     import json
     import os
 
+    ledger = _stamp_ledger_path(state_dir)
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            return set(json.load(fh))
     _sig, _lab, keep_path = _delta_dirs(state_dir)
-    seen = {
+    return {
         r["batch_stamp"]
         for r in spark.read.parquet(keep_path)
         .select("batch_stamp").distinct().collect()
     }
-    sidecar = os.path.join(state_dir.rstrip("/"), "_applied_stamps.json")
-    if os.path.exists(sidecar):
-        with open(sidecar) as fh:
-            seen.update(json.load(fh))
-    return seen
+
+
+def _record_applied(state_dir: str, *stamps: str) -> None:
+    """Atomically add ``stamps`` to the commit ledger (write a temp file,
+    ``os.replace`` over the live one -- readers see old-or-new, never a
+    torn file)."""
+    import json
+    import os
+
+    ledger = _stamp_ledger_path(state_dir)
+    seen: set = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            seen = set(json.load(fh))
+    seen.update(stamps)
+    tmp = ledger + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(sorted(seen), fh)
+    os.replace(tmp, ledger)
 
 
 def init_dedup_state(
@@ -1896,6 +1932,10 @@ def init_dedup_state(
     tag(
         keepers.withColumn("alive", F.lit(True))
     ).write.mode("errorifexists").parquet(keep_path)
+    # commit point: the genesis batch enters the stamp ledger (readers
+    # resolve only committed generations; a bootstrap that crashed before
+    # this line is cleaned up and re-run -- errorifexists guards it)
+    _record_applied(state_dir, stamp)
 
 
 def _resolve_labels(lab: DataFrame) -> DataFrame:
@@ -1926,21 +1966,44 @@ def _resolve_keepers(keep: DataFrame) -> DataFrame:
     )
 
 
+def _committed_only(spark, state_dir: str, df: DataFrame) -> DataFrame:
+    """Restrict a delta log to COMMITTED generations: rows whose
+    ``batch_stamp`` is in the ledger.  Uncommitted orphans -- the debris
+    of an ingest that crashed between its appends and its ledger write --
+    are invisible to every reader until a retry commits them or
+    compaction physically drops them.  The stamp set is one per applied
+    batch (plus compaction markers), so the ``isin`` stays a pushed
+    scan-level filter at any corpus size.  Legacy dirs without a ledger
+    resolve unfiltered (pre-ledger rule)."""
+    import os
+
+    if not os.path.exists(_stamp_ledger_path(state_dir)):
+        return df
+    applied = sorted(_applied_stamps(spark, state_dir))
+    return df.filter(F.col("batch_stamp").isin(applied))
+
+
 def load_cluster_state(spark, state_dir: str) -> tuple[DataFrame, DataFrame]:
     """Resolve the delta logs to current views: ``(labels, keepers)``.
 
     Labels: latest batch wins per node (one max_by hash aggregate --
     nodes never disappear, they only change label).  Keepers: latest
     batch wins per cluster, then tombstones (``alive = false``, written
-    when a merge absorbs a cluster) are dropped.  Duplicate rows from a
-    retried append collapse in the same aggregate (a retry reuses its
-    batch_seq/stamp, so duplicates are exact).  Read cost grows with the
+    when a merge absorbs a cluster) are dropped.  Only COMMITTED
+    generations participate (stamp in the sidecar ledger -- see
+    :func:`_applied_stamps`), so a partially-landed crashed batch never
+    leaks into the resolved views.  Duplicate rows from a retried append
+    resolve by latest-``batch_seq``-wins.  Read cost grows with the
     number of deltas until compaction (:func:`compact_dedup_state`) --
     the standard LSM posture."""
     sig_path, lab_path, keep_path = _delta_dirs(state_dir)
     return (
-        _resolve_labels(spark.read.parquet(lab_path)),
-        _resolve_keepers(spark.read.parquet(keep_path)),
+        _resolve_labels(
+            _committed_only(spark, state_dir,
+                            spark.read.parquet(lab_path))),
+        _resolve_keepers(
+            _committed_only(spark, state_dir,
+                            spark.read.parquet(keep_path))),
     )
 
 
@@ -1977,34 +2040,32 @@ def ingest_batch(
     cluster absorbed by a merge gets a TOMBSTONE row (``alive = false``)
     so it disappears from the resolved keeper view.
 
-    RETRY-IDEMPOTENT end to end, with a COMMIT PROTOCOL for the two
-    delta appends: the signature append already filters already-present
-    ids; the label delta is appended first and the keeper delta LAST --
-    the keeper append is the commit point (its stamps, plus the
-    compaction sidecar, define "applied").  A retry therefore sees one
-    of three states: committed (stamp in the keeper log -> all state
-    writes skipped, candidates recomputed and returned), untouched
-    (fresh apply), or PARTIAL (label rows landed, keepers did not --
-    the crash window between the appends).  The partial case is
-    repaired exactly: the pre-batch label view is reconstructed by
-    filtering the orphaned stamp out of the log (delta rows carry their
-    stamp precisely for this), the keeper delta is recomputed against
-    that view, and the label append is skipped (the orphan rows are
-    deterministic and already correct).  Batch sequence numbers are
-    drawn above the max of BOTH logs, so an unrelated never-retried
-    orphan can never collide with a later batch's generation.
+    RETRY-IDEMPOTENT end to end, with a two-state COMMIT PROTOCOL: the
+    commit point is a single atomic ``os.replace`` of the stamp ledger
+    (``_applied_stamps.json``), performed AFTER both delta appends
+    succeed.  A retry therefore sees exactly one of two states:
+    COMMITTED (stamp in the ledger -> all state writes skipped,
+    candidates recomputed and returned) or NOT COMMITTED (fresh apply).
+    Any rows a crashed attempt left in either log -- including a
+    partially-landed parquet append, where only a subset of part files
+    carry the stamp -- are uncommitted orphans: every reader
+    (:func:`load_cluster_state`, this function's own resolution, and
+    :func:`compact_dedup_state`) filters to committed stamps, so the
+    pre-batch view is reconstructed exactly and the retry re-appends the
+    full delta at a fresh generation.  Batch sequence numbers are drawn
+    above the max of BOTH logs INCLUDING orphans, so a retried
+    generation always shadows its own debris and an unrelated
+    never-retried orphan can never collide with a later batch.
+    Orphan rows are physically dropped at the next compaction.
     Sequential batches compose exactly: after any number of calls the
     resolved state equals the from-scratch build over the union corpus
-    (property-tested, including a forced partial-crash replay; the
-    registered ``incremental_ingest_keepers`` query is oracle-checked
-    against the full recursive recompute)."""
+    (property-tested, including forced partial-crash replays -- with and
+    without an intervening compaction; the registered
+    ``incremental_ingest_keepers`` query is oracle-checked against the
+    full recursive recompute)."""
     spark = new_docs.sparkSession
     sig_path, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = _batch_stamp(new_docs)
-    lab_gen = spark.read.parquet(lab_path).select(
-        "batch_seq", "batch_stamp").distinct().collect()
-    keep_gen = spark.read.parquet(keep_path).select(
-        "batch_seq", "batch_stamp").distinct().collect()
     already_applied = stamp in _applied_stamps(spark, state_dir)
     cands = incremental_minhash_candidates(
         new_docs, sig_path, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
@@ -2013,34 +2074,37 @@ def ingest_batch(
     ).localCheckpoint(eager=True)
     if already_applied:
         return cands
-    partial = stamp in {r["batch_stamp"] for r in lab_gen}
+    # generation: above the max of BOTH logs, orphan debris included, so
+    # this batch's rows shadow any partial rows a crashed attempt left
+    lab_gen = spark.read.parquet(lab_path).select(
+        "batch_seq", "batch_stamp").distinct().collect()
+    keep_gen = spark.read.parquet(keep_path).select(
+        "batch_seq", "batch_stamp").distinct().collect()
     seq = max(r["batch_seq"] for r in lab_gen + keep_gen) + 1
-    lab_log = spark.read.parquet(lab_path)
-    if partial:
-        # crash window repair: resolve labels WITHOUT the orphaned rows,
-        # so the keeper delta is computed against the pre-batch state
-        lab_log = lab_log.filter(F.col("batch_stamp") != stamp)
-    # pin the resolved views: each is referenced by several joins below,
-    # and without this the log scan + max_by aggregate re-runs per
+    # pin the resolved COMMITTED views (uncommitted orphans filtered =
+    # the exact pre-batch state): each is referenced by several joins
+    # below, and without this the log scan + max_by aggregate re-runs per
     # reference (the views are ∝ corpus but flat -- the same
     # materialization a production job would pay once per batch)
-    labels = _resolve_labels(lab_log).localCheckpoint(eager=False)
+    labels = _resolve_labels(
+        _committed_only(spark, state_dir, spark.read.parquet(lab_path))
+    ).localCheckpoint(eager=False)
     keepers = _resolve_keepers(
-        spark.read.parquet(keep_path)).localCheckpoint(eager=False)
+        _committed_only(spark, state_dir, spark.read.parquet(keep_path))
+    ).localCheckpoint(eager=False)
     edges = cands.select("doc_a", "doc_b")
     tag = lambda df: df.withColumn(
         "batch_seq", F.lit(seq).cast("long")
     ).withColumn("batch_stamp", F.lit(stamp))
-    if not partial:
-        # decisions: label rows for every member of every touched cluster
-        updated, _touched = _incremental_cc_updated(
-            edges.select(
-                F.col("doc_a").cast("long").alias("doc_a"),
-                F.col("doc_b").cast("long").alias("doc_b"),
-            ),
-            labels,
-        )
-        tag(updated).write.mode("append").parquet(lab_path)
+    # decisions: label rows for every member of every touched cluster
+    updated, _touched = _incremental_cc_updated(
+        edges.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+        ),
+        labels,
+    )
+    tag(updated).write.mode("append").parquet(lab_path)
     # keepers: re-picked rows for touched clusters + singleton batch
     # docs, tombstones for clusters a merge absorbed
     remap = _contracted_remap(edges, labels)
@@ -2065,6 +2129,9 @@ def ingest_batch(
         .unionByName(tombstones.withColumn("alive", F.lit(False)))
     )
     tag(delta).write.mode("append").parquet(keep_path)
+    # COMMIT: one atomic ledger replace -- before this line the batch
+    # does not exist to any reader; after it, a retry is a no-op
+    _record_applied(state_dir, stamp)
     return cands
 
 
@@ -2077,21 +2144,26 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
 
     The resolved views are rewritten as a single batch-0 generation
     whose ``batch_stamp`` is a fresh compaction marker; tombstoned
-    clusters vanish physically.  Resolution semantics are unchanged:
-    ``load_cluster_state`` before == after (asserted in tests), and
-    RETRY PROTECTION survives: the pre-compaction batch stamps are
-    merged into the ``_applied_stamps.json`` sidecar first, so a
-    pre-compaction batch retried afterwards is still recognized as
-    applied (re-applying it would double-count its docs in cluster
-    sizes).  Safety: each log is rewritten through a sibling temp dir
-    and swapped in by directory renames (same two-phase discipline and
-    maintenance-window caveat as ``sources.io.compact_files``); row
-    groups stay split-friendly via the default writer bounds.
+    clusters, superseded generations, AND uncommitted orphan rows (the
+    debris of a crashed never-retried ingest -- already invisible to
+    resolution via the commit ledger) vanish physically.  Resolution
+    semantics are unchanged: ``load_cluster_state`` before == after
+    (asserted in tests).  RETRY PROTECTION survives by construction:
+    ``_applied_stamps.json`` IS the commit ledger, so a pre-compaction
+    COMMITTED batch retried afterwards is still recognized as applied
+    (re-applying it would double-count its docs in cluster sizes), while
+    a pre-compaction CRASHED batch retried afterwards is a clean fresh
+    apply against the restored pre-batch view.  The compaction marker is
+    ledgered BEFORE the swap so a crash mid-swap never leaves the new
+    generation unreadable.  Safety: each log is rewritten through a
+    sibling temp dir and swapped in by directory renames (same two-phase
+    discipline and maintenance-window caveat as
+    ``sources.io.compact_files``); row groups stay split-friendly via
+    the default writer bounds.
 
     Returns ``{"labels_rows_before": ..., "labels_rows_after": ...,
     "keepers_rows_before": ..., "keepers_rows_after": ...}``.
     """
-    import json
     import os
     import shutil
     import uuid
@@ -2099,16 +2171,15 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
     from ..sources.io import write_table
 
     _sig, lab_path, keep_path = _delta_dirs(state_dir)
-    # persist the applied-stamp set BEFORE touching the logs: if the
-    # compaction dies mid-swap, retry protection must already be durable
-    sidecar = os.path.join(state_dir.rstrip("/"), "_applied_stamps.json")
-    stamps = sorted(_applied_stamps(spark, state_dir))
-    tmp_sidecar = sidecar + ".tmp"
-    with open(tmp_sidecar, "w") as fh:
-        json.dump(stamps, fh)
-    os.replace(tmp_sidecar, sidecar)
-    labels, keepers = load_cluster_state(spark, state_dir)
     stamp = "compact-" + uuid.uuid4().hex
+    # resolve COMMITTED state only (load_cluster_state filters to the
+    # ledger), then ledger the marker BEFORE the swap: if the compaction
+    # dies mid-swap, the already-swapped log's new generation must
+    # already be committed or readers would resolve it to empty
+    labels, keepers = load_cluster_state(spark, state_dir)
+    # seed via _applied_stamps so a LEGACY dir's keeper-log stamps enter
+    # the ledger here (its stamps would otherwise be lost with the log)
+    _record_applied(state_dir, stamp, *_applied_stamps(spark, state_dir))
     stats = {}
     for path, df, key in (
         (lab_path, labels, "labels"),

@@ -1012,12 +1012,17 @@ def audit_ivf_balance(spark, path: str) -> DataFrame:
     cells; a hot cell breaks the probe-cost contract (a probe reads
     ~n_probe/n_cells of the data only while cells are balanced).
 
-    Returns one row per cell: ``(cell, n_rows, n_files, bytes, share,
-    skew)`` where ``share`` is the cell's fraction of all rows and
-    ``skew = share * n_cells`` (1.0 = perfectly balanced; the hottest
-    cell's skew is the factor by which a probe of that cell exceeds its
-    balanced-layout budget).  When max skew grows past the probe
-    budget's tolerance, run :func:`rebuild_ivf_layout`.
+    Returns one row per CONFIGURED cell -- the denominator is the
+    centroid count from ``_centroids.parquet`` (footer-only read), and
+    cells drift has emptied emit explicit zero rows: ``(cell, n_rows,
+    n_files, bytes, share, skew)`` where ``share`` is the cell's
+    fraction of all rows and ``skew = share * n_cells`` (1.0 = perfectly
+    balanced; the hottest cell's skew is the factor by which a probe of
+    that cell exceeds its balanced-layout budget).  Counting only
+    populated cells would understate skew exactly when it matters: all
+    rows concentrated in one cell with the rest empty would read as
+    "perfectly balanced".  When max skew grows past the probe budget's
+    tolerance, run :func:`rebuild_ivf_layout`.
     """
     import pyarrow.fs as pafs
     import pyarrow.parquet as pq
@@ -1029,11 +1034,19 @@ def audit_ivf_balance(spark, path: str) -> DataFrame:
         fs, fs_path = pafs.LocalFileSystem(), p
     listing = fs.get_file_info(pafs.FileSelector(fs_path, recursive=True))
     per_cell: dict[int, list] = {}
+    n_cells = 0
     for fi in listing:
         if not (fi.is_file and fi.base_name.endswith(".parquet")
                 and not fi.base_name.startswith(("_", "."))):
             continue
         rel = fi.path[len(fs_path):]
+        if "/_centroids.parquet/" in rel or rel.startswith(
+                "_centroids.parquet/"):
+            # the CONFIGURED cell count: one centroid row per cell,
+            # num_rows straight from the footer
+            with fs.open_input_file(fi.path) as fh:
+                n_cells += pq.ParquetFile(fh).metadata.num_rows
+            continue
         cell = None
         for part in rel.split("/"):
             if part.startswith("cell="):
@@ -1048,10 +1061,12 @@ def audit_ivf_balance(spark, path: str) -> DataFrame:
         agg[1] += 1
         agg[2] += fi.size
     total = sum(v[0] for v in per_cell.values()) or 1
-    n_cells = len(per_cell) or 1
+    n_cells = n_cells or len(per_cell) or 1
     rows = [
-        (cell, v[0], v[1], v[2], v[0] / total, v[0] / total * n_cells)
-        for cell, v in sorted(per_cell.items())
+        (cell, *per_cell.get(cell, (0, 0, 0)),
+         per_cell.get(cell, (0,))[0] / total,
+         per_cell.get(cell, (0,))[0] / total * n_cells)
+        for cell in sorted(set(per_cell) | set(range(n_cells)))
     ]
     return spark.createDataFrame(
         rows,

@@ -4005,8 +4005,15 @@ assign AS MATERIALIZED (
     FROM embeddings e CROSS JOIN cents c
   ) WHERE rn = 1
 ),
-counts AS (SELECT cell, count(*) AS n_rows FROM assign GROUP BY cell),
-tot AS (SELECT sum(n_rows) AS t, count(*) AS nc FROM counts)
+counts AS (
+  -- every CONFIGURED cell reports, zero-count cells included, and the
+  -- skew denominator is the centroid count (mirrors audit_ivf_balance:
+  -- counting only populated cells would understate skew under drift)
+  SELECT c.cell, count(a.vec_id) AS n_rows
+  FROM cents c LEFT JOIN assign a ON a.cell = c.cell GROUP BY c.cell
+),
+tot AS (SELECT sum(n_rows) AS t, (SELECT count(*) FROM cents) AS nc
+        FROM counts)
 SELECT CAST(c.cell AS INTEGER) AS cell,
        CAST(c.n_rows AS BIGINT) AS n_rows,
        round(CAST(c.n_rows AS DOUBLE) / t.t, 6) AS share,

@@ -2570,14 +2570,11 @@ def test_compact_dedup_state_preserves_resolution_and_retry(spark, docs,
     assert sorted(tuple(r) for r in keepers.collect()) == want
 
 
-def test_ingest_batch_repairs_partial_crash(spark, tmp_path):
-    """The crash window between the two delta appends (label rows landed,
-    keeper rows did not) must be repaired exactly on retry: the keeper
-    delta is recomputed against the PRE-batch label view (orphaned stamp
-    filtered out), so the merged keeper still carries every member and
-    the absorbed cluster still gets its tombstone.  Without the repair,
-    the retry's remap would degenerate against the already-updated
-    labels and silently lose the absorbed cluster's members."""
+def _crash_fixture(spark):
+    """Five-doc corpus with two 2-clusters + a singleton, plus a bridge
+    doc whose tokens straddle both clusters -- ingesting it forces a
+    cross-cluster merge (tombstone + re-picked keeper), the hardest case
+    for crash-repair correctness."""
     texts = {
         1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
         2: "alpha beta gamma delta epsilon zeta eta theta iota lambda",
@@ -2588,15 +2585,18 @@ def test_ingest_batch_repairs_partial_crash(spark, tmp_path):
     docs = spark.createDataFrame(
         [(i, t, len(t)) for i, t in texts.items()],
         "doc_id long, text string, n_chars long")
-    cfg = dict(n_bands=64, min_est_jaccard=0.1)
-    state = str(tmp_path / "state_crash")
-    dedup.init_dedup_state(docs, state, **cfg)
     br = "alpha beta gamma delta epsilon six seven eight nine ten"
     bridge = spark.createDataFrame(
         [(100, br, len(br))], "doc_id long, text string, n_chars long")
+    return docs, bridge
 
-    # stage the PARTIAL state by replaying ingest_batch up to the crash
-    # point: signature append + label-delta append, NO keeper append
+
+def _stage_partial_crash(spark, state, bridge, keeper_subset_rows=0):
+    """Replay ingest_batch up to a crash: signature append + label-delta
+    append land, the keeper append lands only ``keeper_subset_rows`` of
+    its rows (0 = the classic between-appends window; >0 = a crash
+    DURING the keeper job commit, where a subset of part files carries
+    the stamp), and the ledger commit never happens."""
     sig_path = f"{state}/signatures.parquet"
     lab_path = f"{state}/labels_delta.parquet"
     keep_path = f"{state}/keepers_delta.parquet"
@@ -2611,27 +2611,105 @@ def test_ingest_batch_repairs_partial_crash(spark, tmp_path):
     (updated.withColumn("batch_seq", F.lit(1).cast("long"))
      .withColumn("batch_stamp", F.lit(stamp))
      .write.mode("append").parquet(lab_path))
-    n_keep = spark.read.parquet(keep_path).count()
+    if keeper_subset_rows:
+        # partial keeper job commit: SOME keeper rows carry the stamp
+        (spark.createDataFrame(
+            [(1, 100, 50, 5, True)],
+            "cluster long, kept_doc_id long, kept_quality long, "
+            "cluster_size long, alive boolean")
+         .limit(keeper_subset_rows)
+         .withColumn("batch_seq", F.lit(1).cast("long"))
+         .withColumn("batch_stamp", F.lit(stamp))
+         .write.mode("append").parquet(keep_path))
+    return stamp, updated
 
-    # retry: must detect the partial apply and repair
-    dedup.ingest_batch(bridge, state, **cfg)
+
+def _assert_merged_state(spark, state, keep_path, lab_path=None):
     labels, keepers = dedup.load_cluster_state(spark, state)
     got = {r["cluster"]: (r["kept_doc_id"], r["cluster_size"])
            for r in keepers.collect()}
     assert set(got) == {1, 30}, "absorbed cluster 10 must be tombstoned"
     assert got[1][1] == 5, "merged keeper must carry ALL five members"
-    tomb = spark.read.parquet(keep_path).filter(~F.col("alive"))
-    assert {r["cluster"] for r in tomb.collect()} == {10}
-    # the orphan label rows were NOT duplicated (label append skipped)
-    lab_stamp_rows = spark.read.parquet(lab_path).filter(
-        F.col("batch_stamp") == stamp)
-    assert lab_stamp_rows.count() == updated.count()
-    # keeper generation landed above the orphan's seq
-    assert spark.read.parquet(keep_path).filter(
-        F.col("batch_stamp") == stamp).agg(
-        F.max("batch_seq")).collect()[0][0] >= 2
     lab = {r["node"]: r["label"] for r in labels.collect()}
     assert lab[10] == 1 and lab[11] == 1 and lab[100] == 1
+
+
+@pytest.mark.parametrize("keeper_subset_rows", [0, 1])
+def test_ingest_batch_repairs_partial_crash(spark, tmp_path,
+                                            keeper_subset_rows):
+    """A crashed ingest (label rows landed; keeper rows absent OR
+    partially landed from a torn parquet job commit -- the ledger commit
+    never happened) must be repaired exactly on retry: the uncommitted
+    orphan rows are invisible to resolution, so the retry re-applies the
+    batch against the exact pre-batch view and its fresh generation
+    shadows the debris.  Without the ledger rule, the partially-landed
+    keeper case would classify as committed and the missing rows would
+    never be repaired."""
+    docs, bridge = _crash_fixture(spark)
+    cfg = dict(n_bands=64, min_est_jaccard=0.1)
+    state = str(tmp_path / "state_crash")
+    dedup.init_dedup_state(docs, state, **cfg)
+    lab_path = f"{state}/labels_delta.parquet"
+    keep_path = f"{state}/keepers_delta.parquet"
+    stamp, updated = _stage_partial_crash(
+        spark, state, bridge, keeper_subset_rows=keeper_subset_rows)
+    # the orphan generation is invisible to readers pre-retry
+    _, keepers_pre = dedup.load_cluster_state(spark, state)
+    assert {r["cluster"]: r["cluster_size"] for r in keepers_pre.collect()} \
+        == {1: 2, 10: 2, 30: 1}
+
+    # retry: stamp not in the ledger -> clean fresh apply
+    dedup.ingest_batch(bridge, state, **cfg)
+    _assert_merged_state(spark, state, keep_path)
+    tomb = spark.read.parquet(keep_path).filter(~F.col("alive"))
+    assert {r["cluster"] for r in tomb.collect()} == {10}
+    # the retry's generation landed above the orphan's seq and is the
+    # committed one; the orphan rows at seq 1 are shadowed debris
+    max_seq = spark.read.parquet(lab_path).filter(
+        F.col("batch_stamp") == stamp).agg(
+        F.max("batch_seq")).collect()[0][0]
+    assert max_seq >= 2
+    assert spark.read.parquet(lab_path).filter(
+        (F.col("batch_stamp") == stamp) & (F.col("batch_seq") == max_seq)
+    ).count() == updated.count()
+    assert stamp in dedup._applied_stamps(spark, state)
+
+
+def test_ingest_crash_then_compact_then_retry(spark, tmp_path):
+    """Compaction between a crashed ingest and its retry must not poison
+    the retry: the orphan generation is excluded from the compacted
+    snapshot (it is uncommitted) and its stamp stays out of the ledger,
+    so the retry after compaction is a clean fresh apply.  The old
+    protocol resolved orphan label rows INTO the snapshot while erasing
+    their stamp -- the retry then computed keeper deltas against labels
+    that already contained the batch, yielding singleton keeper rows for
+    merged-in docs and undercounted cluster sizes."""
+    docs, bridge = _crash_fixture(spark)
+    cfg = dict(n_bands=64, min_est_jaccard=0.1)
+    state = str(tmp_path / "state_ccr")
+    dedup.init_dedup_state(docs, state, **cfg)
+    lab_path = f"{state}/labels_delta.parquet"
+    keep_path = f"{state}/keepers_delta.parquet"
+    stamp, _updated = _stage_partial_crash(spark, state, bridge)
+
+    dedup.compact_dedup_state(spark, state)
+    # the orphan generation was physically dropped, not folded in
+    assert spark.read.parquet(lab_path).filter(
+        F.col("batch_stamp") == stamp).count() == 0
+    assert stamp not in dedup._applied_stamps(spark, state)
+    lab_c = {r["node"]: r["label"] for r in
+             dedup.load_cluster_state(spark, state)[0].collect()}
+    assert 100 not in lab_c and lab_c[10] == 10, \
+        "compacted labels must be the PRE-batch view"
+
+    # retry after compaction: clean fresh apply, exact merged state
+    dedup.ingest_batch(bridge, state, **cfg)
+    _assert_merged_state(spark, state, keep_path)
+    assert stamp in dedup._applied_stamps(spark, state)
+    # and the batch is recognized on a further retry (no-op on state)
+    n_keep = spark.read.parquet(keep_path).count()
+    dedup.ingest_batch(bridge, state, **cfg)
+    assert spark.read.parquet(keep_path).count() == n_keep
 
 
 def test_audit_ivf_balance_detects_drift_and_rebuild_fixes(spark, tmp_path):

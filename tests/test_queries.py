@@ -173,6 +173,24 @@ def test_bench_headline_names_resolve():
     assert not missing, f"bench HEADLINE references unknown queries: {missing}"
 
 
+def test_bench_headline_composition_pinned():
+    """The official headline metric's composition is PINNED: 54 queries,
+    exact fingerprint.  Registry growth must never silently change what
+    the round-over-round number measures -- adding/removing a headline
+    entry is a deliberate act that updates this fingerprint in the same
+    commit and gets called out in BASELINE.md."""
+    import hashlib
+
+    import bench
+
+    assert len(bench.HEADLINE) == 54
+    assert len(set(bench.HEADLINE)) == 54, "duplicate headline entries"
+    fp = hashlib.md5("\n".join(bench.HEADLINE).encode()).hexdigest()
+    assert fp == "d64c940fa6f9b1038dbb6a6b421a7bd8", (
+        f"HEADLINE composition changed (fingerprint {fp}); if deliberate, "
+        "update this pin and document the metric break in BASELINE.md")
+
+
 def test_hll_sketch_users_tolerance_and_union_consistency(spark):
     """Per-type estimates within 5% of exact; the union row must estimate
     the global distinct count (merged sketches, not a rescan)."""
