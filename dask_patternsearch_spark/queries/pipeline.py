@@ -573,6 +573,50 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
 """
 
 
+def embedding_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH bucket ASSIGNMENT itself, hash-checked
+    bit-for-bit: every vector's (table, bucket) cell under the same
+    md5-sign plane family / packing as ``embedding_near_dups`` (2 tables
+    x 6 planes, seed 42).  The near-dup oracle certifies the candidate
+    pairs and verified cosines, but identical pairs would also fall out
+    of a globally permuted bucket space -- this query pins the actual
+    signature values (one matmul per Arrow batch on the Spark side, a
+    relational sign-product spelling in DuckDB), so a packing or plane
+    regression is caught at the stage where it happens."""
+    emb = _emb(spark, sf_dir)
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = first["d"] if first else 0
+    planes = dedup.md5_sign_planes(12, dim, 42)
+    sig = dedup.hyperplane_buckets_udf(planes, 2)
+    return emb.select(
+        "vec_id", F.posexplode(sig("embedding")).alias("table_id", "bucket")
+    )
+
+
+# The sign-matmul spelled relationally: same md5 plane family as
+# _EMBEDDING_NEARDUP_SQL, emitting the per-(vector, table) packed bucket
+# instead of the downstream pairs.
+_EMBEDDING_BAND_BUCKETS_SQL = """
+WITH base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planes AS MATERIALIZED (
+  SELECT r.r,
+         list(CASE WHEN CAST(('0x' || substr(md5('42:' || r.r || ':' || dd.d), 1, 1))
+                        AS INT) >= 8
+                   THEN 1.0 ELSE -1.0 END ORDER BY dd.d) AS pl
+  FROM (SELECT unnest(range(0, 12)) AS r) r,
+       (SELECT unnest(range(0, (SELECT max(len(v)) FROM base))) AS d) dd
+  GROUP BY r.r
+)
+SELECT b.vec_id, CAST(p.r // 6 AS INT) AS table_id,
+       CAST(sum(CASE WHEN list_inner_product(b.v, p.pl) > 0
+                     THEN 1 << CAST(p.r % 6 AS INT) ELSE 0 END) AS INT) AS bucket
+FROM base b CROSS JOIN planes p
+GROUP BY b.vec_id, p.r // 6
+"""
+
+
 # ---- similarity search ------------------------------------------------------
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4627,6 +4671,7 @@ QUERIES = {
     "incremental_minhash_dedup": incremental_minhash_dedup,
     "simhash_near_dups": simhash_near_dups,
     "embedding_near_dups": embedding_near_dups,
+    "embedding_band_buckets": embedding_band_buckets,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "cosine_topk": cosine_topk,
     "lsh_topk": lsh_topk,
@@ -4786,6 +4831,7 @@ ORACLE = {
     "ivfpq_topk_embeddings": _IVFPQ_TOPK_SQL,
     "lsh_topk": _LSH_TOPK_SQL,
     "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
+    "embedding_band_buckets": _EMBEDDING_BAND_BUCKETS_SQL,
     "minhash_near_dups": _MINHASH_SQL,
     "minhash_estimate_error": _MINHASH_ERR_SQL,
     # full-corpus replay restricted to pairs with a new-batch doc: the
