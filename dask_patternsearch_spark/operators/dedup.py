@@ -569,6 +569,20 @@ def minhash_lsh_candidates(
                                hash_family=hash_family)
     else:
         sigs = sigs.localCheckpoint(eager=True)
+    return _pairs_from_sigs(sigs, n_bands, rows_per_band, n_perm,
+                            min_est_jaccard)
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    n_perm: int,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """The plain banded candidate join over a materialized signature
+    table (shared tail of :func:`minhash_lsh_candidates` and the routed
+    path)."""
     bands = _band_buckets(sigs, n_bands, rows_per_band)
     pairs = (
         bands.alias("x")
@@ -582,6 +596,166 @@ def minhash_lsh_candidates(
         .distinct()
     )
     return _annotate_est_jaccard(pairs, sigs, n_perm, min_est_jaccard)
+
+
+def _factored_pairs_from_sigs(
+    sigs: DataFrame,
+    n_bands: int,
+    rows_per_band: int,
+    n_perm: int,
+    min_est_jaccard: float,
+) -> DataFrame:
+    """Signature-twin-factored candidate generation -- the BOUNDED-VERIFY
+    path hot banding is routed to.  Returns EXACTLY the pairs of
+    :func:`_pairs_from_sigs` (property-tested), computed as:
+
+    1. Docs are grouped by their FULL signature (``sig_key`` = md5 of
+       the joined components).  Boilerplate/template duplicates -- the
+       measured banding adversary (SCALE.md round 9: 10% of docs from 20
+       templates puts a multi-thousand-doc bucket in EVERY band) -- are
+       signature twins, so each template collapses to ONE representative.
+    2. TWIN pairs (same sig) are emitted directly from a single
+       ``sig_key`` equi-join: their est_jaccard is identically 1.0 (all
+       ``n_perm`` components match), so they skip banding AND the
+       signature-compare verify.  The plain path would push each such
+       pair through all ``n_bands`` band joins (they collide in every
+       band) and verify it against both 64-long signatures.
+    3. The band join runs over REPRESENTATIVES only, deflating a hot
+       bucket from k docs to its g distinct signatures: join-side pair
+       mass drops from k(k-1)/2 to g(g-1)/2 per bucket.  Rep pairs are
+       est-verified once, then expanded to member pairs through two
+       ``sig_key`` joins -- bucket membership and est_jaccard are
+       functions of the signature, so expansion is lossless.
+
+    The quadratic pair OUTPUT of a template family is irreducible under
+    the all-pairs contract; what this path removes is the n_bands-fold
+    join amplification and the per-pair verify for the dominant class.
+    (Downstream dedup consumers that only need clusters should instead
+    union the twin STARS -- rep to member -- with rep pairs; connected
+    components are identical and output is linear, see
+    ``cluster_keepers``'s labels= path.)"""
+    keyed = sigs.withColumn(
+        "sig_key",
+        F.md5(F.array_join(
+            F.transform("sig", lambda v: v.cast("string")), ",")),
+    ).localCheckpoint(eager=True)
+    members = keyed.select("sig_key", "doc_id")
+    # one row per distinct signature; min doc_id is the representative
+    reps = (
+        keyed.groupBy("sig_key")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("sig").alias("sig"))
+        .localCheckpoint(eager=True)
+    )
+    # twin pairs: same full signature => est_jaccard == 1.0 exactly
+    twins = (
+        members.alias("a")
+        .join(members.alias("b"),
+              (F.col("a.sig_key") == F.col("b.sig_key"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("est_jaccard"),
+        )
+    )
+    rep_pairs = _pairs_from_sigs(
+        reps.select("doc_id", "sig"), n_bands, rows_per_band, n_perm,
+        min_est_jaccard,
+    )
+    # rep pair -> all member pairs of the two signature classes
+    rep_key = reps.select("sig_key", "doc_id")
+    expanded = (
+        rep_pairs
+        .join(rep_key.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sig_key").alias("key_a")), "doc_a")
+        .join(rep_key.select(F.col("doc_id").alias("doc_b"),
+                             F.col("sig_key").alias("key_b")), "doc_b")
+        .join(members.select(F.col("sig_key").alias("key_a"),
+                             F.col("doc_id").alias("m_a")), "key_a")
+        .join(members.select(F.col("sig_key").alias("key_b"),
+                             F.col("doc_id").alias("m_b")), "key_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "est_jaccard",
+        )
+    )
+    if min_est_jaccard > 1.0:
+        twins = twins.filter(F.lit(False))
+    return expanded.unionByName(twins)
+
+
+# Routing gate (minhash_candidates_routed): a band is HOT when buckets of
+# this size or larger carry at least this share of its candidate-pair
+# mass.  32-doc buckets contribute >= 496 pairs each -- at that point the
+# join cost is concentrated, and if the mass share crosses 1/2 the
+# factored path's rep deflation is worth its extra sig_key joins.  Below
+# the gate the plain path wins (no grouping pass).  Thresholds are
+# deliberately coarse: the decision only trades constant factors, never
+# correctness (the two paths return identical pairs).
+HOT_BUCKET_MIN_SIZE = 32
+HOT_MASS_SHARE_GATE = 0.5
+
+
+def route_band_skew(
+    sigs: DataFrame,
+    n_bands: int = 8,
+    n_perm: int = 64,
+    min_hot_size: int = HOT_BUCKET_MIN_SIZE,
+    hot_mass_share_gate: float = HOT_MASS_SHARE_GATE,
+) -> dict:
+    """Run :func:`audit_band_skew` and decide the candidate path: returns
+    ``{"factored": bool, "max_bucket": ..., "hot_mass_share": ...}``
+    where ``hot_mass_share`` is the worst band's hot-bucket share of
+    candidate-pair mass.  The audit is two metadata-sized aggregates --
+    the pre-flight a production rollout pays BEFORE the band join."""
+    worst = (
+        audit_band_skew(sigs, n_bands=n_bands, n_perm=n_perm,
+                        min_hot_size=min_hot_size)
+        .agg(
+            F.max("max_bucket").alias("max_bucket"),
+            F.max("hot_mass_share").alias("hot_mass_share"),
+        )
+        .collect()[0]
+    )
+    share = worst["hot_mass_share"] or 0.0
+    return {
+        "factored": bool(worst["max_bucket"] is not None
+                         and worst["max_bucket"] >= min_hot_size
+                         and share >= hot_mass_share_gate),
+        "max_bucket": worst["max_bucket"],
+        "hot_mass_share": share,
+    }
+
+
+def minhash_candidates_routed(
+    docs: DataFrame,
+    n: int = 3,
+    n_perm: int = 64,
+    n_bands: int = 8,
+    seed: int = 42,
+    min_est_jaccard: float = 0.5,
+    hash_family: str = "md5",
+    factor_exact_twins: bool | None = None,
+) -> DataFrame:
+    """:func:`minhash_lsh_candidates` with the band-skew audit CLOSED
+    INTO ACTION: signatures are computed once, :func:`route_band_skew`
+    measures the banding's hot-bucket mass, and densified banding
+    (boilerplate duplicate-mass -- the adversary the round-9 audit
+    identified) is routed to the signature-twin-factored path while
+    healthy corpora keep the cheaper plain join.  Identical pairs either
+    way (property-tested + oracle-checked); only the plan changes.
+    ``factor_exact_twins`` forces the choice (True/False) for testing
+    and for deployments that know their feed."""
+    rows_per_band = n_perm // n_bands
+    sigs = minhash_signatures(docs, n=n, n_perm=n_perm, seed=seed,
+                              hash_family=hash_family).localCheckpoint(
+        eager=True)
+    if factor_exact_twins is None:
+        factor_exact_twins = route_band_skew(
+            sigs, n_bands=n_bands, n_perm=n_perm)["factored"]
+    impl = _factored_pairs_from_sigs if factor_exact_twins else _pairs_from_sigs
+    return impl(sigs, n_bands, rows_per_band, n_perm, min_est_jaccard)
 
 
 def _annotate_est_jaccard(
@@ -2203,6 +2377,51 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
         shutil.rmtree(old)
         stats[f"{key}_rows_after"] = spark.read.parquet(path).count()
     return stats
+
+
+def maybe_compact_dedup_state(
+    spark,
+    state_dir: str,
+    gap_ratio: float = 2.0,
+    min_log_rows: int = 100_000,
+) -> dict | None:
+    """The compaction TRIGGER for the LSM dedup state: compact when
+    EITHER delta log has grown past ``gap_ratio`` times its resolved
+    view -- i.e. when at least half the log (at the default 2.0) is
+    superseded generations, tombstones and orphan debris.  Both gaps
+    matter because they move on different feeds: a keeper-heavy gap
+    comes from repeated re-picks/tombstones, while a BOILERPLATE-heavy
+    revising feed blows up the LABEL log specifically (measured,
+    scaleprobe --compaction boilerplate: every batch carries copies of
+    the same templates, so each ingest rewrites label rows for every
+    member of the ever-growing template clusters -- label gap 4.7x after
+    six batches while the keeper gap stayed 1.01, the singleton keeper
+    mass diluting it).  On mostly-new feeds both gaps stay ~1 and
+    compaction is correctly skipped (the round-9 probe measured ~1%
+    superseded overhead on a fresh feed -- compacting that would rewrite
+    the corpus-sized logs for nothing).  ``min_log_rows`` keeps tiny
+    states out of the maintenance path regardless of ratio (applied to
+    the larger log).  Returns :func:`compact_dedup_state`'s stats when
+    triggered, else ``None``.
+
+    Cost model: the check itself is two footer-counts + two resolved
+    counts per call; a triggered compaction rewrites each log once
+    (∝ resolved state).  Run it after each ingest (or on a schedule) --
+    read amplification stays bounded by ``gap_ratio`` while write
+    amplification stays ∝ the superseded fraction."""
+    _sig, lab_path, keep_path = _delta_dirs(state_dir)
+    lab_rows = spark.read.parquet(lab_path).count()
+    keep_rows = spark.read.parquet(keep_path).count()
+    if max(lab_rows, keep_rows) < min_log_rows:
+        return None
+    labels, keepers = load_cluster_state(spark, state_dir)
+    gaps = []
+    for log_rows, resolved in ((lab_rows, labels.count()),
+                               (keep_rows, keepers.count())):
+        gaps.append(log_rows / resolved if resolved else float("inf"))
+    if max(gaps) < gap_ratio:
+        return None
+    return compact_dedup_state(spark, state_dir)
 
 
 def sparse_cosine_pairs(

@@ -122,6 +122,19 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
 
 
+def minhash_near_dups_factored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The signature-twin-FACTORED candidate path (what
+    ``dedup.minhash_candidates_routed`` switches to when the band-skew
+    audit reports boilerplate densification), forced on and checked
+    against the SAME oracle as ``minhash_near_dups``: twin pairs emitted
+    from one sig_key equi-join at est 1.0, the band join deflated to one
+    representative per distinct signature, rep pairs verified once and
+    expanded.  Same pairs, different plan -- the oracle certifies the
+    'identical pairs' contract the router relies on."""
+    return dedup.minhash_candidates_routed(
+        _docs(spark, sf_dir), factor_exact_twins=True)
+
+
 # shared by _MINHASH_SQL and _STREAMING_NEARDUP_SQL: md5-portable MinHash
 # signatures and (band, bucket) rows over the documents table
 _MINHASH_COMMON = """
@@ -4665,6 +4678,7 @@ QUERIES = {
     "repetition_scores": repetition_scores,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_near_dups": minhash_near_dups,
+    "minhash_near_dups_factored": minhash_near_dups_factored,
     "minhash_estimate_error": minhash_estimate_error,
     "band_skew_report": band_skew_report,
     "incremental_ingest_keepers": incremental_ingest_keepers,
@@ -4833,6 +4847,7 @@ ORACLE = {
     "embedding_near_dups": _EMBEDDING_NEARDUP_SQL,
     "embedding_band_buckets": _EMBEDDING_BAND_BUCKETS_SQL,
     "minhash_near_dups": _MINHASH_SQL,
+    "minhash_near_dups_factored": _MINHASH_SQL,
     "minhash_estimate_error": _MINHASH_ERR_SQL,
     # full-corpus replay restricted to pairs with a new-batch doc: the
     # incremental path must be a lossless restriction of the batch path

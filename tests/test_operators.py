@@ -2426,6 +2426,81 @@ def test_audit_band_skew_flags_densification(spark):
     assert max(r["max_bucket"] for r in a_sparse) <= 3
 
 
+def _boilerplate_corpus(spark, seed=11, n_docs=90, n_templates=4):
+    """Boilerplate-heavy mixed corpus: a large minority of docs are exact
+    template copies (the round-9 densification adversary), the rest are
+    diverse, plus planted NON-twin near-dup pairs (one word changed) so
+    the rep-pair verify/expand leg is exercised, not just the twin leg."""
+    rng = np.random.default_rng(seed)
+    wide = np.array([f"tok{i}" for i in range(4000)])
+    templates = [" ".join(rng.choice(wide, size=12, replace=False))
+                 for _ in range(n_templates)]
+    rows = []
+    for i in range(n_docs):
+        if i % 3 == 0:                      # 1/3 boilerplate
+            rows.append((i, templates[i % n_templates]))
+        elif i % 10 == 1 and rows:          # planted near-dup of doc i-1
+            toks = rows[-1][1].split()
+            toks[-1] = "changed"
+            rows.append((i, " ".join(toks)))
+        else:
+            rows.append((i, " ".join(rng.choice(wide, size=12,
+                                                replace=False))))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_factored_candidates_identical_pairs(spark, docs):
+    """The router's contract: the signature-twin-factored path returns
+    EXACTLY the plain banded join's pairs -- on the boilerplate-heavy
+    corpus it exists for, on a diverse corpus, and on the real documents
+    table -- including est_jaccard values (twins at exactly 1.0, rep
+    expansion carrying the verified estimate to every member pair)."""
+    cases = [
+        _boilerplate_corpus(spark),
+        docs.select("doc_id", "text"),
+    ]
+    for corpus in cases:
+        want = sorted(
+            tuple(r) for r in
+            dedup.minhash_lsh_candidates(corpus, min_est_jaccard=0.5)
+            .collect())
+        got = sorted(
+            tuple(r) for r in
+            dedup.minhash_candidates_routed(
+                corpus, min_est_jaccard=0.5, factor_exact_twins=True)
+            .collect())
+        assert got == want
+    # the boilerplate case must actually contain twin AND non-twin pairs
+    bp = sorted(tuple(r) for r in dedup.minhash_candidates_routed(
+        _boilerplate_corpus(spark), factor_exact_twins=True).collect())
+    assert any(e == 1.0 for _, _, e in bp), "fixture must have twin pairs"
+    assert any(e < 1.0 for _, _, e in bp), "fixture must have rep pairs"
+
+
+def test_route_band_skew_decision(spark):
+    """The audit-to-action gate: boilerplate duplicate-mass routes to the
+    factored path, a diverse corpus keeps the plain join, and the routed
+    entry point follows the decision with identical results."""
+    rng = np.random.default_rng(5)
+    bp = _boilerplate_corpus(spark, n_docs=120, n_templates=3)
+    wide = np.array([f"tok{i}" for i in range(5000)])
+    diverse = spark.createDataFrame(
+        [(i, " ".join(rng.choice(wide, size=12, replace=False)))
+         for i in range(120)],
+        "doc_id long, text string")
+    hot = dedup.route_band_skew(dedup.minhash_signatures(bp))
+    cold = dedup.route_band_skew(dedup.minhash_signatures(diverse))
+    assert hot["factored"] and hot["max_bucket"] >= dedup.HOT_BUCKET_MIN_SIZE
+    assert hot["hot_mass_share"] >= dedup.HOT_MASS_SHARE_GATE
+    assert not cold["factored"]
+    # auto-routing returns the same pairs as the plain spelling
+    want = sorted(tuple(r) for r in
+                  dedup.minhash_lsh_candidates(bp).collect())
+    got = sorted(tuple(r) for r in
+                 dedup.minhash_candidates_routed(bp).collect())
+    assert got == want
+
+
 def test_ingest_batch_sequential_equals_full_rebuild(spark, docs, tmp_path):
     """Two sequential ingest_batch calls over an LSM-shaped state must
     leave the RESOLVED labels and keepers identical to a from-scratch
@@ -2673,6 +2748,43 @@ def test_ingest_batch_repairs_partial_crash(spark, tmp_path,
         (F.col("batch_stamp") == stamp) & (F.col("batch_seq") == max_seq)
     ).count() == updated.count()
     assert stamp in dedup._applied_stamps(spark, state)
+
+
+def test_maybe_compact_triggers_on_revising_feed(spark, docs, tmp_path):
+    """The keeper-log-vs-resolved gap is the compaction trigger on
+    state-revising feeds: ingesting the SAME cluster-revising pattern
+    grows the log with superseded generations while the resolved view
+    stays flat, so the ratio crosses the gate; compaction resets it and
+    preserves resolution; a mostly-new feed stays below the gate and is
+    correctly skipped."""
+    state = str(tmp_path / "state_trig")
+    corpus = docs.filter(F.col("doc_id") % 5 < 3)
+    dedup.init_dedup_state(corpus, state)
+    # revising feed: each batch's docs collide with existing clusters
+    # (batch 1 bridges, batch 2 bridges more) -> re-picks + tombstones
+    dedup.ingest_batch(docs.filter(F.col("doc_id") % 5 == 3), state)
+    dedup.ingest_batch(docs.filter(F.col("doc_id") % 5 == 4), state)
+    labels_v, keepers_v = dedup.load_cluster_state(spark, state)
+    lab_gap = spark.read.parquet(
+        f"{state}/labels_delta.parquet").count() / labels_v.count()
+    keep_gap = spark.read.parquet(
+        f"{state}/keepers_delta.parquet").count() / keepers_v.count()
+    resolved = keepers_v.count()
+    before = sorted(tuple(r) for r in keepers_v.collect())
+    # below the size floor: skipped regardless of ratio
+    assert dedup.maybe_compact_dedup_state(
+        spark, state, min_log_rows=10**9) is None
+    gate = max(lab_gap, keep_gap)
+    assert gate > 1.0, "fixture must have superseded generations"
+    stats = dedup.maybe_compact_dedup_state(
+        spark, state, gap_ratio=min(2.0, gate * 0.9), min_log_rows=1)
+    assert stats is not None and stats["keepers_rows_after"] == resolved
+    after = sorted(tuple(r) for r in
+                   dedup.load_cluster_state(spark, state)[1].collect())
+    assert after == before
+    # gap reset: an immediate re-check at the same gate is a no-op
+    assert dedup.maybe_compact_dedup_state(
+        spark, state, gap_ratio=1.5, min_log_rows=1) is None
 
 
 def test_ingest_crash_then_compact_then_retry(spark, tmp_path):

@@ -477,23 +477,31 @@ def _probe_ingest(spark, ui) -> None:
         shutil.rmtree(state, ignore_errors=True)
 
 
-def _probe_compaction(spark, ui, scale: int = 30, n_batches: int = 6) -> None:
+def _probe_compaction(spark, ui, scale: int = 30, n_batches: int = 6,
+                      corpus: str = "heaps") -> None:
     """LSM read-amplification curve: after each of ``n_batches``
     sequential 3k-doc ingests, time a full state resolution
-    (``load_cluster_state`` + count of both views) and record the delta
-    logs' row counts; then ``compact_dedup_state`` and measure again.
-    Claim under test: resolution cost grows with the number of delta
-    generations and compaction resets it (tombstones vanish, one
-    generation remains) with resolution-identical views."""
+    (``load_cluster_state`` + count of both views), record the delta
+    logs' row counts AND the keeper-log/resolved gap ratio that
+    ``maybe_compact_dedup_state`` gates on; then compact and measure
+    again.  Claims under test: resolution cost grows with the number of
+    delta generations and compaction resets it (tombstones vanish, one
+    generation remains) with resolution-identical views; on the
+    ``boilerplate`` corpus (a STATE-REVISING feed -- every batch carries
+    copies of the same templates, so ingests keep merging and re-picking
+    existing clusters) the gap ratio climbs and the trigger fires at its
+    default 2.0 gate, while the mostly-new heaps feed stays near 1 and
+    is correctly skipped."""
     import shutil
 
     from pyspark.sql import functions as F
 
     from dask_patternsearch_spark.operators import dedup
 
-    d = generate(scale)
+    d = generate_boilerplate(scale) if corpus == "boilerplate" \
+        else generate(scale)
     docs = spark.read.parquet(os.path.join(d, "documents.parquet"))
-    state = os.path.join(PROBE_ROOT, f"compact_state_x{scale}")
+    state = os.path.join(PROBE_ROOT, f"compact_state_{corpus}_x{scale}")
     shutil.rmtree(state, ignore_errors=True)
     dedup.init_dedup_state(docs.filter(F.col("doc_id") % 2 == 0), state)
 
@@ -503,32 +511,43 @@ def _probe_compaction(spark, ui, scale: int = 30, n_batches: int = 6) -> None:
         nl, nk = labels.count(), keepers.count()
         return time.perf_counter() - t0, nl, nk
 
-    print("| point | resolve sec | label-log rows | keeper-log rows "
-          "| resolved labels | resolved keepers |")
-    print("|---|---|---|---|---|---|")
+    print(f"| point ({corpus}) | resolve sec | label-log rows "
+          "| keeper-log rows | resolved labels | resolved keepers "
+          "| label gap | keeper gap | trigger@2.0 |")
+    print("|---|---|---|---|---|---|---|---|---|")
 
     def log_sizes() -> tuple[int, int]:
         return (spark.read.parquet(f"{state}/labels_delta.parquet").count(),
                 spark.read.parquet(f"{state}/keepers_delta.parquet").count())
 
-    dt, nl, nk = resolve_time()
-    ll, kl = log_sizes()
-    print(f"| after init | {dt:.2f} | {ll} | {kl} | {nl} | {nk} |")
+    def report(point: str) -> None:
+        dt, nl, nk = resolve_time()
+        ll, kl = log_sizes()
+        lgap = ll / nl if nl else float("inf")
+        kgap = kl / nk if nk else float("inf")
+        fire = "FIRES" if max(lgap, kgap) >= 2.0 else "-"
+        print(f"| {point} | {dt:.2f} | {ll} | {kl} | {nl} | {nk} "
+              f"| {lgap:.2f} | {kgap:.2f} | {fire} |")
+
+    report("after init")
     odd = docs.filter(F.col("doc_id") % 2 == 1)
     for b in range(n_batches):
         batch = odd.filter(
             (F.col("doc_id") / 2).cast("long") % n_batches == b)
         dedup.ingest_batch(batch, state)
-        dt, nl, nk = resolve_time()
-        ll, kl = log_sizes()
-        print(f"| after batch {b + 1} | {dt:.2f} | {ll} | {kl} | {nl} | {nk} |")
+        report(f"after batch {b + 1}")
     pre_labels, pre_keepers = dedup.load_cluster_state(spark, state)
     pre = (sorted(tuple(r) for r in pre_labels.collect()),
            sorted(tuple(r) for r in pre_keepers.collect()))
-    stats = dedup.compact_dedup_state(spark, state)
-    dt, nl, nk = resolve_time()
-    ll, kl = log_sizes()
-    print(f"| after compaction | {dt:.2f} | {ll} | {kl} | {nl} | {nk} |")
+    # the trigger path itself (not a forced compaction): fires iff the
+    # gap crossed the documented 2.0 gate
+    stats = dedup.maybe_compact_dedup_state(
+        spark, state, gap_ratio=2.0, min_log_rows=1)
+    if stats is None:
+        print("# maybe_compact: gap below gate (skipped) -- forcing for "
+              "the reset curve", file=sys.stderr)
+        stats = dedup.compact_dedup_state(spark, state)
+    report("after compaction")
     post_labels, post_keepers = dedup.load_cluster_state(spark, state)
     assert (sorted(tuple(r) for r in post_labels.collect()),
             sorted(tuple(r) for r in post_keepers.collect())) == pre, \
@@ -614,7 +633,9 @@ elif __name__ == "__main__":
     elif mode == "--ingest":
         _probe_ingest(_spark, _ui)
     elif mode == "--compaction":
-        _probe_compaction(_spark, _ui)
+        _probe_compaction(
+            _spark, _ui,
+            corpus=sys.argv[2] if len(sys.argv) > 2 else "heaps")
     else:
         _probe_session(_spark, _ui, all_queries())
     _spark.stop()
