@@ -609,3 +609,50 @@ def test_ingest_batch_state_joins_stay_broadcast(spark, tmp_path):
     info = summarize(repicked)
     assert info["broadcast_hash_joins"] >= 2  # keeper carry + member remap
     assert info["sort_merge_joins"] == 0
+
+
+def test_salted_join_skew_neutral_shape_under_aqe(spark):
+    """The skew levers must stay skew-neutral under AQE.  (a) The session
+    posture keeps AQE + its skew-join rescue enabled -- a config
+    regression would silently remove the runtime split of a hot
+    partition.  (b) salted_join's physical join keys must INCLUDE the
+    salt even after optimization (with broadcast suppressed, so the test
+    sees the shuffle shape a big-side/big-side production join takes):
+    the hot key then hashes to n_salts partitions instead of one, and no
+    optimizer rule may fold the salt away or reorder it out of the join
+    condition.  (c) The salted spelling equals the plain join."""
+    from dask_patternsearch_spark.operators import joins
+
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    # 90% of the fact rows share one key -- the shape salting exists for
+    fact = spark.range(40_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = joins.salted_join(fact, dim, "k", n_salts=16, seed=3)
+        txt = plan_text(out)
+        info = summarize(out)
+        assert info["nested_loop_joins"] == 0
+        assert info["sort_merge_joins"] + info["shuffled_hash_joins"] >= 1
+        # the join keys AND the shuffle partitioning carry BOTH the key
+        # and the salt (formatted mode lists them per join side): the
+        # salt survived optimization, so the hot key spreads over
+        # n_salts reducers instead of one
+        import re
+        assert re.search(
+            r"Left keys \[2\]: \[k#\d+L?, __dps_salt#\d+\]", txt), (
+            f"salt missing from physical join keys: {txt[:2000]}")
+        assert re.search(
+            r"hashpartitioning\(k#\d+L?, __dps_salt#\d+", txt), (
+            "salt missing from the shuffle partitioning")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    got = joins.salted_join(fact, dim, "k", n_salts=16, seed=3)
+    assert got.count() == fact.join(dim, "k").count()
