@@ -2496,3 +2496,204 @@ def sparse_cosine_pairs(
         .orderBy(F.desc("cosine"), F.asc("d1"), F.asc("d2"))
         .limit(k)
     )
+
+
+def cdc_chunks(docs: DataFrame, window: int = 4) -> DataFrame:
+    """Content-defined chunking of each document's token stream (the
+    rsync/LBFS rolling-hash idea, applied at word grain): a chunk
+    boundary falls AFTER token ``i`` iff the md5 of the ``window``-token
+    gram ending at ``i`` starts with hex digit '0' or '1' (a 2/16 coin,
+    so chunks average ~8 tokens).  Because the boundary test looks only
+    at local content, chunk boundaries inside a shared span land at the
+    SAME tokens in every document containing the span -- alignment
+    independence that fixed-width blocking fundamentally lacks (two
+    copies of a span at different offsets mod the block width never
+    produce equal blocks; their CDC chunks are equal wherever the span
+    covers a whole chunk plus one window).  This is the reference
+    analog of ``dask_patternsearch``'s byte-identity dedup of trial
+    points (reference ``search.py:210-216``) lifted to sub-document
+    spans.
+
+    Returns one row per chunk: (doc_id, chunk_idx, chunk_text,
+    chunk_hash, n_tokens).
+
+    Scale: boundary marking and chunk slicing are per-document array
+    expressions (map-only, whole-stage codegen, no Python, no shuffle);
+    output grain is ~n_tokens/8 rows.  The md5-per-position cost is
+    ~n_tokens hashes of ``window``-token strings -- the same O(corpus
+    tokens) coefficient every shingling operator here pays.
+    """
+    t = ensure_parallelism(docs).select(
+        "doc_id", _tokens(F.col("text")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("n"))
+    # boundary AFTER position i (1-based), for i in [window, n-1]: a cut at
+    # i == n is a no-op (the tail chunk always ends at n), so exclude it
+    # and keep start/end construction uniform.
+    gram = lambda i: F.array_join(F.slice("toks", i - window + 1, window), " ")
+    bps = F.when(
+        F.col("n") > window,
+        F.filter(
+            F.sequence(F.lit(window), F.col("n") - 1),
+            lambda i: F.substring(F.md5(gram(i)), 1, 1).isin("0", "1"),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.concat(F.array(F.lit(1)), F.transform(bps, lambda b: b + 1)).alias(
+            "starts"
+        ),
+        F.concat(bps, F.array(F.col("n"))).alias("ends"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.zip_with(
+            "starts",
+            "ends",
+            lambda s, e: F.struct(s.alias("s"), e.alias("e")),
+        ).alias("spans"),
+    )
+    ch = c.select(
+        "doc_id", "toks", F.posexplode("spans").alias("chunk_idx", "span")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice("toks", F.col("span.s"), F.col("span.e") - F.col("span.s") + 1),
+            " ",
+        ).alias("chunk_text"),
+        (F.col("span.e") - F.col("span.s") + 1).cast("long").alias("n_tokens"),
+    )
+    return ch.withColumn("chunk_hash", F.md5("chunk_text")).select(
+        "doc_id", "chunk_idx", "chunk_text", "chunk_hash", "n_tokens"
+    )
+
+
+def cdc_span_dedup(docs: DataFrame, window: int = 4) -> DataFrame:
+    """Exact duplicated-span REMOVAL with corpus rewriting -- the
+    training-data transform of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499), whose
+    suffix-array formulation is inherently sequential, re-expressed as
+    the distributable content-defined-chunk relaxation: cut every
+    document into CDC chunks (``cdc_chunks``; boundaries are a pure
+    function of local content, so repeated spans chunk identically at
+    any offset), keep each distinct chunk text only at its corpus-wide
+    FIRST occurrence (ordered by doc_id, then chunk position --
+    within-document repeats are removed too), and re-emit every document
+    from its surviving chunks.  Unlike the detection-only signals
+    (``duplicate_ngram_fraction``, ``substring_dup_fraction``) this op
+    produces the cleaned corpus itself.
+
+    Returns (doc_id, n_chunks, n_kept, clean_text, clean_n_tokens);
+    documents whose every chunk was seen earlier come back with
+    ``clean_text = ''`` (the paper drops the span, not the document).
+
+    Scale: chunking is map-only (see ``cdc_chunks``); keep-first is ONE
+    groupBy on chunk_hash (partial map-side combine -- the min (doc_id,
+    chunk_idx) pair commutes) followed by a join back on (hash, doc,
+    idx) that AQE broadcasts while the duplicated-chunk relation is
+    small; reassembly is one groupBy on doc_id.  Everything is ~corpus
+    tokens with two shuffles; no Python, no windows over data-scale
+    relations.
+    """
+    ch = cdc_chunks(docs, window=window).localCheckpoint(eager=True)
+    first = ch.groupBy("chunk_hash").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first_at")
+    )
+    kept = ch.join(first, "chunk_hash").filter(
+        (F.col("doc_id") == F.col("first_at.doc_id"))
+        & (F.col("chunk_idx") == F.col("first_at.chunk_idx"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk_text"))
+                ),
+                lambda st: st["chunk_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum("n_tokens").alias("clean_n_tokens"),
+    )
+    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("clean_n_tokens", F.lit(0)).alias("clean_n_tokens"),
+        )
+    )
+
+
+def leakage_guarded_split(
+    docs: DataFrame, n: int = 8
+) -> DataFrame:
+    """Deterministic train/holdout split with a cross-split leakage
+    audit -- the guard a pretraining pipeline needs BEFORE training:
+    a document is holdout iff the first hex digit of md5(doc_id) is
+    '0' or '1' (a content-independent 1/8 coin, reproducible across
+    engines/runs/partitionings, like ``deterministic_shards``), and a
+    TRAIN document is flagged leaky iff it shares at least one distinct
+    word ``n``-gram with ANY holdout document (the GPT-3 appendix-C
+    n-gram overlap test, here applied between a corpus' own splits
+    rather than against an external benchmark -- cf.
+    ``contamination_pairs_exact`` for the benchmark form).
+
+    Returns one bounded summary row per source: (source, n_train,
+    n_holdout, n_leaky_train, leak_rate) -- report grain, so output
+    size is domain-bounded regardless of corpus size.
+
+    Scale: the split label is a map-only expression; the audit is one
+    semi-join on gram between the train-side distinct-gram relation and
+    the holdout-side distinct-gram relation (both ~corpus tokens; the
+    holdout side is ~1/8 of that), then a count-distinct on the leaky
+    doc ids.  No all-pairs stage: documents only meet through shared
+    grams, exactly like ``contamination_pairs_exact``.
+    """
+    lab = ensure_parallelism(docs).select(
+        "doc_id",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .alias("is_holdout"),
+        _tokens(F.col("text")).alias("toks"),
+    ).select(
+        "doc_id", "source", "is_holdout",
+        F.explode(_shingles(F.col("toks"), n)).alias("gram"),
+    )
+    hold_grams = lab.filter("is_holdout").select("gram").distinct()
+    leaky = (
+        lab.filter(~F.col("is_holdout"))
+        .join(hold_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .alias("is_holdout"),
+    ).join(leaky.withColumn("leaky", F.lit(True)), "doc_id", "left")
+    return per_doc.groupBy("source").agg(
+        F.sum((~F.col("is_holdout")).cast("long")).alias("n_train"),
+        F.sum(F.col("is_holdout").cast("long")).alias("n_holdout"),
+        F.sum(
+            (~F.col("is_holdout") & F.coalesce("leaky", F.lit(False))).cast(
+                "long"
+            )
+        ).alias("n_leaky_train"),
+        F.round(
+            F.sum(
+                (~F.col("is_holdout") & F.coalesce("leaky", F.lit(False)))
+                .cast("long")
+            )
+            / F.greatest(F.sum((~F.col("is_holdout")).cast("long")), F.lit(1)),
+            6,
+        ).alias("leak_rate"),
+    )

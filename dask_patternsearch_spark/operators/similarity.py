@@ -1118,3 +1118,115 @@ def rebuild_ivf_layout(
         raise
     shutil.rmtree(old)
     return cents
+
+
+def mmr_topk(
+    emb: DataFrame,
+    n_queries: int = 4,
+    k: int = 8,
+    shortlist: int = 50,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diversified top-k: for each query, greedily select ``k`` results
+    maximizing ``lam * relevance - (1 - lam) * max_sim_to_selected``
+    (cosine both sides; ties by ascending neighbor_id; the first pick
+    maximizes pure relevance since the selected set is empty).  This is
+    the retrieval-side counterpart of SemDeDup: instead of deduplicating
+    the corpus, deduplicate the RESULT SET -- the standard way to keep a
+    RAG context window or a human eval sample from being k copies of the
+    same document.
+
+    Two stages, both distributed:
+    1. exact cosine shortlist of ``shortlist`` candidates per query (same
+       broadcast + window machinery as ``brute_force_topk`` -- N-side
+       stays partition-parallel, no shuffle before the tiny top-m);
+    2. the O(m^2) greedy selection confined to ONE query's shortlist at a
+       time inside ``applyInPandas`` (m = ``shortlist``, so the matrix is
+       m x m tiny) -- queries proceed in parallel, like
+       ``semantic_dedup``'s per-cell pass.
+
+    Returns (query_id, rank, neighbor_id, relevance, mmr_score), both
+    scores rounded to 6 -- deterministic, so the whole pass (shortlist,
+    greedy order, score trace) is value-checked against a recursive
+    DuckDB oracle.
+    """
+    import pandas as pd
+
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("nv"),
+            _cosine(F.col("qv"), F.col("embedding")).alias("relevance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("relevance"), F.asc("neighbor_id")
+    )
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= shortlist)
+        .drop("rn")
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["relevance", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        M = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        S = (M / norms[:, None]) @ (M / norms[:, None]).T
+        rel = pdf["relevance"].to_numpy(dtype=np.float64)
+        ids = pdf["neighbor_id"].to_numpy()
+        m = len(pdf)
+        picked: list[int] = []
+        scores: list[float] = []
+        remaining = np.ones(m, dtype=bool)
+        for _ in range(min(k, m)):
+            if picked:
+                penalty = S[:, picked].max(axis=1)
+            else:
+                penalty = np.zeros(m)
+            mmr = lam * rel - (1.0 - lam) * penalty
+            # argmax over remaining, ties by ascending neighbor_id: rows
+            # are pre-sorted by (rel desc, id asc) but MMR reorders, so
+            # break ties explicitly
+            idx = np.flatnonzero(remaining)
+            best = idx[np.lexsort((ids[idx], -mmr[idx]))[0]]
+            picked.append(int(best))
+            scores.append(float(mmr[best]))
+            remaining[best] = False
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[:1].repeat(len(picked)).to_numpy(),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+                "neighbor_id": ids[picked],
+                "relevance": rel[picked],
+                "mmr_score": np.asarray(scores),
+            }
+        )
+
+    out = cand.groupBy("query_id").applyInPandas(
+        greedy,
+        schema=(
+            "query_id long, rank int, neighbor_id long, "
+            "relevance double, mmr_score double"
+        ),
+    )
+    # rounding happens JVM-side (HALF_UP, like every cosine op here) so the
+    # DuckDB oracle's round() matches exactly; numpy's np.round is
+    # half-EVEN and would diverge on exact .5 boundaries
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

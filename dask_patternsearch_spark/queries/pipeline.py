@@ -4662,8 +4662,199 @@ WINDOW win AS (ORDER BY d.bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT RO
 ORDER BY d.bucket
 """
 
+def cdc_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal with corpus rewriting (Lee et al.
+    2022's transform, as the distributable content-defined-chunking
+    relaxation): every stage -- the rolling md5 boundary test, the chunk
+    slicing, the global keep-first and the document reassembly -- is
+    deterministic and engine-portable, so the CLEANED TEXT itself is
+    value-checked against ``_CDC_DEDUP_SQL``."""
+    return dedup.cdc_span_dedup(_docs(spark, sf_dir))
+
+
+# Mirrors cdc_span_dedup stage by stage: boundary after token i (1-based,
+# window 4) iff md5 of the 4-token gram ending at i starts with hex '0'/'1';
+# range(4, n) == Spark's sequence(window, n-1); toks[i-3:i] (1-based
+# inclusive) == Spark's slice(toks, i-3, 4); keep-first is row_number over
+# md5(chunk_text) ordered by (doc_id, chunk_idx); reassembly is the
+# position-ordered string_agg of surviving chunks.
+_CDC_DEDUP_SQL = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, toks, n,
+         CASE WHEN n > 4 THEN
+           list_filter(range(4, n),
+             i -> substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 1) IN ('0','1'))
+         ELSE CAST([] AS BIGINT[]) END AS bps
+  FROM t
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, toks,
+         list_prepend(CAST(1 AS BIGINT), list_transform(bps, b -> b + 1)) AS starts,
+         list_append(bps, CAST(n AS BIGINT)) AS ends
+  FROM marked
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_idx,
+         array_to_string(toks[starts[u.i]:ends[u.i]], ' ') AS chunk_text,
+         ends[u.i] - starts[u.i] + 1 AS n_tokens
+  FROM spans, UNNEST(range(1, len(starts) + 1)) AS u(i)
+),
+kept AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                                 ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         sum(n_tokens) AS clean_n_tokens
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id,
+       t.n_chunks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.clean_n_tokens, 0) AS BIGINT) AS clean_n_tokens
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def leakage_guarded_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1/8 holdout split (first hex digit of md5(doc_id))
+    plus the GPT-3-style cross-split 8-gram leakage audit, reported at
+    source grain -- the pre-training guard that a train/eval split is
+    actually disjoint at the n-gram level."""
+    return dedup.leakage_guarded_split(_docs(spark, sf_dir))
+
+
+_LEAKAGE_SPLIT_SQL = r"""
+WITH lab AS MATERIALIZED (
+  SELECT doc_id, source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') AS is_holdout,
+         string_split_regex(trim(lower(text)), '\s+') AS toks
+  FROM documents
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, is_holdout,
+         unnest(list_distinct(
+           [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 7 + 1)]
+         )) AS gram
+  FROM lab WHERE len(toks) >= 8
+),
+hold AS MATERIALIZED (SELECT DISTINCT gram FROM grams WHERE is_holdout),
+leaky AS MATERIALIZED (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN hold h USING (gram)
+  WHERE NOT g.is_holdout
+)
+SELECT source,
+       CAST(sum(CASE WHEN NOT is_holdout THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(sum(CASE WHEN is_holdout THEN 1 ELSE 0 END) AS BIGINT) AS n_holdout,
+       CAST(sum(CASE WHEN NOT is_holdout AND l.doc_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_train,
+       round(sum(CASE WHEN NOT is_holdout AND l.doc_id IS NOT NULL
+                      THEN 1 ELSE 0 END)
+             / greatest(sum(CASE WHEN NOT is_holdout THEN 1 ELSE 0 END), 1),
+             6) AS leak_rate
+FROM lab LEFT JOIN leaky l USING (doc_id)
+GROUP BY source
+"""
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Carbonell & Goldstein, SIGIR'98) diversified retrieval over
+    the embeddings table: exact cosine shortlist, then per-query greedy
+    re-ranking (lambda = 0.7) confined to the tiny shortlist inside
+    ``applyInPandas``.  Fully deterministic, so the greedy pick ORDER and
+    the score trace are replayed by a recursive DuckDB oracle
+    (``_MMR_TOPK_SQL``) that decides one rank per round."""
+    return similarity.mmr_topk(_emb(spark, sf_dir))
+
+
+# The recursion carries the cumulative selection table (it = rounds so
+# far, like _SEMANTIC_DEDUP_SQL); each round scores every unselected
+# shortlist candidate as lam*rel - (1-lam)*max_sim_to_selected and picks
+# one per query (score DESC, neighbor_id ASC).  (1.0 - 0.7) is spelled
+# exactly as the Python computes it so both engines use the same ulp.
+_MMR_TOPK_SQL = r"""
+WITH RECURSIVE
+base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 4),
+scored AS MATERIALIZED (
+  SELECT q.query_id, b.vec_id AS neighbor_id, b.v AS nv,
+         list_cosine_similarity(q.qv, b.v) AS rel
+  FROM q JOIN base b ON b.vec_id <> q.query_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, nv, rel FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, neighbor_id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= 50
+),
+pairs AS MATERIALIZED (
+  SELECT a.query_id, a.neighbor_id AS id_a, b.neighbor_id AS id_b,
+         list_cosine_similarity(a.nv, b.nv) AS sim
+  FROM cand a JOIN cand b
+    ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+),
+greedy(query_id, rank, neighbor_id, relevance, mmr_score, it) AS (
+    SELECT query_id, 1, neighbor_id, rel, 0.7 * rel, 1
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY 0.7 * rel DESC, neighbor_id ASC) AS k
+      FROM cand
+    ) WHERE k = 1
+  UNION ALL
+    SELECT * FROM (
+      SELECT query_id, rank, neighbor_id, relevance, mmr_score, it + 1
+      FROM greedy WHERE it < 8
+      UNION ALL
+      SELECT query_id, rank, neighbor_id, relevance, mmr_score, rank AS it FROM (
+        SELECT c.query_id,
+               (SELECT max(it) FROM greedy) + 1 AS rank,
+               c.neighbor_id, c.rel AS relevance,
+               0.7 * c.rel - (1.0 - 0.7) * m.msim AS mmr_score,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY (0.7 * c.rel - (1.0 - 0.7) * m.msim) DESC,
+                          c.neighbor_id ASC) AS pick
+        FROM cand c
+        JOIN (
+          SELECT p.query_id, p.id_b AS neighbor_id, max(p.sim) AS msim
+          FROM pairs p
+          JOIN greedy g ON g.query_id = p.query_id AND g.neighbor_id = p.id_a
+          GROUP BY p.query_id, p.id_b
+        ) m ON m.query_id = c.query_id AND m.neighbor_id = c.neighbor_id
+        LEFT JOIN greedy sel
+          ON sel.query_id = c.query_id AND sel.neighbor_id = c.neighbor_id
+        WHERE sel.neighbor_id IS NULL
+          AND (SELECT max(it) FROM greedy) < 8
+      ) WHERE pick = 1
+    )
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+       round(relevance, 6) AS relevance,
+       round(mmr_score, 6) AS mmr_score
+FROM greedy
+WHERE it = 8
+"""
+
+
 
 QUERIES = {
+    "cdc_dedup_rewrite": cdc_dedup_rewrite,
+    "leakage_guarded_split": leakage_guarded_split_docs,
+    "mmr_diversified_topk": mmr_diversified_topk,
     "exact_dedup_docs": exact_dedup_docs,
     "tfidf_top_terms": tfidf_top_terms,
     "doc_length_histogram": doc_length_histogram,
@@ -4757,6 +4948,9 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_dedup_rewrite": _CDC_DEDUP_SQL,
+    "leakage_guarded_split": _LEAKAGE_SPLIT_SQL,
+    "mmr_diversified_topk": _MMR_TOPK_SQL,
     "trigram_redundancy": _TRIGRAM_REDUNDANCY_SQL,
     "stratified_sample_docs": _STRATIFIED_SAMPLE_SQL,
     "substring_dup_docs": _SUBSTRING_DUP_SQL,

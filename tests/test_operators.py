@@ -2902,3 +2902,213 @@ def test_ingest_batch_random_split_composition(spark, tmp_path, seed):
                   dedup.cluster_keepers(docs, full_pairs).collect())
     assert got == want
     assert any(t[3] > 1 for t in want), "fixture must form clusters"
+
+
+# ---------------------------------------------------------------------------
+# CDC span dedup (Lee et al. 2022 rewriting transform, CDC relaxation)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_cdc_span_dedup_identity_on_unique_corpus(spark):
+    """With no repeated chunks, every chunk survives and the rewritten text
+    is exactly the whitespace-normalized original."""
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(500)]
+    rows = [
+        (i, " ".join(rng.choice(words, size=40, replace=False)))
+        for i in range(20)
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cdc_span_dedup(_mk_docs(spark, rows)).collect()
+    }
+    for i, t in rows:
+        assert out[i]["n_kept"] == out[i]["n_chunks"]
+        assert out[i]["clean_text"] == t.lower()
+        assert out[i]["clean_n_tokens"] == 40
+
+
+def test_cdc_span_dedup_removes_exact_copy(spark):
+    """A verbatim copy of an earlier document loses every chunk."""
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(300)]
+    base = " ".join(rng.choice(words, size=60, replace=False))
+    other = " ".join(rng.choice(words, size=60, replace=False))
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cdc_span_dedup(
+            _mk_docs(spark, [(1, base), (2, other), (3, base)])
+        ).collect()
+    }
+    assert out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""
+    assert out[1]["n_kept"] == out[1]["n_chunks"]  # first occurrence kept
+
+
+def test_cdc_span_dedup_alignment_independence(spark):
+    """A shared span at a DIFFERENT token offset still dedups: CDC
+    boundaries are content-local, so the copy's interior chunks hash
+    identically no matter the shift (fixed-width blocking fails this for
+    every shift not congruent to 0 mod the block width)."""
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(400)]
+    span = " ".join(rng.choice(words, size=64, replace=False))
+    shifted = "zz1 zz2 zz3 " + span  # offset 3, not a multiple of any block
+    out = {
+        r["doc_id"]: r
+        for r in dedup.cdc_span_dedup(
+            _mk_docs(spark, [(1, span), (2, shifted)])
+        ).collect()
+    }
+    # the copy keeps at most the splice-boundary chunk(s); the span's
+    # interior chunks (most of its mass) must dedup away
+    assert out[2]["clean_n_tokens"] < 64 // 2, (
+        f"shifted copy kept {out[2]['clean_n_tokens']} of 67 tokens -- "
+        "alignment independence broken"
+    )
+    assert out[1]["n_kept"] == out[1]["n_chunks"]
+
+
+def test_cdc_chunks_cover_and_tile(spark, docs):
+    """Chunks tile each document exactly: concatenating them in order
+    reproduces the tokenized text; token counts add up."""
+    ch = dedup.cdc_chunks(docs.limit(50))
+    back = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("rebuilt"),
+            F.sum("n_tokens").alias("n_tok"),
+        )
+    )
+    joined = (
+        docs.limit(50)
+        .select(
+            "doc_id",
+            F.array_join(dedup._tokens(F.col("text")), " ").alias("norm"),
+            F.size(dedup._tokens(F.col("text"))).alias("n"),
+        )
+        .join(back, "doc_id")
+        .collect()
+    )
+    assert len(joined) == 50
+    for r in joined:
+        assert r["rebuilt"] == r["norm"]
+        assert r["n_tok"] == r["n"]
+
+
+# ---------------------------------------------------------------------------
+# leakage-guarded split
+
+
+def _is_holdout(doc_id: int) -> bool:
+    import hashlib
+
+    return hashlib.md5(str(doc_id).encode()).hexdigest()[0] in "01"
+
+
+def test_leakage_guarded_split_flags_planted_leak(spark):
+    """A train document sharing an 8-gram with a holdout document is
+    counted leaky; a disjoint train document is not."""
+    # find ids on each side of the deterministic split
+    hold_id = next(i for i in range(1000) if _is_holdout(i))
+    train_ids = [i for i in range(1000) if not _is_holdout(i)][:2]
+    secret = " ".join(f"s{i}" for i in range(8))  # the shared 8-gram
+    rows = [
+        (hold_id, "pre1 pre2 " + secret + " post1 post2"),
+        (train_ids[0], "alpha beta " + secret + " gamma delta"),
+        (train_ids[1], " ".join(f"u{i}" for i in range(12))),
+    ]
+    rep = dedup.leakage_guarded_split(_mk_docs(spark, rows)).collect()
+    assert len(rep) == 1  # single source
+    r = rep[0]
+    assert r["n_holdout"] == 1
+    assert r["n_train"] == 2
+    assert r["n_leaky_train"] == 1
+    assert abs(r["leak_rate"] - 0.5) < 1e-9
+
+
+def test_leakage_split_is_deterministic(spark, docs):
+    a = sorted(map(tuple, dedup.leakage_guarded_split(docs).collect()))
+    b = sorted(map(tuple, dedup.leakage_guarded_split(docs).collect()))
+    assert a == b
+    # every document lands in exactly one split
+    tot = sum(r[1] + r[2] for r in a)
+    assert tot == docs.count()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified top-k
+
+
+def test_mmr_topk_prefers_diversity(spark):
+    """Planted geometry: two near-identical highly-relevant vectors and one
+    orthogonal moderately-relevant vector.  Plain top-2 takes the twins;
+    MMR (lam=0.7) must take the orthogonal vector second."""
+    d = 8
+    q = np.zeros(d); q[0] = 1.0
+    a1 = np.zeros(d); a1[0] = 1.0; a1[1] = 0.9     # most relevant
+    a2 = np.zeros(d); a2[0] = 1.0; a2[1] = 1.001   # near-duplicate of a1
+    b = np.zeros(d); b[0] = 1.0; b[1] = -1.0       # as relevant as a2, far from a1
+    emb = spark.createDataFrame(
+        [(0, q.tolist()), (10, a1.tolist()), (11, a2.tolist()), (12, b.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["rank"]: r
+        for r in similarity.mmr_topk(emb, n_queries=1, k=3).collect()
+    }
+    assert out[1]["neighbor_id"] == 10      # pure relevance first
+    assert out[2]["neighbor_id"] == 12      # diversity beats the twin
+    assert out[3]["neighbor_id"] == 11      # twin comes last
+    # scores are monotone non-increasing in rank
+    assert out[1]["mmr_score"] >= out[2]["mmr_score"] >= out[3]["mmr_score"]
+
+
+def test_mmr_rank1_is_pure_relevance_topk(spark, emb):
+    """Rank-1 picks must equal brute-force top-1 (the empty-set penalty is
+    zero, so MMR round 1 is pure relevance)."""
+    mmr1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.mmr_topk(emb, n_queries=4, k=3)
+        .filter("rank = 1")
+        .collect()
+    }
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, n_queries=4, k=1).collect()
+    }
+    assert mmr1 == top1
+
+
+def test_mmr_selected_set_is_more_diverse_than_topk(spark, emb):
+    """The whole point: max pairwise cosine within MMR's selection must not
+    exceed that within plain top-k's selection (same k, same queries)."""
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=float)
+        for r in emb.collect()
+    }
+
+    def max_pair_sim(ids):
+        M = np.stack([vecs[i] / np.linalg.norm(vecs[i]) for i in ids])
+        S = M @ M.T
+        np.fill_diagonal(S, -1)
+        return S.max()
+
+    mmr = similarity.mmr_topk(emb, n_queries=4, k=8).collect()
+    top = similarity.brute_force_topk(emb, n_queries=4, k=8).collect()
+    for qid in range(4):
+        m_ids = [r["neighbor_id"] for r in mmr if r["query_id"] == qid]
+        t_ids = [r["neighbor_id"] for r in top if r["query_id"] == qid]
+        assert max_pair_sim(m_ids) <= max_pair_sim(t_ids) + 1e-12
