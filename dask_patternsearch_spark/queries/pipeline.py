@@ -4850,9 +4850,88 @@ WHERE it = 8
 """
 
 
+def incremental_cdc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental leg of duplicated-span removal, oracle-checked for
+    exact composition: ``dedup.init_cdc_state`` stages the chunk-hash
+    ledger over the even-id half of the corpus (once per session via
+    ``_staged_state``), then ``dedup.ingest_cdc_batch`` rewrites the
+    odd-id batch against it.  The result must equal the one-shot
+    ``cdc_span_dedup`` over the concatenated corpus in ARRIVAL order
+    (evens before odds) restricted to the batch -- the DuckDB oracle
+    replays exactly that global keep-first.  The first call commits the
+    batch to the staged ledger; later calls take the documented
+    already-applied path and recompute the identical rewrite (the
+    retry-idempotence contract doubles as sweep-repeatability)."""
+    docs = _docs(spark, sf_dir)
+
+    def build(work):
+        dedup.init_cdc_state(
+            docs.filter(F.col("doc_id") % 2 == 0), f"{work}/state")
+
+    root = _staged_state(sf_dir, "cdc_lsm", (dedup,), build)
+    return dedup.ingest_cdc_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), f"{root}/state")
+
+
+# One-shot keep-first over the whole corpus with evens ranked BEFORE odds
+# (the arrival order init + ingest realizes), rebuild restricted to the
+# odd-id batch.  Chunking CTEs are identical to _CDC_DEDUP_SQL.
+_INCR_CDC_SQL = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, toks, n,
+         CASE WHEN n > 4 THEN
+           list_filter(range(4, n),
+             i -> substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 1) IN ('0','1'))
+         ELSE CAST([] AS BIGINT[]) END AS bps
+  FROM t
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, toks,
+         list_prepend(CAST(1 AS BIGINT), list_transform(bps, b -> b + 1)) AS starts,
+         list_append(bps, CAST(n AS BIGINT)) AS ends
+  FROM marked
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_idx,
+         array_to_string(toks[starts[u.i]:ends[u.i]], ' ') AS chunk_text,
+         ends[u.i] - starts[u.i] + 1 AS n_tokens
+  FROM spans, UNNEST(range(1, len(starts) + 1)) AS u(i)
+),
+kept AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(chunk_text)
+                                 ORDER BY doc_id % 2, doc_id, chunk_idx) AS rn
+    FROM chunks
+  ) WHERE rn = 1
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         sum(n_tokens) AS clean_n_tokens
+  FROM kept WHERE doc_id % 2 = 1 GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_chunks FROM chunks
+  WHERE doc_id % 2 = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_chunks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.clean_n_tokens, 0) AS BIGINT) AS clean_n_tokens
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 
 QUERIES = {
     "cdc_dedup_rewrite": cdc_dedup_rewrite,
+    "incremental_cdc_rewrite": incremental_cdc_rewrite,
     "leakage_guarded_split": leakage_guarded_split_docs,
     "mmr_diversified_topk": mmr_diversified_topk,
     "exact_dedup_docs": exact_dedup_docs,
@@ -4949,6 +5028,7 @@ QUERIES = {
 
 ORACLE = {
     "cdc_dedup_rewrite": _CDC_DEDUP_SQL,
+    "incremental_cdc_rewrite": _INCR_CDC_SQL,
     "leakage_guarded_split": _LEAKAGE_SPLIT_SQL,
     "mmr_diversified_topk": _MMR_TOPK_SQL,
     "trigram_redundancy": _TRIGRAM_REDUNDANCY_SQL,

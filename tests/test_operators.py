@@ -3112,3 +3112,92 @@ def test_mmr_selected_set_is_more_diverse_than_topk(spark, emb):
         m_ids = [r["neighbor_id"] for r in mmr if r["query_id"] == qid]
         t_ids = [r["neighbor_id"] for r in top if r["query_id"] == qid]
         assert max_pair_sim(m_ids) <= max_pair_sim(t_ids) + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# incremental CDC span dedup (ledger-backed ingestion leg)
+
+
+def _dup_heavy_rows(seed, ids, n_words=40, vocab=120):
+    """Word-soup rows with a small vocab so cross-document chunk
+    collisions actually occur."""
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    return [(i, " ".join(rng.choice(words, size=n_words))) for i in ids]
+
+
+def test_cdc_ingest_composes_with_init(spark, tmp_path):
+    """init on docs 0..9 + ingest of 10..19 must equal the one-shot
+    cdc_span_dedup over all 20 docs (arrival order == doc_id order here),
+    restricted to the batch."""
+    rows = _dup_heavy_rows(3, range(20))
+    all_docs = _mk_docs(spark, rows)
+    init_docs = all_docs.filter("doc_id < 10")
+    batch = all_docs.filter("doc_id >= 10")
+    state = str(tmp_path / "state")
+    init_rw = dedup.init_cdc_state(init_docs, state)
+    # init's own rewrite equals the standalone op on the init corpus
+    exp_init = {tuple(r) for r in dedup.cdc_span_dedup(init_docs).collect()}
+    assert {tuple(r) for r in init_rw.collect()} == exp_init
+    got = {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got == exp
+
+
+def test_cdc_ingest_sequential_batches_compose(spark, tmp_path):
+    rows = _dup_heavy_rows(5, range(30))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    got1 = dedup.ingest_cdc_batch(
+        all_docs.filter("doc_id >= 10 and doc_id < 20"), state
+    ).collect()
+    got2 = dedup.ingest_cdc_batch(all_docs.filter("doc_id >= 20"), state).collect()
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert {tuple(r) for r in got1 + got2} == exp
+
+
+def test_cdc_ingest_retry_is_idempotent(spark, tmp_path):
+    """Second call with the same batch takes the already-applied path:
+    identical rewrite, no new ledger generations."""
+    rows = _dup_heavy_rows(7, range(20))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    batch = all_docs.filter("doc_id >= 10")
+    first = {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
+    ledger_rows = spark.read.parquet(dedup._cdc_ledger_path(state)).count()
+    second = {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
+    assert second == first
+    assert spark.read.parquet(dedup._cdc_ledger_path(state)).count() == ledger_rows
+
+
+def test_cdc_ingest_crash_orphans_are_shadowed(spark, tmp_path):
+    """A crashed attempt's partial ledger append (stamp present in rows,
+    absent from the commit ledger) must not change the retry's rewrite:
+    uncommitted orphans are filtered on read."""
+    rows = _dup_heavy_rows(9, range(20))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    batch = all_docs.filter("doc_id >= 10")
+    stamp = "cdc-" + dedup._batch_stamp(batch)
+    # simulate the crash: a partial append lands SOME of the batch's novel
+    # hashes (and even a junk hash) tagged with the stamp, but the stamp
+    # never reaches the commit ledger
+    spark.createDataFrame(
+        [("deadbeefdeadbeefdeadbeefdeadbeef", 1, stamp)],
+        "chunk_hash string, batch_seq long, batch_stamp string",
+    ).write.mode("append").parquet(dedup._cdc_ledger_path(state))
+    got = {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got == exp
