@@ -4928,10 +4928,60 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def streaming_cdc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span removal as a STREAM, hash-checked against the
+    SAME arrival-order oracle as the incremental batch path:
+    ``init_cdc_state`` over the even-id half, then the odd-id half
+    arrives as a file-source stream (two id-contiguous files,
+    ``maxFilesPerTrigger=1`` -> two micro-batches in doc_id order)
+    drained through ``streaming.dedup.cdc_rewrite_stream``.  Sequential
+    ingest calls compose to the one-shot keep-first in arrival order,
+    and id-ordered micro-batches make arrival order == doc_id order, so
+    the drained output equals ``incremental_cdc_rewrite``'s result and
+    shares ``_INCR_CDC_SQL`` verbatim.  Output idempotence under replay
+    comes from stamp-keyed overwrite subdirectories (no transactional
+    sink).  Staged once per session, separately from the batch path's
+    cache, so the first run in any process exercises the real drain."""
+    import os
+    import time as timemod
+
+    from ..streaming import dedup as sdedup
+
+    docs = _docs(spark, sf_dir)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def build(root):
+        state = f"{root}/state"
+        dedup.init_cdc_state(docs.filter(F.col("doc_id") % 2 == 0), state)
+        split = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+        staged = f"{root}/staged"
+        odds.filter(F.col("doc_id") <= split).coalesce(1).write.parquet(staged)
+        a_parts = sorted(
+            f for f in os.listdir(staged) if f.startswith("part-"))
+        odds.filter(F.col("doc_id") > split).coalesce(1).write.mode(
+            "append").parquet(staged)
+        b_parts = sorted(
+            set(f for f in os.listdir(staged) if f.startswith("part-"))
+            - set(a_parts))
+        now = timemod.time()
+        for i, name in enumerate(a_parts + b_parts):
+            os.utime(os.path.join(staged, name), (now + i, now + i))
+        s2 = _stream_session(spark)
+        stream = sdedup.read_docs_stream(s2, staged, max_files_per_trigger=1)
+        sdedup.cdc_rewrite_stream(
+            stream, state, f"{root}/rewritten", f"{root}/ckpt")
+
+    from ..streaming import dedup as sdedup_mod
+
+    root = _staged_state(sf_dir, "stream_cdc_lsm", (dedup, sdedup_mod), build)
+    return spark.read.parquet(f"{root}/rewritten/*")
+
+
 
 QUERIES = {
     "cdc_dedup_rewrite": cdc_dedup_rewrite,
     "incremental_cdc_rewrite": incremental_cdc_rewrite,
+    "streaming_cdc_rewrite": streaming_cdc_rewrite,
     "leakage_guarded_split": leakage_guarded_split_docs,
     "mmr_diversified_topk": mmr_diversified_topk,
     "exact_dedup_docs": exact_dedup_docs,
@@ -5029,6 +5079,7 @@ QUERIES = {
 ORACLE = {
     "cdc_dedup_rewrite": _CDC_DEDUP_SQL,
     "incremental_cdc_rewrite": _INCR_CDC_SQL,
+    "streaming_cdc_rewrite": _INCR_CDC_SQL,
     "leakage_guarded_split": _LEAKAGE_SPLIT_SQL,
     "mmr_diversified_topk": _MMR_TOPK_SQL,
     "trigram_redundancy": _TRIGRAM_REDUNDANCY_SQL,

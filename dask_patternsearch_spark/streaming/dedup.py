@@ -166,3 +166,51 @@ def ingest_keepers_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def cdc_rewrite_stream(
+    docs_stream: DataFrame,
+    state_dir: str,
+    output_path: str,
+    checkpoint_path: str,
+    window: int = 4,
+) -> None:
+    """Duplicated-span removal as a STREAM: every micro-batch runs
+    ``operators.dedup.ingest_cdc_batch`` against the persistent
+    chunk-hash ledger and lands its rewritten documents under
+    ``output_path`` -- the continuous form of the Lee et al. 2022
+    training-data transform (span-level, not document-level: the
+    arriving text itself is cleaned against everything already seen).
+
+    Exactly-once END TO END without a transactional sink, at both
+    levels of state:
+    * ledger -- ``ingest_cdc_batch``'s content stamps make a replayed
+      micro-batch a state no-op (same protocol as
+      ``ingest_keepers_stream``);
+    * output -- each micro-batch's rewrite is written by OVERWRITE into
+      a subdirectory keyed by the same content stamp, so a replay lands
+      byte-identically on top of itself instead of appending
+      duplicates.  Readers take ``output_path/*`` as one relation.
+
+    Because sequential ingest calls compose to the one-shot
+    arrival-order keep-first regardless of how documents are split into
+    micro-batches, the drained output over id-ordered micro-batches is
+    hash-checkable against the SAME oracle as the batch path
+    (registered ``streaming_cdc_rewrite``).  Drains to completion
+    (availableNow trigger)."""
+    from ..operators import dedup as bdedup
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        stamp = "cdc-" + bdedup._batch_stamp(batch_df)
+        rewritten = bdedup.ingest_cdc_batch(batch_df, state_dir, window=window)
+        rewritten.write.mode("overwrite").parquet(f"{output_path}/{stamp}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -737,3 +737,61 @@ def test_streaming_ingest_restart_is_state_noop(spark, scratch_dir):
     assert spark.read.parquet(
         f"{state}/keepers_delta.parquet").count() == n_keep
     assert spark.read.parquet(f"{state}/signatures.parquet").count() == n_sig
+
+
+def test_streaming_cdc_restart_is_noop_at_both_levels(spark, scratch_dir):
+    """Re-draining the CDC rewrite stream over the same files with a
+    FRESH checkpoint must change neither the chunk-hash ledger (content
+    stamps) nor the rewritten output (stamp-keyed overwrite subdirs),
+    and the drained output must equal the one-shot batch rewrite over
+    the arrival-ordered corpus."""
+    import time as timemod
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    state = os.path.join(scratch_dir, "cdc_state")
+    bdedup.init_cdc_state(docs.filter(F.col("doc_id") % 2 == 0), state)
+    split = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    staged = os.path.join(scratch_dir, "cdc_staged")
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    odds.filter(F.col("doc_id") <= split).coalesce(1).write.parquet(staged)
+    a = sorted(f for f in os.listdir(staged) if f.startswith("part-"))
+    odds.filter(F.col("doc_id") > split).coalesce(1).write.mode(
+        "append").parquet(staged)
+    b = sorted(set(f for f in os.listdir(staged) if f.startswith("part-"))
+               - set(a))
+    now = timemod.time()
+    for i, name in enumerate(a + b):
+        os.utime(os.path.join(staged, name), (now + i, now + i))
+
+    out = os.path.join(scratch_dir, "cdc_out")
+    stream = sdedup.read_docs_stream(spark, staged, max_files_per_trigger=1)
+    sdedup.cdc_rewrite_stream(
+        stream, state, out, os.path.join(scratch_dir, "cdc_ckpt1"))
+    once = sorted(tuple(r) for r in spark.read.parquet(f"{out}/*").collect())
+    n_ledger = spark.read.parquet(
+        bdedup._cdc_ledger_path(state)).count()
+
+    # micro-batch boundary independence: the drained output equals the
+    # one-shot keep-first in ARRIVAL order (all evens, then odds by id)
+    # -- realized independently by lifting odd ids above every even id,
+    # so cdc_span_dedup's doc_id ordering becomes the arrival ordering
+    lift = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    remapped = docs.withColumn(
+        "doc_id", F.col("doc_id") + (F.col("doc_id") % 2) * lift)
+    want = sorted(
+        (r["doc_id"] - lift,) + tuple(r)[1:]
+        for r in bdedup.cdc_span_dedup(remapped).filter(
+            f"doc_id >= {lift}").collect())
+    assert once == want
+
+    # fresh-checkpoint replay: ledger row count and output unchanged
+    stream2 = sdedup.read_docs_stream(spark, staged, max_files_per_trigger=1)
+    sdedup.cdc_rewrite_stream(
+        stream2, state, out, os.path.join(scratch_dir, "cdc_ckpt2"))
+    assert sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/*").collect()) == once
+    assert spark.read.parquet(
+        bdedup._cdc_ledger_path(state)).count() == n_ledger
