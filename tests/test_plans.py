@@ -656,3 +656,40 @@ def test_salted_join_skew_neutral_shape_under_aqe(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     got = joins.salted_join(fact, dim, "k", n_salts=16, seed=3)
     assert got.count() == fact.join(dim, "k").count()
+
+
+def test_cdc_span_dedup_plan_is_jvm_side_two_shuffles(spark):
+    """The CDC rewriting claim: chunking is map-only JVM expressions (no
+    Python stages anywhere), keep-first and reassembly are the only data
+    shuffles, and the keep-first min aggregate combines map-side."""
+    from dask_patternsearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    info = summarize(dedup.cdc_span_dedup(docs))
+    assert info["python_stages"] == 0
+    assert info["nested_loop_joins"] == 0
+    assert info["partial_aggregates"] >= 1  # min(struct) combines map-side
+    # keep-first groupBy + join-back + reassembly groupBy + the
+    # ensure_parallelism repartition: a handful of exchanges, none of
+    # them corpus x corpus (localCheckpoint pins the chunk relation, so
+    # the join-back consumes the checkpoint, not a recompute)
+    assert info["exchanges"] <= 6
+
+
+def test_cdc_ingest_probe_broadcasts_batch_not_ledger(spark, tmp_path):
+    """ingest_cdc_batch's ledger probe must broadcast the BATCH-derived
+    sides (hash set out, hit set back): the corpus-sized ledger streams
+    through semi/anti joins without a shuffle exchange on its side, and
+    no sort-merge join may appear."""
+    from pyspark.sql import functions as F2
+
+    from dask_patternsearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    state = str(tmp_path / "cdc_plan_state")
+    dedup.init_cdc_state(docs.filter(F2.col("doc_id") % 2 == 0), state)
+    out = dedup.ingest_cdc_batch(docs.filter(F2.col("doc_id") % 2 == 1), state)
+    info = summarize(out)
+    assert info["sort_merge_joins"] == 0
+    assert info["python_stages"] == 0
+    assert info["broadcast_hash_joins"] >= 1  # novel-firsts semi probe

@@ -556,6 +556,59 @@ def _probe_compaction(spark, ui, scale: int = 30, n_batches: int = 6,
     shutil.rmtree(state, ignore_errors=True)
 
 
+def _probe_cdc(spark, ui) -> None:
+    """Span-dedup production shape: one-shot ``cdc_span_dedup`` per corpus
+    scale (linear-curve check), then ``init_cdc_state`` + a FIXED 15k-doc
+    ``ingest_cdc_batch`` against each corpus size.  Claims under test:
+    the one-shot pass scales ~linearly in corpus tokens; the per-batch
+    ingest cost and shuffle track the BATCH (the ledger streams through
+    broadcast probes without shuffling); ledger growth is exactly the
+    batch's novel chunk count."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    batch = (spark.read.parquet(os.path.join(generate(3), "documents.parquet"))
+             .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+             .localCheckpoint(eager=True))
+    n_batch = batch.count()
+    dedup.cdc_span_dedup(
+        spark.read.parquet(os.path.join(generate(10), "documents.parquet"))
+    ).count()  # warm-up
+    print("| corpus | metric | value |")
+    print("|---|---|---|")
+    for s in (10, 30, 100):
+        corpus = spark.read.parquet(
+            os.path.join(generate(s), "documents.parquet"))
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        n_rows = dedup.cdc_span_dedup(corpus).count()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        print(f"| x{s} ({5000*s} docs) | one-shot cdc_span_dedup | "
+              f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / {n_rows} rows |")
+        state = os.path.join(PROBE_ROOT, f"cdc_state_x{s}")
+        shutil.rmtree(state, ignore_errors=True)
+        t0 = time.perf_counter()
+        dedup.init_cdc_state(corpus, state).count()
+        init_dt = time.perf_counter() - t0
+        led0 = spark.read.parquet(dedup._cdc_ledger_path(state)).count()
+        r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        dedup.ingest_cdc_batch(batch, state).count()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        led1 = spark.read.parquet(dedup._cdc_ledger_path(state)).count()
+        print(f"| x{s} ({5000*s} docs) | init_cdc_state once | {init_dt:.1f}s "
+              f"/ {led0} ledger rows |")
+        print(f"| x{s} ({5000*s} docs) | ingest {n_batch} batch | "
+              f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / "
+              f"+{led1-led0} ledger rows |")
+        shutil.rmtree(state, ignore_errors=True)
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -607,7 +660,8 @@ def _probe_incremental_ann(spark, ui) -> None:
 
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
-        ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"]):
+        ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"],
+        ["--cdc"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -632,6 +686,8 @@ elif __name__ == "__main__":
             scale=int(sys.argv[2]) if len(sys.argv) > 2 else 100)
     elif mode == "--ingest":
         _probe_ingest(_spark, _ui)
+    elif mode == "--cdc":
+        _probe_cdc(_spark, _ui)
     elif mode == "--compaction":
         _probe_compaction(
             _spark, _ui,
