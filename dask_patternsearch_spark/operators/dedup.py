@@ -2841,3 +2841,46 @@ def ingest_cdc_batch(
     # does not exist to any reader
     _record_applied(state_dir, stamp)
     return rewritten
+
+
+def compact_cdc_state(spark, state_dir: str) -> dict:
+    """Physically drop the CDC chunk-hash ledger's crash debris -- the
+    maintenance job that keeps :func:`ingest_cdc_batch`'s ledger scan
+    honest after crashes and retries.  Unlike the label/keeper logs
+    (:func:`compact_dedup_state`), this ledger has NO superseded
+    generations to collapse (first-ingested-wins set state is
+    append-only), so the only reclaimable rows are (a) uncommitted
+    orphans from crashed never-retried batches and (b) duplicate (hash,
+    stamp) rows a crashed-then-retried append left behind; both are
+    already invisible/harmless to readers, so compaction here is purely
+    a space/scan-size lever, never a correctness event.
+
+    STAMP ATTRIBUTION IS PRESERVED: rows are rewritten as one
+    (chunk_hash, batch_stamp) row with the smallest generation, NOT
+    re-stamped under a compaction marker -- a committed batch retried
+    AFTER compaction reconstructs its pre-batch view by excluding rows
+    carrying its own stamp, which only works if its rows still carry it
+    (the failure mode the label-log compactor had to fix the hard way).
+    Returns row counts before/after."""
+    import os
+    import shutil
+    import uuid
+
+    path = _cdc_ledger_path(state_dir)
+    raw = spark.read.parquet(path)
+    before = raw.count()
+    resolved = (
+        _committed_only(spark, state_dir, raw)
+        .groupBy("chunk_hash", "batch_stamp")
+        .agg(F.min("batch_seq").alias("batch_seq"))
+        .select("chunk_hash", "batch_seq", "batch_stamp")
+        .localCheckpoint(eager=True)
+    )
+    after = resolved.count()
+    tmp = path + ".compact-" + uuid.uuid4().hex
+    resolved.write.mode("errorifexists").parquet(tmp)
+    old = path + ".old-" + uuid.uuid4().hex
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"rows_before": int(before), "rows_after": int(after)}

@@ -3201,3 +3201,39 @@ def test_cdc_ingest_crash_orphans_are_shadowed(spark, tmp_path):
         for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
     }
     assert got == exp
+
+
+def test_cdc_compaction_drops_orphans_preserves_retry(spark, tmp_path):
+    """compact_cdc_state removes uncommitted orphans and duplicate rows
+    but preserves stamp attribution, so (a) a crashed batch retried
+    AFTER compaction is a clean fresh apply, and (b) a committed batch
+    retried after compaction still reconstructs its pre-batch view and
+    recomputes the identical rewrite."""
+    rows = _dup_heavy_rows(21, range(30))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    b1 = all_docs.filter("doc_id >= 10 and doc_id < 20")
+    b2 = all_docs.filter("doc_id >= 20")
+    got1 = {tuple(r) for r in dedup.ingest_cdc_batch(b1, state).collect()}
+    # crash simulation for b2: orphan rows land, stamp never commits
+    stamp2 = "cdc-" + dedup._batch_stamp(b2)
+    spark.createDataFrame(
+        [("feedfacefeedfacefeedfacefeedface", 9, stamp2)],
+        "chunk_hash string, batch_seq long, batch_stamp string",
+    ).write.mode("append").parquet(dedup._cdc_ledger_path(state))
+    info = dedup.compact_cdc_state(spark, state)
+    assert info["rows_after"] < info["rows_before"]  # orphan dropped
+    ledger = spark.read.parquet(dedup._cdc_ledger_path(state))
+    assert ledger.filter(f"batch_stamp = '{stamp2}'").count() == 0
+    # (a) crashed b2 retried post-compaction: clean fresh apply
+    got2 = {tuple(r) for r in dedup.ingest_cdc_batch(b2, state).collect()}
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got1 | got2 == exp
+    # (b) committed b1 retried post-compaction: identical rewrite
+    dedup.compact_cdc_state(spark, state)
+    again = {tuple(r) for r in dedup.ingest_cdc_batch(b1, state).collect()}
+    assert again == got1
