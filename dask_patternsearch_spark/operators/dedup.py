@@ -2511,7 +2511,7 @@ def cdc_chunks(docs: DataFrame, window: int = 4) -> DataFrame:
     produce equal blocks; their CDC chunks are equal wherever the span
     covers a whole chunk plus one window).  This is the reference
     analog of ``dask_patternsearch``'s byte-identity dedup of trial
-    points (reference ``search.py:210-216``) lifted to sub-document
+    points (reference ``search.py:283-291``, the ``results.get(trial_point)`` memo probe) lifted to sub-document
     spans.
 
     Returns one row per chunk: (doc_id, chunk_idx, chunk_text,
