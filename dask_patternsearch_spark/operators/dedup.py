@@ -2606,6 +2606,14 @@ def cdc_span_dedup(docs: DataFrame, window: int = 4) -> DataFrame:
         (F.col("doc_id") == F.col("first_at.doc_id"))
         & (F.col("chunk_idx") == F.col("first_at.chunk_idx"))
     )
+    return _rebuild_from_chunks(ch, kept)
+
+
+def _rebuild_from_chunks(all_chunks: DataFrame, kept: DataFrame) -> DataFrame:
+    """Reassemble documents from surviving chunks: position-ordered join
+    of kept chunk texts per doc, with every document of ``all_chunks``
+    present in the output (fully-removed docs come back empty, not
+    absent).  One groupBy on doc_id each side."""
     rebuilt = kept.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
@@ -2619,7 +2627,8 @@ def cdc_span_dedup(docs: DataFrame, window: int = 4) -> DataFrame:
         ).alias("clean_text"),
         F.sum("n_tokens").alias("clean_n_tokens"),
     )
-    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    totals = all_chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"))
     return (
         totals.join(rebuilt, "doc_id", "left")
         .select(
@@ -2630,6 +2639,35 @@ def cdc_span_dedup(docs: DataFrame, window: int = 4) -> DataFrame:
             F.coalesce("clean_n_tokens", F.lit(0)).alias("clean_n_tokens"),
         )
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame, benchmark: DataFrame, window: int = 4
+) -> DataFrame:
+    """SURGICAL decontamination: remove the benchmark-overlapping SPANS
+    and keep the rest of each document, instead of dropping whole
+    documents (:func:`decontaminate_exact` / the n-gram-collision drop).
+    A corpus chunk is removed iff its text occurs as a chunk of ANY
+    benchmark document -- every occurrence, no first-occurrence
+    exemption (it is contamination, not redundancy).  Content-defined
+    chunking makes this offset-independent: a benchmark span pasted
+    mid-document chunks identically on both sides wherever it covers a
+    whole chunk plus one hash window.
+
+    Returns the rewritten corpus (same schema as :func:`cdc_span_dedup`);
+    fully deterministic, so the cleaned text itself is oracle-checkable.
+
+    Scale: benchmark sets are small next to the corpus, so the distinct
+    benchmark chunk-hash set broadcasts and the corpus-side anti-join is
+    map-only after one chunking pass -- no shuffle touches the corpus
+    beyond the reassembly groupBy.
+    """
+    ch = cdc_chunks(corpus, window=window).localCheckpoint(eager=True)
+    bench_hashes = (
+        cdc_chunks(benchmark, window=window).select("chunk_hash").distinct()
+    )
+    kept = ch.join(F.broadcast(bench_hashes), "chunk_hash", "left_anti")
+    return _rebuild_from_chunks(ch, kept)
 
 
 def leakage_guarded_split(
@@ -2810,25 +2848,7 @@ def ingest_cdc_batch(
     kept = ch.join(
         F.broadcast(novel_firsts), ["chunk_hash", "doc_id", "chunk_idx"], "left_semi"
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
-                lambda st: st["chunk_text"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.sum("n_tokens").alias("clean_n_tokens"),
-    )
-    totals = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rewritten = totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        F.coalesce("clean_n_tokens", F.lit(0)).alias("clean_n_tokens"),
-    )
+    rewritten = _rebuild_from_chunks(ch, kept)
     if already_applied:
         return rewritten
     gens = spark.read.parquet(path).select("batch_seq").agg(

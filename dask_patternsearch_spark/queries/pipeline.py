@@ -4977,11 +4977,82 @@ def streaming_cdc_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{root}/rewritten/*")
 
 
+def decontaminate_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical span-level decontamination: src0 is the held-out
+    benchmark, and every OTHER document is rewritten with its
+    benchmark-overlapping chunks removed (keep the document, cut the
+    contamination) -- the rewriting counterpart of
+    ``exact_decontaminate_docs``'s drop-the-document rule.  The cleaned
+    text itself is value-checked against ``_DECONTAM_SPANS_SQL``."""
+    docs = _docs(spark, sf_dir)
+    return dedup.decontaminate_spans(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+    )
+
+
+# Same chunking CTEs as _CDC_DEDUP_SQL with source carried through; a
+# corpus chunk survives iff its md5 is absent from the src0 chunk set.
+_DECONTAM_SPANS_SQL = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(text)), '\s+') AS toks,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, source, toks, n,
+         CASE WHEN n > 4 THEN
+           list_filter(range(4, n),
+             i -> substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 1) IN ('0','1'))
+         ELSE CAST([] AS BIGINT[]) END AS bps
+  FROM t
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, source, toks,
+         list_prepend(CAST(1 AS BIGINT), list_transform(bps, b -> b + 1)) AS starts,
+         list_append(bps, CAST(n AS BIGINT)) AS ends
+  FROM marked
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, source, CAST(u.i - 1 AS INT) AS chunk_idx,
+         array_to_string(toks[starts[u.i]:ends[u.i]], ' ') AS chunk_text,
+         ends[u.i] - starts[u.i] + 1 AS n_tokens
+  FROM spans, UNNEST(range(1, len(starts) + 1)) AS u(i)
+),
+bench AS MATERIALIZED (
+  SELECT DISTINCT md5(chunk_text) AS h FROM chunks WHERE source = 'src0'
+),
+kept AS MATERIALIZED (
+  SELECT c.* FROM chunks c
+  WHERE c.source <> 'src0'
+    AND NOT EXISTS (SELECT 1 FROM bench b WHERE b.h = md5(c.chunk_text))
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text,
+         sum(n_tokens) AS clean_n_tokens
+  FROM kept GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, count(*) AS n_chunks FROM chunks
+  WHERE source <> 'src0' GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_chunks,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(coalesce(a.clean_n_tokens, 0) AS BIGINT) AS clean_n_tokens
+FROM tot t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 
 QUERIES = {
     "cdc_dedup_rewrite": cdc_dedup_rewrite,
     "incremental_cdc_rewrite": incremental_cdc_rewrite,
     "streaming_cdc_rewrite": streaming_cdc_rewrite,
+    "decontaminate_spans_docs": decontaminate_spans_docs,
     "leakage_guarded_split": leakage_guarded_split_docs,
     "mmr_diversified_topk": mmr_diversified_topk,
     "exact_dedup_docs": exact_dedup_docs,
@@ -5080,6 +5151,7 @@ ORACLE = {
     "cdc_dedup_rewrite": _CDC_DEDUP_SQL,
     "incremental_cdc_rewrite": _INCR_CDC_SQL,
     "streaming_cdc_rewrite": _INCR_CDC_SQL,
+    "decontaminate_spans_docs": _DECONTAM_SPANS_SQL,
     "leakage_guarded_split": _LEAKAGE_SPLIT_SQL,
     "mmr_diversified_topk": _MMR_TOPK_SQL,
     "trigram_redundancy": _TRIGRAM_REDUNDANCY_SQL,

@@ -3237,3 +3237,42 @@ def test_cdc_compaction_drops_orphans_preserves_retry(spark, tmp_path):
     dedup.compact_cdc_state(spark, state)
     again = {tuple(r) for r in dedup.ingest_cdc_batch(b1, state).collect()}
     assert again == got1
+
+
+def test_decontaminate_spans_cuts_planted_contamination(spark):
+    """A benchmark span pasted mid-document (at an arbitrary offset) is
+    removed from the corpus doc while the rest of the text survives; a
+    clean document is untouched."""
+    rng = np.random.default_rng(31)
+    words = [f"w{i}" for i in range(400)]
+    bench_text = " ".join(rng.choice(words, size=48, replace=False))
+    pre = " ".join(f"p{i}" for i in range(7))
+    post = " ".join(f"q{i}" for i in range(9))
+    dirty = f"{pre} {bench_text} {post}"
+    clean = " ".join(rng.choice(words, size=40, replace=False))
+    corpus = _mk_docs(spark, [(100, dirty), (101, clean)])
+    bench = _mk_docs(spark, [(1, bench_text)])
+    out = {
+        r["doc_id"]: r
+        for r in dedup.decontaminate_spans(corpus, bench).collect()
+    }
+    # the clean doc is fully intact
+    assert out[101]["n_kept"] == out[101]["n_chunks"]
+    assert out[101]["clean_text"] == clean.lower()
+    # the dirty doc lost most of the pasted span (interior chunks hash
+    # identically despite the 7-token offset); its own pre/post text can
+    # survive only as splice-boundary chunks
+    assert out[100]["clean_n_tokens"] < 7 + 9 + 48 // 2
+    kept_text = out[100]["clean_text"]
+    assert "p0" in kept_text  # own prefix text survives
+    # and no surviving chunk equals a benchmark chunk
+    bench_chunks = {
+        r["chunk_text"] for r in dedup.cdc_chunks(bench).collect()
+    }
+    kept_chunks = {
+        r["chunk_text"]
+        for r in dedup.cdc_chunks(corpus).join(
+            dedup.cdc_chunks(bench).select("chunk_hash").distinct(),
+            "chunk_hash", "left_anti").filter("doc_id = 100").collect()
+    }
+    assert not (kept_chunks & bench_chunks)
