@@ -266,6 +266,10 @@ def main() -> None:
         payload["sweep_seconds"] = round(sum(sweep.values()), 3)
     sweep_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json")
+    if not sweep:
+        # sweep-disabled quick run: keep the committed full-sweep record,
+        # stash the telemetry beside it instead of clobbering it
+        sweep_path += ".headline-only"
     with open(sweep_path, "w") as fh:
         json.dump({"sf": sf_val,
                    "runs": int(os.environ.get(

@@ -2044,6 +2044,10 @@ def _applied_stamps(spark, state_dir: str) -> set:
         with open(ledger) as fh:
             return set(json.load(fh))
     _sig, _lab, keep_path = _delta_dirs(state_dir)
+    if not os.path.exists(keep_path):
+        # CDC-only state dir (or a bootstrap that crashed before any
+        # write): no keeper log to fall back to -- nothing committed
+        return set()
     return {
         r["batch_stamp"]
         for r in spark.read.parquet(keep_path)
@@ -2051,23 +2055,51 @@ def _applied_stamps(spark, state_dir: str) -> set:
     }
 
 
-def _record_applied(state_dir: str, *stamps: str) -> None:
+def _record_applied(state_dir: str, *stamps: str, spark=None) -> None:
     """Atomically add ``stamps`` to the commit ledger (write a temp file,
     ``os.replace`` over the live one -- readers see old-or-new, never a
-    torn file)."""
+    torn file).  The read-modify-write is serialized by an O_EXCL lock
+    file so CONCURRENT committers (e.g. the MinHash and CDC legs sharing
+    one state_dir, or two streaming micro-batch sinks) cannot drop each
+    other's stamps -- a lost stamp would turn an applied batch's rows
+    into compaction-eligible orphans.  When the ledger does not exist
+    yet and ``spark`` is passed, the first write SEEDS it from the
+    legacy keeper-log-presence rule, so upgrading a pre-ledger state dir
+    cannot orphan its already-committed generations."""
     import json
     import os
+    import time as timemod
 
     ledger = _stamp_ledger_path(state_dir)
-    seen: set = set()
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            seen = set(json.load(fh))
-    seen.update(stamps)
-    tmp = ledger + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(sorted(seen), fh)
-    os.replace(tmp, ledger)
+    lock = ledger + ".lock"
+    deadline = timemod.time() + 60.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if timemod.time() > deadline:  # stale lock from a hard crash
+                os.unlink(lock)
+            else:
+                timemod.sleep(0.05)
+    try:
+        seen: set = set()
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                seen = set(json.load(fh))
+        elif spark is not None:
+            seen = set(_applied_stamps(spark, state_dir))
+        seen.update(stamps)
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(seen), fh)
+        os.replace(tmp, ledger)
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def init_dedup_state(
@@ -2305,7 +2337,7 @@ def ingest_batch(
     tag(delta).write.mode("append").parquet(keep_path)
     # COMMIT: one atomic ledger replace -- before this line the batch
     # does not exist to any reader; after it, a retry is a no-op
-    _record_applied(state_dir, stamp)
+    _record_applied(state_dir, stamp, spark=spark)
     return cands
 
 
@@ -2571,7 +2603,9 @@ def cdc_chunks(docs: DataFrame, window: int = 4) -> DataFrame:
     )
 
 
-def cdc_span_dedup(docs: DataFrame, window: int = 4) -> DataFrame:
+def cdc_span_dedup(
+    docs: DataFrame, window: int = 4, chunks: DataFrame | None = None
+) -> DataFrame:
     """Exact duplicated-span REMOVAL with corpus rewriting -- the
     training-data transform of Lee et al. 2022 ("Deduplicating Training
     Data Makes Language Models Better", arXiv:2107.06499), whose
@@ -2598,7 +2632,10 @@ def cdc_span_dedup(docs: DataFrame, window: int = 4) -> DataFrame:
     tokens with two shuffles; no Python, no windows over data-scale
     relations.
     """
-    ch = cdc_chunks(docs, window=window).localCheckpoint(eager=True)
+    ch = (
+        cdc_chunks(docs, window=window).localCheckpoint(eager=True)
+        if chunks is None else chunks
+    )
     first = ch.groupBy("chunk_hash").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("first_at")
     )
@@ -2759,13 +2796,12 @@ def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFram
     -- no latest-wins resolution, no compaction pressure beyond
     physically dropping crash orphans."""
     stamp = "cdc-" + _batch_stamp(docs)
-    rewritten = cdc_span_dedup(docs, window=window)
-    firsts = (
-        cdc_chunks(docs, window=window)
-        .groupBy("chunk_hash")
-        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first_at"))
-        .select("chunk_hash")
-    )
+    # ONE corpus chunking pass: the checkpointed chunk table feeds both
+    # the rewrite and the ledger build (recomputing cdc_chunks for the
+    # ledger would double the dominant tokenize+md5 cost of the init)
+    ch = cdc_chunks(docs, window=window).localCheckpoint(eager=True)
+    rewritten = cdc_span_dedup(docs, window=window, chunks=ch)
+    firsts = ch.select("chunk_hash").distinct()
     firsts.withColumn("batch_seq", F.lit(0).cast("long")).withColumn(
         "batch_stamp", F.lit(stamp)
     ).write.mode("errorifexists").parquet(_cdc_ledger_path(state_dir))
@@ -2859,7 +2895,7 @@ def ingest_cdc_batch(
     ).withColumn("batch_stamp", F.lit(stamp)).write.mode("append").parquet(path)
     # COMMIT: atomic stamp-ledger replace -- before this line the batch
     # does not exist to any reader
-    _record_applied(state_dir, stamp)
+    _record_applied(state_dir, stamp, spark=spark)
     return rewritten
 
 

