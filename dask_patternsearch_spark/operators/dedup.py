@@ -2940,3 +2940,33 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return {"rows_before": int(before), "rows_after": int(after)}
+
+
+def audit_cdc_ledger(spark, state_dir: str) -> DataFrame:
+    """Metadata-sized health report of the CDC chunk-hash ledger, one row
+    per generation: row count, distinct hash count, and whether the
+    generation's stamp is committed -- the pre-flight a maintenance job
+    reads before deciding to :func:`compact_cdc_state` (uncommitted rows
+    = crash debris to reclaim; rows > distinct hashes within a committed
+    generation = duplicate debris from a crashed-then-retried append).
+
+    Scale: one aggregate over the ledger at (batch_seq, batch_stamp)
+    grain -- the ledger's columns are a hash and two tags, so this scans
+    a few bytes per chunk and reduces map-side; output is one row per
+    generation."""
+    applied = _applied_stamps(spark, state_dir)
+    led = spark.read.parquet(_cdc_ledger_path(state_dir))
+    return (
+        led.groupBy("batch_seq", "batch_stamp")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("chunk_hash").alias("n_distinct_hashes"),
+        )
+        .select(
+            "batch_seq",
+            F.col("batch_stamp").isin(*applied).alias("committed")
+            if applied else F.lit(False).alias("committed"),
+            "n_rows",
+            "n_distinct_hashes",
+        )
+    )

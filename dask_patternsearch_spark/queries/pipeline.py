@@ -5064,12 +5064,79 @@ FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def cdc_ledger_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health report of the CDC chunk-hash ledger
+    (``dedup.audit_cdc_ledger``) over the session-staged span-dedup
+    state: generation 0 is the even-id init, generation 1 the odd-id
+    ingest (applied idempotently here first, so the report is
+    order-independent of the other CDC queries).  Both generations'
+    row/distinct-hash counts are recomputed from the raw corpus by the
+    DuckDB oracle -- certifying the LEDGER CONTENTS themselves, not just
+    the rewrites derived from them."""
+    docs = _docs(spark, sf_dir)
+
+    def build(work):
+        dedup.init_cdc_state(
+            docs.filter(F.col("doc_id") % 2 == 0), f"{work}/state")
+
+    root = _staged_state(sf_dir, "cdc_lsm", (dedup,), build)
+    # idempotent: first call in a session commits, later calls no-op
+    dedup.ingest_cdc_batch(
+        docs.filter(F.col("doc_id") % 2 == 1), f"{root}/state").count()
+    return dedup.audit_cdc_ledger(spark, f"{root}/state")
+
+
+# Generation 0 = distinct chunk hashes of the even-id half; generation 1
+# = distinct odd-half hashes NOT present in the even half (exactly what
+# ingest_cdc_batch appends).  Both committed; rows == distinct (no crash
+# debris in the staged state).
+_CDC_LEDGER_SQL = r"""
+WITH t AS MATERIALIZED (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks,
+         len(string_split_regex(trim(lower(text)), '\s+')) AS n
+  FROM documents
+),
+marked AS MATERIALIZED (
+  SELECT doc_id, toks, n,
+         CASE WHEN n > 4 THEN
+           list_filter(range(4, n),
+             i -> substr(md5(array_to_string(toks[i-3:i], ' ')), 1, 1) IN ('0','1'))
+         ELSE CAST([] AS BIGINT[]) END AS bps
+  FROM t
+),
+spans AS MATERIALIZED (
+  SELECT doc_id, toks,
+         list_prepend(CAST(1 AS BIGINT), list_transform(bps, b -> b + 1)) AS starts,
+         list_append(bps, CAST(n AS BIGINT)) AS ends
+  FROM marked
+),
+hashes AS MATERIALIZED (
+  SELECT doc_id,
+         md5(array_to_string(toks[starts[u.i]:ends[u.i]], ' ')) AS h
+  FROM spans, UNNEST(range(1, len(starts) + 1)) AS u(i)
+),
+evens AS (SELECT DISTINCT h FROM hashes WHERE doc_id % 2 = 0),
+odds_novel AS (
+  SELECT DISTINCT h FROM hashes WHERE doc_id % 2 = 1
+  AND h NOT IN (SELECT h FROM evens)
+)
+SELECT CAST(0 AS BIGINT) AS batch_seq, TRUE AS committed,
+       (SELECT count(*) FROM evens) AS n_rows,
+       (SELECT count(*) FROM evens) AS n_distinct_hashes
+UNION ALL
+SELECT CAST(1 AS BIGINT), TRUE,
+       (SELECT count(*) FROM odds_novel),
+       (SELECT count(*) FROM odds_novel)
+"""
+
+
 
 QUERIES = {
     "cdc_dedup_rewrite": cdc_dedup_rewrite,
     "incremental_cdc_rewrite": incremental_cdc_rewrite,
     "streaming_cdc_rewrite": streaming_cdc_rewrite,
     "decontaminate_spans_docs": decontaminate_spans_docs,
+    "cdc_ledger_report": cdc_ledger_report,
     "leakage_guarded_split": leakage_guarded_split_docs,
     "mmr_diversified_topk": mmr_diversified_topk,
     "exact_dedup_docs": exact_dedup_docs,
@@ -5169,6 +5236,7 @@ ORACLE = {
     "incremental_cdc_rewrite": _INCR_CDC_SQL,
     "streaming_cdc_rewrite": _INCR_CDC_SQL,
     "decontaminate_spans_docs": _DECONTAM_SPANS_SQL,
+    "cdc_ledger_report": _CDC_LEDGER_SQL,
     "leakage_guarded_split": _LEAKAGE_SPLIT_SQL,
     "mmr_diversified_topk": _MMR_TOPK_SQL,
     "trigram_redundancy": _TRIGRAM_REDUNDANCY_SQL,

@@ -3276,3 +3276,33 @@ def test_decontaminate_spans_cuts_planted_contamination(spark):
             "chunk_hash", "left_anti").filter("doc_id = 100").collect()
     }
     assert not (kept_chunks & bench_chunks)
+
+
+def test_audit_cdc_ledger_flags_debris(spark, tmp_path):
+    """The audit shows crash debris for what it is: uncommitted orphan
+    generations report committed=False, duplicate rows inside a
+    committed generation show n_rows > n_distinct_hashes, and after
+    compact_cdc_state the report is clean."""
+    rows = _dup_heavy_rows(41, range(12))
+    docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(docs.filter("doc_id < 8"), state)
+    batch = docs.filter("doc_id >= 8")
+    dedup.ingest_cdc_batch(batch, state)
+    stamp = "cdc-" + dedup._batch_stamp(batch)
+    # duplicate row inside the COMMITTED batch generation + an orphan
+    real = spark.read.parquet(dedup._cdc_ledger_path(state)).filter(
+        f"batch_stamp = '{stamp}'").limit(1)
+    real.write.mode("append").parquet(dedup._cdc_ledger_path(state))
+    spark.createDataFrame(
+        [("0badc0de0badc0de0badc0de0badc0de", 7, "cdc-never-committed")],
+        "chunk_hash string, batch_seq long, batch_stamp string",
+    ).write.mode("append").parquet(dedup._cdc_ledger_path(state))
+    rep = {r["batch_seq"]: r for r in dedup.audit_cdc_ledger(spark, state).collect()}
+    assert rep[7]["committed"] is False
+    assert rep[1]["n_rows"] == rep[1]["n_distinct_hashes"] + 1
+    assert rep[0]["committed"] is True
+    dedup.compact_cdc_state(spark, state)
+    clean = dedup.audit_cdc_ledger(spark, state).collect()
+    assert all(r["committed"] for r in clean)
+    assert all(r["n_rows"] == r["n_distinct_hashes"] for r in clean)
