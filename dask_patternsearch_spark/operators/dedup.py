@@ -21,6 +21,8 @@ left-anti membership test on a content key.
 
 from __future__ import annotations
 
+from contextlib import contextmanager, nullcontext
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -2033,20 +2035,46 @@ def _applied_stamps(spark, state_dir: str) -> set:
     carrying the stamp), so log presence would misclassify a partially-
     landed batch as applied and its missing rows would never be
     repaired.  The ledger is updated with a single ``os.replace`` --
-    atomic on POSIX -- AFTER both delta appends succeed.  Legacy state
-    dirs written before the ledger existed fall back to the old
-    keeper-log-presence rule."""
+    atomic on POSIX -- AFTER both delta appends succeed.
+
+    A pre-ledger LEGACY state dir (keeper log present, no sidecar) is no
+    longer silently interpreted through keeper-log presence -- that rule
+    would misread a TORN legacy append (a crash that landed a subset of
+    stamped part files) as committed, the exact misclassification the
+    ledger exists to prevent.  Such dirs read as NOTHING-COMMITTED here
+    and must be upgraded once via :func:`migrate_stamp_ledger` (the
+    explicit, documented acceptance of the legacy rule)."""
     import json
     import os
+    import warnings
 
     ledger = _stamp_ledger_path(state_dir)
     if os.path.exists(ledger):
         with open(ledger) as fh:
             return set(json.load(fh))
     _sig, _lab, keep_path = _delta_dirs(state_dir)
+    if os.path.exists(keep_path):
+        warnings.warn(
+            f"pre-ledger dedup state at {state_dir!r}: keeper log present "
+            "but no _applied_stamps.json; treating all generations as "
+            "uncommitted. Run migrate_stamp_ledger() once to accept the "
+            "legacy keeper-log-presence rule and seed the ledger.",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+    return set()
+
+
+def _legacy_stamps(spark, state_dir: str) -> set:
+    """The pre-ledger commit rule -- every stamp present in the keeper
+    log counts as committed.  Reachable ONLY through
+    :func:`migrate_stamp_ledger`: presence-in-log cannot distinguish a
+    committed legacy batch from a torn one, so applying this rule is an
+    explicit operator decision, not a silent read-path fallback."""
+    _sig, _lab, keep_path = _delta_dirs(state_dir)
+    import os
+
     if not os.path.exists(keep_path):
-        # CDC-only state dir (or a bootstrap that crashed before any
-        # write): no keeper log to fall back to -- nothing committed
         return set()
     return {
         r["batch_stamp"]
@@ -2055,51 +2083,130 @@ def _applied_stamps(spark, state_dir: str) -> set:
     }
 
 
-def _record_applied(state_dir: str, *stamps: str, spark=None) -> None:
-    """Atomically add ``stamps`` to the commit ledger (write a temp file,
-    ``os.replace`` over the live one -- readers see old-or-new, never a
-    torn file).  The read-modify-write is serialized by an O_EXCL lock
-    file so CONCURRENT committers (e.g. the MinHash and CDC legs sharing
-    one state_dir, or two streaming micro-batch sinks) cannot drop each
-    other's stamps -- a lost stamp would turn an applied batch's rows
-    into compaction-eligible orphans.  When the ledger does not exist
-    yet and ``spark`` is passed, the first write SEEDS it from the
-    legacy keeper-log-presence rule, so upgrading a pre-ledger state dir
-    cannot orphan its already-committed generations."""
-    import json
-    import os
-    import time as timemod
+def migrate_stamp_ledger(spark, state_dir: str) -> set:
+    """One-time upgrade of a pre-ledger state dir: seed
+    ``_applied_stamps.json`` from the legacy keeper-log-presence rule.
+    Idempotent -- if the ledger already exists this is a no-op merge (an
+    existing ledger's stamps are preserved; legacy stamps are added only
+    on the first migration).  Returns the committed stamp set after
+    migration.  CAVEAT (why this is explicit): the keeper log cannot
+    distinguish a committed legacy batch from one whose append tore
+    mid-crash; migrating accepts every logged stamp as committed, which
+    matches what pre-ledger readers always assumed."""
+    legacy = _legacy_stamps(spark, state_dir)
+    if legacy:
+        _record_applied(state_dir, *legacy)
+    return _applied_stamps(spark, state_dir)
 
-    ledger = _stamp_ledger_path(state_dir)
-    lock = ledger + ".lock"
-    deadline = timemod.time() + 60.0
+
+@contextmanager
+def _state_lock(state_dir: str, stale_after: float = 60.0):
+    """Cross-process mutual exclusion for one state_dir's writers (batch
+    ingest commit, streaming sink commit, compaction swap) via an
+    O_EXCL-created lock file next to the stamp ledger.
+
+    LIVENESS, two mechanisms replacing the old fixed-deadline unlink
+    (which let two past-deadline waiters race: A unlinks, B creates, C
+    unlinks B's LIVE lock -- two writers in the critical section, the
+    lost-stamp hazard the lock exists to prevent):
+
+    - A holder HEARTBEATS: a daemon thread touches the lock file every
+      ``stale_after/4`` seconds for as long as the critical section
+      runs, so a live holder -- however slow (a compaction rewriting a
+      corpus-sized log, an ingest appending a large batch) -- never
+      looks stale and can never have its lock stolen.
+    - A waiter steals only a lock whose mtime is older than
+      ``stale_after`` (a crashed holder stops heartbeating), and steals
+      it ATOMICALLY: ``os.replace`` onto a uniquely-named tombstone
+      succeeds for exactly one of any number of concurrent stealers;
+      the losers see FileNotFoundError and re-contend on the O_EXCL
+      create.  No unlink ever targets a path another process might
+      have just re-created.
+    """
+    import os
+    import threading
+    import time as timemod
+    import uuid
+
+    os.makedirs(state_dir, exist_ok=True)
+    lock = _stamp_ledger_path(state_dir) + ".lock"
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
             os.close(fd)
             break
         except FileExistsError:
-            if timemod.time() > deadline:  # stale lock from a hard crash
-                os.unlink(lock)
-            else:
-                timemod.sleep(0.05)
+            try:
+                age = timemod.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # released between open and stat -- re-contend
+            if age > stale_after:
+                tomb = lock + ".steal-" + uuid.uuid4().hex
+                try:
+                    os.replace(lock, tomb)  # atomic: one stealer wins
+                except FileNotFoundError:
+                    continue  # another stealer won -- re-contend
+                os.unlink(tomb)
+                continue
+            timemod.sleep(0.05)
+    stop = threading.Event()
+
+    def _heartbeat() -> None:
+        while not stop.wait(stale_after / 4.0):
+            try:
+                os.utime(lock)
+            except FileNotFoundError:
+                return  # stolen: only possible if this process froze
+                # past stale_after between heartbeats
+
+    hb = threading.Thread(
+        target=_heartbeat, name="state-lock-heartbeat", daemon=True
+    )
+    hb.start()
     try:
+        yield
+    finally:
+        stop.set()
+        hb.join()
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _record_applied(
+    state_dir: str, *stamps: str, spark=None, locked: bool = False
+) -> None:
+    """Atomically add ``stamps`` to the commit ledger (write a temp file,
+    ``os.replace`` over the live one -- readers see old-or-new, never a
+    torn file).  The read-modify-write is serialized by
+    :func:`_state_lock` so CONCURRENT committers (e.g. the MinHash and
+    CDC legs sharing one state_dir, or two streaming micro-batch sinks)
+    cannot drop each other's stamps -- a lost stamp would turn an
+    applied batch's rows into compaction-eligible orphans.  When the
+    ledger does not exist yet and ``spark`` is passed, the first write
+    SEEDS it from the legacy keeper-log-presence rule
+    (:func:`_legacy_stamps`), so upgrading a pre-ledger state dir cannot
+    orphan its already-committed generations.  ``locked=True`` skips the
+    lock acquisition for callers (ingest commit paths, compaction)
+    already inside a :func:`_state_lock` section."""
+    import json
+    import os
+
+    ledger = _stamp_ledger_path(state_dir)
+    with nullcontext() if locked else _state_lock(state_dir):
         seen: set = set()
         if os.path.exists(ledger):
             with open(ledger) as fh:
                 seen = set(json.load(fh))
         elif spark is not None:
-            seen = set(_applied_stamps(spark, state_dir))
+            seen = set(_legacy_stamps(spark, state_dir))
         seen.update(stamps)
         tmp = ledger + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(sorted(seen), fh)
         os.replace(tmp, ledger)
-    finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
 
 
 def init_dedup_state(
@@ -2140,8 +2247,10 @@ def init_dedup_state(
     ).write.mode("errorifexists").parquet(keep_path)
     # commit point: the genesis batch enters the stamp ledger (readers
     # resolve only committed generations; a bootstrap that crashed before
-    # this line is cleaned up and re-run -- errorifexists guards it)
-    _record_applied(state_dir, stamp)
+    # this line is cleaned up and re-run -- errorifexists guards it).
+    # spark= so a shared pre-ledger dir's legacy stamps are seeded, not
+    # orphaned, by this first ledger write
+    _record_applied(state_dir, stamp, spark=docs.sparkSession)
 
 
 def _resolve_labels(lab: DataFrame) -> DataFrame:
@@ -2272,6 +2381,24 @@ def ingest_batch(
     spark = new_docs.sparkSession
     sig_path, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = _batch_stamp(new_docs)
+    # whole read-apply-append-commit under the state lock (same
+    # rationale as ingest_cdc_batch: atomic applied-check + generation
+    # allocation + appends vs concurrent ingests and compaction swaps;
+    # the lock heartbeats, so a long batch never reads as stale)
+    with _state_lock(state_dir):
+        return _ingest_batch_locked(
+            spark, new_docs, state_dir, sig_path, lab_path, keep_path,
+            stamp, n, n_perm, n_bands, seed, min_est_jaccard, hash_family,
+            quality_col,
+        )
+
+
+def _ingest_batch_locked(
+    spark, new_docs: DataFrame, state_dir: str, sig_path: str,
+    lab_path: str, keep_path: str, stamp: str, n: int, n_perm: int,
+    n_bands: int, seed: int, min_est_jaccard: float, hash_family: str,
+    quality_col: str,
+) -> DataFrame:
     already_applied = stamp in _applied_stamps(spark, state_dir)
     cands = incremental_minhash_candidates(
         new_docs, sig_path, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
@@ -2337,7 +2464,7 @@ def ingest_batch(
     tag(delta).write.mode("append").parquet(keep_path)
     # COMMIT: one atomic ledger replace -- before this line the batch
     # does not exist to any reader; after it, a retry is a no-op
-    _record_applied(state_dir, stamp, spark=spark)
+    _record_applied(state_dir, stamp, spark=spark, locked=True)
     return cands
 
 
@@ -2378,36 +2505,48 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
 
     _sig, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = "compact-" + uuid.uuid4().hex
-    # resolve COMMITTED state only (load_cluster_state filters to the
-    # ledger), then ledger the marker BEFORE the swap: if the compaction
-    # dies mid-swap, the already-swapped log's new generation must
-    # already be committed or readers would resolve it to empty
-    labels, keepers = load_cluster_state(spark, state_dir)
-    # seed via _applied_stamps so a LEGACY dir's keeper-log stamps enter
-    # the ledger here (its stamps would otherwise be lost with the log)
-    _record_applied(state_dir, stamp, *_applied_stamps(spark, state_dir))
-    stats = {}
-    for path, df, key in (
-        (lab_path, labels, "labels"),
-        (keep_path, keepers.withColumn("alive", F.lit(True)), "keepers"),
-    ):
-        stats[f"{key}_rows_before"] = spark.read.parquet(path).count()
-        tagged = df.withColumn("batch_seq", F.lit(0).cast("long")).withColumn(
-            "batch_stamp", F.lit(stamp)
+    # under the state lock (same rationale as compact_cdc_state: an
+    # ingest append landing in a log between its rename and rmtree would
+    # be destroyed while its stamp may still commit); heartbeat keeps
+    # the corpus-sized rewrite from reading as a stale holder
+    with _state_lock(state_dir):
+        # resolve COMMITTED state only (load_cluster_state filters to
+        # the ledger), then ledger the marker BEFORE the swap: if the
+        # compaction dies mid-swap, the already-swapped log's new
+        # generation must already be committed or readers would resolve
+        # it to empty
+        labels, keepers = load_cluster_state(spark, state_dir)
+        # re-record the current committed set alongside the marker.  A
+        # pre-ledger LEGACY dir resolves UNFILTERED above (no ledger =
+        # legacy read semantics), so its rows survive into the marker
+        # generation -- but run migrate_stamp_ledger first if the
+        # legacy batches must stay retry-recognizable by stamp
+        _record_applied(
+            state_dir, stamp, *_applied_stamps(spark, state_dir),
+            locked=True,
         )
-        tmp, old = path + "__compact_tmp", path + "__compact_old"
-        for leftover in (tmp, old):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
-        write_table(tagged, tmp)
-        os.rename(path, old)
-        try:
-            os.rename(tmp, path)
-        except BaseException:
-            os.rename(old, path)
-            raise
-        shutil.rmtree(old)
-        stats[f"{key}_rows_after"] = spark.read.parquet(path).count()
+        stats = {}
+        for path, df, key in (
+            (lab_path, labels, "labels"),
+            (keep_path, keepers.withColumn("alive", F.lit(True)), "keepers"),
+        ):
+            stats[f"{key}_rows_before"] = spark.read.parquet(path).count()
+            tagged = df.withColumn(
+                "batch_seq", F.lit(0).cast("long")
+            ).withColumn("batch_stamp", F.lit(stamp))
+            tmp, old = path + "__compact_tmp", path + "__compact_old"
+            for leftover in (tmp, old):
+                if os.path.exists(leftover):
+                    shutil.rmtree(leftover)
+            write_table(tagged, tmp)
+            os.rename(path, old)
+            try:
+                os.rename(tmp, path)
+            except BaseException:
+                os.rename(old, path)
+                raise
+            shutil.rmtree(old)
+            stats[f"{key}_rows_after"] = spark.read.parquet(path).count()
     return stats
 
 
@@ -2805,7 +2944,12 @@ def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFram
     firsts.withColumn("batch_seq", F.lit(0).cast("long")).withColumn(
         "batch_stamp", F.lit(stamp)
     ).write.mode("errorifexists").parquet(_cdc_ledger_path(state_dir))
-    _record_applied(state_dir, stamp)
+    # spark= so bootstrapping the CDC leg on a state_dir SHARED with a
+    # pre-ledger MinHash leg seeds that leg's legacy stamps too -- the
+    # first ledger write is the only chance; seeding only the CDC stamp
+    # would make every committed MinHash generation read as uncommitted
+    # (and therefore compaction-eligible)
+    _record_applied(state_dir, stamp, spark=docs.sparkSession)
     return rewritten
 
 
@@ -2850,6 +2994,26 @@ def ingest_cdc_batch(
     # namespaced stamp: the stamp ledger is shared per state_dir, and a
     # batch applied to the MinHash leg must not read as applied here
     stamp = "cdc-" + _batch_stamp(new_docs)
+    # the WHOLE read-rewrite-append-commit runs under the state lock:
+    # the applied check, the pre-batch committed view, the generation
+    # number and the commit are one atomic step against concurrent
+    # ingests (two same-batch callers racing past the applied check
+    # would double-append; two distinct batches racing the unlocked
+    # max(batch_seq) read would share a generation number), and against
+    # a concurrent compaction swap (an append landing between
+    # compaction's rename and rmtree would be deleted while its stamp
+    # commits).  The lock heartbeats while held, so a long append never
+    # reads as stale.
+    with _state_lock(state_dir):
+        return _ingest_cdc_batch_locked(
+            spark, new_docs, state_dir, path, stamp, window
+        )
+
+
+def _ingest_cdc_batch_locked(
+    spark, new_docs: DataFrame, state_dir: str, path: str, stamp: str,
+    window: int,
+) -> DataFrame:
     already_applied = stamp in _applied_stamps(spark, state_dir)
 
     ch = cdc_chunks(new_docs, window=window).localCheckpoint(eager=True)
@@ -2887,15 +3051,22 @@ def ingest_cdc_batch(
     rewritten = _rebuild_from_chunks(ch, kept)
     if already_applied:
         return rewritten
-    gens = spark.read.parquet(path).select("batch_seq").agg(
-        F.max("batch_seq").alias("m")
-    ).collect()[0]["m"]
+    # next generation from COMMITTED rows only: a crashed attempt's
+    # orphan rows (e.g. a torn append stamped seq 9) must not inflate
+    # the numbering -- a retry re-appending at the same committed-max+1
+    # seq leaves duplicate (hash, seq, stamp) rows, harmless under the
+    # ledger's set semantics and surfaced by audit_cdc_ledger as
+    # rows > distinct within the generation
+    gens = _committed_only(
+        spark, state_dir, spark.read.parquet(path)
+    ).agg(F.max("batch_seq").alias("m")).collect()[0]["m"]
     novel_firsts.select("chunk_hash").withColumn(
-        "batch_seq", F.lit(int(gens) + 1).cast("long")
+        "batch_seq", F.lit(int(gens if gens is not None else -1) + 1)
+        .cast("long")
     ).withColumn("batch_stamp", F.lit(stamp)).write.mode("append").parquet(path)
     # COMMIT: atomic stamp-ledger replace -- before this line the batch
     # does not exist to any reader
-    _record_applied(state_dir, stamp, spark=spark)
+    _record_applied(state_dir, stamp, spark=spark, locked=True)
     return rewritten
 
 
@@ -2923,22 +3094,30 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
     import uuid
 
     path = _cdc_ledger_path(state_dir)
-    raw = spark.read.parquet(path)
-    before = raw.count()
-    resolved = (
-        _committed_only(spark, state_dir, raw)
-        .groupBy("chunk_hash", "batch_stamp")
-        .agg(F.min("batch_seq").alias("batch_seq"))
-        .select("chunk_hash", "batch_seq", "batch_stamp")
-        .localCheckpoint(eager=True)
-    )
-    after = resolved.count()
-    tmp = path + ".compact-" + uuid.uuid4().hex
-    resolved.write.mode("errorifexists").parquet(tmp)
-    old = path + ".old-" + uuid.uuid4().hex
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    # under the state lock: the read-resolve-swap must not interleave
+    # with an ingest append -- an append landing in the old directory
+    # between the rename and the rmtree would be deleted while its stamp
+    # may still commit, leaving a committed batch with no ledger rows
+    # (its chunk hashes never enter the ledger; later duplicates of
+    # those spans would survive silently).  The lock heartbeats, so the
+    # corpus-sized rewrite never reads as a stale holder.
+    with _state_lock(state_dir):
+        raw = spark.read.parquet(path)
+        before = raw.count()
+        resolved = (
+            _committed_only(spark, state_dir, raw)
+            .groupBy("chunk_hash", "batch_stamp")
+            .agg(F.min("batch_seq").alias("batch_seq"))
+            .select("chunk_hash", "batch_seq", "batch_stamp")
+            .localCheckpoint(eager=True)
+        )
+        after = resolved.count()
+        tmp = path + ".compact-" + uuid.uuid4().hex
+        resolved.write.mode("errorifexists").parquet(tmp)
+        old = path + ".old-" + uuid.uuid4().hex
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
     return {"rows_before": int(before), "rows_after": int(after)}
 
 

@@ -1,0 +1,222 @@
+"""Commit-lock protocol: atomic stale-lock stealing, heartbeat leases,
+lock-serialized ingest, and the explicit legacy-stamp migration.
+
+These lock the round-10 hardening findings in place: the old breaker
+unlinked a lock it had not atomically claimed, so two past-deadline
+waiters could put two committers inside the read-modify-write and
+silently drop stamps -- the exact lost-stamp hazard the lock exists to
+prevent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from dask_patternsearch_spark.operators import dedup
+
+
+def _plant_stale_lock(state_dir: str, age: float = 3600.0) -> str:
+    os.makedirs(state_dir, exist_ok=True)
+    lock = dedup._stamp_ledger_path(state_dir) + ".lock"
+    with open(lock, "w") as fh:
+        fh.write("dead-pid")
+    old = time.time() - age
+    os.utime(lock, (old, old))
+    return lock
+
+
+def test_stale_lock_steal_is_atomic_across_committers(tmp_path):
+    """A planted crashed-holder lock plus MANY racing committers: exactly
+    one steals (os.replace is atomic), every stamp survives, and no lock
+    debris remains.  Under the old unlink-based breaker a loser could
+    unlink a freshly re-created LIVE lock, letting two committers into
+    the read-modify-write and dropping stamps."""
+    state = str(tmp_path / "state")
+    _plant_stale_lock(state)
+    n = 8
+    errs: list[BaseException] = []
+
+    def commit(i: int) -> None:
+        try:
+            dedup._record_applied(state, f"stamp-{i}")
+        except BaseException as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errs
+    with open(dedup._stamp_ledger_path(state)) as fh:
+        stamps = set(json.load(fh))
+    assert stamps == {f"stamp-{i}" for i in range(n)}
+    lock = dedup._stamp_ledger_path(state) + ".lock"
+    assert not os.path.exists(lock)
+    # steal tombstones are cleaned up too
+    assert not [p for p in os.listdir(state) if ".steal-" in p]
+
+
+def test_crashed_holder_lock_stolen_without_waiting(tmp_path):
+    """Staleness is the LOCK FILE's age, not the waiter's arrival time: a
+    fresh waiter facing an hours-old lock steals immediately instead of
+    serving its own 60 s deadline."""
+    state = str(tmp_path / "state")
+    _plant_stale_lock(state)
+    t0 = time.time()
+    dedup._record_applied(state, "s1")
+    assert time.time() - t0 < 10.0
+    with open(dedup._stamp_ledger_path(state)) as fh:
+        assert json.load(fh) == ["s1"]
+
+
+def test_live_slow_holder_is_never_stolen(tmp_path):
+    """A holder slower than the staleness horizon keeps its lock: the
+    heartbeat refreshes the lock mtime, so a waiter with the same short
+    horizon blocks until the real release instead of stealing a live
+    lock (the old breaker stole any lock once ITS deadline passed)."""
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    in_critical = threading.Event()
+    holder_done = threading.Event()
+    overlap: list[str] = []
+
+    def holder() -> None:
+        with dedup._state_lock(state, stale_after=1.0):
+            in_critical.set()
+            time.sleep(3.0)  # 3x the horizon -- heartbeat must cover it
+            holder_done.set()
+
+    def waiter() -> None:
+        in_critical.wait(timeout=10)
+        with dedup._state_lock(state, stale_after=1.0):
+            if not holder_done.is_set():
+                overlap.append("waiter entered while holder alive")
+
+    th, tw = threading.Thread(target=holder), threading.Thread(target=waiter)
+    th.start()
+    tw.start()
+    th.join(timeout=30)
+    tw.join(timeout=30)
+    assert overlap == []
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _span_rows(ids, dup_every=3):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = []
+    for i in ids:
+        uniq = " ".join(f"w{i}x{j}" for j in range(12))
+        text = f"{base} {uniq}" if i % dup_every == 0 else uniq
+        rows.append((i, text))
+    return rows
+
+
+def test_concurrent_same_batch_cdc_ingest_commits_once(spark, tmp_path):
+    """Two threads racing the SAME batch into one CDC state: the lock
+    serializes the applied-check + append + commit, so exactly one
+    generation lands (the loser takes the already-applied path) and the
+    ledger keeps its one-row-per-distinct-hash invariant."""
+    all_docs = _mk_docs(spark, _span_rows(range(20)))
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    batch = all_docs.filter("doc_id >= 10")
+    results: list[set] = []
+    errs: list[BaseException] = []
+
+    def ingest() -> None:
+        try:
+            results.append(
+                {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
+            )
+        except BaseException as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=ingest) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs
+    assert results[0] == results[1]
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert results[0] == exp
+    stamp = "cdc-" + dedup._batch_stamp(batch)
+    led = spark.read.parquet(dedup._cdc_ledger_path(state))
+    assert (
+        led.filter(led.batch_stamp == stamp).select("batch_seq").distinct()
+        .count() == 1
+    )
+    audit = dedup.audit_cdc_ledger(spark, state).collect()
+    assert all(r["committed"] for r in audit)
+    assert all(r["n_rows"] == r["n_distinct_hashes"] for r in audit)
+
+
+def test_concurrent_distinct_batches_get_distinct_generations(spark, tmp_path):
+    """Two DIFFERENT batches racing one CDC state: generation numbers are
+    allocated under the lock, so the batches land at distinct seqs and
+    the union of surviving hashes matches some serial arrival order."""
+    all_docs = _mk_docs(spark, _span_rows(range(30)))
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    b1 = all_docs.filter("doc_id >= 10 and doc_id < 20")
+    b2 = all_docs.filter("doc_id >= 20")
+    errs: list[BaseException] = []
+
+    def ingest(b) -> None:
+        try:
+            dedup.ingest_cdc_batch(b, state).collect()
+        except BaseException as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [threading.Thread(target=ingest, args=(b,)) for b in (b1, b2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errs
+    audit = dedup.audit_cdc_ledger(spark, state).collect()
+    seqs = sorted(r["batch_seq"] for r in audit)
+    assert seqs == [0, 1, 2]
+    assert all(r["committed"] for r in audit)
+    # set semantics: every distinct hash of the full corpus is ledgered
+    # exactly once regardless of which batch won the race
+    led = spark.read.parquet(dedup._cdc_ledger_path(state))
+    n_hashes = led.select("chunk_hash").distinct().count()
+    assert led.count() == n_hashes
+    exp_hashes = (
+        dedup.cdc_chunks(all_docs).select("chunk_hash").distinct().count()
+    )
+    assert n_hashes == exp_hashes
+
+
+def test_legacy_dir_reads_uncommitted_until_migrated(spark, tmp_path):
+    """The silent keeper-log-presence fallback is retired: a pre-ledger
+    dir (keeper log present, sidecar absent) reads as nothing-committed
+    -- a TORN legacy append is no longer misclassified as committed --
+    and migrate_stamp_ledger is the explicit opt-in that seeds the
+    sidecar from the legacy rule."""
+    docs = _mk_docs(spark, _span_rows(range(12)))
+    state = str(tmp_path / "state")
+    dedup.init_dedup_state(docs, state, quality_col="doc_id")
+    ledger = dedup._stamp_ledger_path(state)
+    with open(ledger) as fh:
+        committed_before = set(json.load(fh))
+    os.unlink(ledger)  # simulate a pre-ledger legacy dir
+    with pytest.warns(DeprecationWarning, match="pre-ledger"):
+        assert dedup._applied_stamps(spark, state) == set()
+    restored = dedup.migrate_stamp_ledger(spark, state)
+    assert restored == committed_before
+    # idempotent: a second call changes nothing
+    assert dedup.migrate_stamp_ledger(spark, state) == committed_before
