@@ -2027,6 +2027,11 @@ def _stamp_ledger_path(state_dir: str) -> str:
     return os.path.join(state_dir.rstrip("/"), "_applied_stamps.json")
 
 
+# commit-stamp filters switch from a scan-pushed isin literal to a
+# broadcast (semi-)join once the ledger outgrows this many stamps
+_STAMP_ISIN_MAX = 64
+
+
 def _applied_stamps(spark, state_dir: str) -> set:
     """Every batch stamp this state has COMMITTED, read from the sidecar
     ledger ``_applied_stamps.json``.  The ledger -- not presence in a
@@ -2287,14 +2292,22 @@ def _committed_only(spark, state_dir: str, df: DataFrame) -> DataFrame:
     of an ingest that crashed between its appends and its ledger write --
     are invisible to every reader until a retry commits them or
     compaction physically drops them.  The stamp set is one per applied
-    batch (plus compaction markers), so the ``isin`` stays a pushed
-    scan-level filter at any corpus size.  Legacy dirs without a ledger
-    resolve unfiltered (pre-ledger rule)."""
+    batch (plus compaction markers), so below ``_STAMP_ISIN_MAX`` the
+    ``isin`` stays a pushed scan-level filter; past it (a years-running
+    feed: 1e5 stamps would put a 1e5-element IN into every plan) the
+    filter becomes a broadcast semi-join against a one-column stamp
+    relation.  Legacy dirs without a ledger resolve unfiltered
+    (pre-ledger rule)."""
     import os
 
     if not os.path.exists(_stamp_ledger_path(state_dir)):
         return df
     applied = sorted(_applied_stamps(spark, state_dir))
+    if len(applied) > _STAMP_ISIN_MAX:
+        stamps_df = df.sparkSession.createDataFrame(
+            [(s,) for s in applied], "batch_stamp string"
+        )
+        return df.join(F.broadcast(stamps_df), "batch_stamp", "left_semi")
     return df.filter(F.col("batch_stamp").isin(applied))
 
 
@@ -2921,6 +2934,276 @@ def _cdc_ledger_path(state_dir: str) -> str:
     return os.path.join(state_dir, "cdc_chunks_delta")
 
 
+# --- CDC ledger v2: hash-prefix bucketing + bloom sidecar ------------------
+#
+# The v1 ledger was one flat parquet dir, so every ingest_cdc_batch paid a
+# full ∝-corpus ledger scan for its membership probe -- the one non-flat
+# per-batch term in the round-10 scaleprobe table.  v2 removes it:
+#
+# * the ledger is PARTITIONED by ``pfx`` = the first 2 hex chars of the
+#   chunk hash (256 dirs), so a probe restricted to a prefix set is a
+#   partition-pruned scan -- only the named directories are listed/read;
+# * a BLOOM SIDECAR (``cdc_bloom/``, also partitioned by pfx) decides
+#   which batch hashes need the ledger at all.  It is APPEND-ONLY, the
+#   same LSM discipline as the ledger itself: each committed batch
+#   appends one delta bloom row per touched prefix covering exactly its
+#   novel hashes (self-describing ``(pfx, m, bits)``; ``m`` sized to
+#   that delta), and a hash is "maybe present" iff ANY row of its
+#   prefix says so.  Append-only makes crash-safety trivial: there is
+#   no read-modify-write to tear, a torn append only adds uncommitted
+#   bits (false positives, re-verified against the real ledger), and
+#   the superset invariant -- every committed hash is fully inside at
+#   least one bloom row -- holds through any crash.  Compaction
+#   collapses the rows to one per prefix under the state lock.
+# * a SEQ SIDECAR (``_cdc_seq.json``: stamp -> generation) lets the
+#   committed-max generation be read without touching the ledger.
+#
+# Per-batch ledger I/O is then: bloom rows for the batch's prefixes
+# (KBs), plus ledger partitions for prefixes holding a bloom HIT --
+# expected = true duplicates + m/n-tuned false positives, NOT the whole
+# corpus.  A fully-novel batch reads (almost) no ledger bytes at any
+# corpus size.  Bloom math stays out of the JVM row path: the two
+# 60-bit hash halves are computed as JVM expressions, and Python only
+# ever sees batch-bounded Arrow groups reduced with vectorized numpy.
+
+_CDC_PFX_LEN = 2
+_CDC_BLOOM_K = 8              # probes per key
+_CDC_BLOOM_BITS_PER_KEY = 16  # m ~= 16n -> fpp ~5e-4 at k=8
+_CDC_BLOOM_SCHEMA = "pfx string, m long, bits binary"
+
+
+def _cdc_bloom_dir(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "cdc_bloom")
+
+
+def _cdc_seq_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "_cdc_seq.json")
+
+
+def _cdc_ledger_is_bucketed(path: str) -> bool:
+    import os
+
+    try:
+        return any(e.startswith("pfx=") for e in os.listdir(path))
+    except FileNotFoundError:
+        return False
+
+
+def _with_pfx_halves(hashes: DataFrame) -> DataFrame:
+    """Add the bloom-relevant derivations of ``chunk_hash`` as JVM
+    expressions: the partition prefix and two independent 60-bit halves
+    (double hashing: index_i = (h1 + i*h2) mod m)."""
+    return (
+        hashes.withColumn(
+            "pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN)
+        )
+        .withColumn(
+            "h1", F.conv(F.substring("chunk_hash", 1, 15), 16, 10).cast("long")
+        )
+        .withColumn(
+            "h2", F.conv(F.substring("chunk_hash", 16, 15), 16, 10).cast("long")
+        )
+    )
+
+
+def _bloom_m_for(n: int) -> int:
+    """Bloom size in bits for ``n`` keys: next power of two above
+    16 bits/key, clamped to [2^10, 2^27] (128 B .. 16 MB)."""
+    import math
+
+    target = max(_CDC_BLOOM_BITS_PER_KEY * max(n, 1), 1024)
+    return min(1 << math.ceil(math.log2(target)), 1 << 27)
+
+
+def _bloom_idx(h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
+    ks = np.arange(_CDC_BLOOM_K, dtype=np.uint64)[None, :]
+    return (
+        (h1.astype(np.uint64)[:, None] + ks * h2.astype(np.uint64)[:, None])
+        % np.uint64(m)
+    ).astype(np.int64)
+
+
+def _bloom_might_contain(
+    h1: np.ndarray, h2: np.ndarray, m: int, bits: bytes
+) -> np.ndarray:
+    arr = np.frombuffer(bits, dtype=np.uint8)
+    idx = _bloom_idx(h1, h2, m)
+    return (((arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1) == 1).all(
+        axis=1
+    )
+
+
+def _bloom_rows(hashes: DataFrame) -> DataFrame:
+    """One delta bloom row per prefix covering exactly ``hashes``
+    (distinct chunk_hash column), sized to the per-prefix count."""
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = _bloom_m_for(len(pdf))
+        idx = _bloom_idx(
+            pdf["h1"].to_numpy(np.int64).astype(np.uint64),
+            pdf["h2"].to_numpy(np.int64).astype(np.uint64),
+            m,
+        )
+        arr = np.zeros(m // 8, dtype=np.uint8)
+        np.bitwise_or.at(
+            arr, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8))
+        )
+        return pd.DataFrame(
+            {"pfx": [pdf["pfx"].iloc[0]], "m": [m], "bits": [arr.tobytes()]}
+        )
+
+    return (
+        _with_pfx_halves(hashes.select("chunk_hash").distinct())
+        .groupBy("pfx")
+        .applyInPandas(build, _CDC_BLOOM_SCHEMA)
+    )
+
+
+def _bloom_candidates(spark, state_dir: str, hashes: DataFrame) -> DataFrame:
+    """The subset of ``hashes`` that MIGHT be in the committed ledger,
+    per the bloom sidecar -- the rest are definitely novel and skip the
+    ledger probe entirely.  A MISSING SIDECAR DIRECTORY degrades safely
+    to all-candidates (every hash probes the ledger).  A present sidecar
+    with no rows for a prefix, by contrast, means NO candidates there:
+    bloom delta rows are appended before each stamp commit, so a prefix
+    holding committed ledger rows always has bloom rows covering them
+    -- rowlessness proves the committed ledger is empty under that
+    prefix.  Cogrouped per prefix so a bloom's bits travel to its batch
+    hashes once, never row-multiplied through a join."""
+    import os
+
+    import pandas as pd
+
+    bh = _with_pfx_halves(
+        hashes.select("chunk_hash").distinct()
+    ).localCheckpoint(eager=True)
+    bdir = _cdc_bloom_dir(state_dir)
+    if not os.path.exists(bdir):
+        return bh.select("chunk_hash")
+    # touched prefixes: bounded collect (<= 256 two-hex-char strings)
+    pfxs = [r["pfx"] for r in bh.select("pfx").distinct().collect()]
+    blooms = spark.read.parquet(bdir).filter(F.col("pfx").isin(pfxs))
+
+    def probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if len(left) == 0:
+            return pd.DataFrame({"chunk_hash": pd.Series([], dtype=object)})
+        h1 = left["h1"].to_numpy(np.int64).astype(np.uint64)
+        h2 = left["h2"].to_numpy(np.int64).astype(np.uint64)
+        # no rows for this prefix => committed ledger empty there (see
+        # docstring) => nothing survives; otherwise OR across delta rows
+        maybe = np.zeros(len(left), dtype=bool)
+        for mm, bits in zip(right["m"], right["bits"]):
+            maybe |= _bloom_might_contain(h1, h2, int(mm), bits)
+        return left.loc[maybe, ["chunk_hash"]]
+
+    return (
+        bh.groupBy("pfx")
+        .cogroup(blooms.groupBy("pfx"))
+        .applyInPandas(probe, "chunk_hash string")
+    )
+
+
+def _cdc_ledger_hits(
+    spark, state_dir: str, path: str, stamp: str, batch_firsts: DataFrame
+) -> tuple[DataFrame, list | None]:
+    """The batch hashes already present in the committed pre-batch
+    ledger view (excluding rows stamped by THIS batch -- present iff
+    retrying after commit).  On the v2 bucketed layout: bloom sidecar
+    first -- hashes failing every bloom row of their prefix are
+    definitely novel and never touch the ledger; survivors probe ONLY
+    the partitions of their own prefixes (partition-pruned scan), so
+    ledger bytes read per batch is ∝ (true duplicates + bloom false
+    positives), not ∝ corpus.  Returns ``(hits, candidate_prefixes)``;
+    prefixes is None on the v1 flat layout (full-scan probe; compaction
+    migrates the layout)."""
+    if _cdc_ledger_is_bucketed(path):
+        cands = _bloom_candidates(
+            spark, state_dir, batch_firsts
+        ).localCheckpoint(eager=True)
+        cand_pfxs = [
+            r["pfx"]
+            for r in cands.select(
+                F.substring("chunk_hash", 1, _CDC_PFX_LEN).alias("pfx")
+            ).distinct().collect()
+        ]
+        if not cand_pfxs:
+            return cands, cand_pfxs  # empty: nothing passed the blooms
+        ledger = _committed_only(
+            spark,
+            state_dir,
+            spark.read.parquet(path).filter(F.col("pfx").isin(cand_pfxs)),
+        ).filter(F.col("batch_stamp") != stamp)
+        hits = (
+            ledger.join(F.broadcast(cands), "chunk_hash", "left_semi")
+            .select("chunk_hash")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        return hits, cand_pfxs
+    ledger = _committed_only(
+        spark, state_dir, spark.read.parquet(path)
+    ).filter(F.col("batch_stamp") != stamp)
+    hits = (
+        ledger.join(
+            F.broadcast(batch_firsts.select("chunk_hash").distinct()),
+            "chunk_hash",
+            "left_semi",
+        )
+        .select("chunk_hash")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return hits, None
+
+
+def _next_cdc_seq(spark, state_dir: str, path: str, applied: set) -> int:
+    """Next generation number = committed max + 1, read from the seq
+    sidecar (stamp -> seq, maintained under the state lock) so the
+    common path never scans the ledger for a single max.  Sidecar-less
+    legacy dirs fall back to one committed-rows scan; the commit that
+    follows seeds the sidecar."""
+    import json
+    import os
+
+    sp = _cdc_seq_path(state_dir)
+    if os.path.exists(sp):
+        with open(sp) as fh:
+            seqs = json.load(fh)
+        vals = [s for st, s in seqs.items() if st in applied]
+        if vals:
+            return max(vals) + 1
+    m = (
+        _committed_only(spark, state_dir, spark.read.parquet(path))
+        .agg(F.max("batch_seq").alias("m"))
+        .collect()[0]["m"]
+    )
+    return int(m if m is not None else -1) + 1
+
+
+def _record_cdc_seq(state_dir: str, stamp: str, seq: int) -> None:
+    """Record a generation's number in the seq sidecar (caller holds the
+    state lock; same atomic temp+replace discipline as the stamp
+    ledger)."""
+    import json
+    import os
+
+    sp = _cdc_seq_path(state_dir)
+    seqs: dict = {}
+    if os.path.exists(sp):
+        with open(sp) as fh:
+            seqs = json.load(fh)
+    seqs[stamp] = seq
+    tmp = sp + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(seqs, fh)
+    os.replace(tmp, sp)
+
+
 def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFrame:
     """Bootstrap the persistent chunk-hash ledger for incremental
     duplicated-span removal (:func:`ingest_cdc_batch`): chunk the corpus
@@ -2940,10 +3223,26 @@ def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFram
     # ledger would double the dominant tokenize+md5 cost of the init)
     ch = cdc_chunks(docs, window=window).localCheckpoint(eager=True)
     rewritten = cdc_span_dedup(docs, window=window, chunks=ch)
-    firsts = ch.select("chunk_hash").distinct()
-    firsts.withColumn("batch_seq", F.lit(0).cast("long")).withColumn(
-        "batch_stamp", F.lit(stamp)
-    ).write.mode("errorifexists").parquet(_cdc_ledger_path(state_dir))
+    firsts = ch.select("chunk_hash").distinct().localCheckpoint(eager=True)
+    # v2 layout: ledger partitioned by hash prefix + bloom sidecar, so
+    # every later ingest probes by partition pruning instead of a flat
+    # ∝-corpus scan (see the v2 block above _cdc_bloom_dir)
+    (
+        firsts.withColumn("pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN))
+        .withColumn("batch_seq", F.lit(0).cast("long"))
+        .withColumn("batch_stamp", F.lit(stamp))
+        # co-locate each prefix before the partitioned write: without
+        # this every write task holds every prefix and the layout sprays
+        # tasks x 256 small files
+        .repartition(F.col("pfx"))
+        .write.mode("errorifexists")
+        .partitionBy("pfx")
+        .parquet(_cdc_ledger_path(state_dir))
+    )
+    _bloom_rows(firsts).write.mode("append").partitionBy("pfx").parquet(
+        _cdc_bloom_dir(state_dir)
+    )
+    _record_cdc_seq(state_dir, stamp, 0)
     # spark= so bootstrapping the CDC leg on a state_dir SHARED with a
     # pre-ledger MinHash leg seeds that leg's legacy stamps too -- the
     # first ledger write is the only chance; seeding only the CDC stamp
@@ -3029,18 +3328,8 @@ def _ingest_cdc_batch_locked(
     # pre-batch view: committed generations, excluding THIS batch's own
     # rows (present iff this is a retry after commit) -- uncommitted
     # orphans from a crashed attempt are filtered by _committed_only
-    ledger = _committed_only(
-        spark, state_dir, spark.read.parquet(path)
-    ).filter(F.col("batch_stamp") != stamp)
-    hits = (
-        ledger.join(
-            F.broadcast(batch_firsts.select("chunk_hash").distinct()),
-            "chunk_hash",
-            "left_semi",
-        )
-        .select("chunk_hash")
-        .distinct()
-        .localCheckpoint(eager=True)
+    hits, _cand_pfxs = _cdc_ledger_hits(
+        spark, state_dir, path, stamp, batch_firsts
     )
     novel_firsts = batch_firsts.join(
         F.broadcast(hits), "chunk_hash", "left_anti"
@@ -3051,19 +3340,36 @@ def _ingest_cdc_batch_locked(
     rewritten = _rebuild_from_chunks(ch, kept)
     if already_applied:
         return rewritten
-    # next generation from COMMITTED rows only: a crashed attempt's
+    # next generation from COMMITTED state only: a crashed attempt's
     # orphan rows (e.g. a torn append stamped seq 9) must not inflate
     # the numbering -- a retry re-appending at the same committed-max+1
     # seq leaves duplicate (hash, seq, stamp) rows, harmless under the
     # ledger's set semantics and surfaced by audit_cdc_ledger as
-    # rows > distinct within the generation
-    gens = _committed_only(
-        spark, state_dir, spark.read.parquet(path)
-    ).agg(F.max("batch_seq").alias("m")).collect()[0]["m"]
-    novel_firsts.select("chunk_hash").withColumn(
-        "batch_seq", F.lit(int(gens if gens is not None else -1) + 1)
-        .cast("long")
-    ).withColumn("batch_stamp", F.lit(stamp)).write.mode("append").parquet(path)
+    # rows > distinct within the generation.  Read from the seq sidecar
+    # (falls back to one committed-rows scan on sidecar-less legacy
+    # dirs), so the common path's only ledger I/O is the pruned probe.
+    seq = _next_cdc_seq(
+        spark, state_dir, path, _applied_stamps(spark, state_dir)
+    )
+    novel = novel_firsts.select("chunk_hash").withColumn(
+        "batch_seq", F.lit(seq).cast("long")
+    ).withColumn("batch_stamp", F.lit(stamp))
+    if _cdc_ledger_is_bucketed(path):
+        novel.withColumn(
+            "pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN)
+        ).repartition(F.col("pfx")).write.mode("append").partitionBy(
+            "pfx"
+        ).parquet(path)
+        # bloom delta BEFORE the stamp commit: a crash in between leaves
+        # uncommitted bits (false positives only -- re-verified against
+        # the ledger); the superset invariant (every COMMITTED hash is
+        # inside at least one bloom row) therefore survives any crash
+        _bloom_rows(novel_firsts.select("chunk_hash")).write.mode(
+            "append"
+        ).partitionBy("pfx").parquet(_cdc_bloom_dir(state_dir))
+    else:
+        novel.write.mode("append").parquet(path)
+    _record_cdc_seq(state_dir, stamp, seq)
     # COMMIT: atomic stamp-ledger replace -- before this line the batch
     # does not exist to any reader
     _record_applied(state_dir, stamp, spark=spark, locked=True)
@@ -3101,6 +3407,8 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
     # (its chunk hashes never enter the ledger; later duplicates of
     # those spans would survive silently).  The lock heartbeats, so the
     # corpus-sized rewrite never reads as a stale holder.
+    import json
+
     with _state_lock(state_dir):
         raw = spark.read.parquet(path)
         before = raw.count()
@@ -3112,12 +3420,43 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
             .localCheckpoint(eager=True)
         )
         after = resolved.count()
+        # output is ALWAYS the v2 bucketed layout -- compaction is the
+        # migration point for v1 flat-ledger states
         tmp = path + ".compact-" + uuid.uuid4().hex
-        resolved.write.mode("errorifexists").parquet(tmp)
+        resolved.withColumn(
+            "pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN)
+        ).repartition(F.col("pfx")).write.mode("errorifexists").partitionBy(
+            "pfx"
+        ).parquet(tmp)
+        # bloom sidecar rebuilt from the committed set: the per-batch
+        # delta rows collapse to ONE right-sized row per prefix (this is
+        # where append-only bloom read amplification is reclaimed, and
+        # where fpp is re-tuned after the corpus grows)
+        bdir = _cdc_bloom_dir(state_dir)
+        btmp = bdir + ".compact-" + uuid.uuid4().hex
+        _bloom_rows(resolved.select("chunk_hash")).write.mode(
+            "errorifexists"
+        ).partitionBy("pfx").parquet(btmp)
+        # seq sidecar pruned to committed stamps (max seq per stamp)
+        seqs = {
+            r["batch_stamp"]: r["m"]
+            for r in resolved.groupBy("batch_stamp")
+            .agg(F.max("batch_seq").alias("m"))
+            .collect()
+        }
         old = path + ".old-" + uuid.uuid4().hex
         os.rename(path, old)
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
+        bold = bdir + ".old-" + uuid.uuid4().hex
+        if os.path.exists(bdir):
+            os.rename(bdir, bold)
+        os.rename(btmp, bdir)
+        shutil.rmtree(bold, ignore_errors=True)
+        stmp = _cdc_seq_path(state_dir) + ".tmp"
+        with open(stmp, "w") as fh:
+            json.dump(seqs, fh)
+        os.replace(stmp, _cdc_seq_path(state_dir))
     return {"rows_before": int(before), "rows_after": int(after)}
 
 
@@ -3135,17 +3474,29 @@ def audit_cdc_ledger(spark, state_dir: str) -> DataFrame:
     generation."""
     applied = _applied_stamps(spark, state_dir)
     led = spark.read.parquet(_cdc_ledger_path(state_dir))
-    return (
-        led.groupBy("batch_seq", "batch_stamp")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count_distinct("chunk_hash").alias("n_distinct_hashes"),
-        )
-        .select(
+    grouped = led.groupBy("batch_seq", "batch_stamp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("chunk_hash").alias("n_distinct_hashes"),
+    )
+    if applied and len(applied) > _STAMP_ISIN_MAX:
+        # a years-running feed accumulates 1e5+ stamps: an isin literal
+        # of that size bloats every plan it lands in, so flag commit
+        # status with a broadcast join against a one-column stamp
+        # relation instead (plan unchanged below the threshold)
+        stamps_df = led.sparkSession.createDataFrame(
+            [(s,) for s in sorted(applied)], "batch_stamp string"
+        ).withColumn("is_committed", F.lit(True))
+        flagged = grouped.join(F.broadcast(stamps_df), "batch_stamp", "left")
+        return flagged.select(
             "batch_seq",
-            F.col("batch_stamp").isin(*applied).alias("committed")
-            if applied else F.lit(False).alias("committed"),
+            F.coalesce("is_committed", F.lit(False)).alias("committed"),
             "n_rows",
             "n_distinct_hashes",
         )
+    return grouped.select(
+        "batch_seq",
+        F.col("batch_stamp").isin(*sorted(applied)).alias("committed")
+        if applied else F.lit(False).alias("committed"),
+        "n_rows",
+        "n_distinct_hashes",
     )

@@ -33,6 +33,8 @@ def summarize(df: DataFrame) -> dict:
       exchanges : int count of shuffle exchanges;
       pushed_filters : list[str], one entry per scan with non-empty
         PushedFilters;
+      partition_filters : list[str], one entry per scan with non-empty
+        PartitionFilters (partition-pruning check);
       read_schemas : list[str], the ReadSchema struct of every scan
         (column pruning check);
       wholestage_codegen_ids : int count of whole-stage codegen spans;
@@ -45,6 +47,11 @@ def summarize(df: DataFrame) -> dict:
         for m in re.finditer(r"PushedFilters: \[([^\]]+)\]", s)
         if m.group(1).strip()
     ]
+    partition = [
+        m.group(1).strip()
+        for m in re.finditer(r"PartitionFilters: \[([^\]]+)\]", s)
+        if m.group(1).strip()
+    ]
     schemas = [m.group(1).strip() for m in re.finditer(r"ReadSchema: (\S+)", s)]
     return {
         "broadcast_hash_joins": len(re.findall(r"BroadcastHashJoin", s)),
@@ -53,6 +60,7 @@ def summarize(df: DataFrame) -> dict:
         "nested_loop_joins": len(re.findall(r"BroadcastNestedLoopJoin", s)),
         "exchanges": len(re.findall(r"\bExchange\b|\n\s*\(?\d*\)?\s*Exchange ", s)),
         "pushed_filters": pushed,
+        "partition_filters": partition,
         "read_schemas": schemas,
         "wholestage_codegen_ids": len(
             set(re.findall(r"codegen id : (\d+)", s))

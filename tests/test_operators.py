@@ -3190,11 +3190,13 @@ def test_cdc_ingest_crash_orphans_are_shadowed(spark, tmp_path):
     stamp = "cdc-" + dedup._batch_stamp(batch)
     # simulate the crash: a partial append lands SOME of the batch's novel
     # hashes (and even a junk hash) tagged with the stamp, but the stamp
-    # never reaches the commit ledger
+    # never reaches the commit ledger (debris lands in the bucketed v2
+    # layout, exactly as a torn partitioned append would leave it)
     spark.createDataFrame(
-        [("deadbeefdeadbeefdeadbeefdeadbeef", 1, stamp)],
-        "chunk_hash string, batch_seq long, batch_stamp string",
-    ).write.mode("append").parquet(dedup._cdc_ledger_path(state))
+        [("deadbeefdeadbeefdeadbeefdeadbeef", 1, stamp, "de")],
+        "chunk_hash string, batch_seq long, batch_stamp string, pfx string",
+    ).write.mode("append").partitionBy("pfx").parquet(
+        dedup._cdc_ledger_path(state))
     got = {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
     exp = {
         tuple(r)
@@ -3219,9 +3221,10 @@ def test_cdc_compaction_drops_orphans_preserves_retry(spark, tmp_path):
     # crash simulation for b2: orphan rows land, stamp never commits
     stamp2 = "cdc-" + dedup._batch_stamp(b2)
     spark.createDataFrame(
-        [("feedfacefeedfacefeedfacefeedface", 9, stamp2)],
-        "chunk_hash string, batch_seq long, batch_stamp string",
-    ).write.mode("append").parquet(dedup._cdc_ledger_path(state))
+        [("feedfacefeedfacefeedfacefeedface", 9, stamp2, "fe")],
+        "chunk_hash string, batch_seq long, batch_stamp string, pfx string",
+    ).write.mode("append").partitionBy("pfx").parquet(
+        dedup._cdc_ledger_path(state))
     info = dedup.compact_cdc_state(spark, state)
     assert info["rows_after"] < info["rows_before"]  # orphan dropped
     ledger = spark.read.parquet(dedup._cdc_ledger_path(state))
@@ -3292,12 +3295,14 @@ def test_audit_cdc_ledger_flags_debris(spark, tmp_path):
     stamp = "cdc-" + dedup._batch_stamp(batch)
     # duplicate row inside the COMMITTED batch generation + an orphan
     real = spark.read.parquet(dedup._cdc_ledger_path(state)).filter(
-        f"batch_stamp = '{stamp}'").limit(1)
-    real.write.mode("append").parquet(dedup._cdc_ledger_path(state))
+        f"batch_stamp = '{stamp}'").limit(1).localCheckpoint(eager=True)
+    real.write.mode("append").partitionBy("pfx").parquet(
+        dedup._cdc_ledger_path(state))
     spark.createDataFrame(
-        [("0badc0de0badc0de0badc0de0badc0de", 7, "cdc-never-committed")],
-        "chunk_hash string, batch_seq long, batch_stamp string",
-    ).write.mode("append").parquet(dedup._cdc_ledger_path(state))
+        [("0badc0de0badc0de0badc0de0badc0de", 7, "cdc-never-committed", "0b")],
+        "chunk_hash string, batch_seq long, batch_stamp string, pfx string",
+    ).write.mode("append").partitionBy("pfx").parquet(
+        dedup._cdc_ledger_path(state))
     rep = {r["batch_seq"]: r for r in dedup.audit_cdc_ledger(spark, state).collect()}
     assert rep[7]["committed"] is False
     assert rep[1]["n_rows"] == rep[1]["n_distinct_hashes"] + 1
@@ -3306,3 +3311,107 @@ def test_audit_cdc_ledger_flags_debris(spark, tmp_path):
     clean = dedup.audit_cdc_ledger(spark, state).collect()
     assert all(r["committed"] for r in clean)
     assert all(r["n_rows"] == r["n_distinct_hashes"] for r in clean)
+
+
+def test_cdc_ledger_v2_probe_reads_only_candidate_prefixes(spark, tmp_path):
+    """The v2 probe's scale contract: only ledger partitions of
+    bloom-candidate prefixes are read.  The candidate prefix set is a
+    subset of the batch's prefixes, the pruned ledger scan's input
+    files all live under those pfx= directories, and the hit set is
+    EXACTLY the batch∩ledger intersection (blooms add false positives
+    only, which the real ledger probe then removes)."""
+    rows = _dup_heavy_rows(55, range(40))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    path = dedup._cdc_ledger_path(state)
+    dedup.init_cdc_state(all_docs.filter("doc_id < 20"), state)
+    batch = all_docs.filter("doc_id >= 20")
+    stamp = "cdc-" + dedup._batch_stamp(batch)
+    ch = dedup.cdc_chunks(batch)
+    batch_firsts = (
+        ch.groupBy("chunk_hash")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first_at"))
+        .select(
+            "chunk_hash",
+            F.col("first_at.doc_id").alias("doc_id"),
+            F.col("first_at.chunk_idx").alias("chunk_idx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    hits, cand_pfxs = dedup._cdc_ledger_hits(
+        spark, state, path, stamp, batch_firsts
+    )
+    assert cand_pfxs is not None  # v2 layout detected
+    batch_pfxs = {
+        r["pfx"]
+        for r in batch_firsts.select(
+            F.substring("chunk_hash", 1, 2).alias("pfx")
+        ).distinct().collect()
+    }
+    assert set(cand_pfxs) <= batch_pfxs
+    # the pruned read (as the probe builds it) touches ONLY those dirs:
+    # input_file_name() is execution-time, so it reflects the files the
+    # pruned scan actually read (inputFiles() lists pre-pruning)
+    pruned = spark.read.parquet(path).filter(F.col("pfx").isin(cand_pfxs))
+    read_files = [
+        r[0] for r in pruned.select(F.input_file_name()).distinct().collect()
+    ]
+    assert read_files
+    for f in read_files:
+        assert any(f"pfx={p}/" in f for p in cand_pfxs), f
+    from dask_patternsearch_spark.plans import summarize as _summ
+    assert any("pfx" in pf for pf in _summ(pruned)["partition_filters"])
+    # and correctness: hits == exact batch∩committed-ledger intersection
+    exact = {
+        r["chunk_hash"]
+        for r in spark.read.parquet(path)
+        .join(batch_firsts.select("chunk_hash").distinct(), "chunk_hash")
+        .select("chunk_hash").distinct().collect()
+    }
+    assert {r["chunk_hash"] for r in hits.collect()} == exact
+
+
+def test_cdc_bloom_superset_invariant_across_batches(spark, tmp_path):
+    """Every committed ledger hash must pass the bloom probe (no false
+    negatives -- a miss would let a duplicated span survive), after any
+    number of delta appends AND after compaction collapses the rows."""
+    rows = _dup_heavy_rows(56, range(36))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 12"), state)
+    dedup.ingest_cdc_batch(
+        all_docs.filter("doc_id >= 12 and doc_id < 24"), state)
+    dedup.ingest_cdc_batch(all_docs.filter("doc_id >= 24"), state)
+
+    def assert_superset():
+        led = spark.read.parquet(
+            dedup._cdc_ledger_path(state)).select("chunk_hash").distinct()
+        n = led.count()
+        cands = dedup._bloom_candidates(spark, state, led)
+        assert cands.count() == n
+
+    assert_superset()
+    n_bloom_rows_before = spark.read.parquet(
+        dedup._cdc_bloom_dir(state)).count()
+    dedup.compact_cdc_state(spark, state)
+    assert_superset()
+    # compaction collapsed the delta rows to one per prefix
+    blooms = spark.read.parquet(dedup._cdc_bloom_dir(state))
+    assert blooms.count() <= n_bloom_rows_before
+    assert blooms.groupBy("pfx").count().filter("count > 1").count() == 0
+
+
+def test_cdc_bloom_prunes_absent_hashes(spark, tmp_path):
+    """A fully-novel batch should probe (almost) nothing: hashes absent
+    from the ledger pass the bloom at ~the configured false-positive
+    rate, so the candidate set is a small fraction of the batch."""
+    rows = _dup_heavy_rows(57, range(10))
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(_mk_docs(spark, rows), state)
+    # 2000 hashes that are NOT in the ledger (md5 of fresh strings)
+    absent = spark.range(2000).select(
+        F.md5(F.concat(F.lit("absent-"), F.col("id"))).alias("chunk_hash")
+    )
+    cands = dedup._bloom_candidates(spark, state, absent)
+    # fpp ~5e-4 at 16 bits/key, k=8; allow 50x headroom -> <2.5% pass
+    assert cands.count() <= 50

@@ -693,3 +693,91 @@ def test_cdc_ingest_probe_broadcasts_batch_not_ledger(spark, tmp_path):
     assert info["sort_merge_joins"] == 0
     assert info["python_stages"] == 0
     assert info["broadcast_hash_joins"] >= 1  # novel-firsts semi probe
+
+
+def test_mmr_shortlist_gets_window_group_limit(spark):
+    """mmr_diversified_topk's shortlist rank filter must execute as
+    WindowGroupLimit (per-partition top-k heaps), not a full per-query
+    sort -- the one stage of the MMR plan that would silently become a
+    data-scale sort under a refactor or Spark behavior change."""
+    from dask_patternsearch_spark.queries.pipeline import QUERIES as P
+
+    s = plan_text(P["mmr_diversified_topk"](spark, SF_DIR))
+    assert s.count("WindowGroupLimit") >= 1
+
+
+def test_minhash_ingest_annotation_joins_stay_broadcast(spark, tmp_path):
+    """ingest_batch's candidate path must reduce the corpus-scale
+    signature table through BROADCAST joins on batch-derived sets
+    (bucket keys out, candidate ids back) BEFORE anything wide: the
+    remaining sort-merge joins sit between batch-bounded relations only
+    (AQE converts those at runtime).  A de-broadcast that shuffles the
+    signature table is the 100 TB regression this locks out."""
+    from pyspark.sql import functions as F2
+
+    from dask_patternsearch_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", F2.length("text").alias("n_chars"))
+    state = str(tmp_path / "mh_plan_state")
+    dedup.init_dedup_state(docs.filter(F2.col("doc_id") % 2 == 0), state)
+    # ingest_batch checkpoints its result, erasing the plan -- lock the
+    # candidate path it runs (same code, append elided)
+    out = dedup.incremental_minhash_candidates(
+        docs.filter(F2.col("doc_id") % 2 == 1),
+        dedup._delta_dirs(state)[0],
+        append=False,
+    )
+    s = plan_text(out)
+    info = summarize(out)
+    # the three batch-set broadcasts: corpus bands ⋉ new bucket keys,
+    # corpus sigs ⋉ batch ids (old/new split), sigs ⋉ candidate ids
+    assert info["broadcast_hash_joins"] >= 3
+    assert info["nested_loop_joins"] == 0
+    # the persisted table is actually in this plan (guards the lock
+    # itself against a refactor that swaps the input)
+    assert "signatures.parquet" in s
+    # tripwire: today's plan has exactly the batch-bounded SMJs (band
+    # pair join + est-jaccard annotation); a de-broadcast of any
+    # corpus-side reduction adds one more and must break this
+    assert info["sort_merge_joins"] <= 4, info["sort_merge_joins"]
+
+
+def test_ingest_write_mass_tracks_batch_not_corpus(spark, tmp_path):
+    """The LSM scale contract as an asserted gate (not just a SCALE.md
+    table): ingesting the SAME novel batch into a 1x state and a 4x
+    state appends the same delta row mass to every log -- per-batch
+    write volume is ∝ the batch and its touched clusters, never the
+    corpus.  A regression that rewrites corpus-scale state per batch
+    (the failure mode compaction exists to avoid) breaks this."""
+    import numpy as np
+
+    from dask_patternsearch_spark.operators import dedup
+
+    rng = np.random.default_rng(77)
+    words = [f"w{i}" for i in range(300)]
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, " ".join(rng.choice(words, size=30))) for i in ids],
+            "doc_id long, text string",
+        ).withColumn("n_chars", F.length("text"))
+
+    batch = mk(range(10_000, 10_040)).localCheckpoint(eager=True)
+    appended = {}
+    for tag, n_corpus in (("x1", 60), ("x4", 240)):
+        state = str(tmp_path / f"mh_{tag}")
+        dedup.init_dedup_state(mk(range(n_corpus)), state)
+        _sig, lab, keep = dedup._delta_dirs(state)
+        sizes0 = [spark.read.parquet(p).count() for p in (lab, keep)]
+        dedup.ingest_batch(batch, state)
+        sizes1 = [spark.read.parquet(p).count() for p in (lab, keep)]
+        appended[tag] = [b - a for a, b in zip(sizes0, sizes1)]
+        cstate = str(tmp_path / f"cdc_{tag}")
+        led = dedup._cdc_ledger_path(cstate)
+        dedup.init_cdc_state(mk(range(n_corpus)), cstate)
+        n0 = spark.read.parquet(led).count()
+        dedup.ingest_cdc_batch(batch, cstate)
+        appended[tag].append(spark.read.parquet(led).count() - n0)
+    for a1, a4 in zip(appended["x1"], appended["x4"]):
+        assert a4 <= 2 * a1 + 8, (appended["x1"], appended["x4"])

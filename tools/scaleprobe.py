@@ -233,6 +233,25 @@ def _shuffle_totals(ui: str) -> tuple[int, int]:
             sum(s.get("shuffleWriteBytes", 0) for s in stages))
 
 
+def _input_totals(ui: str) -> int:
+    """Total bytes READ from storage across completed stages -- the
+    scan-volume counterpart of _shuffle_totals (a partition-pruned probe
+    shows up here, not in shuffle bytes)."""
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"))
+    return sum(s.get("inputBytes", 0) for s in stages)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
 def _build_session(app_name: str):
     """One session posture for EVERY probe mode (headline curve and the
     extra modes alike), so all SCALE.md numbers are measured under the
@@ -595,17 +614,25 @@ def _probe_cdc(spark, ui) -> None:
         dedup.init_cdc_state(corpus, state).count()
         init_dt = time.perf_counter() - t0
         led0 = spark.read.parquet(dedup._cdc_ledger_path(state)).count()
+        led_disk = _dir_bytes(dedup._cdc_ledger_path(state))
         r0, w0 = _shuffle_totals(ui)
+        in0 = _input_totals(ui)
         t0 = time.perf_counter()
         dedup.ingest_cdc_batch(batch, state).count()
         dt = time.perf_counter() - t0
         _, w1 = _shuffle_totals(ui)
+        in1 = _input_totals(ui)
         led1 = spark.read.parquet(dedup._cdc_ledger_path(state)).count()
         print(f"| x{s} ({5000*s} docs) | init_cdc_state once | {init_dt:.1f}s "
               f"/ {led0} ledger rows |")
+        # inMB vs the flat-scan line (= ledger bytes on disk): the v2
+        # bucketed probe reads only bloom rows + candidate-prefix
+        # partitions, so inMB should sit far below ledgerMB and grow
+        # with the BATCH's duplicate mass, not the corpus
         print(f"| x{s} ({5000*s} docs) | ingest {n_batch} batch | "
               f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / "
-              f"+{led1-led0} ledger rows |")
+              f"{(in1-in0)/1e6:.1f}MB in (flat-scan line "
+              f"{led_disk/1e6:.1f}MB) / +{led1-led0} ledger rows |")
         shutil.rmtree(state, ignore_errors=True)
 
 
