@@ -86,6 +86,9 @@ HEADLINE = [
     "pattern_search_rosenbrock",
     "pattern_search_distributed",
     "pattern_search_pipelined",
+    # the portfolio driver: at cluster scale concurrent multistarts are
+    # the realistic use -- priced in the headline, not just the sweep
+    "pattern_search_multistart",
 ]
 
 

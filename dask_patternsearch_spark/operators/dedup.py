@@ -2878,27 +2878,32 @@ def leakage_guarded_split(
     size is domain-bounded regardless of corpus size.
 
     Scale: the split label is a map-only expression; the audit is one
-    semi-join on gram between the train-side distinct-gram relation and
-    the holdout-side distinct-gram relation (both ~corpus tokens; the
-    holdout side is ~1/8 of that), then a count-distinct on the leaky
-    doc ids.  No all-pairs stage: documents only meet through shared
-    grams, exactly like ``contamination_pairs_exact``.
+    semi-join between the train-side and holdout-side distinct-gram
+    relations (both ~corpus tokens; the holdout side is ~1/8 of that),
+    then a count-distinct on the leaky doc ids.  No all-pairs stage:
+    documents only meet through shared grams, exactly like
+    ``contamination_pairs_exact``.  The join key is the 60-bit
+    engine-portable gram digest (``_md5_long``), NOT the gram string:
+    once the holdout gram set outgrows the broadcast threshold this
+    join shuffles both sides, and shuffling ~45-byte word grams was
+    measured 5x the digest's mass (scaleprobe --spans at x100: the
+    raw-gram spelling jumped to 806 MB shuffle when the broadcast
+    stopped fitting; digests restore the ∝-corpus line).
     """
     lab = ensure_parallelism(docs).select(
         "doc_id",
-        "source",
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
         .isin("0", "1")
         .alias("is_holdout"),
         _tokens(F.col("text")).alias("toks"),
     ).select(
-        "doc_id", "source", "is_holdout",
+        "doc_id", "is_holdout",
         F.explode(_shingles(F.col("toks"), n)).alias("gram"),
-    )
-    hold_grams = lab.filter("is_holdout").select("gram").distinct()
+    ).select("doc_id", "is_holdout", _md5_long(F.col("gram")).alias("g"))
+    hold_grams = lab.filter("is_holdout").select("g").distinct()
     leaky = (
         lab.filter(~F.col("is_holdout"))
-        .join(hold_grams, "gram", "left_semi")
+        .join(hold_grams, "g", "left_semi")
         .select("doc_id")
         .distinct()
     )
@@ -3281,13 +3286,14 @@ def ingest_cdc_batch(
     probe.
 
     Scale: per-batch compute is ∝ batch tokens (map-only chunking + two
-    tiny shuffles); the ledger is probed by FIRST semi-joining it
-    against the broadcast batch hash set (so the big side streams once
-    and never shuffles), then broadcasting the (≤ batch-sized) hit set
-    back for the anti-join.  The one full ledger scan per batch is the
-    same flat ∝-corpus read :func:`ingest_batch` pays for its resolved
-    views; a production layout would bucket the ledger by hash prefix
-    and attach a bloom filter to prune it."""
+    tiny shuffles).  On the v2 bucketed layout (the default since round
+    11 -- see the block above :func:`_cdc_bloom_dir`) the ledger probe
+    reads only the bloom sidecar rows for the batch's prefixes plus the
+    ledger partitions holding a bloom hit, so per-batch ledger I/O is
+    ∝ (true duplicates + tuned false positives), not ∝ corpus --
+    measured flat across a 10x corpus in scaleprobe --cdc while the
+    flat-scan line grew 10x.  v1 flat-layout states keep the full-scan
+    broadcast probe until :func:`compact_cdc_state` migrates them."""
     spark = new_docs.sparkSession
     path = _cdc_ledger_path(state_dir)
     # namespaced stamp: the stamp ledger is shared per state_dir, and a

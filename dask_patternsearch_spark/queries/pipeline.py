@@ -238,7 +238,11 @@ def incremental_ingest_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first call commits batch 2 into the staged state, and every later
     # call takes the documented already-applied path (identical resolved
     # result -- the retry-idempotence contract doubles as
-    # sweep-repeatability, same pattern as incremental_cdc_rewrite)
+    # sweep-repeatability, same pattern as incremental_cdc_rewrite).
+    # Concurrent sweep processes sharing this staged root are safe:
+    # ingest_batch re-checks already-applied INSIDE its state lock, so
+    # two racing live ingests commit once -- no double-append, the
+    # ledger's rows == distinct-hashes audit invariant holds
     dedup.ingest_batch(
         docs.filter(F.col("doc_id") % 5 == 4), f"{root}/state")
     _labels, keepers = dedup.load_cluster_state(spark, f"{root}/state")
@@ -4760,16 +4764,18 @@ WITH lab AS MATERIALIZED (
   FROM documents
 ),
 grams AS MATERIALIZED (
+  -- join key mirrors the engine's 60-bit gram digest (_md5_long): the
+  -- audit joins digests, not gram strings
   SELECT doc_id, is_holdout,
-         unnest(list_distinct(
+         ('0x' || substr(md5(unnest(list_distinct(
            [array_to_string(toks[i:i+7], ' ') FOR i IN range(1, len(toks) - 7 + 1)]
-         )) AS gram
+         ))), 1, 15))::BIGINT AS g
   FROM lab WHERE len(toks) >= 8
 ),
-hold AS MATERIALIZED (SELECT DISTINCT gram FROM grams WHERE is_holdout),
+hold AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE is_holdout),
 leaky AS MATERIALIZED (
-  SELECT DISTINCT g.doc_id FROM grams g JOIN hold h USING (gram)
-  WHERE NOT g.is_holdout
+  SELECT DISTINCT gr.doc_id FROM grams gr JOIN hold h USING (g)
+  WHERE NOT gr.is_holdout
 )
 SELECT source,
        CAST(sum(CASE WHEN NOT is_holdout THEN 1 ELSE 0 END) AS BIGINT) AS n_train,

@@ -636,6 +636,54 @@ def _probe_cdc(spark, ui) -> None:
         shutil.rmtree(state, ignore_errors=True)
 
 
+def _probe_spans(spark, ui) -> None:
+    """Span-family scale (round-11): ``decontaminate_spans`` with a FIXED
+    benchmark set against growing corpora, and ``leakage_guarded_split``
+    between each corpus' own splits, across x10/x30/x100.  Claims under
+    test: the benchmark chunk-hash set broadcasts (corpus never shuffles
+    before the reassembly groupBy), and the split audit's gram semi-join
+    stays ∝ corpus tokens -- no pair explosion (the quadratic failure
+    mode would show as super-linear shuffle write on the gram join)."""
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    bench = (
+        spark.read.parquet(os.path.join(SF01, "documents.parquet"))
+        .select("doc_id", "text").limit(200).localCheckpoint(eager=True)
+    )
+    n_bench = bench.count()
+    # warm-up so JVM/codegen compilation is off the first measured row
+    dedup.decontaminate_spans(
+        spark.read.parquet(os.path.join(generate(3), "documents.parquet")),
+        bench,
+    ).count()
+    print("| corpus | metric | value |")
+    print("|---|---|---|")
+    for s in (10, 30, 100):
+        corpus = spark.read.parquet(
+            os.path.join(generate(s), "documents.parquet"))
+        _r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        out = dedup.decontaminate_spans(corpus, bench)
+        n_cut = out.filter(F.col("n_kept") < F.col("n_chunks")).count()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        print(f"| x{s} ({5000*s} docs) | decontaminate_spans "
+              f"({n_bench}-doc benchmark) | {dt:.2f}s / "
+              f"{(w1-w0)/1e6:.1f}MB shufW / {n_cut} docs cut |")
+        _r0, w0 = _shuffle_totals(ui)
+        t0 = time.perf_counter()
+        rep = dedup.leakage_guarded_split(corpus).collect()
+        dt = time.perf_counter() - t0
+        _, w1 = _shuffle_totals(ui)
+        leak = sum(r["n_leaky_train"] for r in rep)
+        train = sum(r["n_train"] for r in rep)
+        print(f"| x{s} ({5000*s} docs) | leakage_guarded_split | "
+              f"{dt:.2f}s / {(w1-w0)/1e6:.1f}MB shufW / "
+              f"{leak}/{train} leaky train docs |")
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -688,7 +736,7 @@ def _probe_incremental_ann(spark, ui) -> None:
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
         ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"],
-        ["--cdc"]):
+        ["--cdc"], ["--spans"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -715,6 +763,8 @@ elif __name__ == "__main__":
         _probe_ingest(_spark, _ui)
     elif mode == "--cdc":
         _probe_cdc(_spark, _ui)
+    elif mode == "--spans":
+        _probe_spans(_spark, _ui)
     elif mode == "--compaction":
         _probe_compaction(
             _spark, _ui,
