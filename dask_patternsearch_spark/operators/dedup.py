@@ -393,6 +393,73 @@ def minhash_signatures(
     return hashed.select("doc_id", sig.alias("sig"))
 
 
+def _bands_sidecar_path(signatures_path: str) -> str:
+    return signatures_path.rstrip("/") + ".bands"
+
+
+def _bands_meta_path(signatures_path: str) -> str:
+    import os
+
+    return os.path.join(_bands_sidecar_path(signatures_path), "_meta.json")
+
+
+def _write_bands_meta(signatures_path: str, n_bands: int,
+                      rows_per_band: int) -> None:
+    import json
+    import os
+
+    meta = _bands_meta_path(signatures_path)
+    os.makedirs(os.path.dirname(meta), exist_ok=True)
+    tmp = meta + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_bands": n_bands, "rows_per_band": rows_per_band}, fh)
+    os.replace(tmp, meta)
+
+
+def _bands_sidecar_usable(signatures_path: str, n_bands: int,
+                          rows_per_band: int) -> bool:
+    """The persisted band-bucket sidecar is trustworthy iff its meta
+    matches the requested banding: bands are a pure function of
+    (signature, n_bands), so a matching meta + the bands-BEFORE-
+    signatures append order guarantee the sidecar covers every persisted
+    signature (a crash can only leave EXTRA ghost band rows, whose pairs
+    drop in the inner annotation join).  Mismatched or absent meta means
+    derive bands from the signatures instead (legacy tables, or a
+    banding change without a sidecar rebuild)."""
+    import json
+    import os
+
+    meta = _bands_meta_path(signatures_path)
+    if not os.path.exists(meta):
+        return False
+    with open(meta) as fh:
+        m = json.load(fh)
+    return (m.get("n_bands") == n_bands
+            and m.get("rows_per_band") == rows_per_band)
+
+
+def rebuild_band_sidecar(
+    spark, signatures_path: str, n_bands: int = 8, n_perm: int = 64,
+    hash_family: str = "md5",
+) -> None:
+    """Build (or refresh) the band-bucket sidecar for an existing
+    signature table: legacy tables predate it, and changing ``n_bands``
+    invalidates it.  The meta stamp is removed FIRST so a crash
+    mid-rebuild leaves the sidecar unusable (probes fall back to
+    deriving bands) rather than stale-but-trusted."""
+    import contextlib
+    import os
+
+    rows_per_band = n_perm // n_bands
+    sigs = load_signatures(spark, signatures_path, hash_family=hash_family)
+    with contextlib.suppress(FileNotFoundError):
+        os.unlink(_bands_meta_path(signatures_path))
+    _band_buckets(sigs, n_bands, rows_per_band).write.mode(
+        "overwrite"
+    ).parquet(_bands_sidecar_path(signatures_path))
+    _write_bands_meta(signatures_path, n_bands, rows_per_band)
+
+
 def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
     """(doc_id, band, bucket) rows: each signature sliced into bands, each
     band hashed to one bucket id (the LSH equi-join key).  The bucket is
@@ -561,6 +628,14 @@ def minhash_lsh_candidates(
     # ~2x here: it stores raw RDD blocks and skips the columnar
     # cache-build of the 64-long arrays.
     if persist_signatures is not None:
+        # invalidate any prior band sidecar BEFORE the table overwrite:
+        # a crash mid-rebuild must leave the sidecar unusable (meta
+        # absent -> probes fall back to deriving bands), never stale
+        import contextlib as _ctx
+        import os as _os
+
+        with _ctx.suppress(FileNotFoundError):
+            _os.unlink(_bands_meta_path(persist_signatures))
         # stamp the hash-family version so a later job reusing this table
         # (load_signatures) can refuse signatures computed under an older,
         # value-incompatible definition instead of silently mis-bucketing
@@ -569,6 +644,14 @@ def minhash_lsh_candidates(
         ).write.mode("overwrite").parquet(persist_signatures)
         sigs = load_signatures(docs.sparkSession, persist_signatures,
                                hash_family=hash_family)
+        # band-bucket sidecar: the per-batch incremental probe scans
+        # these 3 narrow columns instead of re-folding every corpus
+        # signature into bands on every ingest (see
+        # incremental_minhash_candidates)
+        _band_buckets(sigs, n_bands, rows_per_band).write.mode(
+            "overwrite"
+        ).parquet(_bands_sidecar_path(persist_signatures))
+        _write_bands_meta(persist_signatures, n_bands, rows_per_band)
     else:
         sigs = sigs.localCheckpoint(eager=True)
     return _pairs_from_sigs(sigs, n_bands, rows_per_band, n_perm,
@@ -840,8 +923,19 @@ def incremental_minhash_candidates(
         # retry idempotence: only sign+append ids not already persisted
         already = sigs_all.join(F.broadcast(new_ids), "doc_id").select("doc_id")
         to_sign = new_docs.join(F.broadcast(already), "doc_id", "left_anti")
-        minhash_signatures(to_sign, n=n, n_perm=n_perm, seed=seed,
-                           hash_family=hash_family).withColumn(
+        to_sign_sigs = minhash_signatures(
+            to_sign, n=n, n_perm=n_perm, seed=seed, hash_family=hash_family
+        ).localCheckpoint(eager=True)
+        # band sidecar rows BEFORE the signature append: the sidecar
+        # must stay a SUPERSET of bands(persisted sigs) through any
+        # crash -- extra ghost rows (bands landed, sigs did not) only
+        # produce pairs that the inner annotation join drops, while a
+        # missing row would silently lose candidates forever
+        if _bands_sidecar_usable(signatures_path, n_bands, rows_per_band):
+            _band_buckets(to_sign_sigs, n_bands, rows_per_band).write.mode(
+                "append"
+            ).parquet(_bands_sidecar_path(signatures_path))
+        to_sign_sigs.withColumn(
             "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
         ).write.mode("append").parquet(signatures_path)
         # read everything back from the durable table (same
@@ -865,9 +959,22 @@ def incremental_minhash_candidates(
     new_bands = _band_buckets(new_sigs, n_bands, rows_per_band)
     new_bands = new_bands.localCheckpoint(eager=True)
     # reduce the old corpus to rows that can possibly collide with the new
-    # batch BEFORE anything wide: broadcast the new bucket keys
+    # batch BEFORE anything wide: broadcast the new bucket keys.  The
+    # corpus side comes from the persisted band-bucket SIDECAR when one
+    # matches the requested banding -- a 3-narrow-column scan instead of
+    # re-running the md5 band fold over every corpus signature on every
+    # batch (the fold is ∝ corpus x n_perm CPU; the sidecar makes the
+    # per-batch corpus term a pruned columnar read).  Ghost rows from a
+    # crashed append are dropped by the batch-id anti-join + the inner
+    # annotation join; tables without a usable sidecar derive as before.
     new_buckets = new_bands.select("band", "bucket").distinct()
-    old_hit = _band_buckets(old_sigs, n_bands, rows_per_band).join(
+    if _bands_sidecar_usable(signatures_path, n_bands, rows_per_band):
+        old_band_rows = spark.read.parquet(
+            _bands_sidecar_path(signatures_path)
+        ).join(F.broadcast(new_ids), "doc_id", "left_anti")
+    else:
+        old_band_rows = _band_buckets(old_sigs, n_bands, rows_per_band)
+    old_hit = old_band_rows.join(
         F.broadcast(new_buckets), ["band", "bucket"])
     all_bands = new_bands.unionByName(old_hit)
     pairs = (

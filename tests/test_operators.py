@@ -3415,3 +3415,122 @@ def test_cdc_bloom_prunes_absent_hashes(spark, tmp_path):
     cands = dedup._bloom_candidates(spark, state, absent)
     # fpp ~5e-4 at 16 bits/key, k=8; allow 50x headroom -> <2.5% pass
     assert cands.count() <= 50
+
+
+# ---------------------------------------------------------------------------
+# MinHash band-bucket sidecar (round 11)
+
+
+def _near_dup_rows(seed, n):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(80)]
+    rows = []
+    for i in range(n):
+        toks = list(rng.choice(words, size=24))
+        rows.append((i, " ".join(toks)))
+        if i % 4 == 0 and i + 1 < n:  # plant a near-dup of i at i+1... via text reuse
+            mut = list(toks)
+            mut[0] = str(rng.choice(words))
+            rows.append((i + n, " ".join(mut)))
+    return rows
+
+
+def test_incremental_candidates_equal_with_and_without_sidecar(spark, tmp_path):
+    """The band sidecar is a pure precompute: the incremental candidate
+    set must be identical whether the corpus bands come from the sidecar
+    or are re-derived from the signature table."""
+    docs = _mk_docs(spark, _near_dup_rows(5, 40))
+    sig_path = str(tmp_path / "sigs.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    dedup.minhash_lsh_candidates(corpus, persist_signatures=sig_path).collect()
+    assert dedup._bands_sidecar_usable(sig_path, 8, 8)
+    with_sidecar = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, append=False).collect()
+    }
+    # invalidate the sidecar -> derivation fallback
+    import os
+    os.unlink(dedup._bands_meta_path(sig_path))
+    without = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, append=False).collect()
+    }
+    assert with_sidecar == without
+
+
+def test_band_sidecar_ghost_rows_are_harmless(spark, tmp_path):
+    """Crash window: band rows appended, signature append never landed.
+    The ghost doc's pairs must vanish (inner annotation join), leaving
+    the candidate set identical to the clean state."""
+    docs = _mk_docs(spark, _near_dup_rows(7, 40))
+    sig_path = str(tmp_path / "sigs.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    dedup.minhash_lsh_candidates(corpus, persist_signatures=sig_path).collect()
+    clean = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, append=False).collect()
+    }
+    # plant ghost band rows: copy an existing doc's buckets under a doc id
+    # that has NO signature row (guaranteed collisions with real buckets)
+    bands = spark.read.parquet(dedup._bands_sidecar_path(sig_path))
+    ghost = bands.limit(8).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "band", "bucket")
+    ghost.write.mode("append").parquet(dedup._bands_sidecar_path(sig_path))
+    dirty = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, append=False).collect()
+    }
+    assert dirty == clean
+
+
+def test_band_sidecar_mismatched_banding_falls_back(spark, tmp_path):
+    """A sidecar built at n_bands=8 must not serve an n_bands=4 probe:
+    the meta mismatch routes the probe to derivation, and results match
+    a sidecar-free table at n_bands=4."""
+    docs = _mk_docs(spark, _near_dup_rows(9, 40))
+    sig_path = str(tmp_path / "sigs.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+    dedup.minhash_lsh_candidates(corpus, persist_signatures=sig_path).collect()
+    assert not dedup._bands_sidecar_usable(sig_path, 4, 16)
+    got = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, n_bands=4, append=False).collect()
+    }
+    import os
+    os.unlink(dedup._bands_meta_path(sig_path))
+    exp = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, n_bands=4, append=False).collect()
+    }
+    assert got == exp
+
+
+def test_band_sidecar_appends_and_rebuild(spark, tmp_path):
+    """ingest appends keep the sidecar complete (probe after two appends
+    equals a from-scratch probe), and rebuild_band_sidecar restores a
+    deleted sidecar bit-identically."""
+    docs = _mk_docs(spark, _near_dup_rows(11, 60))
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_lsh_candidates(
+        docs.filter("doc_id % 3 = 0"), persist_signatures=sig_path).collect()
+    dedup.incremental_minhash_candidates(
+        docs.filter("doc_id % 3 = 1"), sig_path, append=True).collect()
+    dedup.incremental_minhash_candidates(
+        docs.filter("doc_id % 3 = 2"), sig_path, append=True).collect()
+    sidecar = spark.read.parquet(dedup._bands_sidecar_path(sig_path))
+    sigs = spark.read.parquet(sig_path)
+    # completeness: every persisted signature has its 8 band rows
+    assert (sidecar.select("doc_id").distinct().count()
+            == sigs.select("doc_id").distinct().count())
+    before = {tuple(r) for r in sidecar.collect()}
+    import shutil
+    shutil.rmtree(dedup._bands_sidecar_path(sig_path))
+    dedup.rebuild_band_sidecar(spark, sig_path)
+    after = {
+        tuple(r) for r in spark.read.parquet(
+            dedup._bands_sidecar_path(sig_path)).collect()
+    }
+    assert after == before

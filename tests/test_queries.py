@@ -174,19 +174,20 @@ def test_bench_headline_names_resolve():
 
 
 def test_bench_headline_composition_pinned():
-    """The official headline metric's composition is PINNED: 54 queries,
+    """The official headline metric's composition is PINNED: 55 queries,
     exact fingerprint.  Registry growth must never silently change what
     the round-over-round number measures -- adding/removing a headline
     entry is a deliberate act that updates this fingerprint in the same
-    commit and gets called out in BASELINE.md."""
+    commit and gets called out in BASELINE.md.  (Round 11 added
+    pattern_search_multistart -- 54 -> 55; see BASELINE.md.)"""
     import hashlib
 
     import bench
 
-    assert len(bench.HEADLINE) == 54
-    assert len(set(bench.HEADLINE)) == 54, "duplicate headline entries"
+    assert len(bench.HEADLINE) == 55
+    assert len(set(bench.HEADLINE)) == 55, "duplicate headline entries"
     fp = hashlib.md5("\n".join(bench.HEADLINE).encode()).hexdigest()
-    assert fp == "d64c940fa6f9b1038dbb6a6b421a7bd8", (
+    assert fp == "ea8cb2dad5d1ee61a5a5f5d337e3d6b6", (
         f"HEADLINE composition changed (fingerprint {fp}); if deliberate, "
         "update this pin and document the metric break in BASELINE.md")
 

@@ -427,6 +427,9 @@ def _probe_incremental(spark, ui) -> None:
         dedup.minhash_signatures(corpus).withColumn(
             "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
         ).write.mode("overwrite").parquet(sig_path)
+        # band-bucket sidecar = the production layout (persist_signatures
+        # writes it at init; the one-time build is part of the sign cost)
+        dedup.rebuild_band_sidecar(spark, sig_path)
         sign_dt = time.perf_counter() - t0
         # measured run (append=False keeps the table reusable across runs)
         inc = dedup.incremental_minhash_candidates(batch, sig_path,
