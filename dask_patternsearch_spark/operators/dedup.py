@@ -3078,10 +3078,45 @@ def _cdc_ledger_path(state_dir: str) -> str:
 # 60-bit hash halves are computed as JVM expressions, and Python only
 # ever sees batch-bounded Arrow groups reduced with vectorized numpy.
 
-_CDC_PFX_LEN = 2
 _CDC_BLOOM_K = 8              # probes per key
 _CDC_BLOOM_BITS_PER_KEY = 16  # m ~= 16n -> fpp ~5e-4 at k=8
 _CDC_BLOOM_SCHEMA = "pfx string, m long, bits binary"
+
+
+def _layout_pfx_len(path: str) -> int | None:
+    """Prefix length READ FROM THE LAYOUT ITSELF (the ``pfx=ab`` dir
+    names) -- self-describing, so it can never disagree with the data
+    the way a recorded-on-the-side value could after a crash between a
+    re-bucketing compaction's swap and a metadata write.  None = not a
+    bucketed layout."""
+    import os
+
+    try:
+        for e in os.listdir(path):
+            if e.startswith("pfx="):
+                return len(e) - 4
+    except FileNotFoundError:
+        pass
+    return None
+
+
+def _cdc_pfx_len(state_dir: str) -> int:
+    return _layout_pfx_len(_cdc_ledger_path(state_dir)) or 2
+
+
+def _pick_pfx_len(n_chunks: int) -> int:
+    """Bucket count sized to the ledger: 16 dirs under 2M chunks (a tiny
+    state pays file-listing overhead, not scan volume -- 256 dirs over a
+    test-scale ledger was measured 2.5x the query cost), 256 to 200M,
+    4096 beyond (a 100 TB corpus is ~10^10 chunks; 4096 buckets keep a
+    pruned probe's per-partition read in the low GBs).  Compaction
+    re-buckets as the corpus grows, the same way it re-tunes bloom
+    fpp."""
+    if n_chunks < 2_000_000:
+        return 1
+    if n_chunks < 200_000_000:
+        return 2
+    return 3
 
 
 def _cdc_bloom_dir(state_dir: str) -> str:
@@ -3105,13 +3140,13 @@ def _cdc_ledger_is_bucketed(path: str) -> bool:
         return False
 
 
-def _with_pfx_halves(hashes: DataFrame) -> DataFrame:
+def _with_pfx_halves(hashes: DataFrame, pfx_len: int) -> DataFrame:
     """Add the bloom-relevant derivations of ``chunk_hash`` as JVM
     expressions: the partition prefix and two independent 60-bit halves
     (double hashing: index_i = (h1 + i*h2) mod m)."""
     return (
         hashes.withColumn(
-            "pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN)
+            "pfx", F.substring("chunk_hash", 1, pfx_len)
         )
         .withColumn(
             "h1", F.conv(F.substring("chunk_hash", 1, 15), 16, 10).cast("long")
@@ -3149,7 +3184,7 @@ def _bloom_might_contain(
     )
 
 
-def _bloom_rows(hashes: DataFrame) -> DataFrame:
+def _bloom_rows(hashes: DataFrame, pfx_len: int) -> DataFrame:
     """One delta bloom row per prefix covering exactly ``hashes``
     (distinct chunk_hash column), sized to the per-prefix count."""
     import pandas as pd
@@ -3170,7 +3205,7 @@ def _bloom_rows(hashes: DataFrame) -> DataFrame:
         )
 
     return (
-        _with_pfx_halves(hashes.select("chunk_hash").distinct())
+        _with_pfx_halves(hashes.select("chunk_hash").distinct(), pfx_len)
         .groupBy("pfx")
         .applyInPandas(build, _CDC_BLOOM_SCHEMA)
     )
@@ -3191,13 +3226,21 @@ def _bloom_candidates(spark, state_dir: str, hashes: DataFrame) -> DataFrame:
 
     import pandas as pd
 
+    pfx_len = _cdc_pfx_len(state_dir)
     bh = _with_pfx_halves(
-        hashes.select("chunk_hash").distinct()
+        hashes.select("chunk_hash").distinct(), pfx_len
     ).localCheckpoint(eager=True)
     bdir = _cdc_bloom_dir(state_dir)
     if not os.path.exists(bdir):
         return bh.select("chunk_hash")
-    # touched prefixes: bounded collect (<= 256 two-hex-char strings)
+    if _layout_pfx_len(bdir) != pfx_len:
+        # ledger and bloom sidecar disagree on bucket width -- the crash
+        # window of a RE-BUCKETING compaction (ledger swapped, bloom swap
+        # pending).  The bloom rows cannot be matched to the new
+        # prefixes, so degrade to all-candidates (full probe: correct,
+        # just unpruned) until the compaction retry lands the new blooms
+        return bh.select("chunk_hash")
+    # touched prefixes: bounded collect (<= 4096 short hex strings)
     pfxs = [r["pfx"] for r in bh.select("pfx").distinct().collect()]
     blooms = spark.read.parquet(bdir).filter(F.col("pfx").isin(pfxs))
 
@@ -3240,7 +3283,8 @@ def _cdc_ledger_hits(
         cand_pfxs = [
             r["pfx"]
             for r in cands.select(
-                F.substring("chunk_hash", 1, _CDC_PFX_LEN).alias("pfx")
+                F.substring("chunk_hash", 1, _cdc_pfx_len(state_dir))
+                .alias("pfx")
             ).distinct().collect()
         ]
         if not cand_pfxs:
@@ -3338,22 +3382,26 @@ def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFram
     firsts = ch.select("chunk_hash").distinct().localCheckpoint(eager=True)
     # v2 layout: ledger partitioned by hash prefix + bloom sidecar, so
     # every later ingest probes by partition pruning instead of a flat
-    # ∝-corpus scan (see the v2 block above _cdc_bloom_dir)
+    # ∝-corpus scan (see the v2 block above _cdc_bloom_dir).  Prefix
+    # length sized to the ledger (16 dirs for a small state, up to 4096
+    # at corpus scale) and recorded in the state meta; compaction
+    # re-buckets as the corpus grows.
+    pfx_len = _pick_pfx_len(firsts.count())
     (
-        firsts.withColumn("pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN))
+        firsts.withColumn("pfx", F.substring("chunk_hash", 1, pfx_len))
         .withColumn("batch_seq", F.lit(0).cast("long"))
         .withColumn("batch_stamp", F.lit(stamp))
         # co-locate each prefix before the partitioned write: without
         # this every write task holds every prefix and the layout sprays
-        # tasks x 256 small files
+        # tasks x buckets small files
         .repartition(F.col("pfx"))
         .write.mode("errorifexists")
         .partitionBy("pfx")
         .parquet(_cdc_ledger_path(state_dir))
     )
-    _bloom_rows(firsts).write.mode("append").partitionBy("pfx").parquet(
-        _cdc_bloom_dir(state_dir)
-    )
+    _bloom_rows(firsts, pfx_len).write.mode("append").partitionBy(
+        "pfx"
+    ).parquet(_cdc_bloom_dir(state_dir))
     _record_cdc_seq(state_dir, stamp, 0)
     # spark= so bootstrapping the CDC leg on a state_dir SHARED with a
     # pre-ledger MinHash leg seeds that leg's legacy stamps too -- the
@@ -3468,8 +3516,9 @@ def _ingest_cdc_batch_locked(
         "batch_seq", F.lit(seq).cast("long")
     ).withColumn("batch_stamp", F.lit(stamp))
     if _cdc_ledger_is_bucketed(path):
+        pfx_len = _cdc_pfx_len(state_dir)
         novel.withColumn(
-            "pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN)
+            "pfx", F.substring("chunk_hash", 1, pfx_len)
         ).repartition(F.col("pfx")).write.mode("append").partitionBy(
             "pfx"
         ).parquet(path)
@@ -3477,7 +3526,7 @@ def _ingest_cdc_batch_locked(
         # uncommitted bits (false positives only -- re-verified against
         # the ledger); the superset invariant (every COMMITTED hash is
         # inside at least one bloom row) therefore survives any crash
-        _bloom_rows(novel_firsts.select("chunk_hash")).write.mode(
+        _bloom_rows(novel_firsts.select("chunk_hash"), pfx_len).write.mode(
             "append"
         ).partitionBy("pfx").parquet(_cdc_bloom_dir(state_dir))
     else:
@@ -3534,10 +3583,12 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
         )
         after = resolved.count()
         # output is ALWAYS the v2 bucketed layout -- compaction is the
-        # migration point for v1 flat-ledger states
+        # migration point for v1 flat-ledger states, and the moment the
+        # bucket count is re-tuned to the grown corpus (like bloom fpp)
+        pfx_len = _pick_pfx_len(after)
         tmp = path + ".compact-" + uuid.uuid4().hex
         resolved.withColumn(
-            "pfx", F.substring("chunk_hash", 1, _CDC_PFX_LEN)
+            "pfx", F.substring("chunk_hash", 1, pfx_len)
         ).repartition(F.col("pfx")).write.mode("errorifexists").partitionBy(
             "pfx"
         ).parquet(tmp)
@@ -3547,7 +3598,7 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
         # where fpp is re-tuned after the corpus grows)
         bdir = _cdc_bloom_dir(state_dir)
         btmp = bdir + ".compact-" + uuid.uuid4().hex
-        _bloom_rows(resolved.select("chunk_hash")).write.mode(
+        _bloom_rows(resolved.select("chunk_hash"), pfx_len).write.mode(
             "errorifexists"
         ).partitionBy("pfx").parquet(btmp)
         # seq sidecar pruned to committed stamps (max seq per stamp)

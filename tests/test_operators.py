@@ -3192,8 +3192,9 @@ def test_cdc_ingest_crash_orphans_are_shadowed(spark, tmp_path):
     # hashes (and even a junk hash) tagged with the stamp, but the stamp
     # never reaches the commit ledger (debris lands in the bucketed v2
     # layout, exactly as a torn partitioned append would leave it)
+    pfx = "deadbeef"[: dedup._cdc_pfx_len(state)]
     spark.createDataFrame(
-        [("deadbeefdeadbeefdeadbeefdeadbeef", 1, stamp, "de")],
+        [("deadbeefdeadbeefdeadbeefdeadbeef", 1, stamp, pfx)],
         "chunk_hash string, batch_seq long, batch_stamp string, pfx string",
     ).write.mode("append").partitionBy("pfx").parquet(
         dedup._cdc_ledger_path(state))
@@ -3220,8 +3221,9 @@ def test_cdc_compaction_drops_orphans_preserves_retry(spark, tmp_path):
     got1 = {tuple(r) for r in dedup.ingest_cdc_batch(b1, state).collect()}
     # crash simulation for b2: orphan rows land, stamp never commits
     stamp2 = "cdc-" + dedup._batch_stamp(b2)
+    pfx = "feedface"[: dedup._cdc_pfx_len(state)]
     spark.createDataFrame(
-        [("feedfacefeedfacefeedfacefeedface", 9, stamp2, "fe")],
+        [("feedfacefeedfacefeedfacefeedface", 9, stamp2, pfx)],
         "chunk_hash string, batch_seq long, batch_stamp string, pfx string",
     ).write.mode("append").partitionBy("pfx").parquet(
         dedup._cdc_ledger_path(state))
@@ -3298,8 +3300,9 @@ def test_audit_cdc_ledger_flags_debris(spark, tmp_path):
         f"batch_stamp = '{stamp}'").limit(1).localCheckpoint(eager=True)
     real.write.mode("append").partitionBy("pfx").parquet(
         dedup._cdc_ledger_path(state))
+    pfx = "0badc0de"[: dedup._cdc_pfx_len(state)]
     spark.createDataFrame(
-        [("0badc0de0badc0de0badc0de0badc0de", 7, "cdc-never-committed", "0b")],
+        [("0badc0de0badc0de0badc0de0badc0de", 7, "cdc-never-committed", pfx)],
         "chunk_hash string, batch_seq long, batch_stamp string, pfx string",
     ).write.mode("append").partitionBy("pfx").parquet(
         dedup._cdc_ledger_path(state))
@@ -3345,7 +3348,8 @@ def test_cdc_ledger_v2_probe_reads_only_candidate_prefixes(spark, tmp_path):
     batch_pfxs = {
         r["pfx"]
         for r in batch_firsts.select(
-            F.substring("chunk_hash", 1, 2).alias("pfx")
+            F.substring("chunk_hash", 1, dedup._cdc_pfx_len(state))
+            .alias("pfx")
         ).distinct().collect()
     }
     assert set(cand_pfxs) <= batch_pfxs

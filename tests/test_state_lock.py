@@ -220,3 +220,69 @@ def test_legacy_dir_reads_uncommitted_until_migrated(spark, tmp_path):
     assert restored == committed_before
     # idempotent: a second call changes nothing
     assert dedup.migrate_stamp_ledger(spark, state) == committed_before
+
+
+def test_compaction_rebuckets_and_ingest_still_composes(spark, tmp_path,
+                                                        monkeypatch):
+    """A re-bucketing compaction (prefix length re-tuned to the grown
+    corpus) swaps the layout to the new width; the next ingest reads the
+    width from the layout itself and composes exactly."""
+    all_docs = _mk_docs(spark, _span_rows(range(30)))
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    assert dedup._cdc_pfx_len(state) == 1  # small state -> 16 buckets
+    dedup.ingest_cdc_batch(
+        all_docs.filter("doc_id >= 10 and doc_id < 20"), state)
+    monkeypatch.setattr(dedup, "_pick_pfx_len", lambda n: 2)
+    dedup.compact_cdc_state(spark, state)
+    assert dedup._cdc_pfx_len(state) == 2  # layout re-bucketed
+    got = {
+        tuple(r)
+        for r in dedup.ingest_cdc_batch(
+            all_docs.filter("doc_id >= 20"), state).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 20").collect()
+    }
+    assert got == exp
+    # superset invariant holds at the new width too
+    led = spark.read.parquet(
+        dedup._cdc_ledger_path(state)).select("chunk_hash").distinct()
+    assert dedup._bloom_candidates(spark, state, led).count() == led.count()
+
+
+def test_bloom_width_mismatch_degrades_to_full_probe(spark, tmp_path):
+    """Crash window of a re-bucketing compaction: ledger swapped to the
+    new width, bloom swap pending (old width).  The probe must treat the
+    sidecar as unusable -- every hash becomes a candidate (correct,
+    unpruned) instead of silently matching nothing and letting
+    duplicates through."""
+    import shutil
+
+    all_docs = _mk_docs(spark, _span_rows(range(20)))
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    # simulate: bloom rows rebuilt at width 2 while the ledger is width 1
+    bdir = dedup._cdc_bloom_dir(state)
+    led = spark.read.parquet(
+        dedup._cdc_ledger_path(state)).select("chunk_hash").distinct()
+    shutil.rmtree(bdir)
+    dedup._bloom_rows(led, 2).write.mode("append").partitionBy(
+        "pfx").parquet(bdir)
+    assert dedup._layout_pfx_len(bdir) == 2 != dedup._cdc_pfx_len(state)
+    batch_hashes = dedup.cdc_chunks(
+        all_docs.filter("doc_id >= 10")).select("chunk_hash").distinct()
+    cands = dedup._bloom_candidates(spark, state, batch_hashes)
+    assert cands.count() == batch_hashes.count()  # all-candidates degrade
+    # and the ingest built on it still composes exactly
+    got = {
+        tuple(r)
+        for r in dedup.ingest_cdc_batch(
+            all_docs.filter("doc_id >= 10"), state).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got == exp
