@@ -405,15 +405,12 @@ def _bands_meta_path(signatures_path: str) -> str:
 
 def _write_bands_meta(signatures_path: str, n_bands: int,
                       rows_per_band: int) -> None:
-    import json
     import os
 
     meta = _bands_meta_path(signatures_path)
     os.makedirs(os.path.dirname(meta), exist_ok=True)
-    tmp = meta + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"n_bands": n_bands, "rows_per_band": rows_per_band}, fh)
-    os.replace(tmp, meta)
+    _atomic_json_write(
+        meta, {"n_bands": n_bands, "rows_per_band": rows_per_band})
 
 
 def _bands_sidecar_usable(signatures_path: str, n_bands: int,
@@ -451,13 +448,20 @@ def rebuild_band_sidecar(
     import os
 
     rows_per_band = n_perm // n_bands
-    sigs = load_signatures(spark, signatures_path, hash_family=hash_family)
-    with contextlib.suppress(FileNotFoundError):
-        os.unlink(_bands_meta_path(signatures_path))
-    _band_buckets(sigs, n_bands, rows_per_band).write.mode(
-        "overwrite"
-    ).parquet(_bands_sidecar_path(signatures_path))
-    _write_bands_meta(signatures_path, n_bands, rows_per_band)
+    # under the sidecar lock: without it a rebuild racing a concurrent
+    # incremental append could snapshot the signatures, lose the race to
+    # the appender, then OVERWRITE the sidecar without the appended
+    # batch's band rows -- committed signatures invisible to a "usable"
+    # sidecar, silently losing their candidates forever
+    with _path_lock(_bands_sidecar_path(signatures_path) + ".lock"):
+        sigs = load_signatures(spark, signatures_path,
+                               hash_family=hash_family)
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(_bands_meta_path(signatures_path))
+        _band_buckets(sigs, n_bands, rows_per_band).write.mode(
+            "overwrite"
+        ).parquet(_bands_sidecar_path(signatures_path))
+        _write_bands_meta(signatures_path, n_bands, rows_per_band)
 
 
 def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
@@ -930,14 +934,31 @@ def incremental_minhash_candidates(
         # must stay a SUPERSET of bands(persisted sigs) through any
         # crash -- extra ghost rows (bands landed, sigs did not) only
         # produce pairs that the inner annotation join drops, while a
-        # missing row would silently lose candidates forever
-        if _bands_sidecar_usable(signatures_path, n_bands, rows_per_band):
-            _band_buckets(to_sign_sigs, n_bands, rows_per_band).write.mode(
-                "append"
-            ).parquet(_bands_sidecar_path(signatures_path))
-        to_sign_sigs.withColumn(
-            "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
-        ).write.mode("append").parquet(signatures_path)
+        # missing row would silently lose candidates forever.  Both
+        # appends run under the sidecar lock so a concurrent
+        # rebuild_band_sidecar cannot overwrite the sidecar from a
+        # signature snapshot taken between them.
+        with _path_lock(_bands_sidecar_path(signatures_path) + ".lock"):
+            if _bands_sidecar_usable(signatures_path, n_bands,
+                                     rows_per_band):
+                _band_buckets(
+                    to_sign_sigs, n_bands, rows_per_band
+                ).write.mode("append").parquet(
+                    _bands_sidecar_path(signatures_path))
+            else:
+                # a sidecar built for a DIFFERENT banding will not cover
+                # the signatures appended below -- invalidate its meta,
+                # or every later probe at the meta's own banding would
+                # trust a sidecar that silently misses these docs'
+                # candidates
+                import contextlib as _ctx
+                import os as _os
+
+                with _ctx.suppress(FileNotFoundError):
+                    _os.unlink(_bands_meta_path(signatures_path))
+            to_sign_sigs.withColumn(
+                "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
+            ).write.mode("append").parquet(signatures_path)
         # read everything back from the durable table (same
         # fault-tolerance rationale as persist_signatures); one re-load,
         # split into batch/corpus by the broadcast id set
@@ -2139,6 +2160,20 @@ def _stamp_ledger_path(state_dir: str) -> str:
 _STAMP_ISIN_MAX = 64
 
 
+def _atomic_json_write(path: str, obj) -> None:
+    """Write ``obj`` as JSON via temp-file + ``os.replace``: readers see
+    the old file or the new one, never a torn write.  The one spelling
+    of this pattern for every sidecar (stamp ledger, seq map, bands
+    meta), so a hardening change lands once."""
+    import json
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(obj, fh)
+    os.replace(tmp, path)
+
+
 def _applied_stamps(spark, state_dir: str) -> set:
     """Every batch stamp this state has COMMITTED, read from the sidecar
     ledger ``_applied_stamps.json``.  The ledger -- not presence in a
@@ -2171,10 +2206,26 @@ def _applied_stamps(spark, state_dir: str) -> set:
             "but no _applied_stamps.json; treating all generations as "
             "uncommitted. Run migrate_stamp_ledger() once to accept the "
             "legacy keeper-log-presence rule and seed the ledger.",
-            DeprecationWarning,
+            # FutureWarning, not DeprecationWarning: the default filters
+            # silence DeprecationWarning outside __main__, and this is a
+            # semantics change the operator must see
+            FutureWarning,
             stacklevel=2,
         )
     return set()
+
+
+def _is_unmigrated_legacy(state_dir: str) -> bool:
+    """A pre-ledger state dir: keeper log present, stamp sidecar absent.
+    Write paths refuse these until :func:`migrate_stamp_ledger` runs --
+    silently proceeding would double-apply previously-committed batches
+    (retry-idempotence needs the stamps) and a compaction could re-write
+    the logs around state the ledger does not yet acknowledge."""
+    import os
+
+    _sig, _lab, keep_path = _delta_dirs(state_dir)
+    return (os.path.exists(keep_path)
+            and not os.path.exists(_stamp_ledger_path(state_dir)))
 
 
 def _legacy_stamps(spark, state_dir: str) -> set:
@@ -2212,10 +2263,8 @@ def migrate_stamp_ledger(spark, state_dir: str) -> set:
 
 
 @contextmanager
-def _state_lock(state_dir: str, stale_after: float = 60.0):
-    """Cross-process mutual exclusion for one state_dir's writers (batch
-    ingest commit, streaming sink commit, compaction swap) via an
-    O_EXCL-created lock file next to the stamp ledger.
+def _path_lock(lock: str, stale_after: float = 60.0):
+    """Cross-process mutual exclusion on an O_EXCL-created lock file.
 
     LIVENESS, two mechanisms replacing the old fixed-deadline unlink
     (which let two past-deadline waiters race: A unlinks, B creates, C
@@ -2232,20 +2281,38 @@ def _state_lock(state_dir: str, stale_after: float = 60.0):
       it ATOMICALLY: ``os.replace`` onto a uniquely-named tombstone
       succeeds for exactly one of any number of concurrent stealers;
       the losers see FileNotFoundError and re-contend on the O_EXCL
-      create.  No unlink ever targets a path another process might
-      have just re-created.
-    """
+      create.
+
+    OWNERSHIP: the lock file carries a per-acquisition token, and both
+    the heartbeat and the release verify the token before touching the
+    path.  Without this, a holder suspended past ``stale_after`` (VM
+    pause, SIGSTOP, storage hang) whose lock was legitimately stolen
+    would, on resume, refresh and then UNLINK the new holder's live
+    lock -- re-admitting a third writer.  A resumed-and-dispossessed
+    holder instead leaves the usurper's lock alone (its own critical
+    section was already compromised by the steal; the token check just
+    stops the damage from spreading)."""
     import os
     import threading
     import time as timemod
     import uuid
 
-    os.makedirs(state_dir, exist_ok=True)
-    lock = _stamp_ledger_path(state_dir) + ".lock"
+    parent = os.path.dirname(lock)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    token = f"{os.getpid()}:{uuid.uuid4().hex}".encode()
+
+    def _owned() -> bool:
+        try:
+            with open(lock, "rb") as fh:
+                return fh.read() == token
+        except OSError:
+            return False
+
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
+            os.write(fd, token)
             os.close(fd)
             break
         except FileExistsError:
@@ -2266,11 +2333,12 @@ def _state_lock(state_dir: str, stale_after: float = 60.0):
 
     def _heartbeat() -> None:
         while not stop.wait(stale_after / 4.0):
+            if not _owned():
+                return  # stolen while this process was frozen
             try:
                 os.utime(lock)
             except FileNotFoundError:
-                return  # stolen: only possible if this process froze
-                # past stale_after between heartbeats
+                return
 
     hb = threading.Thread(
         target=_heartbeat, name="state-lock-heartbeat", daemon=True
@@ -2281,10 +2349,18 @@ def _state_lock(state_dir: str, stale_after: float = 60.0):
     finally:
         stop.set()
         hb.join()
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        if _owned():
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+
+def _state_lock(state_dir: str, stale_after: float = 60.0):
+    """The per-state-dir writer lock (batch ingest commit, streaming sink
+    commit, compaction swap): a :func:`_path_lock` next to the stamp
+    ledger."""
+    return _path_lock(_stamp_ledger_path(state_dir) + ".lock", stale_after)
 
 
 def _record_applied(
@@ -2315,10 +2391,7 @@ def _record_applied(
         elif spark is not None:
             seen = set(_legacy_stamps(spark, state_dir))
         seen.update(stamps)
-        tmp = ledger + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(sorted(seen), fh)
-        os.replace(tmp, ledger)
+        _atomic_json_write(ledger, sorted(seen))
 
 
 def init_dedup_state(
@@ -2501,6 +2574,15 @@ def ingest_batch(
     spark = new_docs.sparkSession
     sig_path, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = _batch_stamp(new_docs)
+    if _is_unmigrated_legacy(state_dir):
+        # a pre-ledger dir has committed generations the stamp sidecar
+        # does not know about: ingesting now would re-apply any
+        # previously-committed batch (double-counting its docs) because
+        # already_applied reads as False for every legacy stamp
+        raise ValueError(
+            f"pre-ledger dedup state at {state_dir!r}: run "
+            "migrate_stamp_ledger(spark, state_dir) once before ingesting"
+        )
     # whole read-apply-append-commit under the state lock (same
     # rationale as ingest_cdc_batch: atomic applied-check + generation
     # allocation + appends vs concurrent ingests and compaction swaps;
@@ -2625,6 +2707,16 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
 
     _sig, lab_path, keep_path = _delta_dirs(state_dir)
     stamp = "compact-" + uuid.uuid4().hex
+    if _is_unmigrated_legacy(state_dir):
+        # writing the marker into a FRESH ledger before the swap would
+        # make every legacy-stamped row read as uncommitted if the
+        # compaction crashes mid-swap -- and the retry would then
+        # rewrite the logs from that EMPTY resolved view, destroying
+        # the state.  Migration (explicit, one-time) closes the window.
+        raise ValueError(
+            f"pre-ledger dedup state at {state_dir!r}: run "
+            "migrate_stamp_ledger(spark, state_dir) once before compacting"
+        )
     # under the state lock (same rationale as compact_cdc_state: an
     # ingest append landing in a log between its rename and rmtree would
     # be destroyed while its stamp may still commit); heartbeat keeps
@@ -2636,11 +2728,8 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
         # generation must already be committed or readers would resolve
         # it to empty
         labels, keepers = load_cluster_state(spark, state_dir)
-        # re-record the current committed set alongside the marker.  A
-        # pre-ledger LEGACY dir resolves UNFILTERED above (no ledger =
-        # legacy read semantics), so its rows survive into the marker
-        # generation -- but run migrate_stamp_ledger first if the
-        # legacy batches must stay retry-recognizable by stamp
+        # re-record the current committed set alongside the marker so a
+        # crash mid-swap leaves every pre-compaction generation readable
         _record_applied(
             state_dir, stamp, *_applied_stamps(spark, state_dir),
             locked=True,
@@ -3132,12 +3221,7 @@ def _cdc_seq_path(state_dir: str) -> str:
 
 
 def _cdc_ledger_is_bucketed(path: str) -> bool:
-    import os
-
-    try:
-        return any(e.startswith("pfx=") for e in os.listdir(path))
-    except FileNotFoundError:
-        return False
+    return _layout_pfx_len(path) is not None
 
 
 def _with_pfx_halves(hashes: DataFrame, pfx_len: int) -> DataFrame:
@@ -3354,10 +3438,7 @@ def _record_cdc_seq(state_dir: str, stamp: str, seq: int) -> None:
         with open(sp) as fh:
             seqs = json.load(fh)
     seqs[stamp] = seq
-    tmp = sp + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(seqs, fh)
-    os.replace(tmp, sp)
+    _atomic_json_write(sp, seqs)
 
 
 def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFrame:
@@ -3569,8 +3650,6 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
     # (its chunk hashes never enter the ledger; later duplicates of
     # those spans would survive silently).  The lock heartbeats, so the
     # corpus-sized rewrite never reads as a stale holder.
-    import json
-
     with _state_lock(state_dir):
         raw = spark.read.parquet(path)
         before = raw.count()
@@ -3617,10 +3696,7 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
             os.rename(bdir, bold)
         os.rename(btmp, bdir)
         shutil.rmtree(bold, ignore_errors=True)
-        stmp = _cdc_seq_path(state_dir) + ".tmp"
-        with open(stmp, "w") as fh:
-            json.dump(seqs, fh)
-        os.replace(stmp, _cdc_seq_path(state_dir))
+        _atomic_json_write(_cdc_seq_path(state_dir), seqs)
     return {"rows_before": int(before), "rows_after": int(after)}
 
 

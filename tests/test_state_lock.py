@@ -214,7 +214,7 @@ def test_legacy_dir_reads_uncommitted_until_migrated(spark, tmp_path):
     with open(ledger) as fh:
         committed_before = set(json.load(fh))
     os.unlink(ledger)  # simulate a pre-ledger legacy dir
-    with pytest.warns(DeprecationWarning, match="pre-ledger"):
+    with pytest.warns(FutureWarning, match="pre-ledger"):
         assert dedup._applied_stamps(spark, state) == set()
     restored = dedup.migrate_stamp_ledger(spark, state)
     assert restored == committed_before
@@ -284,5 +284,80 @@ def test_bloom_width_mismatch_degrades_to_full_probe(spark, tmp_path):
     exp = {
         tuple(r)
         for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got == exp
+
+
+def test_unmigrated_legacy_write_paths_refuse(spark, tmp_path):
+    """Write paths (ingest, compaction) refuse a pre-ledger dir outright:
+    ingesting would double-apply legacy batches (their stamps read as
+    uncommitted), and compaction would seed a marker-only ledger whose
+    mid-swap crash makes every legacy generation invisible -- a retry
+    would then rewrite the logs from an EMPTY view.  migrate_stamp_ledger
+    restores both paths."""
+    docs = _mk_docs(spark, _span_rows(range(12))).withColumn(
+        "n_chars", __import__("pyspark.sql.functions", fromlist=["F"])
+        .length("text"))
+    state = str(tmp_path / "state")
+    dedup.init_dedup_state(docs, state, quality_col="doc_id")
+    os.unlink(dedup._stamp_ledger_path(state))  # simulate pre-ledger dir
+    with pytest.raises(ValueError, match="migrate_stamp_ledger"):
+        dedup.ingest_batch(docs.limit(2), state)
+    with pytest.raises(ValueError, match="migrate_stamp_ledger"):
+        dedup.compact_dedup_state(spark, state)
+    dedup.migrate_stamp_ledger(spark, state)
+    stats = dedup.compact_dedup_state(spark, state)  # now safe
+    assert stats["keepers_rows_after"] == stats["keepers_rows_before"]
+    # resolution preserved through migrate + compact
+    _labels, keepers = dedup.load_cluster_state(spark, state)
+    assert keepers.count() == stats["keepers_rows_after"]
+
+
+def test_dispossessed_holder_leaves_usurpers_lock_alone(tmp_path):
+    """A holder whose lock was stolen while it was frozen (ownership
+    token no longer matches) must NOT unlink the new holder's live lock
+    on release -- that would re-admit a third writer."""
+    lock = str(tmp_path / "x.lock")
+    with dedup._path_lock(lock, stale_after=60.0):
+        # simulate the steal: the usurper's lock replaces ours
+        with open(lock, "wb") as fh:
+            fh.write(b"usurper-token")
+    assert os.path.exists(lock)  # survived our release
+    with open(lock, "rb") as fh:
+        assert fh.read() == b"usurper-token"
+    os.unlink(lock)
+    # normal path still cleans up after itself
+    with dedup._path_lock(lock, stale_after=60.0):
+        pass
+    assert not os.path.exists(lock)
+
+
+def test_mismatched_banding_append_invalidates_sidecar_meta(spark, tmp_path):
+    """Appending signatures under a DIFFERENT banding than the sidecar's
+    meta must invalidate the meta: the new docs have no band rows at the
+    meta's banding, so a later probe trusting it would silently lose
+    their candidates.  After invalidation the probe derives bands and
+    results match a sidecar-free table."""
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 40}" for j in range(20)))
+            for i in range(40)]
+    docs = _mk_docs(spark, rows)
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_lsh_candidates(
+        docs.filter("doc_id % 3 = 0"), persist_signatures=sig_path).collect()
+    assert dedup._bands_sidecar_usable(sig_path, 8, 8)
+    # append at n_bands=4: sidecar can't cover it -> meta must go
+    dedup.incremental_minhash_candidates(
+        docs.filter("doc_id % 3 = 1"), sig_path, n_bands=4,
+        append=True).collect()
+    assert not dedup._bands_sidecar_usable(sig_path, 8, 8)
+    got = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            docs.filter("doc_id % 3 = 2"), sig_path, append=False).collect()
+    }
+    import shutil
+    shutil.rmtree(dedup._bands_sidecar_path(sig_path), ignore_errors=True)
+    exp = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            docs.filter("doc_id % 3 = 2"), sig_path, append=False).collect()
     }
     assert got == exp
