@@ -26,6 +26,7 @@ from contextlib import contextmanager, nullcontext
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..util import ensure_parallelism
 
@@ -413,6 +414,114 @@ def _write_bands_meta(signatures_path: str, n_bands: int,
         meta, {"n_bands": n_bands, "rows_per_band": rows_per_band})
 
 
+# --- band sidecar v2: bucketed by bucket-hash prefix ------------------------
+#
+# The round-10 sidecar killed the per-batch corpus x n_perm band refold, but
+# each incremental batch still SCANNED the full (doc_id, band, bucket)
+# sidecar -- ~2.2 TB per batch at a 10^10-doc corpus (SCALE.md round-11
+# projection), the last flat per-corpus term in incremental ingestion.  v2
+# removes it the same way the CDC ledger was fixed: the sidecar is
+# PARTITIONED by ``bpfx`` = the low 4*w bits of the bucket rendered as
+# fixed-width hex (w self-described by the ``bpfx=ab`` dir names, exactly
+# like the ledger's ``_layout_pfx_len``, so layout and data can never
+# disagree after a crash), and the per-batch probe reads ONLY the
+# partitions of the batch's own bucket prefixes -- a partition-pruned scan
+# whose bytes track the batch, not the corpus.  Candidates are unchanged:
+# pruning only discards rows whose bucket low bits match no batch bucket,
+# a superset of what the (band, bucket) equi-join would drop anyway
+# (parity test-locked).  Legacy FLAT sidecars keep working: appends follow
+# the layout the dir names describe, probes full-scan until a rebuild.
+
+_BANDS_SIDECAR_KEY = "bpfx"
+
+
+def _bands_bpfx_expr(width: int):
+    """Partition key of the band sidecar: the low ``4*width`` bits of the
+    (uniform, md5-derived) bucket as fixed-width lowercase hex -- a JVM
+    expression, computable identically on the batch side for pruning."""
+    return F.format_string(
+        "%0" + str(width) + "x",
+        F.pmod(F.col("bucket"), F.lit(16 ** width)),
+    )
+
+
+def _write_band_sidecar(sigs: DataFrame, signatures_path: str,
+                        n_bands: int, rows_per_band: int) -> None:
+    """Overwrite the band sidecar in the bucketed layout, width sized to
+    the corpus band-row count (same 16/256/4096-dir tiers as the CDC
+    ledger; compaction-free -- a banding change or explicit rebuild is
+    the re-bucket point).  Callers hold the sidecar lock and manage the
+    meta stamp around this write."""
+    width = _pick_pfx_len(sigs.count() * n_bands)
+    (
+        _band_buckets(sigs, n_bands, rows_per_band)
+        .withColumn(_BANDS_SIDECAR_KEY, _bands_bpfx_expr(width))
+        # co-locate each prefix before the partitioned write (without
+        # this every write task holds every prefix and the layout sprays
+        # tasks x buckets small files)
+        .repartition(F.col(_BANDS_SIDECAR_KEY))
+        .write.mode("overwrite")
+        .partitionBy(_BANDS_SIDECAR_KEY)
+        .parquet(_bands_sidecar_path(signatures_path))
+    )
+
+
+def _append_band_sidecar(band_rows: DataFrame, signatures_path: str) -> None:
+    """Append a batch's band rows in the sidecar's OWN layout -- width
+    read from the dir names, so an append can never fork the layout; a
+    legacy flat sidecar stays flat (full-scan probes) until an explicit
+    :func:`rebuild_band_sidecar`."""
+    sidecar = _bands_sidecar_path(signatures_path)
+    width = _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY)
+    if width is None:
+        band_rows.write.mode("append").parquet(sidecar)
+        return
+    (
+        band_rows.withColumn(_BANDS_SIDECAR_KEY, _bands_bpfx_expr(width))
+        .repartition(F.col(_BANDS_SIDECAR_KEY))
+        .write.mode("append")
+        .partitionBy(_BANDS_SIDECAR_KEY)
+        .parquet(sidecar)
+    )
+
+
+def _read_band_sidecar(spark, signatures_path: str,
+                       new_buckets: DataFrame) -> DataFrame:
+    """The sidecar rows that can possibly collide with the batch:
+    partition-pruned to the batch buckets' prefixes on the bucketed
+    layout (bytes read ∝ batch + bucket-collision mass, not corpus), a
+    full scan on a legacy flat sidecar.  The prefix set is bounded by
+    the dir count (<= 4096); past ``_PFX_ISIN_MAX`` the literal IN is
+    replaced by an explicit subdir listing (no plan bloat)."""
+    sidecar = _bands_sidecar_path(signatures_path)
+    width = _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY)
+    if width is None:
+        return spark.read.parquet(sidecar)
+    pfxs = sorted(
+        r[0]
+        for r in new_buckets.select(
+            _bands_bpfx_expr(width).alias(_BANDS_SIDECAR_KEY)
+        ).distinct().collect()
+    )
+    # explicit read schema: bpfx must come back as STRING -- a layout
+    # whose populated dirs happen to be all-numeric would otherwise
+    # infer an int partition column, parsing hex dir names as decimal
+    # and breaking every prefix comparison (data columns keep their
+    # inferred types; only the partition column is pinned)
+    inferred = spark.read.parquet(sidecar).schema
+    fixed = T.StructType([
+        T.StructField(
+            f.name,
+            T.StringType() if f.name == _BANDS_SIDECAR_KEY else f.dataType,
+            f.nullable,
+        )
+        for f in inferred
+    ])
+    return _read_bucketed_pruned(
+        spark, sidecar, _BANDS_SIDECAR_KEY, pfxs, fixed
+    ).drop(_BANDS_SIDECAR_KEY)
+
+
 def _bands_sidecar_usable(signatures_path: str, n_bands: int,
                           rows_per_band: int) -> bool:
     """The persisted band-bucket sidecar is trustworthy iff its meta
@@ -458,9 +567,7 @@ def rebuild_band_sidecar(
                                hash_family=hash_family)
         with contextlib.suppress(FileNotFoundError):
             os.unlink(_bands_meta_path(signatures_path))
-        _band_buckets(sigs, n_bands, rows_per_band).write.mode(
-            "overwrite"
-        ).parquet(_bands_sidecar_path(signatures_path))
+        _write_band_sidecar(sigs, signatures_path, n_bands, rows_per_band)
         _write_bands_meta(signatures_path, n_bands, rows_per_band)
 
 
@@ -632,30 +739,39 @@ def minhash_lsh_candidates(
     # ~2x here: it stores raw RDD blocks and skips the columnar
     # cache-build of the 64-long arrays.
     if persist_signatures is not None:
-        # invalidate any prior band sidecar BEFORE the table overwrite:
-        # a crash mid-rebuild must leave the sidecar unusable (meta
-        # absent -> probes fall back to deriving bands), never stale
+        # the whole overwrite sequence runs under the SIDECAR LOCK, the
+        # same one rebuild_band_sidecar and the incremental append take:
+        # without it a concurrent incremental_minhash_candidates(
+        # append=True) could append signatures between this job's
+        # signature snapshot and its sidecar overwrite, leaving a
+        # meta-'usable' sidecar that silently misses those docs'
+        # candidates forever
         import contextlib as _ctx
         import os as _os
 
-        with _ctx.suppress(FileNotFoundError):
-            _os.unlink(_bands_meta_path(persist_signatures))
-        # stamp the hash-family version so a later job reusing this table
-        # (load_signatures) can refuse signatures computed under an older,
-        # value-incompatible definition instead of silently mis-bucketing
-        sigs.withColumn(
-            "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
-        ).write.mode("overwrite").parquet(persist_signatures)
-        sigs = load_signatures(docs.sparkSession, persist_signatures,
-                               hash_family=hash_family)
-        # band-bucket sidecar: the per-batch incremental probe scans
-        # these 3 narrow columns instead of re-folding every corpus
-        # signature into bands on every ingest (see
-        # incremental_minhash_candidates)
-        _band_buckets(sigs, n_bands, rows_per_band).write.mode(
-            "overwrite"
-        ).parquet(_bands_sidecar_path(persist_signatures))
-        _write_bands_meta(persist_signatures, n_bands, rows_per_band)
+        with _path_lock(_bands_sidecar_path(persist_signatures) + ".lock"):
+            # invalidate any prior band sidecar BEFORE the table
+            # overwrite: a crash mid-rebuild must leave the sidecar
+            # unusable (meta absent -> probes fall back to deriving
+            # bands), never stale
+            with _ctx.suppress(FileNotFoundError):
+                _os.unlink(_bands_meta_path(persist_signatures))
+            # stamp the hash-family version so a later job reusing this
+            # table (load_signatures) can refuse signatures computed
+            # under an older, value-incompatible definition instead of
+            # silently mis-bucketing
+            sigs.withColumn(
+                "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
+            ).write.mode("overwrite").parquet(persist_signatures)
+            sigs = load_signatures(docs.sparkSession, persist_signatures,
+                                   hash_family=hash_family)
+            # band-bucket sidecar: the per-batch incremental probe scans
+            # these 3 narrow columns instead of re-folding every corpus
+            # signature into bands on every ingest (see
+            # incremental_minhash_candidates)
+            _write_band_sidecar(sigs, persist_signatures, n_bands,
+                                rows_per_band)
+            _write_bands_meta(persist_signatures, n_bands, rows_per_band)
     else:
         sigs = sigs.localCheckpoint(eager=True)
     return _pairs_from_sigs(sigs, n_bands, rows_per_band, n_perm,
@@ -941,10 +1057,10 @@ def incremental_minhash_candidates(
         with _path_lock(_bands_sidecar_path(signatures_path) + ".lock"):
             if _bands_sidecar_usable(signatures_path, n_bands,
                                      rows_per_band):
-                _band_buckets(
-                    to_sign_sigs, n_bands, rows_per_band
-                ).write.mode("append").parquet(
-                    _bands_sidecar_path(signatures_path))
+                _append_band_sidecar(
+                    _band_buckets(to_sign_sigs, n_bands, rows_per_band),
+                    signatures_path,
+                )
             else:
                 # a sidecar built for a DIFFERENT banding will not cover
                 # the signatures appended below -- invalidate its meta,
@@ -982,16 +1098,18 @@ def incremental_minhash_candidates(
     # reduce the old corpus to rows that can possibly collide with the new
     # batch BEFORE anything wide: broadcast the new bucket keys.  The
     # corpus side comes from the persisted band-bucket SIDECAR when one
-    # matches the requested banding -- a 3-narrow-column scan instead of
-    # re-running the md5 band fold over every corpus signature on every
-    # batch (the fold is ∝ corpus x n_perm CPU; the sidecar makes the
-    # per-batch corpus term a pruned columnar read).  Ghost rows from a
-    # crashed append are dropped by the batch-id anti-join + the inner
-    # annotation join; tables without a usable sidecar derive as before.
-    new_buckets = new_bands.select("band", "bucket").distinct()
+    # matches the requested banding -- a PARTITION-PRUNED scan of the
+    # batch buckets' prefix dirs (bytes ∝ batch + collision mass, not
+    # corpus; see the bucketed-layout block above _bands_bpfx_expr)
+    # instead of re-running the md5 band fold over every corpus
+    # signature on every batch.  Ghost rows from a crashed append are
+    # dropped by the batch-id anti-join + the inner annotation join;
+    # tables without a usable sidecar derive as before.
+    new_buckets = new_bands.select("band", "bucket").distinct() \
+        .localCheckpoint(eager=True)
     if _bands_sidecar_usable(signatures_path, n_bands, rows_per_band):
-        old_band_rows = spark.read.parquet(
-            _bands_sidecar_path(signatures_path)
+        old_band_rows = _read_band_sidecar(
+            spark, signatures_path, new_buckets
         ).join(F.broadcast(new_ids), "doc_id", "left_anti")
     else:
         old_band_rows = _band_buckets(old_sigs, n_bands, rows_per_band)
@@ -2174,6 +2292,56 @@ def _atomic_json_write(path: str, obj) -> None:
     os.replace(tmp, path)
 
 
+def _recover_dir_swap(path: str) -> None:
+    """Heal a crashed two-rename directory swap around ``path`` -- the
+    local-filesystem analog of ``streaming/ledger.py:recover_swap``.
+
+    Both state compactors commit by ``rename(path, old)`` then
+    ``rename(tmp, path)``; a crash between the renames leaves the state
+    dir with NO live directory -- the data sits stranded in the ``old``
+    sibling and every subsequent read fails loudly until a manual
+    restore (the round-11 verdict's hardening finding #1).  Called
+    under the state lock on every write-path entry: if ``path`` is
+    missing and one or more pre-swap siblings exist, the NEWEST sibling
+    IS the pre-crash state -- rename it back (the interrupted
+    compaction never swapped in its output, so restoring the input
+    loses nothing; a retry recompacts from it).  Superseded siblings
+    and orphaned compaction temps are deleted either way (the lock
+    guarantees no live compactor owns them).  Handles both sibling
+    naming schemes: the uuid-suffixed ``.old-*``/``.compact-*`` of the
+    CDC compactor and the fixed ``__compact_old``/``__compact_tmp`` of
+    the label/keeper compactor."""
+    import glob
+    import os
+    import shutil
+
+    olds = glob.glob(glob.escape(path) + ".old-*")
+    fixed_old = path + "__compact_old"
+    if os.path.exists(fixed_old):
+        olds.append(fixed_old)
+    if olds and not os.path.exists(path):
+        olds.sort(key=lambda p: os.path.getmtime(p))
+        os.rename(olds.pop(), path)
+    for leftover in olds + glob.glob(glob.escape(path) + ".compact-*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+    tmp = path + "__compact_tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _heal_state_swaps(state_dir: str) -> None:
+    """Recover every state-dir directory that a crashed compaction swap
+    may have stranded (label log, keeper log, CDC ledger, bloom
+    sidecar).  Runs under the state lock at each write-path entry, so a
+    state dir that crashed mid-compaction self-heals on the next ingest
+    or compaction instead of failing loudly until a manual restore.
+    Cheap when there is nothing to do: four directory listings."""
+    _sig, lab_path, keep_path = _delta_dirs(state_dir)
+    for p in (lab_path, keep_path, _cdc_ledger_path(state_dir),
+              _cdc_bloom_dir(state_dir)):
+        _recover_dir_swap(p)
+
+
 def _applied_stamps(spark, state_dir: str) -> set:
     """Every batch stamp this state has COMMITTED, read from the sidecar
     ledger ``_applied_stamps.json``.  The ledger -- not presence in a
@@ -2262,9 +2430,125 @@ def migrate_stamp_ledger(spark, state_dir: str) -> set:
     return _applied_stamps(spark, state_dir)
 
 
+class StateLockLost(RuntimeError):
+    """Raised by a commit step whose holder no longer owns the state
+    lock: the lock was stolen (legitimately -- the holder was frozen
+    past the staleness horizon and stopped heartbeating) while the
+    holder was suspended.  The commit MUST abort: the usurper may
+    already be inside the same read-modify-write, and a dispossessed
+    commit could drop its freshly committed stamps.  The aborted
+    batch's appended rows remain uncommitted orphans (invisible via
+    ``_committed_only``; reclaimed by compaction) and a clean retry
+    re-applies the batch idempotently."""
+
+
+class _LockHandle:
+    """What :func:`_path_lock` yields: the lock path plus an
+    ``owned()`` probe that re-reads the lock file and compares its
+    per-acquisition token.  Commit steps call :func:`_verify_owned`
+    with this handle so a holder dispossessed mid-suspension can never
+    commit (fail-stop instead of racing the usurper)."""
+
+    __slots__ = ("path", "_owned_fn")
+
+    def __init__(self, path: str, owned_fn) -> None:
+        self.path = path
+        self._owned_fn = owned_fn
+
+    def owned(self) -> bool:
+        return self._owned_fn()
+
+
+def _verify_owned(lock) -> None:
+    """Fail-stop ownership check before a commit step.  ``lock`` is
+    whatever the active state-lock context manager yielded; anything
+    without an ``owned()`` probe (a custom provider's handle, or None)
+    is trusted -- the provider owns its own liveness semantics."""
+    owned = getattr(lock, "owned", None)
+    if owned is not None and not owned():
+        raise StateLockLost(
+            f"state lock {getattr(lock, 'path', lock)!r} was stolen while "
+            "this holder was suspended; aborting the commit (the batch's "
+            "appended rows stay uncommitted orphans -- retry cleanly)"
+        )
+
+
+def _steal_stale(lock: str, observed: bytes, stale_after: float) -> None:
+    """Reclaim a lock observed stale, displacing ONLY the exact inode
+    observed (its unique per-acquisition token) -- never a live lock.
+
+    The naive stat-then-replace had a TOCTOU: after waiter A observed
+    staleness, waiter B could steal and re-acquire a FRESH lock; A's
+    ``os.replace`` would then displace B's LIVE lock -- two committers
+    inside the ledger read-modify-write, the lost-stamp hazard the lock
+    exists to prevent.  Two mechanisms close it:
+
+    - Steals are SERIALIZED by a micro-held steal-mutex (O_EXCL file,
+      held only across this function, never across user code; crash
+      debris reclaimed by age), so concurrent stealers holding the same
+      stale observation cannot take turns displacing whatever fresh
+      lock the first winner created.
+    - The current lock is RE-OBSERVED under the mutex and displaced
+      only if its content still equals the observed stale token
+      (tokens are unique per acquisition and a lock file's content
+      never changes after creation, so content equality identifies the
+      inode); the displaced file is verified again post-replace and a
+      mismatch is restored with ``os.link`` (atomic; never clobbers a
+      racing creator's new lock the way a blind replace-back would).
+
+    Residual (documented, guarded): a frozen holder resuming its
+    release in the microseconds between the re-observe and the
+    replace, PLUS a fresh creator in the same window, can still leave
+    one holder dispossessed -- its ``owned()`` probe goes false, the
+    heartbeat stops, and the :func:`_verify_owned` commit-time
+    fail-stop keeps it from committing.  The caller always re-contends
+    after this function regardless of outcome."""
+    import contextlib
+    import os
+    import time as timemod
+    import uuid
+
+    mutex = lock + ".stealing"
+    try:
+        os.close(os.open(mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    except FileExistsError:
+        # another stealer is mid-claim; crash debris reclaimed by age
+        with contextlib.suppress(FileNotFoundError):
+            if timemod.time() - os.stat(mutex).st_mtime > stale_after:
+                os.unlink(mutex)
+        timemod.sleep(0.01)
+        return
+    try:
+        try:
+            with open(lock, "rb") as fh:
+                st = os.fstat(fh.fileno())
+                current = fh.read()
+        except OSError:
+            return  # released meanwhile -- re-contend on O_EXCL
+        if current != observed \
+                or timemod.time() - st.st_mtime <= stale_after:
+            return  # someone else already reclaimed/re-acquired it
+        tomb = lock + ".steal-" + uuid.uuid4().hex
+        try:
+            os.replace(lock, tomb)
+        except FileNotFoundError:
+            return
+        with open(tomb, "rb") as fh:
+            displaced = fh.read()
+        if displaced != observed:  # pragma: no cover - microsecond race
+            with contextlib.suppress(FileExistsError):
+                os.link(tomb, lock)
+        os.unlink(tomb)
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(mutex)
+
+
 @contextmanager
 def _path_lock(lock: str, stale_after: float = 60.0):
     """Cross-process mutual exclusion on an O_EXCL-created lock file.
+    Yields a :class:`_LockHandle` so critical-section code can fail-stop
+    its commit if dispossessed (see :func:`_verify_owned`).
 
     LIVENESS, two mechanisms replacing the old fixed-deadline unlink
     (which let two past-deadline waiters race: A unlinks, B creates, C
@@ -2278,20 +2562,30 @@ def _path_lock(lock: str, stale_after: float = 60.0):
       looks stale and can never have its lock stolen.
     - A waiter steals only a lock whose mtime is older than
       ``stale_after`` (a crashed holder stops heartbeating), and steals
-      it ATOMICALLY: ``os.replace`` onto a uniquely-named tombstone
-      succeeds for exactly one of any number of concurrent stealers;
-      the losers see FileNotFoundError and re-contend on the O_EXCL
-      create.
+      it ATOMICALLY with a token-verified claim (:func:`_steal_stale`):
+      ``os.replace`` onto a uniquely-named tombstone succeeds for
+      exactly one of any number of concurrent stealers, and the winner
+      unlinks the tombstone only after verifying it displaced the very
+      lock it observed stale -- a fresh lock acquired between the
+      waiter's stat and its replace is restored intact.
 
-    OWNERSHIP: the lock file carries a per-acquisition token, and both
-    the heartbeat and the release verify the token before touching the
-    path.  Without this, a holder suspended past ``stale_after`` (VM
-    pause, SIGSTOP, storage hang) whose lock was legitimately stolen
-    would, on resume, refresh and then UNLINK the new holder's live
-    lock -- re-admitting a third writer.  A resumed-and-dispossessed
-    holder instead leaves the usurper's lock alone (its own critical
-    section was already compromised by the steal; the token check just
-    stops the damage from spreading)."""
+    OWNERSHIP: the lock file carries a per-acquisition token, and the
+    heartbeat, the release, AND every commit step (via
+    :func:`_verify_owned`) verify the token before acting.  Without
+    this, a holder suspended past ``stale_after`` (VM pause, SIGSTOP,
+    storage hang) whose lock was legitimately stolen would, on resume,
+    refresh and then UNLINK the new holder's live lock -- or worse,
+    run its ledger read-modify-write concurrently with the usurper's
+    and drop freshly committed stamps.  A resumed-and-dispossessed
+    holder instead leaves the usurper's lock alone and ABORTS its own
+    commit (:class:`StateLockLost`).
+
+    PORTABILITY (documented 100 TB caveat, SCALE.md "single-node-isms"):
+    O_EXCL creation, mtime heartbeats and atomic rename exist on local
+    and NFSv4 filesystems but NOT on object stores (S3/GCS).  There a
+    deployment must either guarantee a single writer per state_dir by
+    construction (one driver owns the feed) or install a real
+    coordination service via :func:`set_state_lock_provider`."""
     import os
     import threading
     import time as timemod
@@ -2316,18 +2610,20 @@ def _path_lock(lock: str, stale_after: float = 60.0):
             os.close(fd)
             break
         except FileExistsError:
+            # observe content + mtime from ONE open fd: they describe the
+            # same inode, and a lock file's content never changes after
+            # creation, so "stale mtime + token X" proves token X's holder
+            # stopped heartbeating (a steal-and-reacquire swaps the whole
+            # file, never rewrites it in place)
             try:
-                age = timemod.time() - os.stat(lock).st_mtime
-            except FileNotFoundError:
-                continue  # released between open and stat -- re-contend
-            if age > stale_after:
-                tomb = lock + ".steal-" + uuid.uuid4().hex
-                try:
-                    os.replace(lock, tomb)  # atomic: one stealer wins
-                except FileNotFoundError:
-                    continue  # another stealer won -- re-contend
-                os.unlink(tomb)
-                continue
+                with open(lock, "rb") as fh:
+                    st = os.fstat(fh.fileno())
+                    observed = fh.read()
+            except (FileNotFoundError, OSError):
+                continue  # released between open and read -- re-contend
+            if timemod.time() - st.st_mtime > stale_after:
+                _steal_stale(lock, observed, stale_after)
+                continue  # reclaimed or not: re-contend on O_EXCL
             timemod.sleep(0.05)
     stop = threading.Event()
 
@@ -2345,26 +2641,66 @@ def _path_lock(lock: str, stale_after: float = 60.0):
     )
     hb.start()
     try:
-        yield
+        yield _LockHandle(lock, _owned)
     finally:
         stop.set()
         hb.join()
-        if _owned():
-            try:
-                os.unlink(lock)
-            except FileNotFoundError:
-                pass
+        # release by displace-and-verify, not owned()-then-unlink: the
+        # latter's check-to-unlink gap could kill a usurper's live lock
+        # if a steal landed exactly between them.  Displacing to a
+        # unique tombstone and verifying the token restores anything
+        # that is not ours (same non-clobbering discipline as
+        # _steal_stale).
+        import contextlib
+
+        tomb = lock + ".rel-" + uuid.uuid4().hex
+        try:
+            os.replace(lock, tomb)
+        except FileNotFoundError:
+            pass  # stolen and released already
+        else:
+            with open(tomb, "rb") as fh:
+                displaced = fh.read()
+            if displaced != token:  # pragma: no cover - microsecond race
+                with contextlib.suppress(FileExistsError):
+                    os.link(tomb, lock)
+            os.unlink(tomb)
+
+
+# Optional deployment hook: a callable (state_dir, stale_after) -> context
+# manager replacing the file-based lock for filesystems without O_EXCL /
+# rename atomicity (object stores).  The provider's context manager may
+# yield any handle; if the handle exposes ``owned()`` the commit-time
+# fail-stop (:func:`_verify_owned`) uses it, otherwise the provider is
+# trusted to fence its own holders (e.g. a DynamoDB/ZooKeeper lease).
+_STATE_LOCK_PROVIDER = None
+
+
+def set_state_lock_provider(provider) -> None:
+    """Install (or with ``None`` remove) a custom state-dir lock provider
+    used by every ingest/compaction write path in place of the default
+    POSIX lock file -- the object-store deployment hook (the default
+    file lock needs O_EXCL + atomic rename, which S3/GCS do not give;
+    see SCALE.md's single-node-isms).  ``provider(state_dir,
+    stale_after)`` must return a context manager whose scope IS the
+    critical section."""
+    global _STATE_LOCK_PROVIDER
+    _STATE_LOCK_PROVIDER = provider
 
 
 def _state_lock(state_dir: str, stale_after: float = 60.0):
     """The per-state-dir writer lock (batch ingest commit, streaming sink
     commit, compaction swap): a :func:`_path_lock` next to the stamp
-    ledger."""
+    ledger, unless a deployment installed a coordination-service lock
+    via :func:`set_state_lock_provider`."""
+    if _STATE_LOCK_PROVIDER is not None:
+        return _STATE_LOCK_PROVIDER(state_dir, stale_after)
     return _path_lock(_stamp_ledger_path(state_dir) + ".lock", stale_after)
 
 
 def _record_applied(
-    state_dir: str, *stamps: str, spark=None, locked: bool = False
+    state_dir: str, *stamps: str, spark=None, locked: bool = False,
+    lock=None,
 ) -> None:
     """Atomically add ``stamps`` to the commit ledger (write a temp file,
     ``os.replace`` over the live one -- readers see old-or-new, never a
@@ -2376,14 +2712,21 @@ def _record_applied(
     ledger does not exist yet and ``spark`` is passed, the first write
     SEEDS it from the legacy keeper-log-presence rule
     (:func:`_legacy_stamps`), so upgrading a pre-ledger state dir cannot
-    orphan its already-committed generations.  ``locked=True`` skips the
-    lock acquisition for callers (ingest commit paths, compaction)
-    already inside a :func:`_state_lock` section."""
+    orphan its already-committed generations.  Callers already inside a
+    :func:`_state_lock` section pass their yielded handle as ``lock``
+    (or legacy ``locked=True``): the handle's ownership token is
+    re-verified HERE, at the commit point, so a holder frozen past the
+    staleness horizon whose lock was stolen fail-stops
+    (:class:`StateLockLost`) instead of racing the usurper's
+    read-modify-write and dropping its freshly committed stamps."""
     import json
     import os
 
     ledger = _stamp_ledger_path(state_dir)
-    with nullcontext() if locked else _state_lock(state_dir):
+    with nullcontext() if (locked or lock is not None) \
+            else _state_lock(state_dir):
+        if lock is not None:
+            _verify_owned(lock)
         seen: set = set()
         if os.path.exists(ledger):
             with open(ledger) as fh:
@@ -2587,11 +2930,11 @@ def ingest_batch(
     # rationale as ingest_cdc_batch: atomic applied-check + generation
     # allocation + appends vs concurrent ingests and compaction swaps;
     # the lock heartbeats, so a long batch never reads as stale)
-    with _state_lock(state_dir):
+    with _state_lock(state_dir) as lk:
         return _ingest_batch_locked(
             spark, new_docs, state_dir, sig_path, lab_path, keep_path,
             stamp, n, n_perm, n_bands, seed, min_est_jaccard, hash_family,
-            quality_col,
+            quality_col, lk,
         )
 
 
@@ -2599,8 +2942,9 @@ def _ingest_batch_locked(
     spark, new_docs: DataFrame, state_dir: str, sig_path: str,
     lab_path: str, keep_path: str, stamp: str, n: int, n_perm: int,
     n_bands: int, seed: int, min_est_jaccard: float, hash_family: str,
-    quality_col: str,
+    quality_col: str, lk=None,
 ) -> DataFrame:
+    _heal_state_swaps(state_dir)  # a crashed compaction swap self-heals
     already_applied = stamp in _applied_stamps(spark, state_dir)
     cands = incremental_minhash_candidates(
         new_docs, sig_path, n=n, n_perm=n_perm, n_bands=n_bands, seed=seed,
@@ -2665,8 +3009,10 @@ def _ingest_batch_locked(
     )
     tag(delta).write.mode("append").parquet(keep_path)
     # COMMIT: one atomic ledger replace -- before this line the batch
-    # does not exist to any reader; after it, a retry is a no-op
-    _record_applied(state_dir, stamp, spark=spark, locked=True)
+    # does not exist to any reader; after it, a retry is a no-op.  The
+    # lock handle's ownership is re-verified at the commit point, so a
+    # holder dispossessed mid-suspension aborts instead of committing
+    _record_applied(state_dir, stamp, spark=spark, locked=True, lock=lk)
     return cands
 
 
@@ -2721,7 +3067,8 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
     # ingest append landing in a log between its rename and rmtree would
     # be destroyed while its stamp may still commit); heartbeat keeps
     # the corpus-sized rewrite from reading as a stale holder
-    with _state_lock(state_dir):
+    with _state_lock(state_dir) as lk:
+        _heal_state_swaps(state_dir)  # incl. this compactor's own crashes
         # resolve COMMITTED state only (load_cluster_state filters to
         # the ledger), then ledger the marker BEFORE the swap: if the
         # compaction dies mid-swap, the already-swapped log's new
@@ -2732,7 +3079,7 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
         # crash mid-swap leaves every pre-compaction generation readable
         _record_applied(
             state_dir, stamp, *_applied_stamps(spark, state_dir),
-            locked=True,
+            locked=True, lock=lk,
         )
         stats = {}
         for path, df, key in (
@@ -2748,6 +3095,10 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
                 if os.path.exists(leftover):
                     shutil.rmtree(leftover)
             write_table(tagged, tmp)
+            # fail-stop before the swap: a holder dispossessed during
+            # the (corpus-sized) rewrite must not rename logs the
+            # usurper may be appending to
+            _verify_owned(lk)
             os.rename(path, old)
             try:
                 os.rename(tmp, path)
@@ -3170,23 +3521,62 @@ def _cdc_ledger_path(state_dir: str) -> str:
 _CDC_BLOOM_K = 8              # probes per key
 _CDC_BLOOM_BITS_PER_KEY = 16  # m ~= 16n -> fpp ~5e-4 at k=8
 _CDC_BLOOM_SCHEMA = "pfx string, m long, bits binary"
+_CDC_LEDGER_SCHEMA = (
+    "chunk_hash string, batch_seq long, batch_stamp string, pfx string"
+)
 
 
-def _layout_pfx_len(path: str) -> int | None:
-    """Prefix length READ FROM THE LAYOUT ITSELF (the ``pfx=ab`` dir
-    names) -- self-describing, so it can never disagree with the data
-    the way a recorded-on-the-side value could after a crash between a
-    re-bucketing compaction's swap and a metadata write.  None = not a
-    bucketed layout."""
+def _layout_pfx_len(path: str, key: str = "pfx") -> int | None:
+    """Prefix length READ FROM THE LAYOUT ITSELF (the ``pfx=ab`` /
+    ``bpfx=ab`` dir names) -- self-describing, so it can never disagree
+    with the data the way a recorded-on-the-side value could after a
+    crash between a re-bucketing compaction's swap and a metadata
+    write.  None = not a bucketed layout."""
     import os
 
+    pre = key + "="
     try:
         for e in os.listdir(path):
-            if e.startswith("pfx="):
-                return len(e) - 4
+            if e.startswith(pre):
+                return len(e) - len(pre)
     except FileNotFoundError:
         pass
     return None
+
+
+# partition-pruning prefix filters switch from an isin literal to an
+# explicit subdir listing once the batch touches more prefixes than this
+# (same plan-bloat class _STAMP_ISIN_MAX bounds for commit stamps: at the
+# 4096-dir tier a literal IN would put thousands of literals in every
+# batch plan)
+_PFX_ISIN_MAX = 64
+
+
+def _read_bucketed_pruned(spark, path: str, key: str, pfxs,
+                          schema) -> DataFrame:
+    """Partition-pruned read of a prefix-bucketed dir restricted to
+    ``pfxs``, with an EXPLICIT schema (the partition column pinned to
+    string -- inference over all-numeric dir names would otherwise
+    parse hex prefixes as decimal ints and break every comparison,
+    including dropping leading zeros).  Below ``_PFX_ISIN_MAX`` prefixes
+    the restriction is an isin pushed into PartitionFilters; above it,
+    an explicit subdir listing with ``basePath`` (identical pruning, no
+    multi-thousand-literal IN in the plan)."""
+    import os
+
+    pfxs = sorted(pfxs)
+    if not pfxs:
+        return spark.createDataFrame([], schema)
+    if len(pfxs) <= _PFX_ISIN_MAX:
+        return (
+            spark.read.schema(schema).parquet(path)
+            .filter(F.col(key).isin(pfxs))
+        )
+    dirs = [f"{path}/{key}={p}" for p in pfxs]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).option("basePath", path).parquet(*dirs)
 
 
 def _cdc_pfx_len(state_dir: str) -> int:
@@ -3324,9 +3714,12 @@ def _bloom_candidates(spark, state_dir: str, hashes: DataFrame) -> DataFrame:
         # prefixes, so degrade to all-candidates (full probe: correct,
         # just unpruned) until the compaction retry lands the new blooms
         return bh.select("chunk_hash")
-    # touched prefixes: bounded collect (<= 4096 short hex strings)
+    # touched prefixes: bounded collect (<= 4096 short hex strings);
+    # pruned read with pfx pinned to string (all-numeric dirs would
+    # otherwise infer int and break the string-keyed cogroup below)
     pfxs = [r["pfx"] for r in bh.select("pfx").distinct().collect()]
-    blooms = spark.read.parquet(bdir).filter(F.col("pfx").isin(pfxs))
+    blooms = _read_bucketed_pruned(spark, bdir, "pfx", pfxs,
+                                   _CDC_BLOOM_SCHEMA)
 
     def probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if len(left) == 0:
@@ -3373,10 +3766,15 @@ def _cdc_ledger_hits(
         ]
         if not cand_pfxs:
             return cands, cand_pfxs  # empty: nothing passed the blooms
+        # pruned read (isin below _PFX_ISIN_MAX prefixes, explicit subdir
+        # listing above -- no multi-thousand-literal IN at the 4096-dir
+        # tier) with pfx pinned to string against all-numeric-dir
+        # inference
         ledger = _committed_only(
             spark,
             state_dir,
-            spark.read.parquet(path).filter(F.col("pfx").isin(cand_pfxs)),
+            _read_bucketed_pruned(spark, path, "pfx", cand_pfxs,
+                                  _CDC_LEDGER_SCHEMA),
         ).filter(F.col("batch_stamp") != stamp)
         hits = (
             ledger.join(F.broadcast(cands), "chunk_hash", "left_semi")
@@ -3545,16 +3943,17 @@ def ingest_cdc_batch(
     # compaction's rename and rmtree would be deleted while its stamp
     # commits).  The lock heartbeats while held, so a long append never
     # reads as stale.
-    with _state_lock(state_dir):
+    with _state_lock(state_dir) as lk:
         return _ingest_cdc_batch_locked(
-            spark, new_docs, state_dir, path, stamp, window
+            spark, new_docs, state_dir, path, stamp, window, lk
         )
 
 
 def _ingest_cdc_batch_locked(
     spark, new_docs: DataFrame, state_dir: str, path: str, stamp: str,
-    window: int,
+    window: int, lk=None,
 ) -> DataFrame:
+    _heal_state_swaps(state_dir)  # a crashed compaction swap self-heals
     already_applied = stamp in _applied_stamps(spark, state_dir)
 
     ch = cdc_chunks(new_docs, window=window).localCheckpoint(eager=True)
@@ -3612,10 +4011,15 @@ def _ingest_cdc_batch_locked(
         ).partitionBy("pfx").parquet(_cdc_bloom_dir(state_dir))
     else:
         novel.write.mode("append").parquet(path)
+    # ownership re-verified BEFORE the seq sidecar write, not just the
+    # stamp commit: the sidecar is a read-modify-write too, and a
+    # dispossessed holder clobbering the usurper's concurrent entry
+    # could hand a later batch a duplicate generation number
+    _verify_owned(lk)
     _record_cdc_seq(state_dir, stamp, seq)
     # COMMIT: atomic stamp-ledger replace -- before this line the batch
     # does not exist to any reader
-    _record_applied(state_dir, stamp, spark=spark, locked=True)
+    _record_applied(state_dir, stamp, spark=spark, locked=True, lock=lk)
     return rewritten
 
 
@@ -3650,7 +4054,8 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
     # (its chunk hashes never enter the ledger; later duplicates of
     # those spans would survive silently).  The lock heartbeats, so the
     # corpus-sized rewrite never reads as a stale holder.
-    with _state_lock(state_dir):
+    with _state_lock(state_dir) as lk:
+        _heal_state_swaps(state_dir)  # incl. this compactor's own crashes
         raw = spark.read.parquet(path)
         before = raw.count()
         resolved = (
@@ -3687,6 +4092,10 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
             .agg(F.max("batch_seq").alias("m"))
             .collect()
         }
+        # fail-stop before the swap: a holder dispossessed during the
+        # (corpus-sized) rewrite must not rename a ledger the usurper
+        # may be appending to
+        _verify_owned(lk)
         old = path + ".old-" + uuid.uuid4().hex
         os.rename(path, old)
         os.rename(tmp, path)

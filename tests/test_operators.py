@@ -3538,3 +3538,237 @@ def test_band_sidecar_appends_and_rebuild(spark, tmp_path):
             dedup._bands_sidecar_path(sig_path)).collect()
     }
     assert after == before
+
+
+def test_band_sidecar_is_bucketed_and_probe_prunes(spark, tmp_path):
+    """Round-12 layout: the band sidecar is partitioned by ``bpfx=``
+    (width self-described by the dir names), and the incremental probe's
+    corpus-side read is restricted to the batch buckets' prefixes --
+    partition pruning shows up in the plan, and every surviving row's
+    bucket maps into the batch's prefix set."""
+    import os
+
+    docs = _mk_docs(spark, _near_dup_rows(5, 60))
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_lsh_candidates(
+        docs.filter("doc_id % 2 = 0"), persist_signatures=sig_path).collect()
+    sidecar = dedup._bands_sidecar_path(sig_path)
+    width = dedup._layout_pfx_len(sidecar, key="bpfx")
+    assert width == 1  # tiny corpus -> 16-dir tier
+    assert [e for e in os.listdir(sidecar) if e.startswith("bpfx=")]
+    one = (spark.read.parquet(sidecar).select("band", "bucket")
+           .orderBy("bucket").limit(1).localCheckpoint(eager=True))
+    want = {r[0] for r in one.select(
+        dedup._bands_bpfx_expr(width).alias("p")).collect()}
+    pruned = dedup._read_band_sidecar(spark, sig_path, one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bpfx" in plan
+    got_pfx = {r[0] for r in pruned.select(
+        dedup._bands_bpfx_expr(width).alias("p")).distinct().collect()}
+    assert got_pfx <= want and pruned.count() > 0
+    assert "bpfx" not in pruned.columns  # layout column never leaks out
+
+
+def test_band_sidecar_legacy_flat_layout_still_works(spark, tmp_path):
+    """A round-11 FLAT sidecar (no bpfx dirs) keeps working end to end:
+    the probe full-scans it, appends stay flat (the layout never forks),
+    and candidates equal the derivation fallback."""
+    import shutil
+
+    docs = _mk_docs(spark, _near_dup_rows(13, 60))
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_lsh_candidates(
+        docs.filter("doc_id % 3 = 0"), persist_signatures=sig_path).collect()
+    sidecar = dedup._bands_sidecar_path(sig_path)
+    # rewrite the sidecar in the legacy flat layout (the rmtree also
+    # removes the in-dir meta stamp -- restore it to match)
+    sigs = dedup.load_signatures(spark, sig_path)
+    flat = dedup._band_buckets(sigs, 8, 8).localCheckpoint(eager=True)
+    shutil.rmtree(sidecar)
+    flat.write.parquet(sidecar)
+    dedup._write_bands_meta(sig_path, 8, 8)
+    assert dedup._bands_sidecar_usable(sig_path, 8, 8)
+    assert dedup._layout_pfx_len(sidecar, key="bpfx") is None
+    got = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            docs.filter("doc_id % 3 = 1"), sig_path, append=True).collect()
+    }
+    # append followed the flat layout -- still no bpfx dirs
+    assert dedup._layout_pfx_len(sidecar, key="bpfx") is None
+    import os
+    os.unlink(dedup._bands_meta_path(sig_path))  # force derivation
+    exp = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            docs.filter("doc_id % 3 = 1"), sig_path, append=False).collect()
+    }
+    assert got == exp
+
+
+def test_read_bucketed_pruned_pins_string_and_avoids_in_bloat(spark, tmp_path):
+    """The shared pruned reader: (a) all-numeric partition dirs still
+    read back as STRINGS with leading zeros (inference would parse hex
+    dir names as decimal ints and break every prefix comparison);
+    (b) past _PFX_ISIN_MAX prefixes the literal IN is replaced by an
+    explicit subdir listing -- no multi-thousand-literal IN in the plan,
+    missing dirs tolerated; (c) an empty prefix set short-circuits."""
+    path = str(tmp_path / "bucketed")
+    rows = [(f"h{i:03d}", f"{i % 50:02d}") for i in range(300)]
+    spark.createDataFrame(rows, "k string, pfx string").write.partitionBy(
+        "pfx").parquet(path)
+    sch = "k string, pfx string"
+    # (a) small prefix set: pushed isin, strings with leading zeros
+    few = dedup._read_bucketed_pruned(spark, path, "pfx", ["07", "09"], sch)
+    assert {r["pfx"] for r in few.collect()} == {"07", "09"}
+    assert few.schema["pfx"].dataType.simpleString() == "string"
+    plan = few._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pfx" in plan
+    # (b) many prefixes (incl. 30 that do not exist on disk): subdir
+    # listing, correct rows, and only requested dirs are read
+    many = [f"{i:02d}" for i in range(80)]
+    assert len(many) > dedup._PFX_ISIN_MAX
+    got = dedup._read_bucketed_pruned(spark, path, "pfx", many, sch)
+    assert {r["pfx"] for r in got.collect()} == {f"{i:02d}" for i in range(50)}
+    for f in got.inputFiles():
+        assert "/pfx=" in f and f.split("/pfx=")[1].split("/")[0] in many
+    # (c) empty set -> empty relation with the right schema
+    empty = dedup._read_bucketed_pruned(spark, path, "pfx", [], sch)
+    assert empty.count() == 0
+    assert empty.schema["pfx"].dataType.simpleString() == "string"
+
+
+def test_cdc_many_prefix_batch_composes(spark, tmp_path, monkeypatch):
+    """A wide-prefix batch (more candidate prefixes than _PFX_ISIN_MAX at
+    a 256-dir layout) takes the subdir-listing probe and still composes
+    exactly with the one-shot span dedup."""
+    monkeypatch.setattr(dedup, "_pick_pfx_len", lambda n: 2)
+    rows = _dup_heavy_rows(11, range(60), n_words=60, vocab=400)
+    init_docs = _mk_docs(spark, rows)
+    # the batch is a full COPY of the init corpus (re-id'd): every batch
+    # chunk is a ledger duplicate, so candidate prefixes span most of the
+    # 256-dir layout -- far past the isin threshold
+    batch = _mk_docs(spark, [(i + 10_000, t) for i, t in rows])
+    all_docs = init_docs.unionByName(batch)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(init_docs, state)
+    assert dedup._cdc_pfx_len(state) == 2
+    # sanity: this batch's duplicate chunks span more prefixes than the
+    # isin threshold, so the subdir-listing branch is exercised
+    hits, cand_pfxs = dedup._cdc_ledger_hits(
+        spark, state, dedup._cdc_ledger_path(state),
+        "cdc-" + dedup._batch_stamp(batch),
+        dedup.cdc_chunks(batch).select("chunk_hash").distinct()
+        .withColumn("doc_id", F.lit(0)).withColumn("chunk_idx", F.lit(0)),
+    )
+    assert cand_pfxs is not None and len(cand_pfxs) > dedup._PFX_ISIN_MAX
+    got = {tuple(r) for r in dedup.ingest_cdc_batch(batch, state).collect()}
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs)
+        .filter("doc_id >= 10000").collect()
+    }
+    assert got == exp
+
+
+def test_cdc_swap_crash_heals_on_next_ingest(spark, tmp_path):
+    """Planted crash in compact_cdc_state's window (ledger renamed to
+    the .old sibling, new layout never swapped in): the next ingest
+    self-heals under the state lock -- restores the newest .old sibling,
+    drops the orphaned .compact temp -- and produces the same resolved
+    state as the never-crashed run (round-11 verdict hardening #1)."""
+    import os
+    import shutil
+
+    rows = _dup_heavy_rows(17, range(30))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    control = str(tmp_path / "control")
+    for s in (state, control):
+        dedup.init_cdc_state(all_docs.filter("doc_id < 10"), s)
+        dedup.ingest_cdc_batch(
+            all_docs.filter("doc_id >= 10 and doc_id < 20"), s)
+    # plant the crash: rename done, swap-in never happened
+    path = dedup._cdc_ledger_path(state)
+    bdir = dedup._cdc_bloom_dir(state)
+    os.rename(path, path + ".old-deadbeef")
+    os.makedirs(path + ".compact-feedface")
+    os.rename(bdir, bdir + ".old-deadbeef")
+    got = {
+        tuple(r)
+        for r in dedup.ingest_cdc_batch(
+            all_docs.filter("doc_id >= 20"), state).collect()
+    }
+    exp = {
+        tuple(r)
+        for r in dedup.ingest_cdc_batch(
+            all_docs.filter("doc_id >= 20"), control).collect()
+    }
+    assert got == exp
+    # debris gone, live dirs restored
+    assert os.path.exists(path) and os.path.exists(bdir)
+    assert not os.path.exists(path + ".old-deadbeef")
+    assert not os.path.exists(path + ".compact-feedface")
+    assert not os.path.exists(bdir + ".old-deadbeef")
+    # ledgers of the two states resolve identically
+    led = lambda s: {
+        r["chunk_hash"]
+        for r in spark.read.parquet(dedup._cdc_ledger_path(s))
+        .select("chunk_hash").distinct().collect()
+    }
+    assert led(state) == led(control)
+    shutil.rmtree(state)
+    shutil.rmtree(control)
+
+
+def test_cdc_swap_crash_heals_on_compaction_retry(spark, tmp_path):
+    """Same planted crash, healed by retrying compact_cdc_state itself:
+    the retry restores the stranded ledger, recompacts it, and the
+    resolved hash set is unchanged."""
+    import os
+
+    rows = _dup_heavy_rows(19, range(20))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    dedup.ingest_cdc_batch(all_docs.filter("doc_id >= 10"), state)
+    path = dedup._cdc_ledger_path(state)
+    before = {
+        r["chunk_hash"]
+        for r in spark.read.parquet(path).select("chunk_hash")
+        .distinct().collect()
+    }
+    os.rename(path, path + ".old-cafe")
+    stats = dedup.compact_cdc_state(spark, state)
+    assert stats["rows_after"] <= stats["rows_before"]
+    after = {
+        r["chunk_hash"]
+        for r in spark.read.parquet(path).select("chunk_hash")
+        .distinct().collect()
+    }
+    assert after == before
+    assert not os.path.exists(path + ".old-cafe")
+
+
+def test_keeper_log_swap_crash_heals_on_next_ingest(spark, tmp_path):
+    """The label/keeper compactor's fixed-name swap window
+    (__compact_old present, live log missing) heals the same way on the
+    next ingest_batch, with resolution identical to a control state."""
+    import os
+
+    docs = _mk_docs(spark, _near_dup_rows(23, 40))
+    state = str(tmp_path / "state")
+    control = str(tmp_path / "control")
+    for s in (state, control):
+        dedup.init_dedup_state(docs.filter("doc_id % 2 = 0"), s,
+                               quality_col="doc_id")
+    _sig, lab_path, keep_path = dedup._delta_dirs(state)
+    os.rename(keep_path, keep_path + "__compact_old")
+    batch = docs.filter("doc_id % 2 = 1").withColumn(
+        "n_chars", F.length("text"))
+    for s in (state, control):
+        dedup.ingest_batch(batch, s, quality_col="doc_id")
+    assert not os.path.exists(keep_path + "__compact_old")
+    resolved = lambda s: tuple(
+        sorted(tuple(r) for r in v.collect())
+        for v in dedup.load_cluster_state(spark, s)
+    )
+    assert resolved(state) == resolved(control)

@@ -361,3 +361,114 @@ def test_mismatched_banding_append_invalidates_sidecar_meta(spark, tmp_path):
             docs.filter("doc_id % 3 = 2"), sig_path, append=False).collect()
     }
     assert got == exp
+
+
+def test_steal_reobserves_and_never_displaces_a_fresh_lock(tmp_path):
+    """_steal_stale displaces ONLY the inode it observed stale: if the
+    lock was re-acquired between the observation and the steal attempt
+    (fresh content under the same path), the attempt is a no-op -- the
+    stat-to-replace TOCTOU that let one waiter displace another's LIVE
+    lock (round-11 self-review, dedup.py:2326)."""
+    lock = str(tmp_path / "x.lock")
+    # (a) fresh holder took over after our stale observation: untouched
+    with open(lock, "wb") as fh:
+        fh.write(b"fresh-token")
+    dedup._steal_stale(lock, b"stale-token", stale_after=60.0)
+    with open(lock, "rb") as fh:
+        assert fh.read() == b"fresh-token"
+    # (b) same content but recently heartbeated: untouched (mtime check)
+    dedup._steal_stale(lock, b"fresh-token", stale_after=60.0)
+    assert os.path.exists(lock)
+    # (c) genuinely stale and content-matching: reclaimed
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    dedup._steal_stale(lock, b"fresh-token", stale_after=60.0)
+    assert not os.path.exists(lock)
+    # no mutex or tombstone debris in any case
+    assert not [p for p in os.listdir(tmp_path)
+                if ".steal" in p or ".stealing" in p]
+
+
+def test_steal_mutex_crash_debris_is_reclaimed(tmp_path):
+    """A stealer that crashed while holding the micro steal-mutex must
+    not deadlock every future waiter: debris older than the staleness
+    horizon is reclaimed and the steal proceeds."""
+    state = str(tmp_path / "state")
+    lock = _plant_stale_lock(state)
+    mutex = lock + ".stealing"
+    with open(mutex, "w") as fh:
+        fh.write("")
+    old = time.time() - 3600
+    os.utime(mutex, (old, old))
+    t0 = time.time()
+    dedup._record_applied(state, "s1")
+    assert time.time() - t0 < 10.0
+    with open(dedup._stamp_ledger_path(state)) as fh:
+        assert json.load(fh) == ["s1"]
+    assert not os.path.exists(mutex)
+
+
+def test_dispossessed_holder_cannot_commit(tmp_path):
+    """The round-11 verdict's last lock soft spot: a holder frozen past
+    the staleness horizon whose lock was stolen must FAIL-STOP at the
+    commit point on resume -- never run the ledger read-modify-write
+    concurrently with the usurper and drop its stamps."""
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    dedup._record_applied(state, "existing")
+    with dedup._state_lock(state) as lk:
+        assert lk.owned()
+        lock_path = dedup._stamp_ledger_path(state) + ".lock"
+        with open(lock_path, "wb") as fh:  # simulate the steal
+            fh.write(b"usurper-token")
+        assert not lk.owned()
+        with pytest.raises(dedup.StateLockLost):
+            dedup._record_applied(state, "victim-stamp",
+                                  locked=True, lock=lk)
+        with pytest.raises(dedup.StateLockLost):
+            dedup._verify_owned(lk)
+    # the victim's stamp never landed; the pre-existing one survived
+    with open(dedup._stamp_ledger_path(state)) as fh:
+        assert json.load(fh) == ["existing"]
+    os.unlink(lock_path)
+
+
+def test_custom_lock_provider_is_honored(spark, tmp_path):
+    """The object-store deployment hook: a provider installed via
+    set_state_lock_provider replaces the POSIX lock file for EVERY
+    state-dir write path (init commit, batch ingest, compaction
+    swap)."""
+    from contextlib import contextmanager
+
+    calls: list[str] = []
+
+    @contextmanager
+    def provider(state_dir, stale_after):
+        calls.append(state_dir)
+        yield  # no handle: the provider fences its own holders
+
+    all_docs = _mk_docs(spark, _span_rows(range(20)))
+    state = str(tmp_path / "state")
+    dedup.set_state_lock_provider(provider)
+    try:
+        dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+        assert calls and all(c == state for c in calls)
+        n_init = len(calls)
+        got = {
+            tuple(r)
+            for r in dedup.ingest_cdc_batch(
+                all_docs.filter("doc_id >= 10"), state).collect()
+        }
+        assert len(calls) > n_init
+        n_ingest = len(calls)
+        dedup.compact_cdc_state(spark, state)
+        assert len(calls) > n_ingest
+    finally:
+        dedup.set_state_lock_provider(None)
+    # no POSIX lock file was ever created
+    assert not os.path.exists(dedup._stamp_ledger_path(state) + ".lock")
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got == exp
