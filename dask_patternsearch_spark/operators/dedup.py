@@ -4109,6 +4109,83 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
     return {"rows_before": int(before), "rows_after": int(after)}
 
 
+def maybe_compact_cdc_state(
+    spark,
+    state_dir: str,
+    max_bloom_rows_per_pfx: int = 8,
+    orphan_ratio: float = 0.25,
+    min_orphan_rows: int = 100_000,
+) -> dict | None:
+    """The compaction TRIGGER for the CDC leg -- the counterpart of
+    :func:`maybe_compact_dedup_state`, closing the round-11 gap where
+    bloom delta rows and per-batch ledger files accumulated until
+    someone called :func:`compact_cdc_state` by hand.  Three conditions,
+    each a metadata-sized read, each tracking a different cost that
+    only compaction reclaims:
+
+    - BLOOM READ AMPLIFICATION: every probe ORs across its prefix's
+      delta rows, so rows-per-prefix is a direct multiplier on
+      per-batch bloom work; compact once any prefix exceeds
+      ``max_bloom_rows_per_pfx`` (the check is a count per partition of
+      the KB-sized sidecar).
+    - ORPHAN/DUPLICATE MASS: uncommitted crash debris and retry
+      duplicates are invisible to readers but inflate the
+      partition-pruned probe's bytes; compact once they exceed
+      ``orphan_ratio`` of the ledger AND ``min_orphan_rows`` (tiny
+      states never enter the maintenance path).  Measured from one
+      narrow stamp-grain aggregate.
+    - RE-BUCKET PRESSURE: the layout's prefix width no longer matches
+      what :func:`_pick_pfx_len` would choose for the grown corpus --
+      compaction is the re-bucket point, so fire as soon as the tier
+      boundary is crossed (keeps the probe's per-partition read bounded
+      as the corpus grows 100x; see the scaleprobe --cdc-rebucket
+      evidence in SCALE.md).
+
+    Returns :func:`compact_cdc_state`'s stats plus a ``trigger`` key
+    when fired, else None.  Run it after each ingest (the streaming
+    sink does, with ``auto_compact=True``)."""
+    import os
+
+    path = _cdc_ledger_path(state_dir)
+    if not os.path.exists(path):
+        return None
+    if _cdc_ledger_is_bucketed(path):
+        bdir = _cdc_bloom_dir(state_dir)
+        if os.path.exists(bdir) \
+                and _layout_pfx_len(bdir) == _cdc_pfx_len(state_dir):
+            worst = (
+                spark.read.schema(_CDC_BLOOM_SCHEMA).parquet(bdir)
+                .groupBy("pfx").count()
+                .agg(F.max("count").alias("m")).collect()[0]["m"]
+            )
+            if worst is not None and worst > max_bloom_rows_per_pfx:
+                stats = compact_cdc_state(spark, state_dir)
+                stats["trigger"] = "bloom_rows_per_pfx"
+                return stats
+    # stamp-grain row counts: one narrow-column aggregate; committed
+    # membership decided driver-side against the (small) stamp ledger
+    applied = _applied_stamps(spark, state_dir)
+    per_stamp = {
+        r["batch_stamp"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("batch_stamp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(per_stamp.values())
+    orphan = sum(n for s, n in per_stamp.items() if s not in applied)
+    if total and orphan >= min_orphan_rows \
+            and orphan / total >= orphan_ratio:
+        stats = compact_cdc_state(spark, state_dir)
+        stats["trigger"] = "orphan_mass"
+        return stats
+    committed = total - orphan
+    if _cdc_ledger_is_bucketed(path) \
+            and _pick_pfx_len(committed) != _cdc_pfx_len(state_dir):
+        stats = compact_cdc_state(spark, state_dir)
+        stats["trigger"] = "rebucket"
+        return stats
+    return None
+
+
 def audit_cdc_ledger(spark, state_dir: str) -> DataFrame:
     """Metadata-sized health report of the CDC chunk-hash ledger, one row
     per generation: row count, distinct hash count, and whether the

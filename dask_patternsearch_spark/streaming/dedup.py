@@ -128,6 +128,7 @@ def ingest_keepers_stream(
     docs_stream: DataFrame,
     state_dir: str,
     checkpoint_path: str,
+    auto_compact: bool = False,
     **ingest_kwargs,
 ) -> None:
     """Continuous corpus ingestion as a STREAM: every micro-batch of
@@ -150,6 +151,11 @@ def ingest_keepers_stream(
     ``streaming_ingest_keepers`` query hash-checkable against the same
     full-recompute oracle as the batch path.
 
+    ``auto_compact=True`` runs the maintenance trigger
+    (``maybe_compact_dedup_state``: gap-ratio gated, a cheap check per
+    micro-batch) after each ingest, so a long-running feed's LSM read
+    amplification stays bounded without an external scheduler.
+
     Drains to completion (availableNow trigger).
     """
     from ..operators import dedup as bdedup
@@ -158,6 +164,8 @@ def ingest_keepers_stream(
         if batch_df.isEmpty():
             return
         bdedup.ingest_batch(batch_df, state_dir, **ingest_kwargs)
+        if auto_compact:
+            bdedup.maybe_compact_dedup_state(batch_df.sparkSession, state_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(process_batch)
@@ -174,6 +182,7 @@ def cdc_rewrite_stream(
     output_path: str,
     checkpoint_path: str,
     window: int = 4,
+    auto_compact: bool = False,
 ) -> None:
     """Duplicated-span removal as a STREAM: every micro-batch runs
     ``operators.dedup.ingest_cdc_batch`` against the persistent
@@ -206,6 +215,12 @@ def cdc_rewrite_stream(
         stamp = "cdc-" + bdedup._batch_stamp(batch_df)
         rewritten = bdedup.ingest_cdc_batch(batch_df, state_dir, window=window)
         rewritten.write.mode("overwrite").parquet(f"{output_path}/{stamp}")
+        if auto_compact:
+            # maintenance trigger per micro-batch (metadata-sized checks:
+            # bloom rows/prefix, orphan mass, re-bucket pressure) so
+            # ledger debris and bloom read amplification stay bounded on
+            # a long-running feed without an external scheduler
+            bdedup.maybe_compact_cdc_state(batch_df.sparkSession, state_dir)
 
     q = (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -3772,3 +3772,65 @@ def test_keeper_log_swap_crash_heals_on_next_ingest(spark, tmp_path):
         for v in dedup.load_cluster_state(spark, s)
     )
     assert resolved(state) == resolved(control)
+
+
+def test_maybe_compact_cdc_bloom_and_rebucket_triggers(spark, tmp_path,
+                                                       monkeypatch):
+    """The CDC maintenance trigger (round-12): fires on bloom
+    rows-per-prefix past the gate, on re-bucket pressure when the corpus
+    outgrows its prefix tier, and stays quiet on a healthy state; ingest
+    composes identically across a triggered compaction."""
+    rows = _dup_heavy_rows(29, range(60))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    # healthy small state: no trigger at default gates
+    assert dedup.maybe_compact_cdc_state(spark, state) is None
+    # five more ingests -> most prefixes carry ~6 bloom delta rows
+    for b in range(5):
+        dedup.ingest_cdc_batch(
+            all_docs.filter(f"doc_id >= {10 * (b + 1)} and "
+                            f"doc_id < {10 * (b + 2)}"), state)
+    stats = dedup.maybe_compact_cdc_state(spark, state,
+                                          max_bloom_rows_per_pfx=3)
+    assert stats is not None and stats["trigger"] == "bloom_rows_per_pfx"
+    # compaction collapsed the deltas: quiet again at the same gate
+    assert dedup.maybe_compact_cdc_state(
+        spark, state, max_bloom_rows_per_pfx=3) is None
+    # re-bucket pressure: the corpus' tier outgrows the layout width
+    monkeypatch.setattr(dedup, "_pick_pfx_len", lambda n: 2)
+    stats = dedup.maybe_compact_cdc_state(spark, state)
+    assert stats is not None and stats["trigger"] == "rebucket"
+    assert dedup._cdc_pfx_len(state) == 2
+    assert dedup.maybe_compact_cdc_state(spark, state) is None
+    monkeypatch.undo()
+
+
+def test_maybe_compact_cdc_orphan_trigger(spark, tmp_path):
+    """Orphan mass (uncommitted crash debris) past the ratio+floor gates
+    triggers compaction, which physically drops it."""
+    rows = _dup_heavy_rows(31, range(20))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    path = dedup._cdc_ledger_path(state)
+    # plant orphans: rows under a stamp the commit ledger never saw
+    pfx_len = dedup._cdc_pfx_len(state)
+    orphans = (
+        dedup.cdc_chunks(all_docs.filter("doc_id >= 10"))
+        .select("chunk_hash").distinct()
+        .withColumn("batch_seq", F.lit(9).cast("long"))
+        .withColumn("batch_stamp", F.lit("cdc-never-committed"))
+        .withColumn("pfx", F.substring("chunk_hash", 1, pfx_len))
+    )
+    orphans.write.mode("append").partitionBy("pfx").parquet(path)
+    before = spark.read.parquet(path).count()
+    # floor keeps tiny debris out of the maintenance path
+    assert dedup.maybe_compact_cdc_state(
+        spark, state, orphan_ratio=0.1, min_orphan_rows=10**9) is None
+    stats = dedup.maybe_compact_cdc_state(
+        spark, state, orphan_ratio=0.1, min_orphan_rows=1)
+    assert stats is not None and stats["trigger"] == "orphan_mass"
+    assert stats["rows_after"] < before
+    led = spark.read.parquet(path)
+    assert led.filter("batch_stamp = 'cdc-never-committed'").count() == 0

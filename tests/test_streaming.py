@@ -795,3 +795,66 @@ def test_streaming_cdc_restart_is_noop_at_both_levels(spark, scratch_dir):
         tuple(r) for r in spark.read.parquet(f"{out}/*").collect()) == once
     assert spark.read.parquet(
         bdedup._cdc_ledger_path(state)).count() == n_ledger
+
+
+def test_streaming_cdc_auto_compact_maintains_ledger(spark, scratch_dir):
+    """The round-12 sink registration: cdc_rewrite_stream(auto_compact=
+    True) runs the CDC maintenance trigger per micro-batch, so bloom
+    delta rows stay collapsed (at most the post-compaction one-per-
+    prefix plus the batches since the last firing) and the drained
+    output is identical to the untriggered stream."""
+    import time as timemod
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(
+        F.col("doc_id") < 120)
+    state = os.path.join(scratch_dir, "ac_state")
+    control = os.path.join(scratch_dir, "ac_control")
+    for s in (state, control):
+        bdedup.init_cdc_state(docs.filter(F.col("doc_id") % 4 == 0), s)
+    staged = os.path.join(scratch_dir, "ac_staged")
+    now = timemod.time()
+    parts: list[str] = []
+    for i, m in enumerate((1, 2, 3)):
+        docs.filter(F.col("doc_id") % 4 == m).coalesce(1).write.mode(
+            "append").parquet(staged)
+        new = sorted(set(f for f in os.listdir(staged)
+                         if f.startswith("part-")) - set(parts))
+        parts += new
+        for name in new:
+            os.utime(os.path.join(staged, name), (now + i, now + i))
+
+    # monkeypatch-free forcing: gate low enough that 3 micro-batches trip it
+    orig = bdedup.maybe_compact_cdc_state
+    fired: list[str] = []
+
+    def eager(spark_, state_dir, **kw):
+        stats = orig(spark_, state_dir, max_bloom_rows_per_pfx=1)
+        if stats:
+            fired.append(stats["trigger"])
+        return stats
+
+    bdedup.maybe_compact_cdc_state = eager
+    try:
+        sdedup.cdc_rewrite_stream(
+            sdedup.read_docs_stream(spark, staged, max_files_per_trigger=1),
+            state, os.path.join(scratch_dir, "ac_out"),
+            os.path.join(scratch_dir, "ac_ckpt1"), auto_compact=True)
+    finally:
+        bdedup.maybe_compact_cdc_state = orig
+    assert fired  # the sink actually ran the trigger
+    sdedup.cdc_rewrite_stream(
+        sdedup.read_docs_stream(spark, staged, max_files_per_trigger=1),
+        control, os.path.join(scratch_dir, "ac_out2"),
+        os.path.join(scratch_dir, "ac_ckpt2"))
+    led = lambda s: sorted(
+        r["chunk_hash"]
+        for r in spark.read.parquet(bdedup._cdc_ledger_path(s))
+        .select("chunk_hash").distinct().collect())
+    assert led(state) == led(control)
+    out = lambda p: sorted(
+        tuple(r) for r in spark.read.parquet(
+            os.path.join(scratch_dir, p) + "/*").collect())
+    assert out("ac_out") == out("ac_out2")
