@@ -249,13 +249,23 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
-    # The stdout line must stay COMPACT: the driver tail-captures stdout
-    # and an inline spread+ambient dict doubled the line past its capture
-    # window in round 9 ("parsed": null -- same failure class as the
-    # round-2 inline sweep dict).  Headline medians only go to stdout; all
-    # attribution telemetry (per-query [min,max] spread, the fixed-cost
-    # ambient probes, loadavg) lives in BENCH_sweep.json alongside the
-    # per-entry sweep detail.
+    # The stdout line must stay COMPACT: the driver tail-captures the
+    # last ~2000 chars of stdout and an inline per-query spread+ambient
+    # dict doubled the line past that window in round 9 ("parsed": null
+    # -- same failure class as the round-2 inline sweep dict); the
+    # round-11 line measured 1983 chars, i.e. AT the window.  Round 12
+    # therefore (a) emits compact separators (buys ~140 chars) and
+    # (b) inlines only a SUMMARY of the ambient telemetry -- the three
+    # fixed-cost probe medians, loadavg at start/end, and the median/max
+    # RELATIVE per-query spread -- so round-over-round grading can
+    # self-attribute ambient drift from the official BENCH_rN.json alone
+    # (round-11 verdict, next-round #5).  Full per-query spreads stay in
+    # BENCH_sweep.json.  A length guard drops the ambient block (never
+    # the queries) if the line ever approaches the window again.
+    rel = sorted(
+        (spread[q][1] - spread[q][0]) / timings[q]
+        for q in timings if timings[q] > 0
+    )
     payload = {
         "metric": "headline_suite_seconds",
         "value": total,
@@ -263,10 +273,22 @@ def main() -> None:
         "queries": timings,
         "tasks_to_converge": convergence,
         "sf": sf_val,
+        "ambient": {
+            "probe": [ambient["probe_start_sec"], ambient["probe_mid_sec"],
+                      ambient["probe_end_sec"]],
+            "load": [ambient["loadavg_start"][0], ambient["loadavg_end"][0]],
+            "srm": round(rel[len(rel) // 2], 3) if rel else None,
+            "srx": round(rel[-1], 3) if rel else None,
+        },
     }
     if sweep:
         payload["sweep_queries"] = len(sweep)
         payload["sweep_seconds"] = round(sum(sweep.values()), 3)
+    if len(json.dumps(payload, separators=(",", ":"))) > 1980:
+        del payload["ambient"]  # pragma: no cover - capture-window guard
+        print("# headline line near the driver capture window: ambient "
+              "block dropped from stdout (still in BENCH_sweep.json)",
+              file=sys.stderr)
     sweep_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_sweep.json")
     if not sweep:
@@ -282,7 +304,7 @@ def main() -> None:
                    "sweep": sweep,
                    "spread": sweep_spread}, fh, indent=1)
     print(f"# telemetry + sweep detail -> {sweep_path}", file=sys.stderr)
-    print(json.dumps(payload))
+    print(json.dumps(payload, separators=(",", ":")))
     spark.stop()
 
 

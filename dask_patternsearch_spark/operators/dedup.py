@@ -414,100 +414,164 @@ def _write_bands_meta(signatures_path: str, n_bands: int,
         meta, {"n_bands": n_bands, "rows_per_band": rows_per_band})
 
 
-# --- band sidecar v2: bucketed by bucket-hash prefix ------------------------
+# --- band sidecar v2: bloom-gated, bucketed by band-bucket key prefix -------
 #
 # The round-10 sidecar killed the per-batch corpus x n_perm band refold, but
 # each incremental batch still SCANNED the full (doc_id, band, bucket)
 # sidecar -- ~2.2 TB per batch at a 10^10-doc corpus (SCALE.md round-11
-# projection), the last flat per-corpus term in incremental ingestion.  v2
-# removes it the same way the CDC ledger was fixed: the sidecar is
-# PARTITIONED by ``bpfx`` = the low 4*w bits of the bucket rendered as
-# fixed-width hex (w self-described by the ``bpfx=ab`` dir names, exactly
-# like the ledger's ``_layout_pfx_len``, so layout and data can never
-# disagree after a crash), and the per-batch probe reads ONLY the
-# partitions of the batch's own bucket prefixes -- a partition-pruned scan
-# whose bytes track the batch, not the corpus.  Candidates are unchanged:
-# pruning only discards rows whose bucket low bits match no batch bucket,
-# a superset of what the (band, bucket) equi-join would drop anyway
-# (parity test-locked).  Legacy FLAT sidecars keep working: appends follow
-# the layout the dir names describe, probes full-scan until a rebuild.
+# projection), the last flat per-corpus term in incremental ingestion.
+# Partitioning alone cannot fix this: a 15k-doc batch carries ~120k
+# distinct (band, bucket) keys, which covers EVERY directory at any
+# realistic bucket count (measured: 16/16, 256/256, 4096/4096 dirs
+# touched), so directory pruning by the raw batch key set degrades to a
+# full scan.  v2 therefore transplants the CDC ledger's architecture
+# whole: a BLOOM SIDECAR over the corpus' band-bucket keys decides which
+# batch keys can collide AT ALL -- on a real feed the overwhelming
+# majority are novel and drop here -- and only the SURVIVORS' prefixes
+# are read from the partitioned sidecar.  Bytes per batch are then
+# bloom bits (16/key over corpus band rows -- a ~12x constant cut below
+# the 3-column row scan, and mergeable executor-resident state on a
+# long-lived stream) plus the collision partitions (∝ the batch's true
+# duplicate mass), not the corpus row set.
+#
+# Layout: both sidecars are partitioned by ``bpfx`` = the first w hex
+# chars of ``bkey`` = md5(band:bucket) (w self-described by the
+# ``bpfx=ab`` dir names, exactly like the ledger's ``_layout_pfx_len``,
+# so layout and data can never disagree after a crash).  Safety
+# invariants mirror the CDC bloom: bloom rows always land BEFORE the
+# band rows they cover (append order; rebuilds swap the bloom dir in by
+# atomic rename), so bloom ⊇ sidecar through any crash -- extra bloom
+# bits are false positives (read a partition for nothing), a missing
+# bloom dir or width mismatch degrades to the unpruned (still correct)
+# full-prefix read, and a prefix with NO bloom rows provably has no
+# sidecar rows.  Legacy FLAT sidecars keep working: appends follow the
+# layout the dir names describe, probes full-scan until a rebuild.
 
 _BANDS_SIDECAR_KEY = "bpfx"
 
 
+def _bands_key_expr():
+    """The 32-hex band-bucket key: md5 over ``band:bucket`` -- a JVM
+    expression, computable identically on the batch side, feeding the
+    partition prefix, the bloom double-hash halves, and the row-group
+    cluster key."""
+    return F.md5(F.concat_ws(
+        ":", F.col("band").cast("string"), F.col("bucket").cast("string")))
+
+
 def _bands_bpfx_expr(width: int):
-    """Partition key of the band sidecar: the low ``4*width`` bits of the
-    (uniform, md5-derived) bucket as fixed-width lowercase hex -- a JVM
-    expression, computable identically on the batch side for pruning."""
-    return F.format_string(
-        "%0" + str(width) + "x",
-        F.pmod(F.col("bucket"), F.lit(16 ** width)),
-    )
+    """Partition key of the band sidecar: the first ``width`` hex chars
+    of the band-bucket key."""
+    return F.substring(_bands_key_expr(), 1, width)
+
+
+def _bands_bk_expr():
+    """The sidecar's row-group cluster key: the key's first 60 bits as a
+    long.  Files are sorted on it, so a pushed ``bk IN (...)`` filter
+    skips row groups by footer min/max -- the mechanism that makes a
+    point probe's bytes ∝ matching row groups instead of ∝ partition
+    size (directory pruning alone reads whole partitions, which still
+    grow with the corpus).  60-bit aliasing is harmless: the filter is a
+    pre-filter with no false negatives (same md5 ⇒ same bk), and any
+    aliased stranger rows are dropped by the (band, bucket) equi-join."""
+    return F.conv(
+        F.substring(_bands_key_expr(), 1, 15), 16, 10).cast("long")
+
+
+# a probe pushes its surviving keys as a scan-level IN once bloom
+# filtering has bounded them; past this many survivors (a batch that is
+# mostly duplicates -- the read is then legitimately large) it falls back
+# to prefix pruning alone rather than bloat the plan
+_BANDS_KEY_ISIN_MAX = 4096
+
+# the est-jaccard annotation pushes its candidate doc ids into the
+# signature-table scan the same way (row-group skipping on the
+# doc_id-clustered table); past this many ids it falls back to the
+# broadcast semi-join (dup-heavy batch: the read is legitimately large)
+_SIG_ID_ISIN_MAX = 4096
+
+
+def _write_signatures(sigs_stamped: DataFrame, path: str,
+                      mode: str) -> None:
+    """Write (or append) a signature table CLUSTERED on doc_id: files
+    sorted on the id with the round-9 split-safe row-group bounds, so
+    the incremental annotation's pushed ``doc_id IN (...)`` skips row
+    groups by footer min/max -- the per-batch signature read is then
+    ∝ candidate ids, not ∝ corpus.  Content is unchanged (sorting is
+    layout only); unsorted legacy tables stay correct, just unskippable
+    until rewritten."""
+    from ..sources.io import (DEFAULT_MAX_GROUP_BYTES,
+                              DEFAULT_MAX_GROUP_ROWS, _row_group_options)
+
+    _row_group_options(
+        sigs_stamped.sortWithinPartitions("doc_id").write.mode(mode),
+        "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES,
+    ).parquet(path)
+
+
+def _bands_bloom_dir(signatures_path: str) -> str:
+    return _bands_sidecar_path(signatures_path) + ".bloom"
 
 
 def _write_band_sidecar(sigs: DataFrame, signatures_path: str,
                         n_bands: int, rows_per_band: int) -> None:
-    """Overwrite the band sidecar in the bucketed layout, width sized to
-    the corpus band-row count (same 16/256/4096-dir tiers as the CDC
-    ledger; compaction-free -- a banding change or explicit rebuild is
+    """Overwrite the band sidecar + its bloom in the bucketed layout,
+    width sized to the corpus band-row count (same 16/256/4096-dir
+    tiers as the CDC ledger; a banding change or explicit rebuild is
     the re-bucket point).  Callers hold the sidecar lock and manage the
-    meta stamp around this write."""
+    meta stamp around this write.  Crash ordering: the bloom dir is
+    REMOVED first and swapped back in by atomic rename LAST, so a crash
+    anywhere leaves either no bloom (probes degrade to the unpruned
+    full-prefix read) or a complete one -- never a partial bloom whose
+    missing bits would silently drop real collisions."""
+    import os
+    import shutil
+    import uuid
+
+    from ..sources.io import (DEFAULT_MAX_GROUP_BYTES,
+                              DEFAULT_MAX_GROUP_ROWS, _row_group_options)
+
+    sidecar = _bands_sidecar_path(signatures_path)
+    bdir = _bands_bloom_dir(signatures_path)
+    shutil.rmtree(bdir, ignore_errors=True)
     width = _pick_pfx_len(sigs.count() * n_bands)
-    (
+    rows = (
         _band_buckets(sigs, n_bands, rows_per_band)
+        .withColumn("bk", _bands_bk_expr())
         .withColumn(_BANDS_SIDECAR_KEY, _bands_bpfx_expr(width))
+    )
+    _row_group_options(
+        rows
         # co-locate each prefix before the partitioned write (without
         # this every write task holds every prefix and the layout sprays
-        # tasks x buckets small files)
+        # tasks x buckets small files), then CLUSTER each file on bk so
+        # parquet footers carry tight disjoint key ranges -- the pushed
+        # probe filter skips row groups instead of decoding partitions.
+        # Bounded row groups (the round-9 split-parallelism defaults:
+        # 100k rows / 16 MB) are also the skipping granularity, keeping
+        # a point probe's decode ~MBs per matching key at ANY corpus
+        # size.
         .repartition(F.col(_BANDS_SIDECAR_KEY))
-        .write.mode("overwrite")
-        .partitionBy(_BANDS_SIDECAR_KEY)
-        .parquet(_bands_sidecar_path(signatures_path))
+        .sortWithinPartitions("bk")
+        .write.mode("overwrite"),
+        "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES,
+    ).partitionBy(_BANDS_SIDECAR_KEY).parquet(sidecar)
+    btmp = bdir + ".build-" + uuid.uuid4().hex
+    keys = (
+        _read_band_sidecar_full(sigs.sparkSession, sidecar)
+        .select(_bands_key_expr().alias("bkey"))
     )
+    _bloom_rows(keys, width, col="bkey").write.mode(
+        "errorifexists").partitionBy("pfx").parquet(btmp)
+    os.rename(btmp, bdir)
 
 
-def _append_band_sidecar(band_rows: DataFrame, signatures_path: str) -> None:
-    """Append a batch's band rows in the sidecar's OWN layout -- width
-    read from the dir names, so an append can never fork the layout; a
-    legacy flat sidecar stays flat (full-scan probes) until an explicit
-    :func:`rebuild_band_sidecar`."""
-    sidecar = _bands_sidecar_path(signatures_path)
-    width = _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY)
-    if width is None:
-        band_rows.write.mode("append").parquet(sidecar)
-        return
-    (
-        band_rows.withColumn(_BANDS_SIDECAR_KEY, _bands_bpfx_expr(width))
-        .repartition(F.col(_BANDS_SIDECAR_KEY))
-        .write.mode("append")
-        .partitionBy(_BANDS_SIDECAR_KEY)
-        .parquet(sidecar)
-    )
-
-
-def _read_band_sidecar(spark, signatures_path: str,
-                       new_buckets: DataFrame) -> DataFrame:
-    """The sidecar rows that can possibly collide with the batch:
-    partition-pruned to the batch buckets' prefixes on the bucketed
-    layout (bytes read ∝ batch + bucket-collision mass, not corpus), a
-    full scan on a legacy flat sidecar.  The prefix set is bounded by
-    the dir count (<= 4096); past ``_PFX_ISIN_MAX`` the literal IN is
-    replaced by an explicit subdir listing (no plan bloat)."""
-    sidecar = _bands_sidecar_path(signatures_path)
-    width = _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY)
-    if width is None:
+def _read_band_sidecar_full(spark, sidecar: str) -> DataFrame:
+    """Full (unpruned) read of the band sidecar with the partition
+    column pinned to string (see :func:`_read_bucketed_pruned` for why
+    inference cannot be trusted); flat layouts read as-is."""
+    if _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY) is None:
         return spark.read.parquet(sidecar)
-    pfxs = sorted(
-        r[0]
-        for r in new_buckets.select(
-            _bands_bpfx_expr(width).alias(_BANDS_SIDECAR_KEY)
-        ).distinct().collect()
-    )
-    # explicit read schema: bpfx must come back as STRING -- a layout
-    # whose populated dirs happen to be all-numeric would otherwise
-    # infer an int partition column, parsing hex dir names as decimal
-    # and breaking every prefix comparison (data columns keep their
-    # inferred types; only the partition column is pinned)
     inferred = spark.read.parquet(sidecar).schema
     fixed = T.StructType([
         T.StructField(
@@ -517,9 +581,100 @@ def _read_band_sidecar(spark, signatures_path: str,
         )
         for f in inferred
     ])
-    return _read_bucketed_pruned(
-        spark, sidecar, _BANDS_SIDECAR_KEY, pfxs, fixed
-    ).drop(_BANDS_SIDECAR_KEY)
+    return spark.read.schema(fixed).parquet(sidecar)
+
+
+def _append_band_sidecar(band_rows: DataFrame, signatures_path: str) -> None:
+    """Append a batch's band rows in the sidecar's OWN layout -- width
+    read from the dir names, so an append can never fork the layout; a
+    legacy flat sidecar stays flat (full-scan probes) until an explicit
+    :func:`rebuild_band_sidecar`.  On the bucketed layout the bloom
+    delta rows land FIRST (bloom ⊇ sidecar through any crash; a torn
+    bloom append only adds false-positive bits)."""
+    import os
+
+    sidecar = _bands_sidecar_path(signatures_path)
+    width = _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY)
+    if width is None:
+        band_rows.write.mode("append").parquet(sidecar)
+        return
+    from ..sources.io import (DEFAULT_MAX_GROUP_BYTES,
+                              DEFAULT_MAX_GROUP_ROWS, _row_group_options)
+
+    band_rows = band_rows.localCheckpoint(eager=True)  # feeds two writes
+    bdir = _bands_bloom_dir(signatures_path)
+    if os.path.exists(bdir) and _layout_pfx_len(bdir) == width:
+        _bloom_rows(
+            band_rows.select(_bands_key_expr().alias("bkey")), width,
+            col="bkey",
+        ).write.mode("append").partitionBy("pfx").parquet(bdir)
+    _row_group_options(
+        band_rows.withColumn("bk", _bands_bk_expr())
+        .withColumn(_BANDS_SIDECAR_KEY, _bands_bpfx_expr(width))
+        .repartition(F.col(_BANDS_SIDECAR_KEY))
+        .sortWithinPartitions("bk")
+        .write.mode("append"),
+        "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES,
+    ).partitionBy(_BANDS_SIDECAR_KEY).parquet(sidecar)
+
+
+def _read_band_sidecar(spark, signatures_path: str,
+                       new_buckets: DataFrame) -> DataFrame:
+    """The sidecar rows that can possibly collide with the batch.  On
+    the bucketed layout: batch (band, bucket) keys are bloom-tested
+    first -- keys failing every bloom row of their prefix have no
+    corpus collision and never touch the sidecar -- and only the
+    SURVIVORS' prefixes are read (partition-pruned; bytes ∝ bloom bits
+    + the batch's true collision mass, not corpus rows).  Lossless: the
+    bloom is a superset of the sidecar through any crash, so a dropped
+    key provably matches no sidecar row, and pruning by surviving
+    prefixes keeps every row the (band, bucket) equi-join could keep
+    (parity test-locked).  A missing/width-mismatched bloom degrades to
+    reading all batch prefixes (unpruned, correct); a legacy flat
+    sidecar full-scans.  Prefix sets are bounded by the dir count
+    (<= 4096); past ``_PFX_ISIN_MAX`` the literal IN is replaced by an
+    explicit subdir listing (no plan bloat)."""
+    import os
+
+    sidecar = _bands_sidecar_path(signatures_path)
+    width = _layout_pfx_len(sidecar, key=_BANDS_SIDECAR_KEY)
+    if width is None:
+        return spark.read.parquet(sidecar)
+    keys = new_buckets.withColumn("bkey", _bands_key_expr())
+    bdir = _bands_bloom_dir(signatures_path)
+    survivor_keys: list | None = None
+    if os.path.exists(bdir) and _layout_pfx_len(bdir) == width:
+        survivors = _bloom_filter_keys(spark, bdir, keys, width, "bkey")
+        survivor_keys = [r[0] for r in survivors.collect()]
+        pfxs = sorted({k[:width] for k in survivor_keys})
+    else:
+        pfxs = sorted(
+            r[0]
+            for r in keys.select(
+                F.substring("bkey", 1, width).alias("p")
+            ).distinct().collect()
+        )
+    inferred = spark.read.parquet(sidecar).schema
+    fixed = T.StructType([
+        T.StructField(
+            f.name,
+            T.StringType() if f.name == _BANDS_SIDECAR_KEY else f.dataType,
+            f.nullable,
+        )
+        for f in inferred
+    ])
+    out = _read_bucketed_pruned(spark, sidecar, _BANDS_SIDECAR_KEY, pfxs,
+                                fixed)
+    if (survivor_keys is not None and "bk" in inferred.fieldNames()
+            and len(survivor_keys) <= _BANDS_KEY_ISIN_MAX):
+        # push the (bloom-bounded) surviving keys to the scan: files are
+        # sorted on bk, so the IN filter skips row groups by footer
+        # min/max -- bytes ∝ matching row groups, not partition size.
+        # No false negatives (same md5 ⇒ same bk); 60-bit aliasing only
+        # admits stranger rows, dropped by the (band, bucket) join.
+        out = out.filter(
+            F.col("bk").isin([int(k[:15], 16) for k in survivor_keys]))
+    return out.drop(_BANDS_SIDECAR_KEY, "bk")
 
 
 def _bands_sidecar_usable(signatures_path: str, n_bands: int,
@@ -759,10 +914,14 @@ def minhash_lsh_candidates(
             # stamp the hash-family version so a later job reusing this
             # table (load_signatures) can refuse signatures computed
             # under an older, value-incompatible definition instead of
-            # silently mis-bucketing
-            sigs.withColumn(
-                "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
-            ).write.mode("overwrite").parquet(persist_signatures)
+            # silently mis-bucketing; clustered on doc_id so incremental
+            # annotation probes skip row groups (see _write_signatures)
+            _write_signatures(
+                sigs.withColumn(
+                    "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
+                ),
+                persist_signatures, "overwrite",
+            )
             sigs = load_signatures(docs.sparkSession, persist_signatures,
                                    hash_family=hash_family)
             # band-bucket sidecar: the per-batch incremental probe scans
@@ -1072,9 +1231,12 @@ def incremental_minhash_candidates(
 
                 with _ctx.suppress(FileNotFoundError):
                     _os.unlink(_bands_meta_path(signatures_path))
-            to_sign_sigs.withColumn(
-                "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
-            ).write.mode("append").parquet(signatures_path)
+            _write_signatures(
+                to_sign_sigs.withColumn(
+                    "hash_family", F.lit(HASH_FAMILY_VERSIONS[hash_family])
+                ),
+                signatures_path, "append",
+            )
         # read everything back from the durable table (same
         # fault-tolerance rationale as persist_signatures); one re-load,
         # split into batch/corpus by the broadcast id set
@@ -1134,13 +1296,28 @@ def incremental_minhash_candidates(
         # derivation (old_hit) would execute twice per action
         .localCheckpoint(eager=True)
     )
-    # annotate with est_jaccard: candidate ids are batch-bounded, so
-    # pre-filter the signature union to them (broadcast again) -- the
-    # heavy full-corpus signature table never enters a shuffle
+    # annotate with est_jaccard: candidate ids are batch-bounded.  Below
+    # _SIG_ID_ISIN_MAX ids they are PUSHED into the signature-table scan
+    # as an IN literal -- on the doc_id-clustered layout that skips row
+    # groups by footer min/max, so the per-batch signature read is
+    # ∝ candidates, not ∝ corpus (the last per-batch corpus term this
+    # path had).  Past the bound (dup-heavy batch: the read is
+    # legitimately large) fall back to the broadcast semi-join -- the
+    # heavy table still never enters a shuffle either way.
     cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
-                .union(pairs.select("doc_b")).distinct())
-    sigs_cand = old_sigs.unionByName(new_sigs).join(
-        F.broadcast(cand_ids), "doc_id")
+                .union(pairs.select("doc_b")).distinct()
+                .localCheckpoint(eager=True))
+    ids = [r[0] for r in cand_ids.collect()]
+    if len(ids) <= _SIG_ID_ISIN_MAX:
+        # the filter pushes below the anti/semi-joins into BOTH sides'
+        # parquet scans (new_sigs is a batch-bounded checkpoint in the
+        # append=False branch; a table semi-join in the append branch)
+        old_cand = old_sigs.filter(F.col("doc_id").isin(ids))
+        new_cand = new_sigs.filter(F.col("doc_id").isin(ids))
+        sigs_cand = old_cand.unionByName(new_cand)
+    else:
+        sigs_cand = old_sigs.unionByName(new_sigs).join(
+            F.broadcast(cand_ids), "doc_id")
     return _annotate_est_jaccard(pairs, sigs_cand, n_perm, min_est_jaccard)
 
 
@@ -3614,19 +3791,22 @@ def _cdc_ledger_is_bucketed(path: str) -> bool:
     return _layout_pfx_len(path) is not None
 
 
-def _with_pfx_halves(hashes: DataFrame, pfx_len: int) -> DataFrame:
-    """Add the bloom-relevant derivations of ``chunk_hash`` as JVM
+def _with_pfx_halves(hashes: DataFrame, pfx_len: int,
+                     col: str = "chunk_hash") -> DataFrame:
+    """Add the bloom-relevant derivations of a 32-hex key column as JVM
     expressions: the partition prefix and two independent 60-bit halves
-    (double hashing: index_i = (h1 + i*h2) mod m)."""
+    (double hashing: index_i = (h1 + i*h2) mod m).  Shared by the CDC
+    chunk-hash ledger (``chunk_hash``) and the band-bucket bloom
+    (``bkey``)."""
     return (
         hashes.withColumn(
-            "pfx", F.substring("chunk_hash", 1, pfx_len)
+            "pfx", F.substring(col, 1, pfx_len)
         )
         .withColumn(
-            "h1", F.conv(F.substring("chunk_hash", 1, 15), 16, 10).cast("long")
+            "h1", F.conv(F.substring(col, 1, 15), 16, 10).cast("long")
         )
         .withColumn(
-            "h2", F.conv(F.substring("chunk_hash", 16, 15), 16, 10).cast("long")
+            "h2", F.conv(F.substring(col, 16, 15), 16, 10).cast("long")
         )
     )
 
@@ -3658,9 +3838,11 @@ def _bloom_might_contain(
     )
 
 
-def _bloom_rows(hashes: DataFrame, pfx_len: int) -> DataFrame:
-    """One delta bloom row per prefix covering exactly ``hashes``
-    (distinct chunk_hash column), sized to the per-prefix count."""
+def _bloom_rows(hashes: DataFrame, pfx_len: int,
+                col: str = "chunk_hash") -> DataFrame:
+    """One delta bloom row per prefix covering exactly the distinct
+    values of the 32-hex key column ``col``, sized to the per-prefix
+    count."""
     import pandas as pd
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -3679,41 +3861,28 @@ def _bloom_rows(hashes: DataFrame, pfx_len: int) -> DataFrame:
         )
 
     return (
-        _with_pfx_halves(hashes.select("chunk_hash").distinct(), pfx_len)
+        _with_pfx_halves(hashes.select(col).distinct(), pfx_len, col=col)
         .groupBy("pfx")
         .applyInPandas(build, _CDC_BLOOM_SCHEMA)
     )
 
 
-def _bloom_candidates(spark, state_dir: str, hashes: DataFrame) -> DataFrame:
-    """The subset of ``hashes`` that MIGHT be in the committed ledger,
-    per the bloom sidecar -- the rest are definitely novel and skip the
-    ledger probe entirely.  A MISSING SIDECAR DIRECTORY degrades safely
-    to all-candidates (every hash probes the ledger).  A present sidecar
-    with no rows for a prefix, by contrast, means NO candidates there:
-    bloom delta rows are appended before each stamp commit, so a prefix
-    holding committed ledger rows always has bloom rows covering them
-    -- rowlessness proves the committed ledger is empty under that
-    prefix.  Cogrouped per prefix so a bloom's bits travel to its batch
-    hashes once, never row-multiplied through a join."""
-    import os
-
+def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
+                       col: str) -> DataFrame:
+    """The distinct values of 32-hex key column ``col`` that MIGHT be
+    covered by the bloom sidecar at ``bdir`` -- the rest are definitely
+    absent from whatever table the bloom shadows.  Caller has verified
+    the dir exists and its width matches ``pfx_len``.  A present sidecar
+    with no rows for a prefix means NO candidates there: bloom delta
+    rows always land before the data rows they cover (append order /
+    rebuild order), so rowlessness proves the shadowed table is empty
+    under that prefix.  Cogrouped per prefix so a bloom's bits travel to
+    its batch keys once, never row-multiplied through a join."""
     import pandas as pd
 
-    pfx_len = _cdc_pfx_len(state_dir)
     bh = _with_pfx_halves(
-        hashes.select("chunk_hash").distinct(), pfx_len
+        keys.select(col).distinct(), pfx_len, col=col
     ).localCheckpoint(eager=True)
-    bdir = _cdc_bloom_dir(state_dir)
-    if not os.path.exists(bdir):
-        return bh.select("chunk_hash")
-    if _layout_pfx_len(bdir) != pfx_len:
-        # ledger and bloom sidecar disagree on bucket width -- the crash
-        # window of a RE-BUCKETING compaction (ledger swapped, bloom swap
-        # pending).  The bloom rows cannot be matched to the new
-        # prefixes, so degrade to all-candidates (full probe: correct,
-        # just unpruned) until the compaction retry lands the new blooms
-        return bh.select("chunk_hash")
     # touched prefixes: bounded collect (<= 4096 short hex strings);
     # pruned read with pfx pinned to string (all-numeric dirs would
     # otherwise infer int and break the string-keyed cogroup below)
@@ -3723,21 +3892,41 @@ def _bloom_candidates(spark, state_dir: str, hashes: DataFrame) -> DataFrame:
 
     def probe(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
         if len(left) == 0:
-            return pd.DataFrame({"chunk_hash": pd.Series([], dtype=object)})
+            return pd.DataFrame({col: pd.Series([], dtype=object)})
         h1 = left["h1"].to_numpy(np.int64).astype(np.uint64)
         h2 = left["h2"].to_numpy(np.int64).astype(np.uint64)
-        # no rows for this prefix => committed ledger empty there (see
+        # no rows for this prefix => shadowed table empty there (see
         # docstring) => nothing survives; otherwise OR across delta rows
         maybe = np.zeros(len(left), dtype=bool)
         for mm, bits in zip(right["m"], right["bits"]):
             maybe |= _bloom_might_contain(h1, h2, int(mm), bits)
-        return left.loc[maybe, ["chunk_hash"]]
+        return left.loc[maybe, [col]]
 
     return (
         bh.groupBy("pfx")
         .cogroup(blooms.groupBy("pfx"))
-        .applyInPandas(probe, "chunk_hash string")
+        .applyInPandas(probe, f"{col} string")
     )
+
+
+def _bloom_candidates(spark, state_dir: str, hashes: DataFrame) -> DataFrame:
+    """The subset of ``hashes`` that MIGHT be in the committed ledger,
+    per the bloom sidecar -- the rest are definitely novel and skip the
+    ledger probe entirely.  A MISSING SIDECAR DIRECTORY degrades safely
+    to all-candidates (every hash probes the ledger)."""
+    import os
+
+    pfx_len = _cdc_pfx_len(state_dir)
+    bdir = _cdc_bloom_dir(state_dir)
+    if not os.path.exists(bdir) or _layout_pfx_len(bdir) != pfx_len:
+        # missing sidecar, or ledger and bloom disagree on bucket width
+        # -- the crash window of a RE-BUCKETING compaction (ledger
+        # swapped, bloom swap pending).  Degrade to all-candidates (full
+        # probe: correct, just unpruned) until the compaction retry
+        # lands the new blooms
+        return hashes.select("chunk_hash").distinct() \
+            .localCheckpoint(eager=True)
+    return _bloom_filter_keys(spark, bdir, hashes, pfx_len, "chunk_hash")
 
 
 def _cdc_ledger_hits(

@@ -3834,3 +3834,49 @@ def test_maybe_compact_cdc_orphan_trigger(spark, tmp_path):
     assert stats["rows_after"] < before
     led = spark.read.parquet(path)
     assert led.filter("batch_stamp = 'cdc-never-committed'").count() == 0
+
+
+def test_band_sidecar_bloom_gates_the_probe(spark, tmp_path):
+    """The bloom sidecar decides which batch keys touch the band sidecar
+    at all: an all-novel batch reads (almost) nothing, a planted
+    duplicate's rows always come back (bloom has no false negatives),
+    and removing the bloom degrades to the unpruned-but-correct read."""
+    import shutil
+
+    docs = _mk_docs(spark, _near_dup_rows(37, 60))
+    sig_path = str(tmp_path / "sigs.parquet")
+    corpus = docs.filter("doc_id % 2 = 0")
+    dedup.minhash_lsh_candidates(corpus, persist_signatures=sig_path).collect()
+    bdir = dedup._bands_bloom_dir(sig_path)
+    assert dedup._layout_pfx_len(bdir) == dedup._layout_pfx_len(
+        dedup._bands_sidecar_path(sig_path), key="bpfx")
+    # all-novel batch: nothing survives the bloom beyond fp (tiny corpus
+    # -> fpp ~5e-4 over a few hundred keys: expect zero)
+    novel = _mk_docs(spark, [(i + 10_000, f"zz{i} " * 30) for i in range(40)])
+    nb = dedup._band_buckets(
+        dedup.minhash_signatures(novel), 8, 8
+    ).select("band", "bucket").distinct().localCheckpoint(eager=True)
+    assert dedup._read_band_sidecar(spark, sig_path, nb).count() == 0
+    # planted duplicate: its corpus rows always come back
+    dup_bucket = (
+        spark.read.parquet(dedup._bands_sidecar_path(sig_path))
+        .select("band", "bucket").limit(1).localCheckpoint(eager=True))
+    got = dedup._read_band_sidecar(spark, sig_path, dup_bucket)
+    want = (spark.read.parquet(dedup._bands_sidecar_path(sig_path))
+            .drop("bpfx", "bk")
+            .join(dup_bucket, ["band", "bucket"], "left_semi"))
+    assert ({tuple(r) for r in got.join(
+                dup_bucket, ["band", "bucket"], "left_semi").collect()}
+            == {tuple(r) for r in want.collect()})
+    # bloom removed: degrade to unpruned read, candidates unchanged
+    batch = docs.filter("doc_id % 2 = 1")
+    with_bloom = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, append=False).collect()
+    }
+    shutil.rmtree(bdir)
+    without = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            batch, sig_path, append=False).collect()
+    }
+    assert with_bloom == without

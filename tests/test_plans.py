@@ -781,3 +781,29 @@ def test_ingest_write_mass_tracks_batch_not_corpus(spark, tmp_path):
         appended[tag].append(spark.read.parquet(led).count() - n0)
     for a1, a4 in zip(appended["x1"], appended["x4"]):
         assert a4 <= 2 * a1 + 8, (appended["x1"], appended["x4"])
+
+
+def test_incremental_annotation_pushes_cand_ids_to_sig_scan(spark, tmp_path):
+    """Round-12: the est-jaccard annotation's candidate ids reach the
+    signature-table parquet scan as a pushed IN filter (row-group
+    skipping on the doc_id-clustered layout) -- the per-batch signature
+    read is ∝ candidates, not ∝ corpus."""
+    import numpy as np
+
+    from dask_patternsearch_spark.operators import dedup
+
+    rng = np.random.default_rng(41)
+    words = [f"w{i}" for i in range(60)]
+    rows = [(i, " ".join(rng.choice(words, size=24))) for i in range(60)]
+    # plant near-dups across the corpus/batch split so candidates exist
+    rows += [(i + 1000, rows[i][1]) for i in range(0, 60, 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_lsh_candidates(
+        docs.filter("doc_id < 1000"), persist_signatures=sig_path).collect()
+    out = dedup.incremental_minhash_candidates(
+        docs.filter("doc_id >= 1000"), sig_path, append=False)
+    assert out.count() > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the pushed filter appears at scan level over the signature table
+    assert "PushedFilters" in plan and "In(doc_id" in plan, plan[:2000]

@@ -687,6 +687,146 @@ def _probe_spans(spark, ui) -> None:
               f"{leak}/{train} leaky train docs |")
 
 
+def _probe_bands_sidecar(spark, ui) -> None:
+    """Round-12 evidence for the bloom-gated band sidecar: the
+    corpus-side band-row read of a FIXED incremental batch (15k novel
+    docs + 100 corpus duplicates -- a realistic near-dup rate), measured
+    as storage bytes against sidecars built from x10/x30/x100 corpora.
+    Claims under test: the bloom drops the batch's ~120k novel keys
+    down to ~collisions + tuned false positives, the surviving keys'
+    pushed bk-IN filter plus partition pruning keeps the row decode
+    ∝ collisions (the flat-scan line = sidecar bytes on disk = what the
+    round-11 flat layout read per batch), and the gated read is
+    LOSSLESS -- the (band, bucket)-joined row set equals the full-scan
+    restriction at every scale."""
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    novel = (spark.read.parquet(os.path.join(generate(3),
+                                             "documents.parquet"))
+             .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+             .localCheckpoint(eager=True))
+    print("| corpus | metric | value |")
+    print("|---|---|---|")
+    for s in (10, 30, 100):
+        corpus = spark.read.parquet(
+            os.path.join(generate(s), "documents.parquet"))
+        # fixed duplicate mass: 100 corpus docs re-id'd into the batch
+        batch = novel.unionByName(
+            corpus.filter(F.col("doc_id") < 100)
+            .withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000))
+        ).localCheckpoint(eager=True)
+        new_buckets = (
+            dedup._band_buckets(dedup.minhash_signatures(batch), 8, 8)
+            .select("band", "bucket").distinct()
+            .localCheckpoint(eager=True))
+        n_keys = new_buckets.count()
+        sig_path = os.path.join(PROBE_ROOT, f"bsig_x{s}.parquet")
+        dedup.minhash_signatures(corpus).withColumn(
+            "hash_family", F.lit(dedup.HASH_FAMILY_VERSIONS["md5"])
+        ).write.mode("overwrite").parquet(sig_path)
+        dedup.rebuild_band_sidecar(spark, sig_path)
+        sidecar = dedup._bands_sidecar_path(sig_path)
+        width = dedup._layout_pfx_len(sidecar, key="bpfx")
+        flat_line = _dir_bytes(sidecar)
+        bloom_bytes = _dir_bytes(dedup._bands_bloom_dir(sig_path))
+        # how many keys the bloom lets through (collisions + fp)
+        n_surv = dedup._bloom_filter_keys(
+            spark, dedup._bands_bloom_dir(sig_path),
+            new_buckets.withColumn("bkey", dedup._bands_key_expr()),
+            width, "bkey").count()
+        probe = lambda: (
+            dedup._read_band_sidecar(spark, sig_path, new_buckets)
+            .join(F.broadcast(new_buckets), ["band", "bucket"])
+        )
+        probe().count()  # warm (file listing, codegen)
+        in0 = _input_totals(ui)
+        t0 = time.perf_counter()
+        n_hit = probe().count()
+        dt = time.perf_counter() - t0
+        in1 = _input_totals(ui)
+        # parity: the gated read is lossless vs the full-scan restriction
+        full = (spark.read.parquet(sidecar).drop("bpfx", "bk")
+                .join(F.broadcast(new_buckets), ["band", "bucket"]))
+        got = {tuple(r) for r in probe().collect()}
+        want = {tuple(r) for r in full.collect()}
+        assert got == want, f"x{s}: gated read != full-scan restriction"
+        print(f"| x{s} ({5000*s} docs) | band probe (width {width}, "
+              f"{n_keys} batch keys -> {n_surv} bloom survivors) | "
+              f"{dt:.2f}s / {(in1-in0)/1e6:.1f}MB in (flat-scan line "
+              f"{flat_line/1e6:.1f}MB + bloom {bloom_bytes/1e6:.1f}MB) / "
+              f"{n_hit} hit rows / parity OK |")
+
+
+def _probe_cdc_rebucket(spark, ui) -> None:
+    """Round-12 evidence that a compaction-driven RE-BUCKET keeps the CDC
+    probe flat across a prefix-tier boundary.  The real boundary sits at
+    2M chunks; to cross it at probe scale the tier table is scaled down
+    (documented knob: same code path, smaller constant), then a grown
+    corpus triggers maybe_compact_cdc_state's `rebucket` and a FIXED
+    batch is re-ingested on the wider layout.  Claims under test: the
+    trigger fires exactly at the boundary, the layout widens, and the
+    fixed batch's ledger read volume stays flat while the flat-scan
+    line grows with the corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    orig = dedup._pick_pfx_len
+    # scaled tiers: boundary at 400k chunks instead of 2M (the comparison
+    # of interest is probe cost across the SAME boundary-crossing event,
+    # not the absolute constant; the x10 corpus is ~344k chunks after the
+    # fixed batch -- below the boundary -- and the x30 growth crosses it)
+    dedup._pick_pfx_len = lambda n: 1 if n < 400_000 else 2
+    try:
+        batch = (
+            spark.read.parquet(os.path.join(generate(3),
+                                            "documents.parquet"))
+            .withColumn("doc_id", F.col("doc_id") + F.lit(10_000_000))
+            .localCheckpoint(eager=True))
+        state = os.path.join(PROBE_ROOT, "rebucket_state")
+        shutil.rmtree(state, ignore_errors=True)
+        print("| point | metric | value |")
+        print("|---|---|---|")
+        dedup.init_cdc_state(
+            spark.read.parquet(os.path.join(generate(10),
+                                            "documents.parquet")), state)
+        path = dedup._cdc_ledger_path(state)
+
+        def ingest_probe(label: str) -> None:
+            in0 = _input_totals(ui)
+            t0 = time.perf_counter()
+            dedup.ingest_cdc_batch(batch, state).count()
+            dt = time.perf_counter() - t0
+            in1 = _input_totals(ui)
+            print(f"| {label} (width {dedup._cdc_pfx_len(state)}) | "
+                  f"ingest 15k batch | {dt:.2f}s / "
+                  f"{(in1-in0)/1e6:.1f}MB in (flat-scan line "
+                  f"{_dir_bytes(path)/1e6:.1f}MB) |")
+
+        ingest_probe("below boundary, x10 corpus")
+        assert dedup.maybe_compact_cdc_state(spark, state) is None
+        # grow the corpus past the scaled boundary (x30 ~ 180k chunks)
+        grow = (spark.read.parquet(os.path.join(generate(30),
+                                                "documents.parquet"))
+                .withColumn("doc_id", F.col("doc_id") + F.lit(20_000_000)))
+        dedup.ingest_cdc_batch(grow, state).count()
+        stats = dedup.maybe_compact_cdc_state(spark, state)
+        assert stats is not None and stats["trigger"] == "rebucket", stats
+        print(f"| boundary crossed | maybe_compact_cdc_state | "
+              f"trigger={stats['trigger']} rows={stats['rows_after']} |")
+        # retry-idempotence note: the fixed batch is already committed, so
+        # re-ingesting probes the WIDER layout for the same duplicates --
+        # exactly the per-batch probe cost after a re-bucket
+        ingest_probe("above boundary, x10+x30 corpus")
+        shutil.rmtree(state, ignore_errors=True)
+    finally:
+        dedup._pick_pfx_len = orig
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -739,7 +879,7 @@ def _probe_incremental_ann(spark, ui) -> None:
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
         ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"],
-        ["--cdc"], ["--spans"]):
+        ["--cdc"], ["--spans"], ["--bands-sidecar"], ["--cdc-rebucket"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -766,6 +906,10 @@ elif __name__ == "__main__":
         _probe_ingest(_spark, _ui)
     elif mode == "--cdc":
         _probe_cdc(_spark, _ui)
+    elif mode == "--bands-sidecar":
+        _probe_bands_sidecar(_spark, _ui)
+    elif mode == "--cdc-rebucket":
+        _probe_cdc_rebucket(_spark, _ui)
     elif mode == "--spans":
         _probe_spans(_spark, _ui)
     elif mode == "--compaction":
