@@ -531,9 +531,16 @@ def _write_band_sidecar(sigs: DataFrame, signatures_path: str,
     from ..sources.io import (DEFAULT_MAX_GROUP_BYTES,
                               DEFAULT_MAX_GROUP_ROWS, _row_group_options)
 
+    import glob as _glob
+
     sidecar = _bands_sidecar_path(signatures_path)
     bdir = _bands_bloom_dir(signatures_path)
     shutil.rmtree(bdir, ignore_errors=True)
+    # a previous rebuild's crash debris (bloom staged but never renamed
+    # in) is superseded by this rebuild -- reclaim it here, the only
+    # writer (callers hold the sidecar lock)
+    for leftover in _glob.glob(_glob.escape(bdir) + ".build-*"):
+        shutil.rmtree(leftover, ignore_errors=True)
     width = _pick_pfx_len(sigs.count() * n_bands)
     rows = (
         _band_buckets(sigs, n_bands, rows_per_band)
@@ -644,9 +651,22 @@ def _read_band_sidecar(spark, signatures_path: str,
     bdir = _bands_bloom_dir(signatures_path)
     survivor_keys: list | None = None
     if os.path.exists(bdir) and _layout_pfx_len(bdir) == width:
-        survivors = _bloom_filter_keys(spark, bdir, keys, width, "bkey")
-        survivor_keys = [r[0] for r in survivors.collect()]
-        pfxs = sorted({k[:width] for k in survivor_keys})
+        survivors = _bloom_filter_keys(
+            spark, bdir, keys, width, "bkey"
+        ).localCheckpoint(eager=True)
+        # count before collecting: only a bounded key set ever reaches
+        # the driver (a mostly-duplicate batch keeps its keys
+        # distributed and relies on prefix pruning alone)
+        if survivors.count() <= _BANDS_KEY_ISIN_MAX:
+            survivor_keys = [r[0] for r in survivors.collect()]
+            pfxs = sorted({k[:width] for k in survivor_keys})
+        else:
+            pfxs = sorted(
+                r[0]
+                for r in survivors.select(
+                    F.substring("bkey", 1, width).alias("p")
+                ).distinct().collect()
+            )
     else:
         pfxs = sorted(
             r[0]
@@ -665,8 +685,7 @@ def _read_band_sidecar(spark, signatures_path: str,
     ])
     out = _read_bucketed_pruned(spark, sidecar, _BANDS_SIDECAR_KEY, pfxs,
                                 fixed)
-    if (survivor_keys is not None and "bk" in inferred.fieldNames()
-            and len(survivor_keys) <= _BANDS_KEY_ISIN_MAX):
+    if survivor_keys is not None and "bk" in inferred.fieldNames():
         # push the (bloom-bounded) surviving keys to the scan: files are
         # sorted on bk, so the IN filter skips row groups by footer
         # min/max -- bytes ∝ matching row groups, not partition size.
@@ -1307,8 +1326,11 @@ def incremental_minhash_candidates(
     cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                 .union(pairs.select("doc_b")).distinct()
                 .localCheckpoint(eager=True))
-    ids = [r[0] for r in cand_ids.collect()]
-    if len(ids) <= _SIG_ID_ISIN_MAX:
+    # count before collecting: only a bounded id set ever reaches the
+    # driver (a pathological all-duplicate batch keeps everything
+    # distributed on the broadcast path)
+    if cand_ids.count() <= _SIG_ID_ISIN_MAX:
+        ids = [r[0] for r in cand_ids.collect()]
         # the filter pushes below the anti/semi-joins into BOTH sides'
         # parquet scans (new_sigs is a batch-bounded checkpoint in the
         # append=False branch; a table semi-join in the append branch)
@@ -2807,11 +2829,16 @@ def _path_lock(lock: str, stale_after: float = 60.0):
     def _heartbeat() -> None:
         while not stop.wait(stale_after / 4.0):
             if not _owned():
-                return  # stolen while this process was frozen
+                # stolen while this process was frozen -- keep POLLING
+                # instead of exiting: a momentary displacement (another
+                # holder's release verifying and restoring our file)
+                # returns ownership, and a dead heartbeat would let a
+                # LIVE restored holder read as stale and be stolen
+                continue
             try:
                 os.utime(lock)
             except FileNotFoundError:
-                return
+                continue
 
     hb = threading.Thread(
         target=_heartbeat, name="state-lock-heartbeat", daemon=True
