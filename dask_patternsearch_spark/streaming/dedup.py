@@ -11,13 +11,25 @@ Contract (deterministic): a document is DROPPED iff it shares a band
 bucket with a smaller-doc_id document in its own batch, or with any
 previously kept document.  Survivors append their bands to the ledger.
 
-Scale: the ledger stores (band, bucket, doc_id) rows for KEPT docs only
--- a few dozen longs per document, far smaller than text.  The per-batch
-semi join keys on (band, bucket); with the ledger written partitioned by
-band it prunes to matching partitions.  Plain parquet append keeps this
-container-friendly; at real scale the same body targets Delta/Iceberg
-(atomic append) or a key-value store -- the structure is what carries
-over, exactly as for ``streaming.events.upsert_ledger_stream``.
+Scale: the ledger stores (band, bucket, doc_id, bk) rows for KEPT docs
+only -- a few dozen longs per document, far smaller than text -- and
+since round 12 the per-batch probe is BLOOM-GATED and CLUSTERED, the
+same architecture as the batch path's band sidecar: a bloom sidecar
+over md5(band:bucket) drops the batch keys with no ledger collision
+(on a real feed, almost all of them), and the survivors are pushed
+into the ledger scan as a ``bk IN (...)`` literal over files sorted on
+the 60-bit key, so parquet footer min/max skips row groups -- per-batch
+ledger bytes ∝ the batch's true collision mass, not the ledger.  Bloom
+deltas land BEFORE the band rows they cover (superset through any
+replay) and are collapsed by a GEOMETRIC rebuild (when the ledger
+doubles since the last rebuild -- amortized O(1) per row, so the
+rebuild never becomes a per-batch corpus term).  A pre-round-12 ledger
+is migrated in place on first contact (one clustered rewrite + bloom
+build, swap-crash-healed by the shared ``_recover_dir_swap``).  Plain
+parquet append keeps this container-friendly; at real scale the same
+body targets Delta/Iceberg (atomic append) or a key-value store -- the
+structure is what carries over, exactly as for
+``streaming.events.upsert_ledger_stream``.
 
 Reference note: this is the streaming generalization of the reference's
 memo-table dedup probe (``/root/reference/dask_patternsearch/search.py:
@@ -44,11 +56,52 @@ def neardup_filter_stream(
 
     ``docs_stream`` must provide (doc_id, text).  Kept doc_ids land in
     ``kept_path`` (with their batch_id); kept documents' bands accumulate
-    in ``bands_path``.
+    in ``bands_path`` (clustered on the 60-bit band-bucket key), with a
+    bloom sidecar at ``bands_path + ".bloom"``.
     """
-    from ..operators.dedup import _band_buckets, minhash_signatures
+    import json
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.dedup import (_BANDS_KEY_ISIN_MAX, _atomic_json_write,
+                                   _band_buckets, _bands_bk_expr,
+                                   _bands_key_expr, _bloom_filter_keys,
+                                   _bloom_rows, _recover_dir_swap,
+                                   minhash_signatures)
+    from ..sources.io import (DEFAULT_MAX_GROUP_BYTES, DEFAULT_MAX_GROUP_ROWS,
+                              _row_group_options)
 
     rows_per_band = n_perm // n_bands
+    bdir = bands_path + ".bloom"
+    meta_path = bdir + ".meta.json"
+    # bloom prefix width: fixed 1 (16 dirs).  Unlike the batch sidecar,
+    # the PRUNING here comes from the pushed bk-IN row-group skip, not
+    # from directories -- the dirs only bound the cogroup's group sizes,
+    # so the width never needs re-bucketing as the ledger grows.
+    width = 1
+
+    def _write_clustered(rows: DataFrame, mode: str, path: str) -> None:
+        _row_group_options(
+            rows.withColumn("bk", _bands_bk_expr())
+            .sortWithinPartitions("bk").write.mode(mode),
+            "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES,
+        ).parquet(path)
+
+    def _rebuild_bloom(sp, n_rows: int) -> None:
+        """Collapse the per-batch bloom deltas to one right-sized row per
+        prefix (and cover any rows the deltas predate -- the migration
+        case), swap in by atomic rename, record the ledger size the
+        rebuild saw.  Called on a GEOMETRIC schedule (ledger doubled), so
+        its full-ledger scan amortizes to O(1) per ledger row."""
+        keys = sp.read.parquet(bands_path).select(
+            _bands_key_expr().alias("bkey"))
+        tmp = bdir + ".build-" + uuid.uuid4().hex
+        _bloom_rows(keys, width, col="bkey").write.mode(
+            "errorifexists").partitionBy("pfx").parquet(tmp)
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.rename(tmp, bdir)
+        _atomic_json_write(meta_path, {"rows_at_rebuild": n_rows})
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
@@ -67,9 +120,43 @@ def neardup_filter_stream(
         hconf = sp.sparkContext._jsc.hadoopConfiguration()
         dst = jvm.org.apache.hadoop.fs.Path(bands_path)
         if dst.getFileSystem(hconf).exists(dst):
-            ledger = sp.read.parquet(bands_path).select("band", "bucket").distinct()
+            _recover_dir_swap(bands_path)  # heal a crashed migration swap
+            ledger_rd = sp.read.parquet(bands_path)
+            if not os.path.exists(meta_path) or "bk" not in ledger_rd.columns:
+                # pre-round-12 ledger: one-time in-place migration to the
+                # clustered layout + bloom (two-rename swap; a crash
+                # strands the old ledger in the .old sibling, healed
+                # above on the next batch)
+                tmp = bands_path + ".compact-" + uuid.uuid4().hex
+                _write_clustered(
+                    ledger_rd.select("band", "bucket", "doc_id"),
+                    "errorifexists", tmp)
+                old = bands_path + ".old-" + uuid.uuid4().hex
+                os.rename(bands_path, old)
+                os.rename(tmp, bands_path)
+                shutil.rmtree(old, ignore_errors=True)
+                ledger_rd = sp.read.parquet(bands_path)
+                _rebuild_bloom(sp, ledger_rd.count())
+            elif not os.path.exists(bdir):
+                # bloom lost (manual cleanup / crashed rebuild): the
+                # ledger is already clustered, only the bloom needs
+                # rebuilding before the gated probe can run
+                _rebuild_bloom(sp, ledger_rd.count())
+            keys = (bands.select("band", "bucket").distinct()
+                    .withColumn("bkey", _bands_key_expr()))
+            surv = _bloom_filter_keys(
+                sp, bdir, keys, width, "bkey").localCheckpoint(eager=True)
+            if surv.count() <= _BANDS_KEY_ISIN_MAX:
+                # bloom-bounded survivors pushed to the scan: row-group
+                # skipping on the bk-sorted files -- ledger bytes read
+                # ∝ the batch's collision mass
+                bks = [int(r[0][:15], 16) for r in surv.collect()]
+                ledger_keys = (ledger_rd.filter(F.col("bk").isin(bks))
+                               .select("band", "bucket").distinct())
+            else:  # mostly-duplicate batch: the read is legitimately big
+                ledger_keys = ledger_rd.select("band", "bucket").distinct()
             dup_vs_ledger = bands.join(
-                ledger, ["band", "bucket"], "left_semi"
+                ledger_keys, ["band", "bucket"], "left_semi"
             ).select("doc_id")
         else:  # first batch: no ledger yet
             dup_vs_ledger = sp.createDataFrame([], "doc_id long")
@@ -89,12 +176,28 @@ def neardup_filter_stream(
             .join(dups, "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        bands.join(kept, "doc_id", "left_semi").write.mode("append").parquet(
-            bands_path
-        )
+        kept_bands = bands.join(
+            kept, "doc_id", "left_semi").localCheckpoint(eager=True)
+        # bloom delta BEFORE the band append: bloom ⊇ ledger through any
+        # crash/replay (extra bits from a replayed batch = fp only)
+        _bloom_rows(
+            kept_bands.select(_bands_key_expr().alias("bkey")), width,
+            col="bkey",
+        ).write.mode("append").partitionBy("pfx").parquet(bdir)
+        _write_clustered(kept_bands, "append", bands_path)
         kept.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             kept_path
         )
+        # geometric bloom compaction: the per-batch delta rows pile up
+        # one-per-prefix-per-batch; once the ledger has doubled since
+        # the last rebuild, collapse them (amortized O(1) per row)
+        n_rows = sp.read.parquet(bands_path).count()
+        last = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                last = json.load(fh).get("rows_at_rebuild", 0)
+        if n_rows >= max(2 * last, 1):
+            _rebuild_bloom(sp, n_rows)
 
     q = (
         docs_stream.writeStream.foreachBatch(process_batch)

@@ -858,3 +858,47 @@ def test_streaming_cdc_auto_compact_maintains_ledger(spark, scratch_dir):
         tuple(r) for r in spark.read.parquet(
             os.path.join(scratch_dir, p) + "/*").collect())
     assert out("ac_out") == out("ac_out2")
+
+
+def test_streaming_neardup_migrates_legacy_ledger_and_blooms(spark, tmp_path):
+    """Round-12: a pre-existing FLAT band ledger (no bk column, no bloom)
+    is migrated in place on first contact -- clustered rewrite + bloom
+    build -- and the drained decisions match the legacy semantics: a doc
+    near-duplicating a ledgered doc is dropped, novel docs kept."""
+    import pandas as pd
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    base = "spark shuffle partition broadcast join aggregate window stage task " * 8
+    uniq = ("stencil simplex reflect contract halving lattice orientation "
+            "incumbent poll round ledger dedup probe submit drain decide ") * 6
+    # plant a LEGACY ledger: doc 1's bands, flat layout, no bloom
+    seed = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    bands_path = str(tmp_path / "bands")
+    bdedup._band_buckets(
+        bdedup.minhash_signatures(seed), 8, 8
+    ).write.parquet(bands_path)
+    assert "bk" not in spark.read.parquet(bands_path).columns
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    pd.DataFrame({"doc_id": [3, 4], "text": [base + " tail", uniq]}
+                 ).to_parquet(docs_dir / "x.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path,
+        kept_path=str(tmp_path / "kept"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert kept == {4}, "near-copy of the legacy-ledgered doc must drop"
+    # migrated: clustered column present, bloom sidecar + meta written,
+    # no swap debris
+    led = spark.read.parquet(bands_path)
+    assert "bk" in led.columns and led.filter("bk is null").count() == 0
+    assert os.path.exists(bands_path + ".bloom")
+    assert os.path.exists(bands_path + ".bloom.meta.json")
+    import glob as _g
+    assert not _g.glob(bands_path + ".old-*")
+    assert not _g.glob(bands_path + ".compact-*")
