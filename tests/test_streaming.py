@@ -902,3 +902,55 @@ def test_streaming_neardup_migrates_legacy_ledger_and_blooms(spark, tmp_path):
     import glob as _g
     assert not _g.glob(bands_path + ".old-*")
     assert not _g.glob(bands_path + ".compact-*")
+
+
+def test_streaming_keepers_auto_compact_runs_trigger(spark, tmp_path):
+    """ingest_keepers_stream(auto_compact=True) runs the MinHash leg's
+    maintenance trigger per micro-batch (quiet at tiny scale -- the
+    min_log_rows floor -- but the hook must execute and the drain must
+    land the same resolved state as the untriggered path)."""
+    import pandas as pd
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    rows = [(i, " ".join(f"w{(i * 5 + j) % 37}" for j in range(20)))
+            for i in range(24)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # stage ONLY the stream's docs: the init docs must not re-ingest
+    pd.DataFrame({"doc_id": [r[0] for r in rows if r[0] >= 8],
+                  "text": [r[1] for r in rows if r[0] >= 8]}).to_parquet(
+        docs_dir / "x.parquet")
+    state = str(tmp_path / "state")
+    bdedup.init_dedup_state(docs.filter("doc_id < 8"), state,
+                            quality_col="doc_id")
+    calls: list[str] = []
+    orig = bdedup.maybe_compact_dedup_state
+
+    def spy(sp, sd, **kw):
+        calls.append(sd)
+        return orig(sp, sd, **kw)
+
+    bdedup.maybe_compact_dedup_state = spy
+    try:
+        sdedup.ingest_keepers_stream(
+            sdedup.read_docs_stream(spark, str(docs_dir)),
+            state, str(tmp_path / "ckpt"), auto_compact=True,
+            quality_col="doc_id",
+        )
+    finally:
+        bdedup.maybe_compact_dedup_state = orig
+    assert calls == [state]
+    # resolved state matches the one-call batch path over the union
+    full_pairs = bdedup.minhash_lsh_candidates(docs)
+    want = sorted(
+        tuple(r)
+        for r in bdedup.cluster_keepers(
+            docs.withColumn("n_chars", F.length("text")),
+            full_pairs, quality_col="doc_id").collect())
+    got = sorted(
+        tuple(r)
+        for r in bdedup.load_cluster_state(spark, state)[1].collect())
+    assert got == want
