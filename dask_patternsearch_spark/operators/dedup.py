@@ -3311,7 +3311,28 @@ def compact_dedup_state(spark, state_dir: str) -> dict:
                 raise
             shutil.rmtree(old)
             stats[f"{key}_rows_after"] = spark.read.parquet(path).count()
+        # refresh the maintenance hint: post-compaction log sizes ARE the
+        # resolved sizes (one generation, no tombstones)
+        _record_resolved_sizes(
+            state_dir, stats["labels_rows_after"], stats["keepers_rows_after"]
+        )
     return stats
+
+
+def _compact_meta_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir.rstrip("/"), "_compact_meta.json")
+
+
+def _record_resolved_sizes(state_dir: str, labels: int, keepers: int) -> None:
+    """Remember the resolved view sizes (a maintenance HINT, not state:
+    losing it only costs one extra resolution; same atomic temp+replace
+    as every sidecar)."""
+    _atomic_json_write(
+        _compact_meta_path(state_dir),
+        {"labels_resolved": int(labels), "keepers_resolved": int(keepers)},
+    )
 
 
 def maybe_compact_dedup_state(
@@ -3339,20 +3360,43 @@ def maybe_compact_dedup_state(
     the larger log).  Returns :func:`compact_dedup_state`'s stats when
     triggered, else ``None``.
 
-    Cost model: the check itself is two footer-counts + two resolved
-    counts per call; a triggered compaction rewrites each log once
-    (∝ resolved state).  Run it after each ingest (or on a schedule) --
-    read amplification stays bounded by ``gap_ratio`` while write
-    amplification stays ∝ the superseded fraction."""
+    Cost model (round-12: safe to run per micro-batch -- the streaming
+    sink's ``auto_compact`` does): the COMMON path is two footer-counts
+    plus one tiny json read.  The corpus-sized state RESOLUTION only
+    runs when the footer math says the gap COULD have reached
+    ``gap_ratio`` against the resolved sizes remembered from the last
+    resolution or compaction (``_compact_meta.json`` -- a heuristic
+    hint, not state: losing it costs one extra resolution; label counts
+    only grow, so the label gap bound is exact, while keeper merges can
+    shrink the resolved view and merely DELAY the trigger by the shrink
+    factor until the next resolution refreshes the hint).  A triggered
+    compaction rewrites each log once (∝ resolved state).  Read
+    amplification stays bounded by ``gap_ratio`` while write
+    amplification stays ∝ the superseded fraction -- without the
+    trigger itself becoming a per-batch corpus term."""
+    import json
+    import os
+
     _sig, lab_path, keep_path = _delta_dirs(state_dir)
     lab_rows = spark.read.parquet(lab_path).count()
     keep_rows = spark.read.parquet(keep_path).count()
     if max(lab_rows, keep_rows) < min_log_rows:
         return None
+    meta = _compact_meta_path(state_dir)
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            hint = json.load(fh)
+        cheap = max(
+            lab_rows / max(hint.get("labels_resolved", 1), 1),
+            keep_rows / max(hint.get("keepers_resolved", 1), 1),
+        )
+        if cheap < gap_ratio:
+            return None  # footer math alone rules compaction out
     labels, keepers = load_cluster_state(spark, state_dir)
+    n_labels, n_keepers = labels.count(), keepers.count()
+    _record_resolved_sizes(state_dir, n_labels, n_keepers)
     gaps = []
-    for log_rows, resolved in ((lab_rows, labels.count()),
-                               (keep_rows, keepers.count())):
+    for log_rows, resolved in ((lab_rows, n_labels), (keep_rows, n_keepers)):
         gaps.append(log_rows / resolved if resolved else float("inf"))
     if max(gaps) < gap_ratio:
         return None

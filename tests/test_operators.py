@@ -3880,3 +3880,39 @@ def test_band_sidecar_bloom_gates_the_probe(spark, tmp_path):
             batch, sig_path, append=False).collect()
     }
     assert with_bloom == without
+
+
+def test_maybe_compact_footer_gate_skips_resolution(spark, docs, tmp_path,
+                                                    monkeypatch):
+    """Round-12: the MinHash maintenance trigger's corpus-sized state
+    resolution only runs when footer counts against the remembered
+    resolved sizes say the gap could have reached the gate -- the
+    per-micro-batch common path is counts + one json read (the streaming
+    sink's auto_compact must not make the trigger itself a per-batch
+    corpus term)."""
+    state = str(tmp_path / "state")
+    dedup.init_dedup_state(docs.limit(60), state, quality_col="doc_id")
+    # seed the hint via one real resolution (first call has no meta)
+    assert dedup.maybe_compact_dedup_state(
+        spark, state, gap_ratio=50.0, min_log_rows=1) is None
+    import json
+    import os
+    assert os.path.exists(dedup._compact_meta_path(state))
+    with open(dedup._compact_meta_path(state)) as fh:
+        hint = json.load(fh)
+    assert hint["labels_resolved"] > 0
+    # now the footer math alone must rule compaction out -- resolution
+    # (load_cluster_state) must NOT run
+    calls = []
+    orig = dedup.load_cluster_state
+    monkeypatch.setattr(
+        dedup, "load_cluster_state",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    assert dedup.maybe_compact_dedup_state(
+        spark, state, gap_ratio=50.0, min_log_rows=1) is None
+    assert calls == []
+    # and a gap the footer math cannot rule out still resolves + fires
+    # (two resolutions: the trigger's own check + the compaction's)
+    assert dedup.maybe_compact_dedup_state(
+        spark, state, gap_ratio=1.0, min_log_rows=1) is not None
+    assert calls == [1, 1]
