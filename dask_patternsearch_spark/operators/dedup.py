@@ -654,11 +654,13 @@ def _read_band_sidecar(spark, signatures_path: str,
         survivors = _bloom_filter_keys(
             spark, bdir, keys, width, "bkey"
         ).localCheckpoint(eager=True)
-        # count before collecting: only a bounded key set ever reaches
-        # the driver (a mostly-duplicate batch keeps its keys
-        # distributed and relies on prefix pruning alone)
-        if survivors.count() <= _BANDS_KEY_ISIN_MAX:
-            survivor_keys = [r[0] for r in survivors.collect()]
+        # one bounded take() decides and fetches in the same job: only a
+        # bounded key set ever reaches the driver (a mostly-duplicate
+        # batch keeps its keys distributed and relies on prefix pruning
+        # alone)
+        head = survivors.take(_BANDS_KEY_ISIN_MAX + 1)
+        if len(head) <= _BANDS_KEY_ISIN_MAX:
+            survivor_keys = [r[0] for r in head]
             pfxs = sorted({k[:width] for k in survivor_keys})
         else:
             pfxs = sorted(
@@ -1326,11 +1328,13 @@ def incremental_minhash_candidates(
     cand_ids = (pairs.select(F.col("doc_a").alias("doc_id"))
                 .union(pairs.select("doc_b")).distinct()
                 .localCheckpoint(eager=True))
-    # count before collecting: only a bounded id set ever reaches the
-    # driver (a pathological all-duplicate batch keeps everything
-    # distributed on the broadcast path)
-    if cand_ids.count() <= _SIG_ID_ISIN_MAX:
-        ids = [r[0] for r in cand_ids.collect()]
+    # one bounded take() decides and fetches in the same job: only a
+    # bounded id set ever reaches the driver (a pathological
+    # all-duplicate batch keeps everything distributed on the broadcast
+    # path)
+    head = cand_ids.take(_SIG_ID_ISIN_MAX + 1)
+    if len(head) <= _SIG_ID_ISIN_MAX:
+        ids = [r[0] for r in head]
         # the filter pushes below the anti/semi-joins into BOTH sides'
         # parquet scans (new_sigs is a batch-bounded checkpoint in the
         # append=False branch; a table semi-join in the append branch)
