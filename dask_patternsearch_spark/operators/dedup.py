@@ -405,13 +405,31 @@ def _bands_meta_path(signatures_path: str) -> str:
 
 
 def _write_bands_meta(signatures_path: str, n_bands: int,
-                      rows_per_band: int) -> None:
+                      rows_per_band: int,
+                      rows_at_rebuild: int | None = None) -> None:
     import os
 
     meta = _bands_meta_path(signatures_path)
     os.makedirs(os.path.dirname(meta), exist_ok=True)
-    _atomic_json_write(
-        meta, {"n_bands": n_bands, "rows_per_band": rows_per_band})
+    payload = {"n_bands": n_bands, "rows_per_band": rows_per_band}
+    if rows_at_rebuild is not None:
+        payload["rows_at_rebuild"] = int(rows_at_rebuild)
+    _atomic_json_write(meta, payload)
+
+
+def _bump_bands_rebuild_meta(signatures_path: str, rows: int) -> None:
+    """Record the sidecar row count the latest bloom rebuild saw,
+    preserving the banding fields (callers hold the sidecar lock)."""
+    import json
+    import os
+
+    meta = _bands_meta_path(signatures_path)
+    if not os.path.exists(meta):
+        return  # meta absent: the caller sequence writes it afterwards
+    with open(meta) as fh:
+        payload = json.load(fh)
+    payload["rows_at_rebuild"] = int(rows)
+    _atomic_json_write(meta, payload)
 
 
 # --- band sidecar v2: bloom-gated, bucketed by band-bucket key prefix -------
@@ -563,14 +581,34 @@ def _write_band_sidecar(sigs: DataFrame, signatures_path: str,
         .write.mode("overwrite"),
         "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES,
     ).partitionBy(_BANDS_SIDECAR_KEY).parquet(sidecar)
+    return _rebuild_band_bloom(sigs.sparkSession, signatures_path, width)
+
+
+def _rebuild_band_bloom(spark, signatures_path: str, width: int) -> int:
+    """Rebuild the band bloom from the sidecar's full key set and swap
+    it in by atomic rename (a crash leaves either no bloom -- probes
+    degrade to the unpruned read -- or a complete one), recording the
+    sidecar row count in the meta so the geometric append schedule
+    knows when the ledger has doubled.  Callers hold the sidecar
+    lock."""
+    import os
+    import shutil
+    import uuid
+
+    sidecar = _bands_sidecar_path(signatures_path)
+    bdir = _bands_bloom_dir(signatures_path)
+    rows = _read_band_sidecar_full(spark, sidecar)
+    n_rows = rows.count()
     btmp = bdir + ".build-" + uuid.uuid4().hex
-    keys = (
-        _read_band_sidecar_full(sigs.sparkSession, sidecar)
-        .select(_bands_key_expr().alias("bkey"))
-    )
-    _bloom_rows(keys, width, col="bkey").write.mode(
-        "errorifexists").partitionBy("pfx").parquet(btmp)
+    _bloom_rows(
+        rows.select(_bands_key_expr().alias("bkey")), width, col="bkey"
+    ).write.mode("errorifexists").partitionBy("pfx").parquet(btmp)
+    shutil.rmtree(bdir, ignore_errors=True)
     os.rename(btmp, bdir)
+    # record in the meta when one exists (the bulk overwrite paths write
+    # their fresh meta AFTER this returns, carrying the returned count)
+    _bump_bands_rebuild_meta(signatures_path, n_rows)
+    return n_rows
 
 
 def _read_band_sidecar_full(spark, sidecar: str) -> DataFrame:
@@ -623,6 +661,22 @@ def _append_band_sidecar(band_rows: DataFrame, signatures_path: str) -> None:
         .write.mode("append"),
         "parquet", DEFAULT_MAX_GROUP_ROWS, DEFAULT_MAX_GROUP_BYTES,
     ).partitionBy(_BANDS_SIDECAR_KEY).parquet(sidecar)
+    # GEOMETRIC bloom compaction: each append adds one delta row per
+    # touched prefix, and every probe ORs across its prefix's rows --
+    # without collapse the per-batch bloom work grows linearly in batch
+    # count (the class of creep this round removes everywhere else).
+    # Rebuild from the sidecar once it has doubled since the last
+    # rebuild: the full-key scan amortizes to O(1) per sidecar row.
+    import json
+
+    spark = band_rows.sparkSession
+    meta = _bands_meta_path(signatures_path)
+    if os.path.exists(bdir) and os.path.exists(meta):
+        n_rows = spark.read.parquet(sidecar).count()
+        with open(meta) as fh:
+            last = json.load(fh).get("rows_at_rebuild", 0)
+        if n_rows >= 2 * max(last, 1):
+            _rebuild_band_bloom(spark, signatures_path, width)
 
 
 def _read_band_sidecar(spark, signatures_path: str,
@@ -743,8 +797,10 @@ def rebuild_band_sidecar(
                                hash_family=hash_family)
         with contextlib.suppress(FileNotFoundError):
             os.unlink(_bands_meta_path(signatures_path))
-        _write_band_sidecar(sigs, signatures_path, n_bands, rows_per_band)
-        _write_bands_meta(signatures_path, n_bands, rows_per_band)
+        n_rows = _write_band_sidecar(sigs, signatures_path, n_bands,
+                                     rows_per_band)
+        _write_bands_meta(signatures_path, n_bands, rows_per_band,
+                          rows_at_rebuild=n_rows)
 
 
 def _band_buckets(sigs: DataFrame, n_bands: int, rows_per_band: int) -> DataFrame:
@@ -945,13 +1001,14 @@ def minhash_lsh_candidates(
             )
             sigs = load_signatures(docs.sparkSession, persist_signatures,
                                    hash_family=hash_family)
-            # band-bucket sidecar: the per-batch incremental probe scans
-            # these 3 narrow columns instead of re-folding every corpus
-            # signature into bands on every ingest (see
-            # incremental_minhash_candidates)
-            _write_band_sidecar(sigs, persist_signatures, n_bands,
-                                rows_per_band)
-            _write_bands_meta(persist_signatures, n_bands, rows_per_band)
+            # band-bucket sidecar: the per-batch incremental probe reads
+            # bloom rows + the batch's collision row groups instead of
+            # re-folding every corpus signature into bands on every
+            # ingest (see incremental_minhash_candidates)
+            n_rows = _write_band_sidecar(sigs, persist_signatures,
+                                         n_bands, rows_per_band)
+            _write_bands_meta(persist_signatures, n_bands, rows_per_band,
+                              rows_at_rebuild=n_rows)
     else:
         sigs = sigs.localCheckpoint(eager=True)
     return _pairs_from_sigs(sigs, n_bands, rows_per_band, n_perm,

@@ -3916,3 +3916,43 @@ def test_maybe_compact_footer_gate_skips_resolution(spark, docs, tmp_path,
     assert dedup.maybe_compact_dedup_state(
         spark, state, gap_ratio=1.0, min_log_rows=1) is not None
     assert calls == [1, 1]
+
+
+def test_band_bloom_appends_collapse_geometrically(spark, tmp_path):
+    """Each incremental append adds one bloom delta row per touched
+    prefix; the geometric rebuild (sidecar doubled since last rebuild)
+    must keep rows-per-prefix bounded instead of growing linearly in
+    batch count -- and the gated probe stays lossless throughout."""
+    rows = _near_dup_rows(43, 120)
+    docs = _mk_docs(spark, rows)
+    sig_path = str(tmp_path / "sigs.parquet")
+    dedup.minhash_lsh_candidates(
+        docs.filter("doc_id % 6 = 0"), persist_signatures=sig_path).collect()
+    import json
+    with open(dedup._bands_meta_path(sig_path)) as fh:
+        assert json.load(fh)["rows_at_rebuild"] > 0
+    bdir = dedup._bands_bloom_dir(sig_path)
+    for m in range(1, 6):
+        dedup.incremental_minhash_candidates(
+            docs.filter(f"doc_id % 6 = {m}"), sig_path, append=True).collect()
+        worst = (
+            spark.read.schema(dedup._CDC_BLOOM_SCHEMA).parquet(bdir)
+            .groupBy("pfx").count().agg(F.max("count")).collect()[0][0]
+        )
+        # the geometric schedule bounds pile-up to ~log2 of the growth
+        # since the last rebuild; linear (no collapse) would reach
+        # init + m rows per prefix (6 at batch 5)
+        assert worst <= 4, f"bloom rows/pfx grew to {worst} after batch {m}"
+    # lossless end-state: gated candidates == derivation fallback
+    probe = docs.filter("doc_id >= 1000")  # the planted near-dups
+    got = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            probe, sig_path, append=False).collect()
+    }
+    import os
+    os.unlink(dedup._bands_meta_path(sig_path))
+    exp = {
+        tuple(r) for r in dedup.incremental_minhash_candidates(
+            probe, sig_path, append=False).collect()
+    }
+    assert got == exp
