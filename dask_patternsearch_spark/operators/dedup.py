@@ -595,8 +595,15 @@ def _rebuild_band_bloom(spark, signatures_path: str, width: int) -> int:
     import shutil
     import uuid
 
+    import glob as _glob
+
     sidecar = _bands_sidecar_path(signatures_path)
     bdir = _bands_bloom_dir(signatures_path)
+    # a previous rebuild's crash debris (staged but never renamed in) is
+    # superseded by this rebuild -- reclaim it here under the caller's
+    # lock, so the missing-bloom crash window never leaks build dirs
+    for leftover in _glob.glob(_glob.escape(bdir) + ".build-*"):
+        shutil.rmtree(leftover, ignore_errors=True)
     rows = _read_band_sidecar_full(spark, sidecar)
     n_rows = rows.count()
     btmp = bdir + ".build-" + uuid.uuid4().hex
@@ -648,6 +655,14 @@ def _append_band_sidecar(band_rows: DataFrame, signatures_path: str) -> None:
 
     band_rows = band_rows.localCheckpoint(eager=True)  # feeds two writes
     bdir = _bands_bloom_dir(signatures_path)
+    if not os.path.exists(bdir) or _layout_pfx_len(bdir) != width:
+        # heal a crashed rebuild (bloom dir removed, rename never
+        # happened) or a width fork: without this the gate silently
+        # stays off FOREVER -- probes stay correct but permanently
+        # degrade to unpruned prefix reads.  The rebuild also sweeps any
+        # stranded .build-* staging dirs (callers hold the sidecar lock,
+        # mirroring neardup_filter_stream's missing-bloom heal).
+        _rebuild_band_bloom(band_rows.sparkSession, signatures_path, width)
     if os.path.exists(bdir) and _layout_pfx_len(bdir) == width:
         _bloom_rows(
             band_rows.select(_bands_key_expr().alias("bkey")), width,
@@ -3919,6 +3934,32 @@ def _cdc_seq_path(state_dir: str) -> str:
     return os.path.join(state_dir, "_cdc_seq.json")
 
 
+def _cdc_rows_path(state_dir: str) -> str:
+    import os
+
+    return os.path.join(state_dir, "_cdc_rows.json")
+
+
+def _record_cdc_rows(state_dir: str, stamp: str, n_rows: int) -> None:
+    """Record how many ledger rows a generation appended (stamp -> rows,
+    written at commit time by the appender, which already knows the
+    count).  A maintenance HINT, not state: the trigger's orphan math
+    reads it so the common path never scans the ledger; a lost or stale
+    entry only costs one fallback stamp-grain scan that re-seeds it.
+    Callers on the commit path hold the state lock (same atomic
+    temp+replace discipline as the seq sidecar)."""
+    import json
+    import os
+
+    rp = _cdc_rows_path(state_dir)
+    rows: dict = {}
+    if os.path.exists(rp):
+        with open(rp) as fh:
+            rows = json.load(fh)
+    rows[stamp] = int(n_rows)
+    _atomic_json_write(rp, rows)
+
+
 def _cdc_ledger_is_bucketed(path: str) -> bool:
     return _layout_pfx_len(path) is not None
 
@@ -4186,7 +4227,8 @@ def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFram
     # length sized to the ledger (16 dirs for a small state, up to 4096
     # at corpus scale) and recorded in the state meta; compaction
     # re-buckets as the corpus grows.
-    pfx_len = _pick_pfx_len(firsts.count())
+    n_firsts = firsts.count()
+    pfx_len = _pick_pfx_len(n_firsts)
     (
         firsts.withColumn("pfx", F.substring("chunk_hash", 1, pfx_len))
         .withColumn("batch_seq", F.lit(0).cast("long"))
@@ -4203,6 +4245,7 @@ def init_cdc_state(docs: DataFrame, state_dir: str, window: int = 4) -> DataFram
         "pfx"
     ).parquet(_cdc_bloom_dir(state_dir))
     _record_cdc_seq(state_dir, stamp, 0)
+    _record_cdc_rows(state_dir, stamp, n_firsts)
     # spark= so bootstrapping the CDC leg on a state_dir SHARED with a
     # pre-ledger MinHash leg seeds that leg's legacy stamps too -- the
     # first ledger write is the only chance; seeding only the CDC stamp
@@ -4338,6 +4381,13 @@ def _ingest_cdc_batch_locked(
     # could hand a later batch a duplicate generation number
     _verify_owned(lk)
     _record_cdc_seq(state_dir, stamp, seq)
+    # rows hint BEFORE the stamp commit, so every committed generation
+    # has a recorded count (the maintenance trigger's orphan math is
+    # then pure footer arithmetic); a crash in between leaves an entry
+    # for an uncommitted stamp, ignored by the committed-only sum.  The
+    # count is a driver-side job over the checkpointed novel set --
+    # metadata-cheap, never a ledger read.
+    _record_cdc_rows(state_dir, stamp, novel_firsts.count())
     # COMMIT: atomic stamp-ledger replace -- before this line the batch
     # does not exist to any reader
     _record_applied(state_dir, stamp, spark=spark, locked=True, lock=lk)
@@ -4406,13 +4456,16 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
         _bloom_rows(resolved.select("chunk_hash"), pfx_len).write.mode(
             "errorifexists"
         ).partitionBy("pfx").parquet(btmp)
-        # seq sidecar pruned to committed stamps (max seq per stamp)
-        seqs = {
-            r["batch_stamp"]: r["m"]
-            for r in resolved.groupBy("batch_stamp")
-            .agg(F.max("batch_seq").alias("m"))
-            .collect()
-        }
+        # seq + rows sidecars pruned to committed stamps in ONE agg:
+        # (max seq, row count) per stamp -- the compactor is where retry
+        # duplicates collapse, so the recorded counts it leaves make the
+        # trigger's footer math exact again
+        per_stamp = resolved.groupBy("batch_stamp").agg(
+            F.max("batch_seq").alias("m"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()
+        seqs = {r["batch_stamp"]: r["m"] for r in per_stamp}
+        rows_hint = {r["batch_stamp"]: int(r["n"]) for r in per_stamp}
         # fail-stop before the swap: a holder dispossessed during the
         # (corpus-sized) rewrite must not rename a ledger the usurper
         # may be appending to
@@ -4427,6 +4480,7 @@ def compact_cdc_state(spark, state_dir: str) -> dict:
         os.rename(btmp, bdir)
         shutil.rmtree(bold, ignore_errors=True)
         _atomic_json_write(_cdc_seq_path(state_dir), seqs)
+        _atomic_json_write(_cdc_rows_path(state_dir), rows_hint)
     return {"rows_before": int(before), "rows_after": int(after)}
 
 
@@ -4453,18 +4507,25 @@ def maybe_compact_cdc_state(
       duplicates are invisible to readers but inflate the
       partition-pruned probe's bytes; compact once they exceed
       ``orphan_ratio`` of the ledger AND ``min_orphan_rows`` (tiny
-      states never enter the maintenance path).  Measured from one
-      narrow stamp-grain aggregate.
+      states never enter the maintenance path).  Round-13: measured as
+      FOOTER TOTAL minus the committed generations' recorded row counts
+      (the ``_cdc_rows.json`` hint every appender writes at commit) --
+      footer arithmetic, no ledger column scan.  A committed stamp
+      missing a recorded count (pre-round-13 state) falls back to one
+      stamp-grain aggregate that backfills the hint, so even a legacy
+      dir pays the scan exactly once.
     - RE-BUCKET PRESSURE: the layout's prefix width no longer matches
       what :func:`_pick_pfx_len` would choose for the grown corpus --
       compaction is the re-bucket point, so fire as soon as the tier
       boundary is crossed (keeps the probe's per-partition read bounded
       as the corpus grows 100x; see the scaleprobe --cdc-rebucket
-      evidence in SCALE.md).
+      evidence in SCALE.md).  Committed mass comes from the same
+      recorded counts.
 
     Returns :func:`compact_cdc_state`'s stats plus a ``trigger`` key
     when fired, else None.  Run it after each ingest (the streaming
     sink does, with ``auto_compact=True``)."""
+    import json
     import os
 
     path = _cdc_ledger_path(state_dir)
@@ -4483,28 +4544,58 @@ def maybe_compact_cdc_state(
                 stats = compact_cdc_state(spark, state_dir)
                 stats["trigger"] = "bloom_rows_per_pfx"
                 return stats
-    # stamp-grain row counts: one narrow-column aggregate; committed
-    # membership decided driver-side against the (small) stamp ledger
-    applied = _applied_stamps(spark, state_dir)
-    per_stamp = {
-        r["batch_stamp"]: r["n"]
-        for r in spark.read.parquet(path)
-        .groupBy("batch_stamp").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(per_stamp.values())
-    orphan = sum(n for s, n in per_stamp.items() if s not in applied)
+    # orphan/duplicate mass by footer arithmetic: physical total from
+    # parquet footers (zero-column count) minus the committed CDC
+    # generations' recorded row counts -- the common path's only ledger
+    # I/O is footer metadata, never a column scan (round-12 verdict #1:
+    # the sink runs this per micro-batch)
+    applied = {s for s in _applied_stamps(spark, state_dir)
+               if s.startswith("cdc-")}
+    recorded: dict = {}
+    rp = _cdc_rows_path(state_dir)
+    if os.path.exists(rp):
+        with open(rp) as fh:
+            recorded = json.load(fh)
+    if applied <= set(recorded):
+        total = spark.read.parquet(path).count()  # footer-only count
+        committed = sum(int(recorded[s]) for s in applied)
+        orphan = max(total - committed, 0)
+    else:
+        # legacy state (appends predate the rows hint): ONE stamp-grain
+        # aggregate, then backfill the hint so the scan never repeats.
+        # The backfill is an unlocked hint write -- a concurrent
+        # ingest's entry lost to this read-modify-write just re-takes
+        # this branch once more.
+        per_stamp = _cdc_stamp_rows_scan(spark, path)
+        total = sum(per_stamp.values())
+        orphan = sum(n for s, n in per_stamp.items() if s not in applied)
+        committed = total - orphan
+        merged = dict(recorded)
+        merged.update(
+            {s: int(n) for s, n in per_stamp.items() if s in applied})
+        _atomic_json_write(rp, merged)
     if total and orphan >= min_orphan_rows \
             and orphan / total >= orphan_ratio:
         stats = compact_cdc_state(spark, state_dir)
         stats["trigger"] = "orphan_mass"
         return stats
-    committed = total - orphan
     if _cdc_ledger_is_bucketed(path) \
             and _pick_pfx_len(committed) != _cdc_pfx_len(state_dir):
         stats = compact_cdc_state(spark, state_dir)
         stats["trigger"] = "rebucket"
         return stats
     return None
+
+
+def _cdc_stamp_rows_scan(spark, path: str) -> dict:
+    """Stamp-grain ledger row counts -- the legacy fallback of
+    :func:`maybe_compact_cdc_state` (one narrow-column aggregate over
+    the ledger; the common path never calls this)."""
+    return {
+        r["batch_stamp"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("batch_stamp").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
 
 
 def audit_cdc_ledger(spark, state_dir: str) -> DataFrame:

@@ -3836,6 +3836,58 @@ def test_maybe_compact_cdc_orphan_trigger(spark, tmp_path):
     assert led.filter("batch_stamp = 'cdc-never-committed'").count() == 0
 
 
+def test_maybe_compact_cdc_footer_gate_skips_ledger_scan(spark, tmp_path,
+                                                         monkeypatch):
+    """Round-13 (round-12 verdict #1): the CDC maintenance trigger's
+    orphan math is footer arithmetic against the recorded per-stamp row
+    counts -- the per-micro-batch common path never runs the stamp-grain
+    ledger aggregate.  A legacy state (no rows hint) pays that scan
+    exactly once, backfilling the hint."""
+    import json
+    import os
+
+    rows = _dup_heavy_rows(47, range(30))
+    all_docs = _mk_docs(spark, rows)
+    state = str(tmp_path / "state")
+    dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+    dedup.ingest_cdc_batch(all_docs.filter("doc_id >= 10 and doc_id < 20"),
+                           state)
+    # every committed generation recorded its appended row count
+    with open(dedup._cdc_rows_path(state)) as fh:
+        recorded = json.load(fh)
+    assert len(recorded) == 2 and all(n >= 0 for n in recorded.values())
+    calls = []
+    orig = dedup._cdc_stamp_rows_scan
+    monkeypatch.setattr(
+        dedup, "_cdc_stamp_rows_scan",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    # common path: no ledger column scan
+    assert dedup.maybe_compact_cdc_state(spark, state) is None
+    assert calls == []
+    # planted orphans are visible to the footer math alone
+    pfx_len = dedup._cdc_pfx_len(state)
+    path = dedup._cdc_ledger_path(state)
+    orphans = (
+        dedup.cdc_chunks(all_docs.filter("doc_id >= 20"))
+        .select("chunk_hash").distinct()
+        .withColumn("batch_seq", F.lit(9).cast("long"))
+        .withColumn("batch_stamp", F.lit("cdc-never-committed"))
+        .withColumn("pfx", F.substring("chunk_hash", 1, pfx_len))
+    )
+    orphans.write.mode("append").partitionBy("pfx").parquet(path)
+    stats = dedup.maybe_compact_cdc_state(
+        spark, state, orphan_ratio=0.05, min_orphan_rows=1)
+    assert stats is not None and stats["trigger"] == "orphan_mass"
+    assert calls == []  # still footer math, even when it fires
+    # legacy dir (hint removed): ONE scan, hint backfilled, then quiet
+    os.unlink(dedup._cdc_rows_path(state))
+    assert dedup.maybe_compact_cdc_state(spark, state) is None
+    assert calls == [1]
+    assert os.path.exists(dedup._cdc_rows_path(state))
+    assert dedup.maybe_compact_cdc_state(spark, state) is None
+    assert calls == [1]
+
+
 def test_band_sidecar_bloom_gates_the_probe(spark, tmp_path):
     """The bloom sidecar decides which batch keys touch the band sidecar
     at all: an all-novel batch reads (almost) nothing, a planted
@@ -3916,6 +3968,55 @@ def test_maybe_compact_footer_gate_skips_resolution(spark, docs, tmp_path,
     assert dedup.maybe_compact_dedup_state(
         spark, state, gap_ratio=1.0, min_log_rows=1) is not None
     assert calls == [1, 1]
+
+
+def test_band_bloom_heals_on_append_after_crashed_rebuild(spark, tmp_path):
+    """Round-13 (ADVICE): a rebuild crash between removing the bloom dir
+    and renaming the staged one in leaves the sidecar bloomless and a
+    ``.build-*`` orphan behind; the next incremental APPEND must rebuild
+    the bloom (not just skip the delta -- the gate would otherwise stay
+    silently off forever) and sweep the stranded staging dir, with
+    candidates identical to an uncrashed control."""
+    import glob
+    import os
+    import shutil
+
+    rows = _near_dup_rows(53, 80)
+    docs = _mk_docs(spark, rows)
+    sig_path = str(tmp_path / "sigs.parquet")
+    control_path = str(tmp_path / "control.parquet")
+    for p in (sig_path, control_path):
+        dedup.minhash_lsh_candidates(
+            docs.filter("doc_id % 3 = 0"), persist_signatures=p).collect()
+    bdir = dedup._bands_bloom_dir(sig_path)
+    # simulate the crash window: bloom gone, staging debris stranded
+    shutil.rmtree(bdir)
+    os.makedirs(bdir + ".build-deadbeef")
+    batch = docs.filter("doc_id % 3 = 1")
+    got = {tuple(r) for r in dedup.incremental_minhash_candidates(
+        batch, sig_path, append=True).collect()}
+    want = {tuple(r) for r in dedup.incremental_minhash_candidates(
+        batch, control_path, append=True).collect()}
+    assert got == want
+    # bloom healed in the sidecar's own width, debris swept
+    assert os.path.exists(bdir)
+    assert dedup._layout_pfx_len(bdir) == dedup._layout_pfx_len(
+        dedup._bands_sidecar_path(sig_path), key="bpfx")
+    assert glob.glob(bdir + ".build-*") == []
+    # and the healed bloom covers BOTH the pre-crash corpus and the
+    # appended batch: a planted duplicate survives the gate, a novel
+    # batch is pruned to nothing
+    nb = dedup._band_buckets(
+        dedup.minhash_signatures(
+            _mk_docs(spark, [(i + 10_000, f"qq{i} " * 30)
+                             for i in range(30)])), 8, 8
+    ).select("band", "bucket").distinct().localCheckpoint(eager=True)
+    assert dedup._read_band_sidecar(spark, sig_path, nb).count() == 0
+    dup_bucket = (
+        spark.read.parquet(dedup._bands_sidecar_path(sig_path))
+        .select("band", "bucket").limit(1).localCheckpoint(eager=True))
+    assert dedup._read_band_sidecar(
+        spark, sig_path, dup_bucket).count() > 0
 
 
 def test_band_bloom_appends_collapse_geometrically(spark, tmp_path):
