@@ -4040,6 +4040,111 @@ def _bloom_rows(hashes: DataFrame, pfx_len: int,
     )
 
 
+# --- bloom residency (round-13, round-12 verdict #2) -------------------
+#
+# SCALE.md's 100 TB arithmetic for the bloom-gated probes assumed the
+# bloom bits are "executor-RESIDENT on a long-lived stream"; this makes
+# the residency code instead of arithmetic.  The OR-able per-prefix
+# delta rows of a bloom sidecar are cached IN-PROCESS keyed by the dir's
+# parquet file listing: an unchanged dir re-reads nothing, an APPEND
+# re-reads only the new delta files (∝ batch, not corpus), and a REBUILD
+# (atomic rename => all file paths change) reloads from scratch --
+# exactly the geometric schedule the rebuild already amortizes.  The
+# cached bits feed the probe through a broadcast (re-broadcast only when
+# the listing or the SparkContext changes), so steady-state per-batch
+# bloom BYTES READ is ~the batch's own delta, not the corpus' bits.
+# Bounded: past _BLOOM_RESIDENT_MAX_BYTES per dir the cache disengages
+# and the probe falls back to the distributed cogroup (same semantics,
+# parity test-locked) -- on a real cluster that budget maps to executor
+# memory; at 10^10 docs the OR-ed bits are ~160 GB corpus-wide, i.e.
+# ~40 MB per 4096-bucket prefix, spread across executors by the cogroup
+# fallback rather than one driver dict.
+
+_BLOOM_RESIDENT_MAX_BYTES = 256 * 1024 * 1024
+_BLOOM_RESIDENT: dict = {}
+
+
+def _bloom_list_files(bdir: str) -> set | None:
+    """The sidecar's parquet data files (local paths only -- a
+    non-local URI disengages the residency cache)."""
+    import os
+
+    if not os.path.isdir(bdir):
+        return None
+    found: set = set()
+    for root, _dirs, files in os.walk(bdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                found.add(os.path.join(root, f))
+    return found
+
+
+def _bloom_read_rows(fpath: str) -> list:
+    """Driver-side footer+column read of ONE bloom delta file:
+    [(pfx, m, bits), ...].  Factored out so tests can count physical
+    bloom reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    part = os.path.basename(os.path.dirname(fpath))
+    if "=" not in part:
+        raise ValueError(f"unpartitioned bloom file {fpath}")
+    pfx = part.split("=", 1)[1]
+    t = pq.read_table(fpath, columns=["m", "bits"])
+    return [
+        (pfx, int(mm), bytes(bb))
+        for mm, bb in zip(t.column("m").to_pylist(),
+                          t.column("bits").to_pylist())
+    ]
+
+
+def _bloom_resident_bits(bdir: str) -> dict | None:
+    """{pfx: [(m, bits), ...]} for the sidecar at ``bdir``, served from
+    the process-resident cache (incremental refresh on append, full
+    reload on rebuild).  None when the dir isn't locally listable or
+    the bits exceed the residency budget -- callers then use the
+    distributed cogroup probe."""
+    current = _bloom_list_files(bdir)
+    if current is None:
+        return None
+    cached = _BLOOM_RESIDENT.get(bdir)
+    if cached is not None and cached["files"] == current:
+        return cached["bits"]
+    if cached is not None and cached["files"] <= current:
+        new_files = current - cached["files"]  # append: delta files only
+        bits = {p: list(rows) for p, rows in cached["bits"].items()}
+    else:
+        new_files = current  # rebuild / first contact: full reload
+        bits = {}
+    try:
+        for fpath in sorted(new_files):
+            for pfx, mm, bb in _bloom_read_rows(fpath):
+                bits.setdefault(pfx, []).append((mm, bb))
+    except Exception:
+        _BLOOM_RESIDENT.pop(bdir, None)
+        return None
+    total = sum(len(b) for rows in bits.values() for _m, b in rows)
+    if total > _BLOOM_RESIDENT_MAX_BYTES:
+        _BLOOM_RESIDENT.pop(bdir, None)
+        return None
+    _BLOOM_RESIDENT[bdir] = {"files": current, "bits": bits, "bc": None,
+                             "sc": None}
+    return bits
+
+
+def _bloom_resident_broadcast(spark, bdir: str):
+    """The cached bits as a Spark broadcast, re-broadcast only when the
+    dir's listing or the SparkContext changed (the cache entry was just
+    refreshed by :func:`_bloom_resident_bits`)."""
+    entry = _BLOOM_RESIDENT.get(bdir)
+    sc = spark.sparkContext
+    if entry["bc"] is None or entry["sc"] is not sc:
+        entry["bc"] = sc.broadcast(entry["bits"])
+        entry["sc"] = sc
+    return entry["bc"]
+
+
 def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
                        col: str) -> DataFrame:
     """The distinct values of 32-hex key column ``col`` that MIGHT be
@@ -4049,13 +4154,37 @@ def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
     with no rows for a prefix means NO candidates there: bloom delta
     rows always land before the data rows they cover (append order /
     rebuild order), so rowlessness proves the shadowed table is empty
-    under that prefix.  Cogrouped per prefix so a bloom's bits travel to
-    its batch keys once, never row-multiplied through a join."""
+    under that prefix.  Served from the process-resident bits when
+    available (zero sidecar bytes on an unchanged dir -- see the
+    residency block above); otherwise cogrouped per prefix so a bloom's
+    bits travel to its batch keys once, never row-multiplied through a
+    join."""
     import pandas as pd
 
     bh = _with_pfx_halves(
         keys.select(col).distinct(), pfx_len, col=col
     ).localCheckpoint(eager=True)
+    resident = _bloom_resident_bits(bdir)
+    if resident is not None:
+        bc = _bloom_resident_broadcast(spark, bdir)
+
+        def probe_map(batches):
+            for pdf in batches:
+                outs = []
+                for pfx, grp in pdf.groupby("pfx"):
+                    rows = bc.value.get(pfx)
+                    if not rows:
+                        continue  # rowless prefix: provably no candidates
+                    h1 = grp["h1"].to_numpy(np.int64).astype(np.uint64)
+                    h2 = grp["h2"].to_numpy(np.int64).astype(np.uint64)
+                    maybe = np.zeros(len(grp), dtype=bool)
+                    for mm, bb in rows:
+                        maybe |= _bloom_might_contain(h1, h2, mm, bb)
+                    outs.append(grp.loc[maybe, [col]])
+                yield (pd.concat(outs) if outs
+                       else pdf.iloc[0:0][[col]])
+
+        return bh.mapInPandas(probe_map, f"{col} string")
     # touched prefixes: bounded collect (<= 4096 short hex strings);
     # pruned read with pfx pinned to string (all-numeric dirs would
     # otherwise infer int and break the string-keyed cogroup below)

@@ -11,8 +11,11 @@ Contract (deterministic): a document is DROPPED iff it shares a band
 bucket with a smaller-doc_id document in its own batch, or with any
 previously kept document.  Survivors append their bands to the ledger.
 
-Scale: the ledger stores (band, bucket, doc_id, bk) rows for KEPT docs
-only -- a few dozen longs per document, far smaller than text -- and
+Scale: the ledger stores (band, bucket, doc_id, bk, batch_id) rows for
+KEPT docs only -- a few dozen longs per document, far smaller than text
+(batch_id is the at-least-once guard: a replayed micro-batch excludes
+its own crashed append from the probe instead of classifying its every
+document as a duplicate of itself) -- and
 since round 12 the per-batch probe is BLOOM-GATED and CLUSTERED, the
 same architecture as the batch path's band sidecar: a bloom sidecar
 over md5(band:bucket) drops the batch keys with no ledger collision
@@ -67,7 +70,8 @@ def neardup_filter_stream(
     from ..operators.dedup import (_BANDS_KEY_ISIN_MAX, _atomic_json_write,
                                    _band_buckets, _bands_bk_expr,
                                    _bands_key_expr, _bloom_filter_keys,
-                                   _bloom_rows, _recover_dir_swap,
+                                   _bloom_rows, _layout_pfx_len,
+                                   _pick_pfx_len, _recover_dir_swap,
                                    minhash_signatures)
     from ..sources.io import (DEFAULT_MAX_GROUP_BYTES, DEFAULT_MAX_GROUP_ROWS,
                               _row_group_options)
@@ -75,11 +79,18 @@ def neardup_filter_stream(
     rows_per_band = n_perm // n_bands
     bdir = bands_path + ".bloom"
     meta_path = bdir + ".meta.json"
-    # bloom prefix width: fixed 1 (16 dirs).  Unlike the batch sidecar,
-    # the PRUNING here comes from the pushed bk-IN row-group skip, not
-    # from directories -- the dirs only bound the cogroup's group sizes,
-    # so the width never needs re-bucketing as the ledger grows.
-    width = 1
+
+    def _width() -> int:
+        """Bloom prefix width, self-described by the ``pfx=..`` dir names
+        (exactly like the batch sidecar) so probes, delta appends and the
+        build can never fork the layout; 1 (16 dirs) before the first
+        build.  The PRUNING here comes from the pushed bk-IN row-group
+        skip, not from directories -- but the dirs bound the per-prefix
+        bloom cell (~2 B/ledger row per dir) and the build/probe cogroup
+        group sizes, so each geometric rebuild re-buckets via
+        :func:`_pick_pfx_len` as the ledger grows (a width pinned to 1
+        forever would grow one unbounded Arrow cell per prefix)."""
+        return (_layout_pfx_len(bdir) or 1) if os.path.exists(bdir) else 1
 
     def _write_clustered(rows: DataFrame, mode: str, path: str) -> None:
         _row_group_options(
@@ -93,11 +104,14 @@ def neardup_filter_stream(
         prefix (and cover any rows the deltas predate -- the migration
         case), swap in by atomic rename, record the ledger size the
         rebuild saw.  Called on a GEOMETRIC schedule (ledger doubled), so
-        its full-ledger scan amortizes to O(1) per ledger row."""
+        its full-ledger scan amortizes to O(1) per ledger row.  The
+        rebuild is also the RE-BUCKET point: the new width is sized to
+        the ledger row count it covers."""
+        w = _pick_pfx_len(n_rows)
         keys = sp.read.parquet(bands_path).select(
             _bands_key_expr().alias("bkey"))
         tmp = bdir + ".build-" + uuid.uuid4().hex
-        _bloom_rows(keys, width, col="bkey").write.mode(
+        _bloom_rows(keys, w, col="bkey").write.mode(
             "errorifexists").partitionBy("pfx").parquet(tmp)
         shutil.rmtree(bdir, ignore_errors=True)
         os.rename(tmp, bdir)
@@ -142,14 +156,35 @@ def neardup_filter_stream(
                 # ledger is already clustered, only the bloom needs
                 # rebuilding before the gated probe can run
                 _rebuild_bloom(sp, ledger_rd.count())
+            # read the ledger with batch_id pinned into the schema:
+            # appends from older versions lack the column, and mixed
+            # files would otherwise surface it only when inference
+            # happens to pick a new footer (old rows read as null)
+            inferred = sp.read.parquet(bands_path).schema
+            if "batch_id" not in inferred.fieldNames():
+                from pyspark.sql import types as T
+                inferred = inferred.add("batch_id", T.LongType(), True)
+            ledger_rd = sp.read.schema(inferred).parquet(bands_path)
+            # AT-LEAST-ONCE REPLAY SAFETY: a crash between the band
+            # append and the kept write would otherwise make the replay
+            # semi-join the batch against its OWN just-appended rows --
+            # every doc classified duplicate, silently lost.  Ledger
+            # rows carry the batch_id that wrote them; the probe excludes
+            # the replaying batch's own rows (null-safe: legacy rows with
+            # no batch_id must stay IN the probe).
+            ledger_rd = ledger_rd.filter(
+                ~F.col("batch_id").eqNullSafe(F.lit(batch_id)))
+            w = _width()
             keys = (bands.select("band", "bucket").distinct()
                     .withColumn("bkey", _bands_key_expr()))
             surv = _bloom_filter_keys(
-                sp, bdir, keys, width, "bkey").localCheckpoint(eager=True)
+                sp, bdir, keys, w, "bkey").localCheckpoint(eager=True)
             if surv.count() <= _BANDS_KEY_ISIN_MAX:
                 # bloom-bounded survivors pushed to the scan: row-group
                 # skipping on the bk-sorted files -- ledger bytes read
-                # ∝ the batch's collision mass
+                # ∝ the batch's collision mass.  A replayed batch's own
+                # bloom bits are false positives here, re-verified away
+                # by the batch_id-filtered scan.
                 bks = [int(r[0][:15], 16) for r in surv.collect()]
                 ledger_keys = (ledger_rd.filter(F.col("bk").isin(bks))
                                .select("band", "bucket").distinct())
@@ -179,12 +214,18 @@ def neardup_filter_stream(
         kept_bands = bands.join(
             kept, "doc_id", "left_semi").localCheckpoint(eager=True)
         # bloom delta BEFORE the band append: bloom ⊇ ledger through any
-        # crash/replay (extra bits from a replayed batch = fp only)
+        # crash/replay (extra bits from a replayed batch = fp only).
+        # Delta rows follow the CURRENT bloom layout's width (a rebuild
+        # may have re-bucketed it past the initial 1).
         _bloom_rows(
-            kept_bands.select(_bands_key_expr().alias("bkey")), width,
+            kept_bands.select(_bands_key_expr().alias("bkey")), _width(),
             col="bkey",
         ).write.mode("append").partitionBy("pfx").parquet(bdir)
-        _write_clustered(kept_bands, "append", bands_path)
+        # band rows stamped with the writing batch: what lets a replayed
+        # batch exclude its own crashed append from the probe (above)
+        _write_clustered(
+            kept_bands.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            "append", bands_path)
         kept.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
             kept_path
         )

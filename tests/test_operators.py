@@ -3836,6 +3836,69 @@ def test_maybe_compact_cdc_orphan_trigger(spark, tmp_path):
     assert led.filter("batch_stamp = 'cdc-never-committed'").count() == 0
 
 
+def test_bloom_residency_cache_reads_deltas_only(spark, tmp_path,
+                                                 monkeypatch):
+    """Round-13 (round-12 verdict #2): the bloom sidecar's bits are
+    process-resident across probes -- an unchanged dir re-reads ZERO
+    bloom files, an append re-reads only its delta files, a rebuild
+    (all file paths change) reloads once -- and the resident probe's
+    survivors are identical to the distributed cogroup path's."""
+    import os
+    import shutil
+
+    bdir = str(tmp_path / "bloom")
+    mk_keys = lambda lo, hi: spark.range(lo, hi).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    dedup._bloom_rows(mk_keys(0, 200), 1, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    reads = []
+    orig_read = dedup._bloom_read_rows
+    monkeypatch.setattr(
+        dedup, "_bloom_read_rows",
+        lambda f: (reads.append(f), orig_read(f))[1])
+    dedup._BLOOM_RESIDENT.pop(bdir, None)
+    probe_keys = mk_keys(150, 260).localCheckpoint(eager=True)
+
+    def survivors():
+        return {r["k"] for r in dedup._bloom_filter_keys(
+            spark, bdir, probe_keys, 1, "k").collect()}
+
+    got1 = survivors()
+    n_files = len(dedup._bloom_list_files(bdir))
+    assert len(reads) == n_files > 0  # first contact: full load
+    # no false negatives: every present key survives
+    present = {r["k"] for r in mk_keys(150, 200).collect()}
+    assert present <= got1
+    # unchanged dir: zero bloom files re-read
+    assert survivors() == got1
+    assert len(reads) == n_files
+    # append: only the delta files are read
+    dedup._bloom_rows(mk_keys(200, 230), 1, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    n_files2 = len(dedup._bloom_list_files(bdir))
+    got2 = survivors()
+    assert len(reads) == n_files2  # old files NOT re-read
+    assert {r["k"] for r in mk_keys(150, 230).collect()} <= got2
+    # parity with the distributed cogroup probe on the same dir/keys
+    monkeypatch.setattr(dedup, "_bloom_resident_bits", lambda b: None)
+    got_cg = survivors()
+    assert got_cg == got2
+    # rebuild (atomic swap: every file path changes): one full reload
+    monkeypatch.undo()
+    monkeypatch.setattr(
+        dedup, "_bloom_read_rows",
+        lambda f: (reads.append(f), orig_read(f))[1])
+    tmp2 = bdir + ".build"
+    dedup._bloom_rows(mk_keys(0, 230), 1, col="k").write.mode(
+        "errorifexists").partitionBy("pfx").parquet(tmp2)
+    shutil.rmtree(bdir)
+    os.rename(tmp2, bdir)
+    reads.clear()
+    got3 = survivors()
+    assert len(reads) == len(dedup._bloom_list_files(bdir))
+    assert {r["k"] for r in mk_keys(150, 230).collect()} <= got3
+
+
 def test_maybe_compact_cdc_footer_gate_skips_ledger_scan(spark, tmp_path,
                                                          monkeypatch):
     """Round-13 (round-12 verdict #1): the CDC maintenance trigger's

@@ -345,6 +345,121 @@ def test_streaming_neardup_filter_contract(spark, tmp_path):
     assert ledger_docs == kept, "ledger must hold kept docs' bands only"
 
 
+def test_streaming_neardup_replay_survives_crashed_band_append(spark,
+                                                               tmp_path):
+    """Round-13 (ADVICE): a crash between the band-ledger append and the
+    kept write must not lose the batch on replay -- without the batch_id
+    exclusion the replay semi-joins the docs against their OWN crashed
+    rows and drops every one of them silently.  Simulated by manually
+    performing the crashed attempt's ledger+bloom appends (stamped with
+    the batch id Spark will assign on replay) before running the
+    stream."""
+    import pandas as pd
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    uniq1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+             "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 6
+    uniq2 = ("stencil simplex reflect contract halving lattice orientation "
+             "incumbent poll round ledger dedup probe submit drain decide ") * 6
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    bands_path = str(tmp_path / "bands")
+    kept_path = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame({"doc_id": [1], "text": [uniq1]}).to_parquet(
+        docs_dir / "a.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    # stage batch 1's file, then replicate the crashed attempt: bloom
+    # delta + band rows stamped batch_id=1, but NO kept write and NO
+    # checkpoint commit (the stream will therefore reprocess the file
+    # as batch 1)
+    b_docs = spark.createDataFrame([(5, uniq2)], "doc_id long, text string")
+    pd.DataFrame({"doc_id": [5], "text": [uniq2]}).to_parquet(
+        docs_dir / "b.parquet")
+    bands = bdedup._band_buckets(
+        bdedup.minhash_signatures(b_docs), 8, 8).localCheckpoint(eager=True)
+    w = bdedup._layout_pfx_len(bands_path + ".bloom") or 1
+    bdedup._bloom_rows(
+        bands.select(bdedup._bands_key_expr().alias("bkey")), w, col="bkey"
+    ).write.mode("append").partitionBy("pfx").parquet(bands_path + ".bloom")
+    (bands.withColumn("bk", bdedup._bands_bk_expr())
+     .withColumn("batch_id", F.lit(1).cast("long"))
+     .sortWithinPartitions("bk").write.mode("append").parquet(bands_path))
+    # replay: doc 5 must survive (it only "collides" with itself)
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(kept_path).collect()}
+    assert kept == {1, 5}, "replayed batch must not self-collide"
+    # and the ledger still drops a LATER true near-dup of doc 5
+    pd.DataFrame({"doc_id": [9, 10],
+                  "text": [uniq2 + " tail",
+                           "totally different words " * 20]}).to_parquet(
+        docs_dir / "c.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(kept_path).collect()}
+    assert kept == {1, 5, 10}
+
+
+def test_streaming_neardup_bloom_rebuckets_at_rebuild(spark, tmp_path,
+                                                      monkeypatch):
+    """Round-13 (ADVICE): the streaming bloom's prefix width is re-sized
+    via _pick_pfx_len at each geometric rebuild instead of staying
+    pinned to 1 forever (an unbounded per-prefix Arrow cell at corpus
+    scale) -- and decisions stay correct across the width change."""
+    import pandas as pd
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    # the known-colliding pair from the contract test: base vs
+    # base+" tail" share band buckets at n_bands=8
+    base = ("spark shuffle partition broadcast join aggregate window "
+            "stage task ") * 8
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    bands_path = str(tmp_path / "bands")
+    kept_path = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    pd.DataFrame({"doc_id": [1], "text": [base]}).to_parquet(
+        docs_dir / "a.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    assert bdedup._layout_pfx_len(bands_path + ".bloom") == 1
+    # pretend the ledger crossed the next tier: the NEXT geometric
+    # rebuild (ledger doubles on batch 2) must re-bucket to width 2
+    monkeypatch.setattr(bdedup, "_pick_pfx_len", lambda n: 2)
+    uniq = ("stencil simplex reflect contract halving lattice orientation "
+            "incumbent poll round ledger dedup probe submit drain decide ") * 6
+    pd.DataFrame({"doc_id": [2], "text": [uniq]}).to_parquet(
+        docs_dir / "b.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    assert bdedup._layout_pfx_len(bands_path + ".bloom") == 2
+    # decisions at the new width: near-dup of a width-1-era doc drops,
+    # novel doc survives
+    pd.DataFrame({"doc_id": [7, 8],
+                  "text": [base + " tail",
+                           "unrelated fresh tokens " * 20]}).to_parquet(
+        docs_dir / "c.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(kept_path).collect()}
+    assert kept == {1, 2, 8}
+
+
 def test_streaming_neardup_idempotent_restart(spark, tmp_path):
     """availableNow + checkpoint: a second run over the same input adds
     nothing (exactly-once per input file)."""

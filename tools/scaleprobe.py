@@ -827,6 +827,80 @@ def _probe_cdc_rebucket(spark, ui) -> None:
         dedup._pick_pfx_len = orig
 
 
+def _probe_stream_ledger(spark, ui) -> None:
+    """Round-13 evidence for the streaming near-dup ledger (round-12
+    verdict #3): drain a mostly-novel document feed ONE micro-batch at a
+    time through neardup_filter_stream and measure, per batch, the
+    executor-side storage bytes (docs + pruned ledger scan), the
+    driver-resident bloom bytes physically re-read (round-13 residency:
+    ~delta-only on an unchanged dir, full reload right after a geometric
+    rebuild swap), and the kept-ledger flat-scan line (= what a
+    per-batch full-ledger distinct() read before round 12).  Claims
+    under test: per-batch bytes stay ~flat while the ledger grows ~10x,
+    steady-state bloom re-reads are ~0 after first contact, and the
+    geometric rebuild's full-ledger pass lands on (log2 n) batches
+    only."""
+    import json as _json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    docs = spark.read.parquet(
+        os.path.join(generate(10), "documents.parquet"))
+    base = os.path.join(PROBE_ROOT, "streamledger")
+    shutil.rmtree(base, ignore_errors=True)
+    docs_dir = os.path.join(base, "docs")
+    os.makedirs(docs_dir)
+    bands = os.path.join(base, "bands")
+    kept = os.path.join(base, "kept")
+    ckpt = os.path.join(base, "ckpt")
+    bloom_reads = {"bytes": 0}
+    orig_read = dedup._bloom_read_rows
+
+    def counting_read(fpath):
+        bloom_reads["bytes"] += os.path.getsize(fpath)
+        return orig_read(fpath)
+
+    dedup._bloom_read_rows = counting_read
+    n_batches = 10
+    print("| batch | drain sec | storage in MB | bloom re-read MB | "
+          "ledger (flat line) MB | rebuild? |")
+    print("|---|---|---|---|---|---|")
+    try:
+        for b in range(n_batches):
+            (docs.filter((F.col("doc_id") % n_batches) == b)
+             .toPandas().to_parquet(
+                 os.path.join(docs_dir, f"b{b:02d}.parquet")))
+            meta = bands + ".bloom.meta.json"
+            last_rebuild = 0
+            if os.path.exists(meta):
+                with open(meta) as fh:
+                    last_rebuild = _json.load(fh).get("rows_at_rebuild", 0)
+            bloom_reads["bytes"] = 0
+            in0 = _input_totals(ui)
+            t0 = time.perf_counter()
+            sdedup.neardup_filter_stream(
+                sdedup.read_docs_stream(spark, docs_dir),
+                bands_path=bands, kept_path=kept, checkpoint_path=ckpt)
+            dt = time.perf_counter() - t0
+            in1 = _input_totals(ui)
+            with open(meta) as fh:
+                now_rebuild = _json.load(fh).get("rows_at_rebuild", 0)
+            print(f"| {b} | {dt:.2f} | {(in1-in0)/1e6:.1f} | "
+                  f"{bloom_reads['bytes']/1e6:.3f} | "
+                  f"{_dir_bytes(bands)/1e6:.1f} | "
+                  f"{'YES' if now_rebuild != last_rebuild else ''} |")
+        n_kept = spark.read.parquet(kept).count()
+        n_led = spark.read.parquet(bands).select("doc_id").distinct().count()
+        print(f"# drained: {n_kept} kept docs, {n_led} ledgered docs")
+        assert n_kept == n_led
+    finally:
+        dedup._bloom_read_rows = orig_read
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -879,7 +953,8 @@ def _probe_incremental_ann(spark, ui) -> None:
 if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
         ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"],
-        ["--cdc"], ["--spans"], ["--bands-sidecar"], ["--cdc-rebucket"]):
+        ["--cdc"], ["--spans"], ["--bands-sidecar"], ["--cdc-rebucket"],
+        ["--stream-ledger"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -910,6 +985,8 @@ elif __name__ == "__main__":
         _probe_bands_sidecar(_spark, _ui)
     elif mode == "--cdc-rebucket":
         _probe_cdc_rebucket(_spark, _ui)
+    elif mode == "--stream-ledger":
+        _probe_stream_ledger(_spark, _ui)
     elif mode == "--spans":
         _probe_spans(_spark, _ui)
     elif mode == "--compaction":
