@@ -472,3 +472,204 @@ def test_custom_lock_provider_is_honored(spark, tmp_path):
         for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
     }
     assert got == exp
+
+
+# --- round-13: the conditional-put lease provider (object-store lock) ----
+# Mirrors the file-lock hazard matrix (atomic steal, heartbeat liveness,
+# dispossession fail-stop) against the reference object-store provider.
+
+def _lease_key(state: str) -> str:
+    return state.rstrip("/") + "/.state_lease"
+
+
+def _plant_expired_lease(store, state: str, token: str = "dead",
+                         deadline: float = 0.0) -> str:
+    etag = store.put_if(
+        _lease_key(state),
+        json.dumps({"token": token, "deadline": deadline}).encode(), None)
+    assert etag is not None
+    return etag
+
+
+def test_lease_provider_stale_steal_is_atomic_across_committers(tmp_path):
+    """Provider analog of the file-lock atomic-steal test: a planted
+    EXPIRED lease plus many racing committers -- every stamp survives
+    (the CAS steal admits one stealer at a time into the ledger
+    read-modify-write), and the last release deletes the lease."""
+    from dask_patternsearch_spark import state_locks as sl
+
+    store = sl.InMemoryConditionalStore()
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    _plant_expired_lease(store, state, deadline=time.time() - 3600)
+    dedup.set_state_lock_provider(sl.conditional_put_lock_provider(store))
+    errs: list[BaseException] = []
+    try:
+        def commit(i: int) -> None:
+            try:
+                dedup._record_applied(state, f"stamp-{i}")
+            except BaseException as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=commit, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+    finally:
+        dedup.set_state_lock_provider(None)
+    assert not errs
+    with open(dedup._stamp_ledger_path(state)) as fh:
+        assert set(json.load(fh)) == {f"stamp-{i}" for i in range(8)}
+    assert store.get(_lease_key(state)) is None  # fenced release cleaned up
+    # and no POSIX lock file was ever touched
+    assert not os.path.exists(dedup._stamp_ledger_path(state) + ".lock")
+
+
+def test_lease_provider_live_slow_holder_is_never_stolen(tmp_path):
+    """Provider analog of the heartbeat-liveness test: a holder 3x
+    slower than the lease horizon keeps renewing; a same-horizon waiter
+    blocks until the real release instead of stealing."""
+    from dask_patternsearch_spark import state_locks as sl
+
+    store = sl.InMemoryConditionalStore()
+    provider = sl.conditional_put_lock_provider(store, poll=0.02)
+    state = str(tmp_path / "state")
+    in_critical = threading.Event()
+    holder_done = threading.Event()
+    overlap: list[str] = []
+
+    def holder() -> None:
+        with provider(state, stale_after=1.0):
+            in_critical.set()
+            time.sleep(3.0)  # heartbeat must renew the lease throughout
+            holder_done.set()
+
+    def waiter() -> None:
+        in_critical.wait(timeout=10)
+        with provider(state, stale_after=1.0):
+            if not holder_done.is_set():
+                overlap.append("waiter entered while holder alive")
+
+    th, tw = threading.Thread(target=holder), threading.Thread(target=waiter)
+    th.start()
+    tw.start()
+    th.join(timeout=30)
+    tw.join(timeout=30)
+    assert overlap == []
+    assert store.get(_lease_key(state)) is None
+
+
+def test_lease_provider_dispossessed_holder_cannot_commit(tmp_path):
+    """Provider analog of the dispossession fail-stop: a holder whose
+    lease generation moved (stolen while suspended) must fail-stop at
+    the commit point, and its fenced release must leave the usurper's
+    lease alone."""
+    from dask_patternsearch_spark import state_locks as sl
+
+    store = sl.InMemoryConditionalStore()
+    state = str(tmp_path / "state")
+    os.makedirs(state, exist_ok=True)
+    dedup._record_applied(state, "existing")  # pre-seed WITHOUT provider
+    dedup.set_state_lock_provider(sl.conditional_put_lock_provider(store))
+    try:
+        with dedup._state_lock(state) as lk:
+            assert lk.owned()
+            # simulate the steal: replace the lease generation
+            cur = store.get(_lease_key(state))
+            store.put_if(
+                _lease_key(state),
+                json.dumps({"token": "usurper",
+                            "deadline": time.time() + 60}).encode(),
+                cur[1])
+            assert not lk.owned()
+            with pytest.raises(dedup.StateLockLost):
+                dedup._record_applied(state, "victim-stamp",
+                                      locked=True, lock=lk)
+            with pytest.raises(dedup.StateLockLost):
+                dedup._verify_owned(lk)
+    finally:
+        dedup.set_state_lock_provider(None)
+    with open(dedup._stamp_ledger_path(state)) as fh:
+        assert json.load(fh) == ["existing"]
+    cur = store.get(_lease_key(state))  # usurper's lease survived release
+    assert cur is not None and json.loads(cur[0])["token"] == "usurper"
+
+
+def test_lease_provider_steal_is_fenced_on_generation(tmp_path):
+    """The CAS fence under an injected race: a competing steal lands
+    INSIDE the acquirer's observe->put window (via the store's interpose
+    hook), so the acquirer's conditional put fails instead of displacing
+    the competitor's fresh lease; the acquirer then re-contends and wins
+    only after that lease expires."""
+    from dask_patternsearch_spark import state_locks as sl
+
+    t = [1000.0]
+    fired: list[int] = []
+    store = sl.InMemoryConditionalStore()
+
+    def interpose(op, key):
+        if op == "put_if" and not fired:
+            fired.append(1)
+            cur = store.get(key)
+            if cur is not None:  # competing steal of the SAME generation
+                assert store.put_if(
+                    key,
+                    json.dumps({"token": "rival",
+                                "deadline": t[0] + 5.0}).encode(),
+                    cur[1]) is not None
+
+    provider = sl.conditional_put_lock_provider(
+        store, clock=lambda: t[0], poll=0.01)
+    state = str(tmp_path / "state")
+    _plant_expired_lease(store, state, deadline=0.0)
+    store.interpose = interpose  # armed AFTER the plant's own put_if
+    acquired = threading.Event()
+    inside: dict = {}
+
+    def acquirer() -> None:
+        with provider(state, stale_after=5.0) as lk:
+            inside["owned"] = lk.owned()
+            cur = store.get(_lease_key(state))
+            inside["token_is_rivals"] = (
+                json.loads(cur[0])["token"] == "rival")
+            acquired.set()
+
+    th = threading.Thread(target=acquirer)
+    th.start()
+    # the rival's fresh lease is live: the acquirer must NOT get in
+    assert not acquired.wait(timeout=0.5)
+    t[0] += 6.0  # rival's lease expires; the acquirer's CAS steal wins
+    assert acquired.wait(timeout=10)
+    th.join(timeout=10)
+    assert inside == {"owned": True, "token_is_rivals": False}
+
+
+def test_lease_provider_end_to_end_cdc_ingest(spark, tmp_path):
+    """The real provider behind every CDC write path: init + ingest +
+    compaction compose to the one-shot rewrite, no POSIX lock file is
+    created, and the lease is released after each step."""
+    from dask_patternsearch_spark import state_locks as sl
+
+    store = sl.InMemoryConditionalStore()
+    all_docs = _mk_docs(spark, _span_rows(range(20)))
+    state = str(tmp_path / "state")
+    dedup.set_state_lock_provider(sl.conditional_put_lock_provider(store))
+    try:
+        dedup.init_cdc_state(all_docs.filter("doc_id < 10"), state)
+        got = {
+            tuple(r)
+            for r in dedup.ingest_cdc_batch(
+                all_docs.filter("doc_id >= 10"), state).collect()
+        }
+        dedup.compact_cdc_state(spark, state)
+    finally:
+        dedup.set_state_lock_provider(None)
+    exp = {
+        tuple(r)
+        for r in dedup.cdc_span_dedup(all_docs).filter("doc_id >= 10").collect()
+    }
+    assert got == exp
+    assert not os.path.exists(dedup._stamp_ledger_path(state) + ".lock")
+    assert store.get(_lease_key(state)) is None
