@@ -167,6 +167,28 @@ def test_ledger_to_spark(spark):
 
 
 @pytest.mark.spark
+def test_spark_search_jobs_equal_rounds(spark):
+    """Round-13 (round-12 verdict #5): a distributed search's ONLY Spark
+    jobs are its evaluation rounds -- exactly one single-stage job per
+    poll round, in both sync and pipelined modes.  Locks the per-round
+    job floor so no hidden ledger/decision/export job can creep into the
+    loop (the remaining per-round cost is Spark's own python-worker task
+    launch, quantified in SCALE.md)."""
+    def obj_vec(x):
+        return (x * x).sum(axis=1)
+
+    st = spark.sparkContext.statusTracker()
+    for kw in ({}, {"pipeline_depth": 2}):
+        before = set(st.getJobIdsForGroup() or [])
+        _best, results = search(
+            obj_vec, [10.0, 15.0], [1.0, 1.0], spark=spark, vectorize=True,
+            batchsize=16, stopratio=0.05, seed=42, **kw,
+        )
+        after = set(st.getJobIdsForGroup() or [])
+        assert len(after - before) == results.rounds, kw
+
+
+@pytest.mark.spark
 def test_convergence_2d_spark_pipelined(spark):
     """pipeline_depth=2 (concurrent speculative rounds) must converge to
     the same optimum; the contraction gate stays exact."""
