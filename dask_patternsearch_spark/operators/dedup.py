@@ -4161,11 +4161,12 @@ def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
     join."""
     import pandas as pd
 
-    bh = _with_pfx_halves(
-        keys.select(col).distinct(), pfx_len, col=col
-    ).localCheckpoint(eager=True)
+    bh = _with_pfx_halves(keys.select(col).distinct(), pfx_len, col=col)
     resident = _bloom_resident_bits(bdir)
     if resident is not None:
+        # no checkpoint here: the resident probe consumes bh exactly once
+        # (one lazy mapInPandas), so materializing it first would add one
+        # Spark job per probe for nothing; callers checkpoint the RESULT
         bc = _bloom_resident_broadcast(spark, bdir)
 
         def probe_map(batches):
@@ -4185,6 +4186,9 @@ def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
                        else pdf.iloc[0:0][[col]])
 
         return bh.mapInPandas(probe_map, f"{col} string")
+    # cogroup fallback consumes bh twice (prefix collect + cogroup):
+    # materialize once
+    bh = bh.localCheckpoint(eager=True)
     # touched prefixes: bounded collect (<= 4096 short hex strings);
     # pruned read with pfx pinned to string (all-numeric dirs would
     # otherwise infer int and break the string-keyed cogroup below)
