@@ -4122,15 +4122,30 @@ def _bloom_resident_bits(bdir: str) -> dict | None:
             for pfx, mm, bb in _bloom_read_rows(fpath):
                 bits.setdefault(pfx, []).append((mm, bb))
     except Exception:
-        _BLOOM_RESIDENT.pop(bdir, None)
+        _bloom_drop_broadcast(_BLOOM_RESIDENT.pop(bdir, None))
         return None
     total = sum(len(b) for rows in bits.values() for _m, b in rows)
     if total > _BLOOM_RESIDENT_MAX_BYTES:
-        _BLOOM_RESIDENT.pop(bdir, None)
+        _bloom_drop_broadcast(_BLOOM_RESIDENT.pop(bdir, None))
         return None
+    _bloom_drop_broadcast(cached)
     _BLOOM_RESIDENT[bdir] = {"files": current, "bits": bits, "bc": None,
                              "sc": None}
     return bits
+
+
+def _bloom_drop_broadcast(entry) -> None:
+    """Eagerly unpersist a cache entry's superseded broadcast so a
+    long-lived stream (one refresh per appended micro-batch) frees
+    executor/driver copies deterministically instead of waiting on GC +
+    ContextCleaner.  Non-blocking; no job is in flight at refresh time
+    on the sequential foreachBatch path, and a rare concurrent reader
+    just re-fetches."""
+    if entry and entry.get("bc") is not None:
+        try:
+            entry["bc"].unpersist(False)
+        except Exception:
+            pass  # context already stopped: nothing to free
 
 
 def _bloom_resident_broadcast(spark, bdir: str):
