@@ -4160,6 +4160,57 @@ def _bloom_resident_broadcast(spark, bdir: str):
     return entry["bc"]
 
 
+# --- executor-side residency for the over-budget fallback --------------
+#
+# Past _BLOOM_RESIDENT_MAX_BYTES the driver cache disengages; the probe
+# then runs grouped-by-prefix in the python workers, and each WORKER
+# process keeps its own path-keyed LRU of bloom delta files.  Sound
+# because the files are immutable once visible: an append creates new
+# part files, a rebuild renames the whole dir so every path changes --
+# a path never maps to two different byte strings.  With
+# spark.python.worker.reuse (Spark's default) the cache survives across
+# jobs and micro-batches, so aggregate executor bloom READS converge to
+# each batch's own delta even when the corpus' bits exceed any single
+# process budget -- this bounds the last "∝ corpus" term in the 100 TB
+# cost model (SCALE.md round-12 residual #2) per worker instead of per
+# driver.  An unlistable sidecar URI (non-local filesystem) still falls
+# through to the distributed cogroup scan, which has no listing
+# prerequisite.
+
+_WORKER_BLOOM_MAX_BYTES = 128 * 1024 * 1024
+_WORKER_BLOOM_CACHE: dict = {}  # path -> (bits_bytes, rows); insertion-ordered
+_WORKER_BLOOM_CACHE_BYTES = [0]
+
+
+def _worker_bloom_rows(paths: list) -> list:
+    """[(m, bits), ...] for the given bloom delta files, served from
+    the worker-process LRU (physical read only on first contact per
+    path).  Runs inside python workers during the grouped probe; also
+    unit-testable in-process.  A missing file propagates -- exactly the
+    loud failure the Spark scan fallback gives a mid-swap read."""
+    out = []
+    for p in paths:
+        hit = _WORKER_BLOOM_CACHE.pop(p, None)
+        if hit is not None:
+            _WORKER_BLOOM_CACHE_BYTES[0] -= hit[0]
+        else:
+            rows = [(mm, bb) for _pfx, mm, bb in _bloom_read_rows(p)]
+            nbytes = sum(len(bb) for _mm, bb in rows)
+            if nbytes > _WORKER_BLOOM_MAX_BYTES:
+                out.extend(rows)  # larger than the whole budget: serve
+                continue          # uncached rather than thrash the LRU
+            while (_WORKER_BLOOM_CACHE_BYTES[0] + nbytes
+                   > _WORKER_BLOOM_MAX_BYTES and _WORKER_BLOOM_CACHE):
+                oldest = next(iter(_WORKER_BLOOM_CACHE))
+                old_bytes, _r = _WORKER_BLOOM_CACHE.pop(oldest)
+                _WORKER_BLOOM_CACHE_BYTES[0] -= old_bytes
+            hit = (nbytes, rows)
+        _WORKER_BLOOM_CACHE[p] = hit  # re-insert last: LRU recency order
+        _WORKER_BLOOM_CACHE_BYTES[0] += hit[0]
+        out.extend(hit[1])
+    return out
+
+
 def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
                        col: str) -> DataFrame:
     """The distinct values of 32-hex key column ``col`` that MIGHT be
@@ -4201,8 +4252,44 @@ def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
                        else pdf.iloc[0:0][[col]])
 
         return bh.mapInPandas(probe_map, f"{col} string")
-    # cogroup fallback consumes bh twice (prefix collect + cogroup):
-    # materialize once
+    files = _bloom_list_files(bdir)
+    if files is not None:
+        # driver cache over budget (or read-degraded) but the sidecar is
+        # locally listable: grouped probe against the WORKER-process
+        # file cache -- each python worker LRU-caches the immutable
+        # bloom delta files it has served, so with worker reuse the
+        # aggregate physical re-read converges to each batch's own
+        # delta even past any single-process budget (see the
+        # executor-side residency block above).  The pfx -> files map
+        # is metadata-sized (paths only, no bits) and rides a broadcast.
+        import os
+
+        by_pfx: dict = {}
+        for f in sorted(files):
+            part = os.path.basename(os.path.dirname(f))
+            if "=" in part:
+                by_pfx.setdefault(part.split("=", 1)[1], []).append(f)
+        bc_paths = spark.sparkContext.broadcast(by_pfx)
+
+        def probe_grp(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            if len(pdf) == 0:
+                return pd.DataFrame({col: pd.Series([], dtype=object)})
+            rows = _worker_bloom_rows(
+                bc_paths.value.get(pdf["pfx"].iloc[0], []))
+            if not rows:
+                # rowless prefix: the shadowed table is provably empty
+                # there (delta rows land before the data they cover)
+                return pdf.iloc[0:0][[col]]
+            h1 = pdf["h1"].to_numpy(np.int64).astype(np.uint64)
+            h2 = pdf["h2"].to_numpy(np.int64).astype(np.uint64)
+            maybe = np.zeros(len(pdf), dtype=bool)
+            for mm, bits in rows:
+                maybe |= _bloom_might_contain(h1, h2, int(mm), bits)
+            return pdf.loc[maybe, [col]]
+
+        return bh.groupBy("pfx").applyInPandas(probe_grp, f"{col} string")
+    # final fallback (unlistable URI): distributed cogroup scan.  It
+    # consumes bh twice (prefix collect + cogroup): materialize once
     bh = bh.localCheckpoint(eager=True)
     # touched prefixes: bounded collect (<= 4096 short hex strings);
     # pruned read with pfx pinned to string (all-numeric dirs would

@@ -3879,10 +3879,17 @@ def test_bloom_residency_cache_reads_deltas_only(spark, tmp_path,
     got2 = survivors()
     assert len(reads) == n_files2  # old files NOT re-read
     assert {r["k"] for r in mk_keys(150, 230).collect()} <= got2
-    # parity with the distributed cogroup probe on the same dir/keys
+    # parity across the two fallback paths on the same dir/keys:
+    # resident disengaged -> worker-grouped probe (round-13 executor
+    # residency); listing also unavailable -> distributed cogroup scan
     monkeypatch.setattr(dedup, "_bloom_resident_bits", lambda b: None)
+    got_worker = survivors()
+    assert got_worker == got2
+    real_list = dedup._bloom_list_files
+    monkeypatch.setattr(dedup, "_bloom_list_files", lambda b: None)
     got_cg = survivors()
     assert got_cg == got2
+    monkeypatch.setattr(dedup, "_bloom_list_files", real_list)
     # rebuild (atomic swap: every file path changes): one full reload
     monkeypatch.undo()
     monkeypatch.setattr(
@@ -3897,6 +3904,53 @@ def test_bloom_residency_cache_reads_deltas_only(spark, tmp_path,
     got3 = survivors()
     assert len(reads) == len(dedup._bloom_list_files(bdir))
     assert {r["k"] for r in mk_keys(150, 230).collect()} <= got3
+
+
+def test_worker_bloom_cache_lru_and_budget(spark, tmp_path, monkeypatch):
+    """Round-13 executor-side residency: the worker-process file cache
+    serves repeat probes with zero physical reads, evicts
+    least-recently-used entries under the byte budget, and serves an
+    over-budget file uncached instead of thrashing the LRU."""
+    bdir = str(tmp_path / "bloom")
+    keys = spark.range(0, 300).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    dedup._bloom_rows(keys, 1, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    paths = sorted(dedup._bloom_list_files(bdir))
+    assert len(paths) >= 4
+    reads = []
+    orig_read = dedup._bloom_read_rows
+    monkeypatch.setattr(
+        dedup, "_bloom_read_rows",
+        lambda f: (reads.append(f), orig_read(f))[1])
+    dedup._WORKER_BLOOM_CACHE.clear()
+    dedup._WORKER_BLOOM_CACHE_BYTES[0] = 0
+    rows1 = dedup._worker_bloom_rows(paths)
+    assert len(reads) == len(paths) and len(rows1) == len(paths)
+    rows2 = dedup._worker_bloom_rows(paths)  # all cached: no reads
+    assert len(reads) == len(paths) and rows2 == rows1
+    assert dedup._WORKER_BLOOM_CACHE_BYTES[0] == sum(
+        n for n, _r in dedup._WORKER_BLOOM_CACHE.values())
+    # budget fits exactly one entry: LRU keeps only the last-served path
+    per = max(n for n, _r in dedup._WORKER_BLOOM_CACHE.values())
+    monkeypatch.setattr(dedup, "_WORKER_BLOOM_MAX_BYTES", per)
+    dedup._WORKER_BLOOM_CACHE.clear()
+    dedup._WORKER_BLOOM_CACHE_BYTES[0] = 0
+    reads.clear()
+    rows3 = dedup._worker_bloom_rows(paths)
+    assert rows3 == rows1 and len(reads) == len(paths)
+    assert len(dedup._WORKER_BLOOM_CACHE) <= 1
+    assert dedup._WORKER_BLOOM_CACHE_BYTES[0] <= per
+    # a single file larger than the whole budget: correct rows, never
+    # inserted, existing entries untouched
+    monkeypatch.setattr(dedup, "_WORKER_BLOOM_MAX_BYTES", 0)
+    dedup._WORKER_BLOOM_CACHE.clear()
+    dedup._WORKER_BLOOM_CACHE_BYTES[0] = 0
+    reads.clear()
+    rows4 = dedup._worker_bloom_rows(paths[:1])
+    assert len(rows4) == 1 and len(reads) == 1
+    assert not dedup._WORKER_BLOOM_CACHE
+    assert dedup._WORKER_BLOOM_CACHE_BYTES[0] == 0
 
 
 def test_maybe_compact_cdc_footer_gate_skips_ledger_scan(spark, tmp_path,
