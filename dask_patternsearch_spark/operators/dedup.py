@@ -4188,12 +4188,22 @@ def _worker_bloom_rows(paths: list) -> list:
     path).  Runs inside python workers during the grouped probe; also
     unit-testable in-process.  A missing file propagates -- exactly the
     loud failure the Spark scan fallback gives a mid-swap read."""
+    import os
+
+    spool = os.environ.get("SPARK_GRAFT_BLOOM_SPOOL")
     out = []
     for p in paths:
         hit = _WORKER_BLOOM_CACHE.pop(p, None)
         if hit is not None:
             _WORKER_BLOOM_CACHE_BYTES[0] -= hit[0]
         else:
+            if spool:  # telemetry for tools/scaleprobe --worker-bloom:
+                try:   # one line per PHYSICAL read, keyed by worker pid
+                    with open(os.path.join(
+                            spool, f"{os.getpid()}.log"), "a") as fh:
+                        fh.write(f"{os.path.getsize(p)}\n")
+                except OSError:
+                    pass
             rows = [(mm, bb) for _pfx, mm, bb in _bloom_read_rows(p)]
             nbytes = sum(len(bb) for _mm, bb in rows)
             if nbytes > _WORKER_BLOOM_MAX_BYTES:

@@ -252,14 +252,16 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def _build_session(app_name: str):
+def _build_session(app_name: str, master: str = "local[32]"):
     """One session posture for EVERY probe mode (headline curve and the
     extra modes alike), so all SCALE.md numbers are measured under the
-    same shuffle/AQE configuration."""
+    same shuffle/AQE configuration.  ``master`` is overridable for the
+    one probe (--worker-bloom) whose metric is per-worker-process cache
+    behavior, not timings: local[1] makes the warmup deterministic."""
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[32]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.default.parallelism", "32")
@@ -901,6 +903,88 @@ def _probe_stream_ledger(spark, ui) -> None:
         dedup._bloom_read_rows = orig_read
 
 
+def _probe_worker_bloom(spark, ui) -> None:
+    """Round-13 evidence for EXECUTOR-side bloom residency (the
+    over-budget fallback's worker-process file cache): force the
+    worker-grouped probe path (driver residency monkeypatched off) and
+    measure, per probe batch, the bloom bytes PHYSICALLY read inside
+    the python workers (spooled per pid via SPARK_GRAFT_BLOOM_SPOOL,
+    set by the dispatcher before the session -- workers inherit it).
+    Claims under test: an unchanged sidecar re-reads ZERO bytes after
+    first contact (worker reuse keeps the LRU warm across jobs), an
+    append re-reads only its delta files, and a rebuild (every path
+    changes) reloads the bits exactly once.  Runs at local[1] so task ->
+    worker assignment is deterministic; at local[N] the same steady
+    state arrives asymptotically as each worker's coverage warms (the
+    metric is physical bytes, not timings, so the posture deviation
+    does not touch any timing claim in this file)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dask_patternsearch_spark.operators import dedup
+
+    spool = os.environ["SPARK_GRAFT_BLOOM_SPOOL"]
+
+    def spooled() -> int:
+        total = 0
+        for f in os.listdir(spool):
+            with open(os.path.join(spool, f)) as fh:
+                total += sum(int(x) for x in fh.read().split())
+        return total
+
+    base = os.path.join(PROBE_ROOT, "workerbloom")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    bdir = os.path.join(base, "bloom")
+
+    def keys(lo: int, hi: int):
+        return spark.range(lo, hi).select(
+            F.md5(F.col("id").cast("string")).alias("k"))
+
+    dedup._bloom_rows(keys(0, 120_000), 2, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    sidecar_mb = _dir_bytes(bdir) / 1e6
+    dedup._bloom_resident_bits = lambda b: None  # force the worker path
+    print(f"# sidecar: {sidecar_mb:.2f} MB on disk, "
+          f"{len(dedup._bloom_list_files(bdir))} files, pfx width 2")
+    print("| probe batch | worker bloom read MB | event |")
+    print("|---|---|---|")
+    batch = 0
+    for event in ["first contact", "unchanged", "unchanged", "unchanged"]:
+        before = spooled()
+        probe = keys(1000 * batch, 1000 * batch + 5000)
+        n = dedup._bloom_filter_keys(spark, bdir, probe, 2, "k").count()
+        print(f"| {batch} | {(spooled() - before) / 1e6:.3f} | "
+              f"{event} ({n} survivors) |")
+        batch += 1
+    delta_lo = 120_000
+    dedup._bloom_rows(keys(delta_lo, delta_lo + 6_000), 2, col="k") \
+        .write.mode("append").partitionBy("pfx").parquet(bdir)
+    delta_mb = _dir_bytes(bdir) / 1e6 - sidecar_mb
+    before = spooled()
+    n = dedup._bloom_filter_keys(
+        spark, bdir, keys(110_000, 130_000), 2, "k").count()
+    print(f"| {batch} | {(spooled() - before) / 1e6:.3f} | append "
+          f"(+{delta_mb:.3f} MB delta on disk; {n} survivors) |")
+    batch += 1
+    tmp = bdir + ".build"
+    dedup._bloom_rows(keys(0, delta_lo + 6_000), 2, col="k").write.mode(
+        "errorifexists").partitionBy("pfx").parquet(tmp)
+    shutil.rmtree(bdir)
+    os.rename(tmp, bdir)
+    rebuilt_mb = _dir_bytes(bdir) / 1e6
+    for event in [f"rebuild swap ({rebuilt_mb:.2f} MB new paths)",
+                  "unchanged after rebuild"]:
+        before = spooled()
+        n = dedup._bloom_filter_keys(
+            spark, bdir, keys(1000 * batch, 1000 * batch + 5000),
+            2, "k").count()
+        print(f"| {batch} | {(spooled() - before) / 1e6:.3f} | "
+              f"{event} ({n} survivors) |")
+        batch += 1
+
+
 def _probe_incremental_ann(spark, ui) -> None:
     """Incremental ANN ingestion shape: a FIXED 6k-vector batch appended
     into persisted IVF layouts built from x10/x30/x100 embedding corpora.
@@ -954,7 +1038,7 @@ if __name__ == "__main__" and sys.argv[1:2] not in (
         ["--incremental"], ["--incremental-ann"], ["--iterative"],
         ["--window"], ["--bandskew"], ["--ingest"], ["--compaction"],
         ["--cdc"], ["--spans"], ["--bands-sidecar"], ["--cdc-rebucket"],
-        ["--stream-ledger"]):
+        ["--stream-ledger"], ["--worker-bloom"]):
     main()
 elif __name__ == "__main__":
     # extra modes share main()'s session posture but run one probe each
@@ -962,7 +1046,19 @@ elif __name__ == "__main__":
 
     from dask_patternsearch_spark.queries import all_queries
 
-    _spark = _build_session("scaleprobe-extra")
+    _master = "local[32]"
+    if sys.argv[1:2] == ["--worker-bloom"]:
+        # spool env must exist BEFORE the JVM starts so python workers
+        # inherit it; local[1] makes worker warmup deterministic (see
+        # _probe_worker_bloom)
+        _spool = os.path.join(PROBE_ROOT, "bloomspool")
+        import shutil as _shutil
+
+        _shutil.rmtree(_spool, ignore_errors=True)
+        os.makedirs(_spool)
+        os.environ["SPARK_GRAFT_BLOOM_SPOOL"] = _spool
+        _master = "local[1]"
+    _spark = _build_session("scaleprobe-extra", master=_master)
     _ui = _spark.sparkContext.uiWebUrl
     mode = sys.argv[1]
     if mode == "--incremental":
@@ -987,6 +1083,8 @@ elif __name__ == "__main__":
         _probe_cdc_rebucket(_spark, _ui)
     elif mode == "--stream-ledger":
         _probe_stream_ledger(_spark, _ui)
+    elif mode == "--worker-bloom":
+        _probe_worker_bloom(_spark, _ui)
     elif mode == "--spans":
         _probe_spans(_spark, _ui)
     elif mode == "--compaction":
