@@ -4180,6 +4180,7 @@ def _bloom_resident_broadcast(spark, bdir: str):
 _WORKER_BLOOM_MAX_BYTES = 128 * 1024 * 1024
 _WORKER_BLOOM_CACHE: dict = {}  # path -> (bits_bytes, rows); insertion-ordered
 _WORKER_BLOOM_CACHE_BYTES = [0]
+_WORKER_PATHS_BC: dict = {}  # bdir -> {files, sc, bc}: driver-side map cache
 
 
 def _worker_bloom_rows(paths: list) -> list:
@@ -4271,15 +4272,26 @@ def _bloom_filter_keys(spark, bdir: str, keys: DataFrame, pfx_len: int,
         # aggregate physical re-read converges to each batch's own
         # delta even past any single-process budget (see the
         # executor-side residency block above).  The pfx -> files map
-        # is metadata-sized (paths only, no bits) and rides a broadcast.
+        # is metadata-sized (paths only, no bits) and rides a broadcast
+        # cached per dir: re-broadcast only when the listing or the
+        # SparkContext changes, superseded broadcasts unpersisted
+        # eagerly (same lifecycle as the resident-bits broadcast).
         import os
 
-        by_pfx: dict = {}
-        for f in sorted(files):
-            part = os.path.basename(os.path.dirname(f))
-            if "=" in part:
-                by_pfx.setdefault(part.split("=", 1)[1], []).append(f)
-        bc_paths = spark.sparkContext.broadcast(by_pfx)
+        sc = spark.sparkContext
+        entry = _WORKER_PATHS_BC.get(bdir)
+        if entry is None or entry["files"] != files \
+                or entry["sc"] is not sc:
+            by_pfx: dict = {}
+            for f in sorted(files):
+                part = os.path.basename(os.path.dirname(f))
+                if "=" in part:
+                    by_pfx.setdefault(part.split("=", 1)[1], []).append(f)
+            if entry is not None and entry["sc"] is sc:
+                _bloom_drop_broadcast(entry)
+            entry = {"files": files, "sc": sc, "bc": sc.broadcast(by_pfx)}
+            _WORKER_PATHS_BC[bdir] = entry
+        bc_paths = entry["bc"]
 
         def probe_grp(pdf: "pd.DataFrame") -> "pd.DataFrame":
             if len(pdf) == 0:
