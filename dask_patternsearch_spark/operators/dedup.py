@@ -3437,8 +3437,10 @@ def maybe_compact_dedup_state(
     triggered, else ``None``.
 
     Cost model (round-12: safe to run per micro-batch -- the streaming
-    sink's ``auto_compact`` does): the COMMON path is two footer-counts
-    plus one tiny json read.  The corpus-sized state RESOLUTION only
+    sink's ``auto_compact`` does): the COMMON path is two driver-side
+    footer sums plus one tiny json read -- since round 13 ZERO Spark
+    jobs on a locally-listable state dir (an unlistable URI falls back
+    to Spark's footer-count job).  The corpus-sized state RESOLUTION only
     runs when the footer math says the gap COULD have reached
     ``gap_ratio`` against the resolved sizes remembered from the last
     resolution or compaction (``_compact_meta.json`` -- a heuristic
@@ -3454,8 +3456,12 @@ def maybe_compact_dedup_state(
     import os
 
     _sig, lab_path, keep_path = _delta_dirs(state_dir)
-    lab_rows = spark.read.parquet(lab_path).count()
-    keep_rows = spark.read.parquet(keep_path).count()
+    lab_rows = _footer_row_count(lab_path)
+    if lab_rows is None:  # unlistable: Spark's footer-count job
+        lab_rows = spark.read.parquet(lab_path).count()
+    keep_rows = _footer_row_count(keep_path)
+    if keep_rows is None:
+        keep_rows = spark.read.parquet(keep_path).count()
     if max(lab_rows, keep_rows) < min_log_rows:
         return None
     meta = _compact_meta_path(state_dir)
@@ -4066,17 +4072,71 @@ _BLOOM_RESIDENT: dict = {}
 
 def _bloom_list_files(bdir: str) -> set | None:
     """The sidecar's parquet data files (local paths only -- a
-    non-local URI disengages the residency cache)."""
+    non-local URI disengages the residency cache).  Skips ``_``/``.``
+    prefixed components (Spark's hidden-path convention), so an
+    in-flight write's ``_temporary`` staging never leaks into a
+    listing -- its rows are not yet visible to readers either."""
     import os
 
     if not os.path.isdir(bdir):
         return None
     found: set = set()
-    for root, _dirs, files in os.walk(bdir):
+    for root, dirs, files in os.walk(bdir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 found.add(os.path.join(root, f))
     return found
+
+
+def _footer_row_count(path: str) -> int | None:
+    """Total rows of a LOCAL parquet dir from file footers alone -- the
+    same number as Spark's footer-only ``count()``, with zero Spark
+    jobs.  None when the dir isn't locally listable or a footer is
+    unreadable (mid-swap): callers then fall back to the Spark count.
+    Used by the maintenance TRIGGERS, which run per micro-batch -- this
+    keeps their common path free of job-launch overhead entirely."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return None
+    total = 0
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                try:
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)).metadata.num_rows
+                except Exception:
+                    return None
+    return total
+
+
+def _footer_rows_per_pfx_max(bdir: str) -> int | None:
+    """max over prefixes of the bloom sidecar's rows-per-prefix, from
+    footers alone (no Spark job).  None when unlistable."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = _bloom_list_files(bdir)
+    if files is None:
+        return None
+    per: dict = {}
+    for f in files:
+        part = os.path.basename(os.path.dirname(f))
+        if "=" not in part:
+            continue
+        try:
+            n = pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            return None
+        pfx = part.split("=", 1)[1]
+        per[pfx] = per.get(pfx, 0) + n
+    return max(per.values()) if per else 0
 
 
 def _bloom_read_rows(fpath: str) -> list:
@@ -4758,8 +4818,9 @@ def maybe_compact_cdc_state(
     - BLOOM READ AMPLIFICATION: every probe ORs across its prefix's
       delta rows, so rows-per-prefix is a direct multiplier on
       per-batch bloom work; compact once any prefix exceeds
-      ``max_bloom_rows_per_pfx`` (the check is a count per partition of
-      the KB-sized sidecar).
+      ``max_bloom_rows_per_pfx`` (the check is a per-prefix footer sum
+      over the KB-sized sidecar -- driver-side, zero Spark jobs on a
+      listable dir).
     - ORPHAN/DUPLICATE MASS: uncommitted crash debris and retry
       duplicates are invisible to readers but inflate the
       partition-pruned probe's bytes; compact once they exceed
@@ -4792,11 +4853,13 @@ def maybe_compact_cdc_state(
         bdir = _cdc_bloom_dir(state_dir)
         if os.path.exists(bdir) \
                 and _layout_pfx_len(bdir) == _cdc_pfx_len(state_dir):
-            worst = (
-                spark.read.schema(_CDC_BLOOM_SCHEMA).parquet(bdir)
-                .groupBy("pfx").count()
-                .agg(F.max("count").alias("m")).collect()[0]["m"]
-            )
+            worst = _footer_rows_per_pfx_max(bdir)
+            if worst is None:  # unlistable: one KB-sized sidecar job
+                worst = (
+                    spark.read.schema(_CDC_BLOOM_SCHEMA).parquet(bdir)
+                    .groupBy("pfx").count()
+                    .agg(F.max("count").alias("m")).collect()[0]["m"]
+                )
             if worst is not None and worst > max_bloom_rows_per_pfx:
                 stats = compact_cdc_state(spark, state_dir)
                 stats["trigger"] = "bloom_rows_per_pfx"
@@ -4814,7 +4877,9 @@ def maybe_compact_cdc_state(
         with open(rp) as fh:
             recorded = json.load(fh)
     if applied <= set(recorded):
-        total = spark.read.parquet(path).count()  # footer-only count
+        total = _footer_row_count(path)  # driver-side: zero Spark jobs
+        if total is None:  # unlistable: Spark's footer-count job
+            total = spark.read.parquet(path).count()
         committed = sum(int(recorded[s]) for s in applied)
         orphan = max(total - committed, 0)
     else:

@@ -3978,8 +3978,13 @@ def test_maybe_compact_cdc_footer_gate_skips_ledger_scan(spark, tmp_path,
     monkeypatch.setattr(
         dedup, "_cdc_stamp_rows_scan",
         lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
-    # common path: no ledger column scan
+    # common path: no ledger column scan -- and (round 13) no Spark
+    # jobs AT ALL on a locally-listable state dir (footer sums are
+    # driver-side pyarrow reads)
+    st = spark.sparkContext.statusTracker()
+    before_jobs = set(st.getJobIdsForGroup() or [])
     assert dedup.maybe_compact_cdc_state(spark, state) is None
+    assert set(st.getJobIdsForGroup() or []) == before_jobs
     assert calls == []
     # planted orphans are visible to the footer math alone
     pfx_len = dedup._cdc_pfx_len(state)
