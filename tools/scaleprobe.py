@@ -950,8 +950,10 @@ def _probe_worker_bloom(spark, ui) -> None:
           f"{len(dedup._bloom_list_files(bdir))} files, pfx width 2")
     print("| probe batch | worker bloom read MB | event |")
     print("|---|---|---|")
+    ncores = spark.sparkContext.defaultParallelism
+    n_unchanged = 3 if ncores == 1 else 11  # N>1 warms asymptotically
     batch = 0
-    for event in ["first contact", "unchanged", "unchanged", "unchanged"]:
+    for event in ["first contact"] + ["unchanged"] * n_unchanged:
         before = spooled()
         probe = keys(1000 * batch, 1000 * batch + 5000)
         n = dedup._bloom_filter_keys(spark, bdir, probe, 2, "k").count()
@@ -1049,15 +1051,16 @@ elif __name__ == "__main__":
     _master = "local[32]"
     if sys.argv[1:2] == ["--worker-bloom"]:
         # spool env must exist BEFORE the JVM starts so python workers
-        # inherit it; local[1] makes worker warmup deterministic (see
-        # _probe_worker_bloom)
+        # inherit it; local[1] (default) makes worker warmup
+        # deterministic, an optional N measures the asymptotic warmup
+        # across a worker pool (see _probe_worker_bloom)
         _spool = os.path.join(PROBE_ROOT, "bloomspool")
         import shutil as _shutil
 
         _shutil.rmtree(_spool, ignore_errors=True)
         os.makedirs(_spool)
         os.environ["SPARK_GRAFT_BLOOM_SPOOL"] = _spool
-        _master = "local[1]"
+        _master = f"local[{sys.argv[2] if len(sys.argv) > 2 else 1}]"
     _spark = _build_session("scaleprobe-extra", master=_master)
     _ui = _spark.sparkContext.uiWebUrl
     mode = sys.argv[1]
