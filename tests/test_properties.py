@@ -241,3 +241,60 @@ def test_two_level_cap_containment(ids, k, n_salts, seed):
         buckets.setdefault(hash((seed + 1, x)) % n_salts, []).append(x)
     survivors = [x for b in buckets.values() for x in sorted(b, key=h)[:k]]
     assert sorted(survivors, key=h)[:k] == direct
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 50), min_size=1, max_size=8),
+    budget=st.integers(0, 120),
+    seq=st.lists(st.integers(0, 7), min_size=1, max_size=40),
+)
+def test_worker_bloom_lru_invariants(sizes, budget, seq):
+    """The worker-process bloom file cache is TRANSPARENT (served rows
+    always equal the backing read, any access order), its byte ledger
+    always equals the sum of cached entries and never exceeds the
+    budget, it never re-reads a resident path, and the most recent
+    fitting path is always resident (eviction is oldest-first and never
+    evicts the incoming entry)."""
+    from dask_patternsearch_spark.operators import dedup
+
+    backing = {
+        f"/syn/pfx=aa/part-{i}.parquet": [("aa", 8 * max(n, 1), b"x" * n)]
+        for i, n in enumerate(sizes)
+    }
+    reads = []
+
+    def fake_read(path):
+        reads.append(path)
+        return backing[path]
+
+    orig_read = dedup._bloom_read_rows
+    orig_max = dedup._WORKER_BLOOM_MAX_BYTES
+    dedup._bloom_read_rows = fake_read
+    dedup._WORKER_BLOOM_MAX_BYTES = budget
+    dedup._WORKER_BLOOM_CACHE.clear()
+    dedup._WORKER_BLOOM_CACHE_BYTES[0] = 0
+    try:
+        for j in seq:
+            path = list(backing)[j % len(backing)]
+            resident_before = path in dedup._WORKER_BLOOM_CACHE
+            n_reads = len(reads)
+            rows = dedup._worker_bloom_rows([path])
+            assert rows == [(m, b) for _p, m, b in backing[path]]
+            # no re-read of a resident path; exactly one read otherwise
+            assert len(reads) == n_reads + (0 if resident_before else 1)
+            nbytes = sum(len(b) for _p, _m, b in backing[path])
+            cache, ledger = dedup._WORKER_BLOOM_CACHE, \
+                dedup._WORKER_BLOOM_CACHE_BYTES[0]
+            assert ledger == sum(n for n, _r in cache.values())
+            assert ledger <= budget
+            if nbytes <= budget:
+                assert path in cache  # the incoming entry is never evicted
+                assert next(reversed(cache)) == path  # recency order
+            else:
+                assert path not in cache  # over-budget: served uncached
+    finally:
+        dedup._bloom_read_rows = orig_read
+        dedup._WORKER_BLOOM_MAX_BYTES = orig_max
+        dedup._WORKER_BLOOM_CACHE.clear()
+        dedup._WORKER_BLOOM_CACHE_BYTES[0] = 0
