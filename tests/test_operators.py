@@ -3953,6 +3953,46 @@ def test_worker_bloom_cache_lru_and_budget(spark, tmp_path, monkeypatch):
     assert dedup._WORKER_BLOOM_CACHE_BYTES[0] == 0
 
 
+def test_worker_bloom_mid_swap_fails_loud_never_stale(spark, tmp_path,
+                                                      monkeypatch):
+    """A rebuild that lands between the worker probe's driver-side
+    listing and the worker's file read must fail LOUDLY (retryable),
+    never serve mixed-generation bits: old bloom rows do not cover the
+    new ledger's keys, so healing per-file would admit false
+    'definitely absent' verdicts -- silent duplicate loss.  After the
+    failure, a fresh probe (fresh listing) succeeds against the new
+    files, and a pre-swap cache entry for a deleted path is never
+    consulted (the paths map always comes from the current listing)."""
+    import os
+    import shutil
+
+    import pytest
+
+    bdir = str(tmp_path / "bloom")
+    mk_keys = lambda lo, hi: spark.range(lo, hi).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    dedup._bloom_rows(mk_keys(0, 200), 1, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    monkeypatch.setattr(dedup, "_bloom_resident_bits", lambda b: None)
+    probe_keys = mk_keys(100, 260).localCheckpoint(eager=True)
+    # lazy probe built against the CURRENT listing...
+    lazy = dedup._bloom_filter_keys(spark, bdir, probe_keys, 1, "k")
+    # ...then the rebuild swap deletes every listed file
+    tmp2 = bdir + ".build"
+    dedup._bloom_rows(mk_keys(0, 260), 1, col="k").write.mode(
+        "errorifexists").partitionBy("pfx").parquet(tmp2)
+    shutil.rmtree(bdir)
+    os.rename(tmp2, bdir)
+    dedup._WORKER_PATHS_BC.pop(bdir, None)  # listing cache: stale entry
+    with pytest.raises(Exception):
+        lazy.collect()  # loud, not a silent wrong answer
+    # a fresh probe re-lists and serves the new generation correctly
+    got = {r["k"] for r in dedup._bloom_filter_keys(
+        spark, bdir, probe_keys, 1, "k").collect()}
+    present = {r["k"] for r in mk_keys(100, 260).collect()}
+    assert present <= got
+
+
 def test_maybe_compact_cdc_footer_gate_skips_ledger_scan(spark, tmp_path,
                                                          monkeypatch):
     """Round-13 (round-12 verdict #1): the CDC maintenance trigger's
