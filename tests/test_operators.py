@@ -3953,6 +3953,34 @@ def test_worker_bloom_cache_lru_and_budget(spark, tmp_path, monkeypatch):
     assert dedup._WORKER_BLOOM_CACHE_BYTES[0] == 0
 
 
+def test_bloom_driver_budget_disengages_to_worker_path(spark, tmp_path,
+                                                       monkeypatch):
+    """Crossing the DRIVER residency budget itself (not a simulated
+    bypass) evicts the resident entry and routes the probe through the
+    worker-grouped path with identical survivors."""
+    bdir = str(tmp_path / "bloom")
+    mk_keys = lambda lo, hi: spark.range(lo, hi).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    dedup._bloom_rows(mk_keys(0, 200), 1, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    probe_keys = mk_keys(150, 260).localCheckpoint(eager=True)
+
+    def survivors():
+        return {r["k"] for r in dedup._bloom_filter_keys(
+            spark, bdir, probe_keys, 1, "k").collect()}
+
+    dedup._BLOOM_RESIDENT.pop(bdir, None)
+    resident = survivors()
+    assert bdir in dedup._BLOOM_RESIDENT
+    monkeypatch.setattr(dedup, "_BLOOM_RESIDENT_MAX_BYTES", 0)
+    dedup._BLOOM_RESIDENT.pop(bdir, None)
+    over_budget = survivors()
+    assert bdir not in dedup._BLOOM_RESIDENT  # budget kept it out
+    assert over_budget == resident
+    present = {r["k"] for r in mk_keys(150, 200).collect()}
+    assert present <= over_budget
+
+
 def test_worker_bloom_mid_swap_fails_loud_never_stale(spark, tmp_path,
                                                       monkeypatch):
     """A rebuild that lands between the worker probe's driver-side
