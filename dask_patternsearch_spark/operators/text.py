@@ -961,3 +961,75 @@ def chunk_documents(
         F.size(piece).alias("n_tokens"),
         F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
     )
+
+
+def token_budget_mixture(docs: DataFrame, budget_den: int = 5) -> DataFrame:
+    """Token-budgeted mixture selection -- the pretraining sampling op
+    that :func:`source_quota_cap` (a DOC-count cap) is not: give every
+    source an equal share of a global TOKEN budget (1/``budget_den`` of
+    the corpus' tokens, split evenly across sources) and fill each
+    share in deterministic md5 order, keeping a document while the
+    source's running token total still fits.  Sources smaller than
+    their share keep everything; the integer allocation is never
+    exceeded.  Returns the kept documents as (doc_id, source, n_tokens,
+    cum_tokens).
+
+    Scale: the naive spelling is one window per source (a giant skewed
+    source serializes through one task).  Computed instead at two
+    levels, provably identical to the single-window spelling (which is
+    exactly what the DuckDB oracle runs): documents bucket by their
+    md5's first 2 hex chars -- hex-prefix buckets ORDER consistently
+    with the md5 ordering -- so (1) a (source, bucket)-grain token
+    pre-aggregate (256-way parallel) plus a window over that TINY
+    relation yields each bucket's exclusive running start; (2) buckets
+    whose start already exceeds the allocation are pruned by a
+    broadcast join BEFORE any doc-grain work, bounding the doc-grain
+    windows to ~the selected mass plus one boundary bucket per source;
+    (3) the doc-grain cumulative sum partitions by (source, bucket) --
+    256-way parallel within every source -- and global position =
+    bucket start + within-bucket running sum.  The allocation scalar
+    broadcasts; integer arithmetic end to end, so the oracle compare is
+    exact."""
+    from pyspark.sql import Window
+
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("b", F.substring("h", 1, 2))
+    alloc = (
+        d.agg(
+            F.sum("n_tokens").cast("long").alias("total"),
+            F.countDistinct("source").alias("ns"),
+        )
+        .select(
+            F.expr(f"(total div {int(budget_den)}) div ns")
+            .cast("long")
+            .alias("alloc")
+        )
+    )
+    per_bucket = d.groupBy("source", "b").agg(
+        F.sum("n_tokens").cast("long").alias("bt")
+    )
+    wb = Window.partitionBy("source").orderBy("b")
+    starts = per_bucket.withColumn(
+        "bucket_start", (F.sum("bt").over(wb) - F.col("bt")).cast("long")
+    )
+    cand = (
+        starts.crossJoin(F.broadcast(alloc))
+        .filter(F.col("bucket_start") <= F.col("alloc"))
+        .select("source", "b", "bucket_start", "alloc")
+    )
+    wd = Window.partitionBy("source", "b").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.join(F.broadcast(cand), ["source", "b"])
+        .withColumn(
+            "cum_tokens",
+            (F.col("bucket_start") + F.sum("n_tokens").over(wd)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("alloc"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

@@ -2998,6 +2998,36 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.source_quota_cap(_docs(spark, sf_dir))
 
 
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_budget_mixture(_docs(spark, sf_dir))
+
+
+_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+           AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+a AS (
+  SELECT CAST((CAST(sum(n_tokens) AS BIGINT) // 5)
+              // count(DISTINCT source) AS BIGINT) AS alloc
+  FROM d
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
+  FROM d
+)
+SELECT c.doc_id, c.source, c.n_tokens, c.cum_tokens
+FROM c, a
+WHERE c.cum_tokens <= a.alloc
+"""
+
+
 _QUOTA_SQL = """
 SELECT doc_id, source, n_chars,
        CAST(row_number() OVER (PARTITION BY source
@@ -5209,6 +5239,7 @@ QUERIES = {
     "duplicate_ngram_fraction": duplicate_ngram_fraction,
     "deterministic_shards": deterministic_shards,
     "source_quota_cap": source_quota_cap,
+    "token_budget_mixture": token_budget_mixture,
     "profile_lineitem": profile_lineitem,
     "streaming_enriched_events": streaming_enriched_events,
     "embedding_norm_stats": embedding_norm_stats,
@@ -5275,6 +5306,7 @@ ORACLE = {
     "cosine_topk": _COSINE_TOPK_SQL,
     "doc_fingerprints": _FINGERPRINT_SQL,
     "token_stats_by_lang": _TOKEN_STATS_SQL,
+    "token_budget_mixture": _TOKEN_BUDGET_SQL,
     "pack_context_bins": _PACK_BINS_SQL,
     "quantized_embeddings": _QUANTIZE_SQL,
     "upsert_reactivated_customers": _UPSERT_SQL,

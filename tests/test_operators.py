@@ -1051,6 +1051,56 @@ def test_source_quota_cap_bounds_and_determinism(spark, docs):
     assert a == b
 
 
+def test_token_budget_mixture_matches_single_window_and_respects_alloc(
+        spark, docs):
+    """The two-level (bucketed, pruned) spelling equals the naive
+    one-window-per-source spelling exactly; no source exceeds its
+    integer allocation; a source smaller than its share keeps every
+    document; partitioning does not change the result."""
+    from pyspark.sql import Window
+
+    got = text.token_budget_mixture(docs, budget_den=5)
+    rows = sorted(tuple(r) for r in got.collect())
+    assert rows
+    # naive single-window reference
+    d = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"))
+    alloc_df = d.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.countDistinct("source").alias("ns"),
+    ).select(F.expr("(total div 5) div ns").cast("long").alias("alloc"))
+    alloc = alloc_df.collect()[0]["alloc"]
+    w = Window.partitionBy("source").orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = (d.withColumn("cum_tokens",
+                          F.sum("n_tokens").over(w).cast("long"))
+             .filter(F.col("cum_tokens") <= F.lit(alloc))
+             .select("doc_id", "source", "n_tokens", "cum_tokens"))
+    assert rows == sorted(tuple(r) for r in naive.collect())
+    # per-source: never exceeds alloc; small sources keep everything
+    kept = {}
+    for _id, src, _n, cum in rows:
+        kept[src] = max(kept.get(src, 0), cum)
+    assert all(c <= alloc for c in kept.values())
+    totals = {r["source"]: r["t"] for r in d.groupBy("source").agg(
+        F.sum("n_tokens").alias("t")).collect()}
+    kept_n = {}
+    for _id, src, _n, _c in rows:
+        kept_n[src] = kept_n.get(src, 0) + 1
+    doc_n = {r["source"]: r["n"] for r in d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for src, t in totals.items():
+        if t <= alloc:
+            assert kept_n.get(src, 0) == doc_n[src]
+    # partition-count independence
+    again = sorted(tuple(r) for r in text.token_budget_mixture(
+        docs.repartition(7), budget_den=5).collect())
+    assert again == rows
+
+
 def test_constraint_checker_catches_planted_violations(spark):
     from dask_patternsearch_spark.operators.quality import check_constraints
 
