@@ -192,6 +192,34 @@ def test_bench_headline_composition_pinned():
         "update this pin and document the metric break in BASELINE.md")
 
 
+def test_bench_steal_telemetry_helpers():
+    """The round-13 steal telemetry: _steal_pct arithmetic on known
+    snapshots, None-robustness, and the extended ambient-suspect rule
+    (probe/srm thresholds unchanged; sustained >5% steal now also trips
+    the defensive retry -- the box state where probes stay in-band but
+    every barrier stage drags)."""
+    import bench
+
+    # 1000 jiffies window, 120 of them stolen -> 12.0%
+    a = [100, 0, 50, 700, 10, 0, 0, 40]
+    b = [x + d for x, d in zip(a, [500, 0, 80, 280, 20, 0, 0, 120])]
+    assert bench._steal_pct(a, b) == 12.0
+    assert bench._steal_pct(None, b) is None
+    assert bench._steal_pct(a, None) is None
+    assert bench._steal_pct(a, a) is None  # zero-width window
+    # live read on Linux returns 8 integer fields
+    snap = bench._cpu_snap()
+    assert snap is None or (len(snap) == 8
+                            and all(isinstance(x, int) for x in snap))
+
+    quiet = dict(srm=0.1, probes=[0.11, 0.12], steal=0.4)
+    assert not bench._ambient_suspect(**quiet)
+    assert bench._ambient_suspect(0.3, [0.11, 0.12], 0.4)      # srm rule
+    assert bench._ambient_suspect(0.1, [0.11, 0.25], 0.4)      # probe rule
+    assert bench._ambient_suspect(0.1, [0.11, 0.12], 12.1)     # steal rule
+    assert not bench._ambient_suspect(None, [], None)          # no telemetry
+
+
 def test_hll_sketch_users_tolerance_and_union_consistency(spark):
     """Per-type estimates within 5% of exact; the union row must estimate
     the global distinct count (merged sketches, not a rescan)."""
