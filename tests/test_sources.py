@@ -369,3 +369,29 @@ def test_write_training_shards_layout_passes_audit(spark, tmp_path):
         write_training_shards(docs, out)
     audit = audit_scan_parallelism(spark, out).collect()
     assert audit and not any(r["starved"] for r in audit)
+
+
+def test_session_parquet_codec_zstd_engages_on_writes(spark, tmp_path):
+    """Round-13 guide-§6 change: the session default parquet codec is
+    zstd (env-overridable via SPARK_GRAFT_PARQUET_CODEC), and it must
+    actually reach the files every operator writes -- asserted from the
+    written footer, not just the conf."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    expected = os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "zstd")
+    assert (spark.conf.get("spark.sql.parquet.compression.codec").lower()
+            == expected.lower())
+
+    out = str(tmp_path / "codec_probe")
+    spark.range(100).selectExpr(
+        "id", "repeat('payload ', 8) as text").coalesce(1).write.parquet(out)
+    files = [f for f in os.listdir(out)
+             if f.endswith(".parquet") and not f.startswith(("_", "."))]
+    assert files
+    meta = pq.ParquetFile(os.path.join(out, files[0])).metadata
+    codecs = {meta.row_group(i).column(j).compression.lower()
+              for i in range(meta.num_row_groups)
+              for j in range(meta.num_columns)}
+    assert codecs == {expected.lower()}
