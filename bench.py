@@ -378,6 +378,11 @@ def main() -> None:
             "stl": steal_pass,
         },
     }
+    # value_first: the UNTRIGGERED first-pass total, always emitted (round-13
+    # verdict #2) -- the self-defending retry makes `value` a min-of-passes
+    # on ambient-suspect runs, so round-over-round series need the plain
+    # single-pass figure to compare like-for-like with pre-retry rounds.
+    payload["value_first"] = pass_totals[0]
     if len(pass_totals) > 1:
         payload["value_all"] = pass_totals
     if sweep:

