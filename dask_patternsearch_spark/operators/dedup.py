@@ -1798,29 +1798,59 @@ def connected_components(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .withColumn("chg", F.lit(True))
         .localCheckpoint(eager=False)
     )
+    from pyspark.sql import Observation
+
+    # Two scale changes vs the naive loop, both result-identical:
+    #
+    # FRONTIER propagation: round k only propagates labels out of nodes
+    # whose label changed in round k-1 (round k's table is the min label
+    # over <= k-hop reachability either way -- a change at round k must
+    # extend a node changed at round k-1 -- so the per-round tables match
+    # full propagation row for row).  The edges join and the min-combine
+    # shuffle shrink with the frontier instead of staying O(|E|)/round.
+    #
+    # Fixpoint probe rides the checkpoint job itself (the pagerank/sssp
+    # observe pattern): min-label propagation is MONOTONE -- a node's
+    # label never increases and the node set is fixed -- so the exact
+    # decimal sum of labels strictly decreases iff any label changed.
+    # Comparing consecutive sums replaces the previous separate
+    # join-and-count probe job per round (2 jobs/round -> 1).
+    prev_sum = None
     for _ in range(max_iterations):
         prop = (
-            edges.join(labels, edges.src == labels.node)
+            edges.join(
+                labels.filter("chg").select("node", "label"),
+                edges.src == F.col("node"),
+            )
             .select(F.col("dst").alias("node"), F.col("label"))
         )
+        obs = Observation()
         new_labels = (
-            labels.unionByName(prop)
+            labels.select("node", "label", F.lit(True).alias("__old"))
+            .unionByName(prop.select(
+                "node", "label", F.lit(False).alias("__old")))
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()  # eager: materialize before the change probe
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("__old"), F.col("label"))).alias("__prev"),
+            )
+            .observe(obs, F.coalesce(
+                F.sum(F.col("label").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)")).alias("s"))
+            .select(
+                "node", "label",
+                (F.col("label") < F.col("__prev")).alias("chg"),
+            )
+            .localCheckpoint()  # eager: the change probe rides this job
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        label_sum = obs.get["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select("node", "label")
 
 
@@ -1946,6 +1976,15 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    from pyspark.sql import Observation
+
+    # Fixpoint probe rides the checkpoint job (the observe pattern the
+    # other iteratives use): both edge sets are DISTINCT, so set equality
+    # is exactly |ss| == |edges| plus "no ss row is novel vs edges" --
+    # one left join observed inline, replacing the two separate exceptAll
+    # probe jobs per round (up to 3 jobs/round -> 1, and the exceptAll
+    # set-difference shuffles with it).
+    prev_n = None
     for _ in range(max_iterations):
         # large-star: per node u over BOTH directions, attach strictly
         # larger neighbors to m = min(N(u) + {u})
@@ -1963,19 +2002,38 @@ def connected_components_star(
         # small-star on the (big -> small) edges: attach each node and its
         # smaller neighbors to the group min
         smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        obs = Observation()
         ss = (
             ls.join(smins, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()  # eager: materialize before the change probe
+            .join(
+                edges.select("u", "v", F.lit(1).alias("__old")),
+                ["u", "v"],
+                "left",
+            )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__old").isNull(), 1).otherwise(0)),
+                    F.lit(0),
+                ).alias("novel"),
+            )
+            .select("u", "v")
+            .localCheckpoint()  # eager: the change probe rides this job
         )
-        converged = (
-            ss.exceptAll(edges).limit(1).isEmpty()
-            and edges.exceptAll(ss).limit(1).isEmpty()
-        )
+        if prev_n is None:
+            # first round only: the baseline edge count (edges was just
+            # materialized feeding ss, so this is an RDD-count, not a
+            # recompute)
+            prev_n = edges.count()
+        n, novel = obs.get["n"], obs.get["novel"]
+        converged = novel == 0 and n == prev_n
         edges = ss
+        prev_n = n
         if converged:
             break
     # fixpoint is a forest of depth-1 stars: u -> component min

@@ -164,10 +164,17 @@ def triangle_participation(edges: DataFrame, k: int = 10) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
+    # build side chosen deliberately (the edge input is typically a
+    # checkpointed RDD with no size statistics, and the planner was
+    # observed broadcasting the EDGE LIST -- the big side -- instead):
+    # deg is one row per vertex, strictly smaller than the adjacency
+    # arrays this function already broadcasts below, so it shares their
+    # posture; past broadcast reach drop both hints together and the
+    # joins degrade to shuffled joins on uniformly-hashed vertex ids.
     with_deg = (
-        edges.join(deg.withColumnRenamed("v", "src"), "src")
+        edges.join(F.broadcast(deg.withColumnRenamed("v", "src")), "src")
         .withColumnRenamed("deg", "deg_src")
-        .join(deg.withColumnRenamed("v", "dst"), "dst")
+        .join(F.broadcast(deg.withColumnRenamed("v", "dst")), "dst")
         .withColumnRenamed("deg", "deg_dst")
     )
     fwd = F.struct(F.col("deg_src"), F.col("src")) < F.struct(
@@ -355,15 +362,22 @@ def sssp(
     early when a round improves nothing.  Negative weights are rejected
     (undirected negative edges make shortest paths undefined).
 
-    Scale: the relaxation join is vertex-keyed and the min-combine is a
-    partial-aggregated groupBy -- same shuffle posture as BFS/LPA; the
-    distance table is localCheckpoint-ed per round so round N never
-    replays rounds 1..N-1, and the improved-distance convergence probe
-    rides that SAME checkpoint job via ``observe`` (one executed job per
-    iteration, the pagerank dangling-mass pattern).  Rounds needed =
-    shortest-path hop diameter, not |V|; if ``max_iter`` rounds pass
-    without reaching the fixpoint a warning is logged (distances are then
-    upper bounds, not final).
+    Scale: FRONTIER relaxation, the BFS posture applied to Bellman-Ford
+    -- each round relaxes only the edges out of vertices whose distance
+    strictly decreased last round (round k's table is the min over <= k
+    hop paths either way: an improvement at round k must extend a vertex
+    improved at round k-1, so the per-round tables are identical to
+    full-edge relaxation, row for row).  The join and the min-combine
+    shuffle therefore shrink with the frontier instead of staying
+    O(|E|) per round.  The min-combine is a partial-aggregated groupBy
+    carrying the node's previous distance through the SAME aggregate (a
+    tagged union row), so the improved-distance convergence probe rides
+    the checkpoint job via ``observe`` with no second join -- one
+    exchange, one executed job per iteration.  The distance table is
+    localCheckpoint-ed per round so round N never replays rounds 1..N-1.
+    Rounds needed = shortest-path hop diameter, not |V|; if ``max_iter``
+    rounds pass without reaching the fixpoint a warning is logged
+    (distances are then upper bounds, not final).
     """
     # the negative-weight validation and the min-vertex default ride the
     # one job that materializes the bidirectional edge list
@@ -390,13 +404,15 @@ def sssp(
         source = bi_obs.get["min_src"]
     spark = edges.sparkSession
     dist = spark.createDataFrame(
-        [(int(source), 0.0)], "vertex long, dist double"
+        [(int(source), 0.0, True)], "vertex long, dist double, imp boolean"
     ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         relaxed = (
             bi.join(
-                dist.withColumnRenamed("vertex", "src"), "src"
+                dist.filter("imp")
+                .select(F.col("vertex").alias("src"), "dist"),
+                "src",
             )
             .select(
                 F.col("dst").alias("vertex"),
@@ -404,26 +420,43 @@ def sssp(
             )
         )
         obs = Observation()
+        # the node's previous distance rides the union as a tagged row
+        # and comes back out of the SAME min-combine aggregate (each
+        # vertex has at most one tagged row), so the improvement probe
+        # needs no second join against the distance table -- one
+        # exchange per round instead of two.  The carried ``imp`` flag
+        # marks ANY strict decrease (no epsilon): sub-epsilon float
+        # improvements still enter the next frontier, so the evolving
+        # table matches full-edge relaxation bit for bit; the epsilon
+        # stays on the STOP probe only, exactly as before.
         new = (
-            dist.unionByName(relaxed)
+            dist.select("vertex", "dist", F.lit(True).alias("__old"))
+            .unionByName(
+                relaxed.select("vertex", "dist", F.lit(False).alias("__old"))
+            )
             .groupBy("vertex")
-            .agg(F.min("dist").alias("dist"))
-            .join(
-                dist.select("vertex", F.col("dist").alias("__old")),
-                "vertex",
-                "left",
+            .agg(
+                F.min("dist").alias("dist"),
+                F.min(F.when(F.col("__old"), F.col("dist"))).alias("__prev"),
             )
             .observe(
                 obs,
                 F.sum(
                     F.when(
-                        F.col("__old").isNull()
-                        | (F.col("dist") < F.col("__old") - 1e-12),
+                        F.col("__prev").isNull()
+                        | (F.col("dist") < F.col("__prev") - 1e-12),
                         1,
                     ).otherwise(0)
                 ).alias("improved"),
             )
-            .select("vertex", "dist")
+            .select(
+                "vertex",
+                "dist",
+                (
+                    F.col("__prev").isNull()
+                    | (F.col("dist") < F.col("__prev"))
+                ).alias("imp"),
+            )
             .localCheckpoint(eager=True)
         )
         improved = obs.get["improved"]

@@ -4047,9 +4047,14 @@ def ivf_layout_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = tempfile.mkdtemp(prefix="dps_ivf_layout_")
     try:
         write_ivf_layout(emb, path, centroids=cents)
-        queries = emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-        )
+        # the query vectors (vec_id < 8) are a subset of the centroid
+        # rows already collected above -- hand them to the probe
+        # driver-side instead of re-scanning the embeddings table (one
+        # scan of the source total: the layout write)
+        queries = [
+            {"query_id": int(r["vec_id"]), "qv": list(r["embedding"])}
+            for r in cent_rows if r["vec_id"] < 8
+        ]
         rows = ivf_layout_topk(spark, path, queries, k=5, n_probe=3).collect()
     finally:
         shutil.rmtree(path, ignore_errors=True)
