@@ -2629,13 +2629,20 @@ def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment probes per decile for the order statistics either side
     of the interpolation rank.  The cumulative count is a DISTRIBUTED
     prefix sum (integer counts, so exactness is unaffected by the
-    split): the histogram is range-partitioned by value, each partition
-    computes its local running sum in parallel, and per-partition
-    offsets come from one tiny window over the per-partition subtotals
-    (rows = partition count, NOT domain size -- the one single-partition
-    step, bounded by cluster width).  A near-continuous value domain at
-    100x therefore never funnels through one task, which the previous
-    global-ordered window did.  Memory is bounded by the price DOMAIN,
+    split): the histogram is bucketed by a deterministic order-
+    preserving function of the value (fixed-width cells over the exact
+    [min, max] span -- recomputation-stable, so no checkpoint pin, no
+    RangePartitioner sampling job), each bucket computes its local
+    running sum in parallel, and per-bucket offsets come from one tiny
+    window over the per-bucket subtotals (rows = bucket count, NOT
+    domain size -- the one single-partition step).  A near-continuous
+    value domain at 100x therefore never funnels through one task,
+    which the previous global-ordered window did.  Both order
+    statistics probe the cumulative table in one containment join
+    (unpivoted ranks), and the per-bin counts/extrema fold over the
+    value-grain histogram, never the raw rows -- one lineitem scan
+    total at execution (identical histogram exchange subtrees are
+    served by AQE stage reuse).  Memory is bounded by the price DOMAIN,
     never the row count, and the result is bit-identical to the
     percentile aggregate (same (n-1)*q interpolation, same expression
     tree -- the oracle is unchanged).
@@ -2645,36 +2652,59 @@ def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
     qs = [i / 10.0 for i in range(1, 10)]
     hist = li.groupBy("l_extendedprice").agg(F.count(F.lit(1)).alias("c"))
-    # checkpoint pins the range-shuffle output so spark_partition_id is
-    # consistent between the local-prefix pass and the subtotal pass
-    # (RangePartitioner samples; two independent executions of the
-    # exchange are not guaranteed identical boundaries)
-    ranged = (
-        hist.repartitionByRange(32, "l_extendedprice")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    # The distributed prefix sum is bucketed by a DETERMINISTIC
+    # order-preserving function of the value itself (fixed-width cells
+    # over the exact [min, max] span) instead of spark_partition_id over
+    # a range exchange: recomputing the bucketing yields identical
+    # assignments by construction, so the localCheckpoint that pinned the
+    # RangePartitioner's sampled boundaries (and its sampling job) is
+    # unnecessary.  Every appearance of ``hist`` below is the same
+    # canonical aggregate subtree, so the physical plan computes the
+    # histogram shuffle ONCE and ReusedExchange serves the other
+    # branches -- one lineitem scan total (the old spelling paid three:
+    # checkpoint build, n_total, and the final binning pass).
+    n_buckets = 256
+    minmax = hist.agg(
+        F.min("l_extendedprice").alias("vmin"),
+        F.max("l_extendedprice").alias("vmax"),
+    )
+    pid = F.when(
+        F.col("vmax") > F.col("vmin"),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * n_buckets
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(0)).cast("int")
+    bucketed = hist.crossJoin(F.broadcast(minmax)).select(
+        "l_extendedprice", "c", pid.alias("pid")
     )
     wloc = Window.partitionBy("pid").orderBy("l_extendedprice").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    local = ranged.select(
+    local = bucketed.select(
         "pid",
         "l_extendedprice",
         "c",
         F.coalesce(F.sum("c").over(wloc), F.lit(0)).alias("loc"),
     )
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        ranged.groupBy("pid")
-        .agg(F.sum("c").alias("pc"))
-        .select("pid", F.coalesce(F.sum("pc").over(woff), F.lit(0)).alias("off"))
+    per_bucket = bucketed.groupBy("pid").agg(F.sum("c").alias("pc"))
+    offsets = per_bucket.select(
+        "pid", F.coalesce(F.sum("pc").over(woff), F.lit(0)).alias("off")
     )
     cum = local.join(F.broadcast(offsets), "pid").select(
         F.col("l_extendedprice").alias("v"),
         (F.col("off") + F.col("loc") + 1).alias("r_lo"),
         (F.col("off") + F.col("loc") + F.col("c")).alias("r_hi"),
     )
-    n_total = hist.agg(F.sum("c").alias("n"))
+    n_total = per_bucket.agg(F.sum("pc").alias("n"))
     ranks = (
         spark.createDataFrame([(q,) for q in qs], "q double")
         .crossJoin(F.broadcast(n_total))
@@ -2689,21 +2719,39 @@ def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("idx") - F.floor("idx")).alias("frac"),
         )
     )
-    lo = cum.join(
-        F.broadcast(ranks),
-        (F.col("lo_rank") >= F.col("r_lo")) & (F.col("lo_rank") <= F.col("r_hi")),
-    ).select("q", "frac", F.col("v").alias("v_lo"), "hi_rank")
-    both = lo.join(
-        F.broadcast(cum.withColumnRenamed("v", "v_hi")),
-        (F.col("hi_rank") >= F.col("r_lo")) & (F.col("hi_rank") <= F.col("r_hi")),
-        "left",  # hi_rank may exceed n when q lands exactly on the last row
-    ).select(
-        "q",
-        (
-            F.col("v_lo")
-            + (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
-            * F.col("frac")
-        ).alias("edge"),
+    # both order statistics probe ``cum`` in ONE containment join (the
+    # lo/hi ranks ride as unpivoted rows): the r_lo..r_hi intervals
+    # partition 1..n, so each rank matches at most one histogram row --
+    # a hi_rank of n+1 (q landing exactly on the last row) simply finds
+    # no match and folds back to v_lo below, the old left-join semantics
+    rank_rows = ranks.select(
+        "q", "frac",
+        F.explode(F.array(
+            F.struct(F.col("lo_rank").alias("rank"),
+                     F.lit(True).alias("is_lo")),
+            F.struct(F.col("hi_rank").alias("rank"),
+                     F.lit(False).alias("is_lo")),
+        )).alias("rk"),
+    ).select("q", "frac", F.col("rk.rank").alias("rank"),
+             F.col("rk.is_lo").alias("is_lo"))
+    both = (
+        cum.join(
+            F.broadcast(rank_rows),
+            (F.col("rank") >= F.col("r_lo")) & (F.col("rank") <= F.col("r_hi")),
+        )
+        .groupBy("q", "frac")
+        .agg(
+            F.min(F.when(F.col("is_lo"), F.col("v"))).alias("v_lo"),
+            F.min(F.when(~F.col("is_lo"), F.col("v"))).alias("v_hi"),
+        )
+        .select(
+            "q",
+            (
+                F.col("v_lo")
+                + (F.coalesce(F.col("v_hi"), F.col("v_lo")) - F.col("v_lo"))
+                * F.col("frac")
+            ).alias("edge"),
+        )
     )
     edges = both.agg(F.sort_array(F.collect_list("edge")).alias("edges"))
     bin_id = F.lit(1) + F.aggregate(
@@ -2712,12 +2760,16 @@ def price_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, e: acc
         + F.when(F.col("l_extendedprice") > e, F.lit(1)).otherwise(F.lit(0)),
     )
+    # the bin is a pure function of the VALUE, so the per-bin counts and
+    # extrema fold over the value-grain histogram (sum of per-value
+    # counts), not the raw rows -- no second lineitem scan, and the
+    # histogram exchange above is reused
     return (
-        li.join(F.broadcast(edges))
-        .select(bin_id.alias("bin"), "l_extendedprice")
+        hist.join(F.broadcast(edges))
+        .select(bin_id.alias("bin"), "l_extendedprice", "c")
         .groupBy("bin")
         .agg(
-            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("n"),
             F.round(F.min("l_extendedprice"), 2).alias("lo"),
             F.round(F.max("l_extendedprice"), 2).alias("hi"),
         )
