@@ -262,18 +262,20 @@ class SparkEvaluator:
 
 
 class AsyncSparkEvaluator(SparkEvaluator):
-    """Pipelined distributed evaluation: up to ``max_inflight`` poll rounds
-    run as CONCURRENT Spark jobs, approximating the reference's async
-    submit/next_batch pipelining (``clients.py:13,23-24``;
-    ``search.py:240-250,299-324``) on a barrier execution model.
+    """Pipelined distributed evaluation: ``submit`` dispatches one
+    single-stage job from a pool thread and returns a future,
+    approximating the reference's async submit/next_batch pipelining
+    (``clients.py:13,23-24``; ``search.py:240-250,299-324``) on a
+    barrier execution model.
 
-    Spark's scheduler accepts jobs from multiple driver threads, so each
-    ``submit`` dispatches the same single-stage job as ``SparkEvaluator``
-    from a pool thread and returns a future.  While one round computes on
-    the cluster, ``search(pipeline_depth=k)`` fills and submits the next
-    speculative round -- the driver's fill/schedule work and the JVM's
-    evaluation overlap instead of strictly alternating, and a straggler in
-    round N no longer idles the whole cluster (round N+1's tasks backfill).
+    ``search(pipeline_depth=k)`` fills k speculative rounds and submits
+    them as ONE fused job (round-13 verdict #5): speculative rounds are
+    filled without each other's results by construction, so fusing
+    their evaluation into one job leaves every round's candidate set --
+    and the ledger -- bit-identical while cutting the per-round
+    job-launch floor to 1/k.  Within a fused job all rounds' tasks
+    schedule together, so a straggler in round N's slice is backfilled
+    by round N+1's tasks exactly as separate concurrent jobs would.
     Results still drain in submission order (a Spark job is a barrier),
     which is the one semantic narrowing vs the reference's
     completion-order drain; the greedy-accept policy is identical either
@@ -402,13 +404,16 @@ def search(
     integer_dimensions : indices of dimensions constrained to integers.
     batchsize / vectorize : evaluation batching, as in the reference.
     evaluator : explicit evaluator (overrides ``spark``).
-    pipeline_depth : poll rounds kept in flight as concurrent Spark jobs
+    pipeline_depth : speculative poll rounds evaluated per Spark job
         (``AsyncSparkEvaluator``).  1 = strict batch-synchronous rounds;
         2+ approximates the reference's async speculative submission
-        (``search.py:240-250,299-324``): the next round is filled and
-        submitted while the previous one still computes.  The contraction
-        gate stays exact -- a step never halves while any poll point is
-        unevaluated or any round is in flight.
+        (``search.py:240-250,299-324``): the next ``pipeline_depth - 1``
+        rounds are filled speculatively and the chunk rides ONE fused
+        job, so the per-round job-launch floor drops to 1/depth at an
+        unchanged search trace (each round is still filled and processed
+        in the same interleaving as one-job-per-round submission).  The
+        contraction gate stays exact -- a step never halves while any
+        poll point is unevaluated or any round is unprocessed.
     client / max_queue_size / min_queue_size : drop-in aliases for the
         reference's signature (``search.py:48-51``).  A SparkSession
         passed as ``client`` behaves as ``spark=``; ``max_queue_size``
@@ -561,9 +566,48 @@ def search(
     carried_key = None      # (halvings, cost) acceptance key of carried_best
     finished = False
 
-    # async pipelining state: rounds submitted but not yet drained
-    inflight: deque = deque()   # (candidates, Future) in submission order
+    # async pipelining state (round-FUSED, round-13 verdict #5): filled
+    # rounds accumulate into a chunk of up to ``pipeline_depth`` rounds
+    # and ride ONE Spark job per chunk (the per-round fill/process
+    # interleaving below is unchanged, so every round's candidate set --
+    # and hence the ledger -- is bit-identical to one-job-per-round
+    # submission; only the job count drops).  pending_chunk holds filled
+    # rounds awaiting submission, inflight holds submitted chunks,
+    # buffered holds evaluated rounds awaiting processing.
+    pending_chunk: list = []    # [candidates, ...] filled, not submitted
+    inflight: deque = deque()   # ([candidates, ...], Future) per chunk
+    buffered: deque = deque()   # (candidates, costs) evaluated rounds
     inflight_keys: set = set()  # TrialPoints awaiting results (dedup memo)
+    n_jobs = 0                  # evaluation jobs dispatched (sync + async)
+
+    def submit_chunk():
+        nonlocal n_jobs
+        if not pending_chunk:
+            return
+        rounds_list = list(pending_chunk)
+        pending_chunk.clear()
+        pts = [c.point for cand in rounds_list for c in cand]
+        n_jobs += 1
+        inflight.append((rounds_list, evaluator.submit(func, pts, args)))
+
+    def unprocessed_rounds() -> int:
+        return (len(pending_chunk) + len(buffered)
+                + sum(len(rl) for rl, _ in inflight))
+
+    def drain_one_round():
+        """Process exactly ONE round, in submission order (mirrors the
+        old pop-oldest semantics; chunk results split back per round)."""
+        if not buffered:
+            if not inflight:
+                submit_chunk()  # partial chunk: nothing else pending
+            rounds_list, fut = inflight.popleft()
+            costs_all = fut.result()
+            off = 0
+            for cand in rounds_list:
+                buffered.append((cand, costs_all[off:off + len(cand)]))
+                off += len(cand)
+        cand0, costs0 = buffered.popleft()
+        process_round(cand0, costs0)
 
     # periodic ledger checkpoint state (see ledger_path in the docstring)
     ledger_buf: list = []
@@ -705,31 +749,37 @@ def search(
 
         # ---- budget trim (max_tasks semantics; in-flight points count) ------
         if point_budget is not None:
-            pending = sum(len(c) for c, _ in inflight)
+            pending = (
+                sum(len(c) for c in pending_chunk)
+                + sum(len(c) for c, _ in buffered)
+                + sum(len(c) for rl, _ in inflight for c in rl)
+            )
             remaining = point_budget - len(results) - pending
             if remaining <= 0:
                 candidates = []
-                if not inflight:
+                if not unprocessed_rounds():
                     break
             elif len(candidates) > remaining:
                 candidates = candidates[:remaining]
 
-        # ---- evaluate: ONE Spark job (or local batch) per round -------------
-        # async mode submits this round and only blocks on the OLDEST round
-        # once the pipeline is full (or nothing new could be filled)
+        # ---- evaluate: ONE Spark job (or local batch) per chunk of rounds ---
+        # async mode appends this round to the pending chunk (submitted as
+        # one fused job every ``pipeline_depth`` rounds) and only processes
+        # the OLDEST round once the pipeline is full (or nothing new could
+        # be filled) -- per-round fill/process interleaving is identical to
+        # one-job-per-round submission, so the search trace is too
         if use_async:
             if candidates:
                 inflight_keys.update(candidates)
-                inflight.append(
-                    (
-                        candidates,
-                        evaluator.submit(func, [c.point for c in candidates], args),
-                    )
-                )
-            if inflight and (len(inflight) >= pipeline_depth or not candidates):
-                cand0, fut = inflight.popleft()
-                process_round(cand0, fut.result())
+                pending_chunk.append(candidates)
+                if len(pending_chunk) >= pipeline_depth:
+                    submit_chunk()
+            if unprocessed_rounds() and (
+                unprocessed_rounds() >= pipeline_depth or not candidates
+            ):
+                drain_one_round()
         elif candidates:
+            n_jobs += 1
             process_round(
                 candidates,
                 evaluator.evaluate(func, [c.point for c in candidates], args),
@@ -766,7 +816,7 @@ def search(
             # points are still in epoch["poll"], so they hold the gate), and
             # on exhaustion no round may remain in flight
             poll_done = not epoch["poll"] and epoch["index"] >= 2 * dims
-            exhausted_done = epoch["exhausted"] and not inflight
+            exhausted_done = epoch["exhausted"] and not unprocessed_rounds()
             if (poll_done and epoch["added"] >= min_new_submit) or exhausted_done:
                 # contraction: halve the step at the same coordinates
                 # (reference search.py:209-238,351-358)
@@ -785,9 +835,9 @@ def search(
     # drain any still-in-flight rounds into the ledger (the reference's
     # finish-time future drain, search.py:360-362); budget accounting above
     # guarantees these rows never exceed point_budget
-    while inflight:
-        cand0, fut = inflight.popleft()
-        process_round(cand0, fut.result())
+    while unprocessed_rounds():
+        drain_one_round()
+    results.jobs = n_jobs
 
     # fold the global ledger minimum on finish (the reference's finish-time
     # processing guarantees the returned incumbent equals the ledger min,
