@@ -4147,51 +4147,87 @@ def _bloom_list_files(bdir: str) -> set | None:
     return found
 
 
-def _footer_row_count(path: str) -> int | None:
-    """Total rows of a LOCAL parquet dir from file footers alone -- the
-    same number as Spark's footer-only ``count()``, with zero Spark
-    jobs.  None when the dir isn't locally listable or a footer is
-    unreadable (mid-swap): callers then fall back to the Spark count.
-    Used by the maintenance TRIGGERS, which run per micro-batch -- this
-    keeps their common path free of job-launch overhead entirely."""
+def _footer_rows_map(path: str) -> dict | None:
+    """{relpath: num_rows} for every data file of a LOCAL parquet dir,
+    manifest-gated (round-13 verdict #7): per-file row counts persist in
+    ``<path>/_footer_manifest.json`` (underscore-prefixed, so Spark and
+    this repo's own listings ignore it), and a call opens parquet
+    footers ONLY for files absent from the manifest -- an UNCHANGED dir
+    costs one directory walk and one JSON read, zero footer opens.
+    Sound because visible part files are immutable under every writer
+    here: appends create new uniquely-named files, compactions and
+    rebuilds swap whole directories by rename (the manifest rides along
+    or starts fresh) -- a path never maps to two different row counts.
+    Entries for vanished files drop out via the listing diff.  None when
+    the dir isn't locally listable or a new footer is unreadable
+    (mid-swap); the manifest is only rewritten after a fully successful
+    pass, so a failed read never poisons it."""
+    import json
     import os
 
     import pyarrow.parquet as pq
 
     if not os.path.isdir(path):
         return None
-    total = 0
+    current: dict = {}
     for root, dirs, files in os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
             if f.endswith(".parquet") and not f.startswith(("_", ".")):
-                try:
-                    total += pq.ParquetFile(
-                        os.path.join(root, f)).metadata.num_rows
-                except Exception:
-                    return None
-    return total
+                fp = os.path.join(root, f)
+                current[os.path.relpath(fp, path)] = fp
+    mpath = os.path.join(path, "_footer_manifest.json")
+    known: dict = {}
+    try:
+        with open(mpath) as fh:
+            known = json.load(fh)
+    except (OSError, ValueError):
+        known = {}
+    out: dict = {}
+    new_files = 0
+    for rel, fp in current.items():
+        n = known.get(rel)
+        if n is None:
+            try:
+                n = pq.ParquetFile(fp).metadata.num_rows
+            except Exception:
+                return None
+            new_files += 1
+        out[rel] = int(n)
+    if new_files or len(known) != len(out):
+        try:
+            _atomic_json_write(mpath, out)
+        except OSError:
+            pass  # read-only dir: served uncached, still correct
+    return out
+
+
+def _footer_row_count(path: str) -> int | None:
+    """Total rows of a LOCAL parquet dir from the footer manifest -- the
+    same number as Spark's footer-only ``count()``, with zero Spark
+    jobs, and zero parquet-footer opens on an unchanged dir (see
+    :func:`_footer_rows_map`).  None when the dir isn't locally listable
+    or a footer is unreadable (mid-swap): callers then fall back to the
+    Spark count.  Used by the maintenance TRIGGERS, which run per
+    micro-batch -- this keeps their common path metadata-sized."""
+    rows = _footer_rows_map(path)
+    return None if rows is None else sum(rows.values())
 
 
 def _footer_rows_per_pfx_max(bdir: str) -> int | None:
     """max over prefixes of the bloom sidecar's rows-per-prefix, from
-    footers alone (no Spark job).  None when unlistable."""
+    the footer manifest (no Spark job, no footer opens on an unchanged
+    dir).  None when unlistable."""
     import os
 
-    import pyarrow.parquet as pq
-
-    files = _bloom_list_files(bdir)
-    if files is None:
+    rows = _footer_rows_map(bdir)
+    if rows is None:
         return None
     per: dict = {}
-    for f in files:
-        part = os.path.basename(os.path.dirname(f))
+    for rel, n in rows.items():
+        part = os.path.basename(os.path.dirname(rel))
         if "=" not in part:
             continue
-        try:
-            n = pq.ParquetFile(f).metadata.num_rows
-        except Exception:
-            return None
         pfx = part.split("=", 1)[1]
         per[pfx] = per.get(pfx, 0) + n
     return max(per.values()) if per else 0
@@ -4219,24 +4255,53 @@ def _bloom_read_rows(fpath: str) -> list:
 
 def _bloom_resident_bits(bdir: str) -> dict | None:
     """{pfx: [(m, bits), ...]} for the sidecar at ``bdir``, served from
-    the process-resident cache (incremental refresh on append, full
-    reload on rebuild).  None when the dir isn't locally listable or
-    the bits exceed the residency budget -- callers then use the
-    distributed cogroup probe."""
+    the process-resident cache, reconciled PER PREFIX (round-13 verdict
+    #6): an unchanged prefix's bits are kept as-is, an appended-to
+    prefix re-reads only its new delta files, and a rebuilt prefix
+    (file set neither equal nor a superset of the cached one) reloads
+    alone -- so the refresh cost after the delta-preserving rebuild is
+    ∝ the prefixes the rebuild actually touched, never the corpus.
+    None when the dir isn't locally listable or the bits exceed the
+    residency budget -- callers then use the distributed cogroup
+    probe."""
+    import os
+
     current = _bloom_list_files(bdir)
     if current is None:
         return None
     cached = _BLOOM_RESIDENT.get(bdir)
     if cached is not None and cached["files"] == current:
         return cached["bits"]
-    if cached is not None and cached["files"] <= current:
-        new_files = current - cached["files"]  # append: delta files only
-        bits = {p: list(rows) for p, rows in cached["bits"].items()}
-    else:
-        new_files = current  # rebuild / first contact: full reload
-        bits = {}
+
+    def pfx_of(path: str) -> str:
+        part = os.path.basename(os.path.dirname(path))
+        # non-partitioned layouts keep the whole-dir grouping (one key);
+        # _bloom_read_rows raises on them exactly as before
+        return part.split("=", 1)[1] if "=" in part else ""
+
+    cur_by_pfx: dict = {}
+    for f in current:
+        cur_by_pfx.setdefault(pfx_of(f), set()).add(f)
+    old_by_pfx: dict = {}
+    if cached is not None:
+        for f in cached["files"]:
+            old_by_pfx.setdefault(pfx_of(f), set()).add(f)
+    bits: dict = {}
+    to_read: list = []
+    for pfx, fset in cur_by_pfx.items():
+        old = old_by_pfx.get(pfx)
+        if cached is not None and old == fset:
+            if pfx in cached["bits"]:
+                bits[pfx] = cached["bits"][pfx]
+            continue
+        if cached is not None and old is not None and old <= fset:
+            if pfx in cached["bits"]:
+                bits[pfx] = list(cached["bits"][pfx])
+            to_read.extend(sorted(fset - old))  # append: delta files only
+        else:
+            to_read.extend(sorted(fset))  # new / rebuilt prefix
     try:
-        for fpath in sorted(new_files):
+        for fpath in to_read:
             for pfx, mm, bb in _bloom_read_rows(fpath):
                 bits.setdefault(pfx, []).append((mm, bb))
     except Exception:

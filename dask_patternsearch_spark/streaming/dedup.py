@@ -70,9 +70,9 @@ def neardup_filter_stream(
     from ..operators.dedup import (_BANDS_KEY_ISIN_MAX, _atomic_json_write,
                                    _band_buckets, _bands_bk_expr,
                                    _bands_key_expr, _bloom_filter_keys,
-                                   _bloom_rows, _layout_pfx_len,
-                                   _pick_pfx_len, _recover_dir_swap,
-                                   minhash_signatures)
+                                   _bloom_list_files, _bloom_rows,
+                                   _layout_pfx_len, _pick_pfx_len,
+                                   _recover_dir_swap, minhash_signatures)
     from ..sources.io import (DEFAULT_MAX_GROUP_BYTES, DEFAULT_MAX_GROUP_ROWS,
                               _row_group_options)
 
@@ -102,12 +102,82 @@ def neardup_filter_stream(
     def _rebuild_bloom(sp, n_rows: int) -> None:
         """Collapse the per-batch bloom deltas to one right-sized row per
         prefix (and cover any rows the deltas predate -- the migration
-        case), swap in by atomic rename, record the ledger size the
-        rebuild saw.  Called on a GEOMETRIC schedule (ledger doubled), so
-        its full-ledger scan amortizes to O(1) per ledger row.  The
-        rebuild is also the RE-BUCKET point: the new width is sized to
-        the ledger row count it covers."""
+        case), record the ledger size the rebuild saw.  Called on a
+        GEOMETRIC schedule (ledger doubled).  The rebuild is also the
+        RE-BUCKET point: the new width is sized to the ledger row count.
+
+        DELTA-PRESERVING (round-13 verdict #6) when the width is
+        unchanged: a prefix whose directory holds exactly ONE delta file
+        is already collapsed -- its file was produced either by the last
+        rebuild (and no append touched the prefix since: every ledger
+        append lands its delta first) or by the single batch that ever
+        wrote the prefix, so it covers exactly the prefix's ledger keys
+        at the per-prefix right-sizing a rebuild would choose.  Such
+        prefixes are SKIPPED: their files stay byte-identical at the
+        same paths, so the driver residency cache and the worker-process
+        bloom LRU keep serving them with zero re-reads.  Only multi-file
+        prefixes collapse, their ledger slice read through the bk
+        row-group pushdown (bk is the key's first 60 bits, so a prefix
+        is one contiguous bk range) -- rebuild cost ∝ appended-to
+        prefixes' ledger mass, not the corpus.  Per-prefix swap is
+        crash-safe without the whole-dir rename: the collapsed file is
+        MOVED IN before the old files are removed, so a reader never
+        sees a covered prefix rowless (extra rows are fp-only, cleaned
+        by the next rebuild).  A width change (or first build) still
+        takes the full rebuild + atomic dir swap."""
         w = _pick_pfx_len(n_rows)
+        cur_w = _layout_pfx_len(bdir) if os.path.exists(bdir) else None
+        if cur_w == w:
+            by_pfx: dict = {}
+            for f in (_bloom_list_files(bdir) or set()):
+                part = os.path.basename(os.path.dirname(f))
+                if "=" in part:
+                    by_pfx.setdefault(part.split("=", 1)[1], []).append(f)
+            changed = sorted(p for p, fs in by_pfx.items() if len(fs) > 1)
+            if not changed:
+                _atomic_json_write(meta_path, {"rows_at_rebuild": n_rows})
+                return
+            span = 16 ** (15 - w)
+            ledger = sp.read.parquet(bands_path)
+            if len(changed) <= 64:
+                import functools
+                cond = functools.reduce(
+                    lambda a, b: a | b,
+                    [
+                        (F.col("bk") >= int(p, 16) * span)
+                        & (F.col("bk") < (int(p, 16) + 1) * span)
+                        for p in changed
+                    ],
+                )
+                ledger = ledger.filter(cond)
+            keys = ledger.select(_bands_key_expr().alias("bkey"))
+            tmp = bdir + ".build-" + uuid.uuid4().hex
+            _bloom_rows(keys, w, col="bkey").write.mode(
+                "errorifexists").partitionBy("pfx").parquet(tmp)
+            for p in changed:
+                src = os.path.join(tmp, f"pfx={p}")
+                dst = os.path.join(bdir, f"pfx={p}")
+                os.makedirs(dst, exist_ok=True)
+                if os.path.isdir(src):
+                    for fn in os.listdir(src):
+                        if fn.endswith(".parquet") and not fn.startswith(
+                                ("_", ".")):
+                            os.rename(
+                                os.path.join(src, fn),
+                                os.path.join(
+                                    dst,
+                                    f"rebuilt-{uuid.uuid4().hex}-{fn}"),
+                            )
+                # old deltas removed only after the collapsed row is
+                # visible; a crash in between leaves a superset (fp only)
+                for f in by_pfx[p]:
+                    try:
+                        os.remove(f)
+                    except FileNotFoundError:
+                        pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            _atomic_json_write(meta_path, {"rows_at_rebuild": n_rows})
+            return
         keys = sp.read.parquet(bands_path).select(
             _bands_key_expr().alias("bkey"))
         tmp = bdir + ".build-" + uuid.uuid4().hex

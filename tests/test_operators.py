@@ -3956,6 +3956,47 @@ def test_bloom_residency_cache_reads_deltas_only(spark, tmp_path,
     assert {r["k"] for r in mk_keys(150, 230).collect()} <= got3
 
 
+def test_bloom_residency_reconciles_per_prefix(spark, tmp_path,
+                                               monkeypatch):
+    """Round-14 (round-13 verdict #6): after a delta-preserving rebuild
+    -- some prefixes' files replaced, the rest untouched -- the driver
+    residency cache re-reads ONLY the changed prefixes' files instead
+    of reloading the whole sidecar, and the served bits are unchanged
+    for untouched prefixes."""
+    import os
+
+    bdir = str(tmp_path / "bloom")
+    keys = spark.range(0, 200).select(
+        F.md5(F.col("id").cast("string")).alias("k"))
+    dedup._bloom_rows(keys, 1, col="k").write.mode(
+        "append").partitionBy("pfx").parquet(bdir)
+    dedup._BLOOM_RESIDENT.pop(bdir, None)
+    bits1 = dedup._bloom_resident_bits(bdir)
+    assert bits1 and len(bits1) >= 4
+    reads = []
+    orig_read = dedup._bloom_read_rows
+    monkeypatch.setattr(
+        dedup, "_bloom_read_rows",
+        lambda f: (reads.append(f), orig_read(f))[1])
+    # simulate one prefix's collapse: its file moves to a new path
+    # (byte-identical here; the cache keys on paths, as the rebuild does)
+    some_pfx = sorted(bits1)[0]
+    pdir = os.path.join(bdir, f"pfx={some_pfx}")
+    moved = 0
+    for fn in sorted(os.listdir(pdir)):
+        if fn.endswith(".parquet"):
+            os.rename(os.path.join(pdir, fn),
+                      os.path.join(pdir, f"rebuilt-{fn}"))
+            moved += 1
+    assert moved >= 1
+    bits2 = dedup._bloom_resident_bits(bdir)
+    assert len(reads) == moved, "only the changed prefix's files re-read"
+    for pfx, rows in bits1.items():
+        if pfx != some_pfx:
+            assert bits2[pfx] == rows, "untouched prefix bits unchanged"
+    assert sorted(bits2[some_pfx]) == sorted(bits1[some_pfx])
+
+
 def test_worker_bloom_cache_lru_and_budget(spark, tmp_path, monkeypatch):
     """Round-13 executor-side residency: the worker-process file cache
     serves repeat probes with zero physical reads, evicts
@@ -4069,6 +4110,40 @@ def test_worker_bloom_mid_swap_fails_loud_never_stale(spark, tmp_path,
         spark, bdir, probe_keys, 1, "k").collect()}
     present = {r["k"] for r in mk_keys(100, 260).collect()}
     assert present <= got
+
+
+def test_footer_manifest_zero_opens_on_unchanged_dir(spark, tmp_path,
+                                                     monkeypatch):
+    """Round-14 (round-13 verdict #7): the trigger-side footer walks are
+    manifest-gated -- an unchanged dir is served from
+    ``_footer_manifest.json`` with ZERO parquet-footer opens, an append
+    opens exactly the new files' footers, and the counts always equal
+    the direct footer sum."""
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "state")
+    spark.range(100).selectExpr(
+        "id", "cast(id % 4 as string) as pfx"
+    ).write.partitionBy("pfx").parquet(d)
+    assert dedup._footer_row_count(d) == 100  # builds the manifest
+    calls = []
+    real = pq.ParquetFile
+    monkeypatch.setattr(
+        pq, "ParquetFile", lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    )
+    assert dedup._footer_row_count(d) == 100
+    assert calls == [], "unchanged dir must open zero parquet footers"
+    # append one file: exactly that footer opens, the rest ride the manifest
+    spark.range(7).selectExpr("id", "'9' as pfx").coalesce(1).write.mode(
+        "append"
+    ).partitionBy("pfx").parquet(d)
+    calls.clear()
+    assert dedup._footer_row_count(d) == 107
+    assert len(calls) == 1
+    # the per-prefix max reads the same manifest: zero opens again
+    calls.clear()
+    assert dedup._footer_rows_per_pfx_max(d) == 25
+    assert calls == []
 
 
 def test_maybe_compact_cdc_footer_gate_skips_ledger_scan(spark, tmp_path,

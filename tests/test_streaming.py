@@ -460,6 +460,91 @@ def test_streaming_neardup_bloom_rebuckets_at_rebuild(spark, tmp_path,
     assert kept == {1, 2, 8}
 
 
+def test_streaming_neardup_rebuild_preserves_unchanged_prefixes(
+        spark, tmp_path):
+    """Round-14 (round-13 verdict #6): a width-stable geometric rebuild
+    is DELTA-PRESERVING -- prefixes with no appends since the last
+    rebuild keep their single collapsed file byte-identical at the SAME
+    path (so the worker LRU and driver residency caches keep serving
+    them with zero re-reads), and only multi-file prefixes collapse to
+    one fresh file.  Decisions stay correct afterwards."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from dask_patternsearch_spark.operators import dedup as bdedup
+    from dask_patternsearch_spark.streaming import dedup as sdedup
+
+    def snap(bloom_dir):
+        out = {}
+        for f in sorted(bdedup._bloom_list_files(bloom_dir) or set()):
+            pfx = os.path.basename(os.path.dirname(f)).split("=", 1)[1]
+            with open(f, "rb") as fh:
+                out.setdefault(pfx, []).append(
+                    (f, hashlib.md5(fh.read()).hexdigest()))
+        return out
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    bands_path = str(tmp_path / "bands")
+    bloom = bands_path + ".bloom"
+    kept_path = str(tmp_path / "kept")
+    ckpt = str(tmp_path / "ckpt")
+    t1 = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+          "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 6
+    t2 = ("stencil simplex reflect contract halving lattice orientation "
+          "incumbent poll round ledger dedup probe submit drain decide ") * 6
+    pd.DataFrame({"doc_id": [1], "text": [t1]}).to_parquet(
+        docs_dir / "a.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    before = snap(bloom)
+    assert before and all(len(v) == 1 for v in before.values()), \
+        "batch-1 prefixes must already be single-file (collapsed)"
+    # batch 2 doubles the ledger, so the geometric rebuild fires after
+    # its append; its touched prefixes are computable deterministically
+    touched = {
+        r["p"] for r in bdedup._band_buckets(
+            bdedup.minhash_signatures(
+                spark.createDataFrame([(100, t2)], "doc_id long, text string")
+            ), 8, 8)
+        .select(F.substring(bdedup._bands_key_expr(), 1, 1).alias("p"))
+        .distinct().collect()
+    }
+    pd.DataFrame({"doc_id": [100], "text": [t2]}).to_parquet(
+        docs_dir / "b.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    after = snap(bloom)
+    untouched = set(before) - touched
+    assert untouched, "test premise: some batch-1 prefix saw no append"
+    for pfx in untouched:
+        assert after[pfx] == before[pfx], (
+            f"untouched prefix {pfx} must keep its file byte-identical "
+            f"at the same path")
+    for pfx in touched & set(before):
+        assert len(after[pfx]) == 1, "appended-to prefix must re-collapse"
+        assert after[pfx][0][0] not in {f for f, _ in before[pfx]}, (
+            "collapsed prefix must land in a NEW file")
+    for pfx in touched - set(before):
+        assert len(after[pfx]) == 1, (
+            "batch-2-only prefix is already collapsed; its delta stays")
+    # decisions after the delta-preserving rebuild: a near-dup of a
+    # batch-1 doc drops, a novel doc survives
+    pd.DataFrame({"doc_id": [7, 8],
+                  "text": [t1 + " tail",
+                           "wholly different fresh tokens " * 20]}
+                 ).to_parquet(docs_dir / "c.parquet")
+    sdedup.neardup_filter_stream(
+        sdedup.read_docs_stream(spark, str(docs_dir)),
+        bands_path=bands_path, kept_path=kept_path, checkpoint_path=ckpt)
+    kept = {r["doc_id"] for r in spark.read.parquet(kept_path).collect()}
+    assert kept == {1, 100, 8}
+
+
 def test_streaming_neardup_idempotent_restart(spark, tmp_path):
     """availableNow + checkpoint: a second run over the same input adds
     nothing (exactly-once per input file)."""
