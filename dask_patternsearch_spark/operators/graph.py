@@ -49,9 +49,12 @@ def pagerank(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
+    # materialized once: every iteration's with_deg join consumes this
+    # table, and AQE stage reuse does not span actions -- left lazy, the
+    # degree aggregate (an edge-list shuffle) re-executed per iteration
     out_deg = edges.groupBy(F.col(src).alias("vertex")).agg(
         F.count(F.lit(1)).alias("deg")
-    )
+    ).localCheckpoint(eager=True)
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     prev_ckpt = None
     for i in range(n_iter):
